@@ -73,7 +73,10 @@ object SparkEntry {
     s"list_sum(list_transform(list_zip($a, $b), " +
       "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
+    graft.queries.RelationalQueries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference core: hybrid predicate-filtered kNN (J1+A1, all 4 types)
     "knn_hybrid" -> ((s, dir) =>
       KnnJoin.exactFlat(vecBase(s, dir), vecQueries(s, dir), k = 10)),
@@ -126,7 +129,10 @@ object SparkEntry {
             size(col("toks")).cast("double"), 4).as("stopword_ratio")))
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracles ++
+    graft.queries.RelationalQueries.oracles
+
+  private def coreOracles: Map[String, String] = Map(
     "knn_hybrid" ->
       s"""WITH $oracleVecCte,
          |j AS (

@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational operator coverage (joins, windows, sorts, set ops,
+  * scalar/date/JSON functions, sessionization) over the TPC-H-ish corpus.
+  *
+  * Cross-engine determinism rules used throughout (the DuckDB oracle must
+  * hash-match bit-for-bit):
+  *  - per-row scalar arithmetic is emitted RAW (identical IEEE doubles in
+  *    both engines); `round` is only applied to order-varying aggregates;
+  *  - every output is explicitly non-null (`coalesce`) — null handling in
+  *    pandas/parquet dtype bridges is not worth betting on;
+  *  - every LIMIT sits on a total order (unique tie-break columns);
+  *  - event-time arithmetic is integer nanoseconds (`nanosAsLong`).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet INT64 TIMESTAMP(NANOS) — Spark 4 only reads it
+    * with the nanosAsLong legacy conf, which is what we want anyway:
+    * deterministic integer ns in both engines. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  private val HourUs = 3600L * 1000 * 1000
+  private val SessionGapUs = 1800L * 1000 * 1000
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 3-way join + group + deterministic top-10 (TPC-H Q3 shape)
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(
+          col("l_orderkey").cast("long").as("l_orderkey"),
+          col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+    }),
+
+    // 6-way join: revenue by region/nation with local-supplier condition (Q5 shape)
+    "q5_nation_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ranking window: top-3 orders per customer
+    "window_top_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("rnk").cast("long").as("rnk"),
+          col("o_totalprice"))
+    }),
+
+    // frame window: running spend + lag within customer order history
+    "window_running_spend" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("running_spend",
+          round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .withColumn("prev_order", coalesce(lag(col("o_orderkey"), 1).over(w), lit(-1L)))
+        .select(
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("running_spend"),
+          col("prev_order").cast("long").as("prev_order"))
+    }),
+
+    // global sort + deterministic limit
+    "sort_limit_lineitem" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .select(
+          col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_extendedprice"))),
+
+    // exact distinct aggregation
+    "distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))),
+
+    // set operations: INTERSECT / EXCEPT
+    "setop_customers" -> ((s, dir) => {
+      val ck = t(s, dir, "customer").select(col("c_custkey").cast("long").as("k"))
+      val ok = t(s, dir, "orders").select(col("o_custkey").cast("long").as("k"))
+      ck.intersect(ok).withColumn("tag", lit("with_orders"))
+        .unionByName(ck.except(ok).withColumn("tag", lit("without_orders")))
+    }),
+
+    // event-time tumbling window aggregation (integer-ns bucketing)
+    "events_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(expr(s"(ts div 1000) div $HourUs").as("hour_bucket"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("sum_value"))),
+
+    // JSON extraction + aggregation
+    "events_json" -> ((s, dir) =>
+      events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
+
+    // scalar string/conditional functions (raw doubles, no rounding)
+    "part_scalar" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 4).as("name_prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_extract(col("p_brand"), "[0-9]+", 0).cast("long").as("brand_num"),
+        when(col("p_size") > 25, "large").when(col("p_size") > 10, "medium")
+          .otherwise("small").as("size_class"),
+        (col("p_retailprice") * col("p_size")).as("price_volume"))),
+
+    // sessionization: 30-min-gap sessions per user (lag + conditional sum).
+    // Event time is truncated to MICROseconds: DuckDB's TIMESTAMP is us, so
+    // the oracle can only see us precision on the ns-encoded parquet column.
+    "sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      events(s, dir)
+        .withColumn("tus", expr("ts div 1000"))
+        .withColumn("prev_ts", lag(col("tus"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull || col("tus") - col("prev_ts") > SessionGapUs, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"),
+          max(col("tus") - coalesce(col("prev_ts"), col("tus"))).as("max_gap_us"))
+        .select(col("user_id").cast("long").as("user_id"),
+          col("n_sessions"), col("n_events"), col("max_gap_us"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "window_top_orders" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(rnk AS BIGINT) AS rnk, o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 3""".stripMargin,
+
+    "window_running_spend" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+        |  CAST(coalesce(lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), -1) AS BIGINT) AS prev_order
+        |FROM orders""".stripMargin,
+
+    "sort_limit_lineitem" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "setop_customers" ->
+      """SELECT k, 'with_orders' AS tag FROM (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+        |  INTERSECT SELECT CAST(o_custkey AS BIGINT) FROM orders)
+        |UNION ALL
+        |SELECT k, 'without_orders' AS tag FROM (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+        |  EXCEPT SELECT CAST(o_custkey AS BIGINT) FROM orders)""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "part_scalar" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  substr(p_name, 1, 4) AS name_prefix,
+        |  p_brand || '|' || p_type AS brand_type,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  CAST(regexp_extract(p_brand, '[0-9]+', 0) AS BIGINT) AS brand_num,
+        |  CASE WHEN p_size > 25 THEN 'large' WHEN p_size > 10 THEN 'medium'
+        |       ELSE 'small' END AS size_class,
+        |  p_retailprice * p_size AS price_volume
+        |FROM part""".stripMargin,
+
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        |  FROM events
+        |)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL OR tus - prev_ts > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events,
+        |  CAST(max(tus - coalesce(prev_ts, tus)) AS BIGINT) AS max_gap_us
+        |FROM g GROUP BY user_id""".stripMargin
+  )
+}
