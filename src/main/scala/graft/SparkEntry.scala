@@ -74,7 +74,8 @@ object SparkEntry {
       "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
-    graft.queries.RelationalQueries.queries
+    graft.queries.RelationalQueries.queries ++
+    graft.queries.TextQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference core: hybrid predicate-filtered kNN (J1+A1, all 4 types)
@@ -130,7 +131,8 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = coreOracles ++
-    graft.queries.RelationalQueries.oracles
+    graft.queries.RelationalQueries.oracles ++
+    graft.queries.TextQueries.oracles
 
   private def coreOracles: Map[String, String] = Map(
     "knn_hybrid" ->

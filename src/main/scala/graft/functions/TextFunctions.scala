@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale corpus pipelines:
+  * tokenization, word shingles, deterministic 60-bit hashing, MinHash
+  * signatures, SimHash fingerprints, quality ratios, language-ID scores.
+  *
+  * All hashing is md5-based so an external engine (the DuckDB oracle)
+  * can reproduce every value bit-for-bit; everything is a per-row
+  * Catalyst expression — no shuffles, no UDFs, codegen throughout.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), x => x =!= lit(""))
+
+  /** Word n-gram shingles (space-joined); empty array when < n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Deterministic 60-bit hash: first 15 hex chars of md5("<seed>:<s>").
+    * Cross-engine: DuckDB equivalent is
+    * `CAST(('0x' || substr(md5(seed || ':' || s), 1, 15)) AS UBIGINT)::BIGINT`. */
+  def hash60(s: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), s).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** MinHash signature: array of `h` minima of per-seed shingle hashes.
+    * Entirely per-row (no explode/shuffle). Null-free iff shingles non-empty. */
+  def minhashSignature(shinglesCol: Column, h: Int): Column =
+    array((0 until h).map(j => array_min(transform(shinglesCol, s => hash60(s, j)))): _*)
+
+  /** SimHash over a precomputed array<long> of token hashes (use
+    * [[hash60]] with seed 97): for each bit, sign of Σ(±1); packs `bits`
+    * bits little-endian into a long. Pass the hash column's NAME (the
+    * bit loop needs SQL-text lambdas — the Scala shift API only takes
+    * literal shift amounts). */
+  def simhashFromHashes(hashesColName: String, bits: Int = 48): Column =
+    expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${bits - 1}), b ->
+         |    if(aggregate($hashesColName, 0L,
+         |         (a, h) -> a + ((shiftright(h, b) & 1) * 2 - 1)) > 0,
+         |       shiftleft(1L, b), 0L)),
+         |  0L, (a, x) -> a + x)""".stripMargin)
+
+  /** Ratio of tokens found in `words`. */
+  def tokenSetRatio(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => array_contains(array(words.map(lit): _*), x))) /
+      size(toks).cast("double")
+
+  /** Type-token ratio (lexical diversity). */
+  def typeTokenRatio(toks: Column): Column =
+    size(array_distinct(toks)) / size(toks).cast("double")
+
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Marker-word language scoring table used by the langid heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "small"),
+    "es" -> Seq("el", "la", "de", "los", "datos"),
+    "de" -> Seq("der", "die", "das", "und", "daten"),
+    "fr" -> Seq("le", "la", "les", "des", "est"),
+    "zh" -> Seq("shuju", "biao", "hang", "lie", "suoyin"))
+}

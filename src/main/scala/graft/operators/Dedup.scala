@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Deduplication operators for large-scale corpus pipelines.
+  *
+  * Five strategies, all returning deterministic DataFrames:
+  *  - exact (hash groupBy)
+  *  - n-gram-shingle Jaccard (exact set similarity via inverted-index join)
+  *  - MinHash + LSH banding (candidate pairs at scale)
+  *  - SimHash fingerprints + banded Hamming pairs
+  *  - embedding-cosine near-duplicates
+  *
+  * Scale notes: the Jaccard path prunes the O(N²) pair space through the
+  * shingle inverted index (only docs sharing a shingle meet); MinHash/LSH
+  * reduces it further to band-bucket collisions — the intended 100 TB
+  * path. Signatures are computed per-row with no shuffle; the only
+  * shuffles are the band-key join and the final pair aggregation.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: (text_hash, rep_doc_id = min id, dup_count). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(
+        min(col(idCol)).cast("long").as("rep_doc_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** Distinct (id, shingle) pairs — the inverted-index input. */
+  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        array_distinct(TF.shingles(TF.tokens(col(textCol)), shingleSize)).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("sh"))
+
+  /** Exact n-gram Jaccard pairs ≥ minJaccard:
+    * (doc_a, doc_b, inter, jac), doc_a < doc_b. */
+  def jaccardShinglePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+    val ex = explodedShingles(df, idCol, textCol, shingleSize)
+    val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("jac", col("inter") / (col("x.n") + col("y.n") - col("inter")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
+  }
+
+  /** Per-doc MinHash signature (array<long> of length numHashes); docs
+    * with no shingles are dropped. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleSize: Int = 3): DataFrame =
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        array_distinct(TF.shingles(TF.tokens(col(textCol)), shingleSize)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("mh", TF.minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id"), col("mh"))
+
+  /** LSH candidate pairs: docs sharing ≥1 of `bands` band keys, with the
+    * estimated similarity = fraction of matching minhash components.
+    * (doc_a, doc_b, est_sim), doc_a < doc_b, distinct. */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    val banded = sig.select(
+        col("doc_id"), col("mh"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_key",
+        md5(expr(s"cast(array_join(transform(slice(mh, band * $rows + 1, $rows), " +
+          "x -> cast(x as string)), ',') as binary)")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.mh").as("mha"), col("b.mh").as("mhb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est_sim",
+        expr(s"aggregate(zip_with(mha, mhb, (x, y) -> if(x = y, 1, 0)), 0, (a, x) -> a + x) / ${numHashes}.0"))
+      .select(col("doc_a"), col("doc_b"), col("est_sim"))
+  }
+
+  /** Per-doc SimHash fingerprint over distinct-token hashes: (doc_id, simhash). */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48): DataFrame =
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        transform(array_distinct(TF.tokens(col(textCol))), t => TF.hash60(t, 97)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("simhash", TF.simhashFromHashes("hs", bits))
+      .select(col("doc_id"), col("simhash"))
+
+  /** SimHash near-pairs with Hamming distance ≤ maxHamming, found by the
+    * banded pigeonhole trick: split the fingerprint into maxHamming+1
+    * chunks — any pair within the radius collides on ≥1 exact chunk. */
+  def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48, maxHamming: Int = 3): DataFrame = {
+    val fp = simhashFingerprints(df, idCol, textCol, bits)
+    val chunks = maxHamming + 1
+    val w = bits / chunks
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .withColumn("chunk_val",
+        expr(s"shiftright(simhash, chunk * $w) & ${(1L << w) - 1}"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Embedding near-duplicate pairs with cosine ≥ minCosine:
+    * (id_a, id_b, cos), id_a < id_b. Brute-force O(N²) — the LSH-bucketed
+    * scale path is [[SimilaritySearch.lshCosineCandidates]]. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", VF.cosineSim(col("a.vec"), col("b.vec")))
+      .filter(col("cos") >= minCosine)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}

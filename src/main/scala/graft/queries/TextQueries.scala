@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Dedup
+
+/** Dedup + text-analysis coverage over the `documents` / `embeddings`
+  * tables: exact dedup (in core), n-gram Jaccard, MinHash+LSH, SimHash,
+  * cosine near-dup, quality scoring, language ID, fingerprinting.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact 3-shingle Jaccard near-dup pairs (inverted-index join)
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
+        shingleSize = 3, minJaccard = 0.2)),
+
+    // MinHash(16) + LSH(4 bands × 4 rows) candidate pairs
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshCandidates(docs(s, dir), "doc_id", "text",
+        numHashes = 16, bands = 4, shingleSize = 3)),
+
+    // 48-bit SimHash fingerprints
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashFingerprints(docs(s, dir), "doc_id", "text", bits = 48)),
+
+    // embedding-cosine near-duplicate pairs
+    "neardup_cosine" -> ((s, dir) =>
+      Dedup.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", minCosine = 0.4)),
+
+    // quality scoring: lexical diversity, stopword ratio, length
+    "text_quality" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", TF.tokens(col("text")))
+        .withColumn("ttr", TF.typeTokenRatio(col("toks")))
+        .withColumn("stop_ratio", TF.tokenSetRatio(col("toks"), TF.StopwordsEn))
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          col("ttr"),
+          col("stop_ratio"),
+          (col("ttr") * lit(0.4) + (lit(1.0) - col("stop_ratio")) * lit(0.3) +
+            least(size(col("toks")) / lit(100.0), lit(1.0)) * lit(0.3)).as("quality_score"))),
+
+    // n-gram-marker language ID heuristic (scores + argmax prediction)
+    "text_langid" -> ((s, dir) => {
+      val base = docs(s, dir).withColumn("toks", TF.tokens(col("text")))
+      val scored = TF.LangMarkers.foldLeft(base) { case (df, (lang, markers)) =>
+        df.withColumn(s"s_$lang",
+          size(filter(col("toks"), x => array_contains(array(markers.map(lit): _*), x)))
+            .cast("long"))
+      }
+      val m = greatest(TF.LangMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+      val predicted = TF.LangMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
+        when(col(s"s_$lang") === m, lit(lang)).otherwise(acc)
+      }
+      // NOTE: foldRight builds first-match-wins in LangMarkers order
+      scored.select(
+        col("doc_id").cast("long").as("doc_id"),
+        col("s_en"), col("s_es"), col("s_de"), col("s_fr"), col("s_zh"),
+        predicted.as("predicted"),
+        col("lang"),
+        (predicted === col("lang")).cast("long").as("correct"))
+    }),
+
+    // document fingerprinting: full-content md5 + 60-bit compact fp
+    "doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id").cast("long").as("doc_id"),
+        md5(col("text").cast("binary")).as("md5_hex"),
+        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("fp60")))
+  )
+
+  /** DuckDB 60-bit hash mirroring [[TF.hash60]]. */
+  private def dh(seed: Int, s: String): String =
+    s"CAST(('0x' || substr(md5('$seed:' || $s), 1, 15)) AS UBIGINT)::BIGINT"
+
+  private val shingleCte =
+    """t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |  FROM documents
+      |), shl AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [] END) AS sh
+      |  FROM t
+      |)""".stripMargin
+
+  private val minhashList =
+    (0 until 16).map(j => s"list_min(list_transform(sh, s -> ${dh(j, "s")}))")
+      .mkString("[", ",\n       ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "dedup_jaccard_pairs" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(sh) AS sh FROM shl),
+         |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, inter, jac FROM (
+         |  SELECT doc_a, doc_b, inter, inter / (x.n + y.n - inter) AS jac
+         |  FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+         |) WHERE jac >= 0.2""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    $minhashList AS mh
+         |  FROM shl WHERE len(sh) > 0
+         |),
+         |banded AS (
+         |  SELECT doc_id, mh, band,
+         |    md5(array_to_string(mh[band*4+1 : band*4+4], ',')) AS band_key
+         |  FROM sig, unnest([0, 1, 2, 3]) AS u(band)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.mh AS mha, b.mh AS mhb
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |  CAST(list_sum(list_transform(list_zip(mha, mhb),
+         |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS BIGINT) / 16.0 AS est_sim
+         |FROM cand""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+         |  FROM documents
+         |), h AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    list_transform(list_distinct(toks), tk -> ${dh(97, "tk")}) AS hs
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 48), b ->
+         |    CASE WHEN CAST(list_sum(list_transform(hs, hv -> ((hv >> b) & 1) * 2 - 1)) AS BIGINT) > 0
+         |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+         |FROM h WHERE len(hs) > 0""".stripMargin,
+
+    "neardup_cosine" ->
+      """SELECT id_a, id_b, cos FROM (
+        |  SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |) WHERE cos >= 0.4""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS ttr,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+        |      / CAST(len(toks) AS DOUBLE) AS stop_ratio
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, ttr, stop_ratio,
+        |  ttr * 0.4 + (1.0 - stop_ratio) * 0.3 + least(n_tokens / 100.0, 1.0) * 0.3 AS quality_score
+        |FROM m""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), sc AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','fast','slow','small'], x))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> list_contains(['el','la','de','los','datos'], x))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','daten'], x))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> list_contains(['le','la','les','des','est'], x))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(toks, x -> list_contains(['shuju','biao','hang','lie','suoyin'], x))) AS BIGINT) AS s_zh
+        |  FROM t
+        |)
+        |SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+        |  CASE WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_de = m THEN 'de'
+        |       WHEN s_fr = m THEN 'fr' WHEN s_zh = m THEN 'zh' ELSE 'und' END AS predicted,
+        |  lang,
+        |  CAST(CASE WHEN (CASE WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_de = m THEN 'de'
+        |       WHEN s_fr = m THEN 'fr' WHEN s_zh = m THEN 'zh' ELSE 'und' END) = lang
+        |       THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM sc)""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  md5(text) AS md5_hex,
+        |  CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)::BIGINT AS fp60
+        |FROM documents""".stripMargin
+  )
+}
