@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ExprBridge, Sq8Encode, Sq8L2Squared}
+
+/** SQ8 symmetric quantization + the two-stage refine pattern
+  * (reference: hybrid_graph.cpp:206-229 quantized candidates,
+  * :465-494 exact fp32 re-rank).
+  */
+object Quantization {
+
+  def sq8Encode(vec: Column, alpha: Column): Column =
+    ExprBridge.column(Sq8Encode(ExprBridge.expression(vec), ExprBridge.expression(alpha)))
+
+  def sq8L2Sq(a: Column, b: Column): Column =
+    ExprBridge.column(Sq8L2Squared(ExprBridge.expression(a), ExprBridge.expression(b)))
+
+  /** Train α = max |x| over every vector component (reference
+    * sq8_sym_quant.hpp:32-59). One tiny stats job; the collected scalar
+    * is folded into the encode expression as a literal. */
+  def trainAlpha(df: DataFrame, vecCol: String): Double =
+    df.agg(max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))))
+      .head.getDouble(0)
+
+  /** Add a `code BINARY` column quantizing `vecCol` with the given α. */
+  def withCodes(df: DataFrame, vecCol: String, alpha: Double): DataFrame =
+    df.withColumn("code", sq8Encode(col(vecCol), lit(alpha)))
+
+  /** Two-stage kNN: top-`refineK` candidates by integer code distance,
+    * exact fp32 re-rank to top-`k`. Exactly the reference's quantized
+    * brute-force path. Output: (qid, rank, nid).
+    *
+    * base: (id, vec), queries: (qid, qvec); both get codes with shared α.
+    */
+  def refineKnn(base: DataFrame, queries: DataFrame, alpha: Double,
+      k: Int, refineK: Int): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val b = withCodes(base, "vec", alpha)
+    val q = withCodes(queries, "qvec", alpha).withColumnRenamed("code", "qcode")
+    // stage 1: candidates by quantized distance (int, deterministic)
+    val cand = broadcast(q).crossJoin(b.select(col("id"), col("code")))
+      .withColumn("qdist", sq8L2Sq(col("qcode"), col("code")).cast("double"))
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(refineK, col("qdist"), col("id")).as("cands"))
+      .select(col("qid"), explode(col("cands")).as("id"))
+    // stage 2: exact re-rank of the candidate set only
+    cand
+      .join(q.select(col("qid"), col("qvec")), "qid")
+      .join(b.select(col("id"), col("vec")), "id")
+      .withColumn("dist", VF.l2Sq(col("qvec"), col("vec")))
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
+      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stats layer + adaptive physical-plan routing, mirroring the
+  * reference's hand-rolled cost-based dispatch:
+  *  - per-category counts (utils.h:377-395) and decile histogram
+  *    (utils.h:444-478) as small stats DataFrames;
+  *  - per-query selectivity (hybrid_graph.cpp:169-200);
+  *  - route choice by (qtype, selectivity) with the reference's
+  *    thresholds: bf_thr = 0.045, bf_thr3 = 0.08
+  *    (baseline.cpp:77, hybrid_graph.h:78-79, hybrid_graph.cpp:201);
+  *  - SplitInterval: decompose a [l,r] range over the 10 fixed deciles
+  *    and classify each overlapped bucket (hybrid_graph.cpp:91-134).
+  *
+  * At scale these stats jobs are cheap aggregations over the base; the
+  * routing column then splits the query batch into sub-plans before any
+  * expensive work — the same two-phase (stats → routed plan) shape as
+  * the reference, expressed declaratively.
+  */
+object Selectivity {
+
+  val BfThreshold = 0.045
+  val BfThresholdType3 = 0.08
+
+  /** (label, cnt) — the reference's category_map. */
+  def categoryCounts(base: DataFrame): DataFrame =
+    base.groupBy("label").agg(count(lit(1)).as("cnt"))
+
+  /** (decile, cnt) — the reference's timestamp_map. */
+  def decileHistogram(base: DataFrame): DataFrame =
+    base.groupBy(floor(col("ts") * 10).cast("int").as("decile"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-query exact selectivity + route.
+    * Output: (qid, qtype, matches, sel, route). */
+  def routeQueries(base: DataFrame, queries: DataFrame): DataFrame = {
+    val n = base.count()
+    val matches = broadcast(queries.select("qid", "qtype", "v", "l", "r"))
+      .join(base,
+        col("qtype") === 0 ||
+        (col("qtype") === 1 && col("label") === col("v")) ||
+        (col("qtype") === 2 && col("ts") >= col("l") && col("ts") <= col("r")) ||
+        (col("qtype") === 3 && col("label") === col("v") &&
+          col("ts") >= col("l") && col("ts") <= col("r")),
+        "left")
+      .groupBy("qid", "qtype")
+      .agg(count(col("id")).as("matches"))
+    matches
+      .withColumn("sel", col("matches") / lit(n.toDouble))
+      .withColumn("route",
+        when(col("qtype") === 0, "full_graph")
+          .when(col("qtype") === 3 && col("sel") < BfThresholdType3, "bruteforce")
+          .when(col("qtype") =!= 3 && col("sel") < BfThreshold, "bruteforce")
+          .when(col("qtype") === 1 || col("qtype") === 3, "category_graph")
+          .otherwise("interval_graph"))
+  }
+
+  /** SplitInterval: one row per (query, overlapped decile) with the
+    * covered fraction of the bucket and its class:
+    * SMALL (< 0.2 covered → quantized slice scan), FULL (fully covered
+    * → unfiltered sub-index walk), MEDIUM (otherwise → in-filter walk).
+    * Thresholds follow hybrid_graph.cpp:117-124. */
+  def splitInterval(rangeQueries: DataFrame): DataFrame = {
+    val buckets = rangeQueries.sparkSession.range(0, 10)
+      .select(col("id").cast("int").as("bucket"),
+        (col("id") / 10.0).as("bstart"),
+        ((col("id") + 1) / 10.0).as("bend"))
+    rangeQueries.crossJoin(broadcast(buckets))
+      .filter(col("l") < col("bend") && col("r") > col("bstart"))
+      .withColumn("cover",
+        (least(col("r"), col("bend")) - greatest(col("l"), col("bstart"))) / (col("bend") - col("bstart")))
+      .withColumn("rf_class",
+        when(col("cover") < 0.2, "SMALL")
+          .when(col("cover") >= 0.999999, "FULL")
+          .otherwise("MEDIUM"))
+      .select(col("qid"), col("bucket"), col("cover"), col("rf_class"))
+  }
+}

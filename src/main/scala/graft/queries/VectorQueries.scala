@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Quantization, Selectivity}
+
+/** Physical-execution machinery of the reference as verifiable queries:
+  * SQ8 quantization + two-stage refine, selectivity-based routing,
+  * decile interval decomposition.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.vecBase(s, dir)
+
+  private def qs(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.vecQueries(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SQ8 two-stage refine: top-20 by int8 code distance, exact top-5 re-rank
+    "sq8_refine_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val alpha = Quantization.trainAlpha(
+        e.select(col("embedding").as("vec")), "vec")
+      val b = e.select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      Quantization.refineKnn(b, q, alpha, k = 5, refineK = 20)
+    }),
+
+    // per-query selectivity + adaptive route choice (reference thresholds)
+    "selectivity_route" -> ((s, dir) =>
+      Selectivity.routeQueries(base(s, dir), qs(s, dir))
+        .select(col("qid"), col("qtype").cast("long").as("qtype"),
+          col("matches"), col("sel"), col("route"))),
+
+    // SplitInterval: decile decomposition of range predicates
+    "interval_split" -> ((s, dir) =>
+      Selectivity.splitInterval(
+        qs(s, dir).filter(col("qtype").isin(2, 3)).select("qid", "l", "r"))
+        .select(col("qid"), col("bucket").cast("long").as("bucket"),
+          col("cover"), col("rf_class")))
+  )
+
+  private val vecCte =
+    """b AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS label,
+      |         (vec_id % 100) / 100.0 AS ts, embedding AS vec
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS qid,
+      |         CAST((vec_id // 50) % 4 AS INT) AS qtype,
+      |         CAST(label AS BIGINT) AS v,
+      |         ((vec_id // 50) % 5) / 10.0 AS l,
+      |         ((vec_id // 50) % 5) / 10.0 + 0.45 AS r,
+      |         embedding AS qvec
+      |  FROM embeddings WHERE vec_id % 50 = 0
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sq8_refine_knn" ->
+      """WITH al AS (
+        |  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS a
+        |  FROM embeddings
+        |), cb AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS vec,
+        |    list_transform(embedding, x ->
+        |      CAST(round(greatest(least(CAST(x AS DOUBLE) / a, 1.0), -1.0) * 127.0) AS INT)) AS code
+        |  FROM embeddings, al
+        |), cq AS (
+        |  SELECT id AS qid, vec AS qvec, code AS qcode FROM cb WHERE id % 50 = 0
+        |), c AS (
+        |  SELECT cq.qid, cb.id, cb.vec, cq.qvec,
+        |    CAST(list_sum(list_transform(list_zip(cq.qcode, cb.code),
+        |      p -> CAST(p[1] - p[2] AS BIGINT) * CAST(p[1] - p[2] AS BIGINT))) AS BIGINT) AS qdist,
+        |    row_number() OVER (PARTITION BY cq.qid ORDER BY
+        |      CAST(list_sum(list_transform(list_zip(cq.qcode, cb.code),
+        |        p -> CAST(p[1] - p[2] AS BIGINT) * CAST(p[1] - p[2] AS BIGINT))) AS BIGINT), cb.id) AS crnk
+        |  FROM cq, cb
+        |), r AS (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      list_sum(list_transform(list_zip(qvec, vec),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), id) AS rnk
+        |  FROM c WHERE crnk <= 20
+        |)
+        |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 5""".stripMargin,
+
+    "selectivity_route" ->
+      s"""WITH $vecCte,
+         |m AS (
+         |  SELECT q.qid, CAST(q.qtype AS BIGINT) AS qtype, count(b.id) AS matches
+         |  FROM q LEFT JOIN b ON
+         |    (q.qtype = 0)
+         |    OR (q.qtype = 1 AND b.label = q.v)
+         |    OR (q.qtype = 2 AND b.ts >= q.l AND b.ts <= q.r)
+         |    OR (q.qtype = 3 AND b.label = q.v AND b.ts >= q.l AND b.ts <= q.r)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT qid, qtype, matches,
+         |  matches / (SELECT CAST(count(*) AS DOUBLE) FROM embeddings) AS sel,
+         |  CASE WHEN qtype = 0 THEN 'full_graph'
+         |       WHEN qtype = 3 AND matches / (SELECT CAST(count(*) AS DOUBLE) FROM embeddings) < 0.08 THEN 'bruteforce'
+         |       WHEN qtype != 3 AND matches / (SELECT CAST(count(*) AS DOUBLE) FROM embeddings) < 0.045 THEN 'bruteforce'
+         |       WHEN qtype = 1 OR qtype = 3 THEN 'category_graph'
+         |       ELSE 'interval_graph' END AS route
+         |FROM m""".stripMargin,
+
+    "interval_split" ->
+      s"""WITH $vecCte,
+         |rq AS (SELECT qid, l, r FROM q WHERE qtype IN (2, 3)),
+         |bk AS (
+         |  SELECT bucket, bucket / 10.0 AS bstart, (bucket + 1) / 10.0 AS bend
+         |  FROM (SELECT unnest(range(0, 10)) AS bucket)
+         |)
+         |SELECT qid, CAST(bucket AS BIGINT) AS bucket,
+         |  (least(r, bend) - greatest(l, bstart)) / (bend - bstart) AS cover,
+         |  CASE WHEN (least(r, bend) - greatest(l, bstart)) / (bend - bstart) < 0.2 THEN 'SMALL'
+         |       WHEN (least(r, bend) - greatest(l, bstart)) / (bend - bstart) >= 0.999999 THEN 'FULL'
+         |       ELSE 'MEDIUM' END AS rf_class
+         |FROM rq, bk
+         |WHERE l < bend AND r > bstart""".stripMargin
+  )
+}
