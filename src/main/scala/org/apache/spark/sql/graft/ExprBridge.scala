@@ -25,6 +25,6 @@ object ExprBridge {
       name: String,
       builder: Seq[Expression] => Expression): Unit = {
     spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "builtin")
+      .createOrReplaceTempFunction(name, builder, "built-in")
   }
 }

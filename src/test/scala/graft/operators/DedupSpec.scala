@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog today"),
+    (1L, "the quick brown fox jumps over the lazy dog today"),           // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat today"),           // near dup of 0
+    (3L, "completely different content about spark query engines here"),
+    (4L, "here engines query spark about content different completely"), // same tokens, diff order
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups groups identical texts under min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 5)
+    val dup = g.find(_.getLong(2) == 2).get
+    assert(dup.getLong(1) == 0L) // representative = min doc_id
+  }
+
+  test("jaccard pairs find exact and near dups with correct similarity") {
+    val pairs = Dedup.jaccardShinglePairs(docs, "doc_id", "text", 3, 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs((0L, 1L)) == 1.0)               // identical → jaccard 1
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.4 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.contains((3L, 4L)))            // same tokens, no shared 3-shingles
+  }
+
+  test("minhash LSH finds exact dups with est_sim 1") {
+    val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cand((0L, 1L)) == 1.0)
+  }
+
+  test("simhash: identical docs share fingerprints; near dups are close") {
+    val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(3L) == fp(4L)) // simhash is token-set based, order-invariant
+    val hamming01 = java.lang.Long.bitCount(fp(0L) ^ fp(2L))
+    val hammingFar = java.lang.Long.bitCount(fp(0L) ^ fp(3L))
+    assert(hamming01 < hammingFar)
+  }
+
+  test("simhashNearPairs finds identical docs at hamming 0") {
+    val pairs = Dedup.simhashNearPairs(docs, "doc_id", "text", 48, 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((0L, 1L)) == 0L)
+    assert(pairs((3L, 4L)) == 0L)
+  }
+
+  test("cosine near-dup pairs find identical vectors") {
+    val vecs = Seq(
+      (0L, Array(1f, 2f, 3f)),
+      (1L, Array(1f, 2f, 3f)),
+      (2L, Array(2f, 4f, 6f)),      // same direction
+      (3L, Array(-1f, 5f, -2f))
+    ).toDF("id", "vec")
+    val pairs = Dedup.cosineNearDupPairs(vecs, "id", "vec", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+}

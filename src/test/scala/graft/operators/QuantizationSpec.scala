@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class QuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(5)
+  private def vec(): Array[Float] = Array.fill(16)(rnd.nextFloat() * 4 - 2)
+
+  private lazy val data = Seq.tabulate(200)(i => (i.toLong, vec())).toDF("id", "vec")
+
+  test("trainAlpha is the global max |x|") {
+    val alpha = Quantization.trainAlpha(data, "vec")
+    val expected = data.collect().flatMap(_.getSeq[Float](1)).map(x => math.abs(x.toDouble)).max
+    assert(alpha == expected)
+  }
+
+  test("encode round-trip error is bounded by alpha/127 per component") {
+    val alpha = Quantization.trainAlpha(data, "vec")
+    val rows = Quantization.withCodes(data, "vec", alpha).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val c = r.getAs[Array[Byte]](2)
+      assert(c.length == v.length)
+      v.zip(c).foreach { case (x, b) =>
+        val decoded = b.toDouble / 127.0 * alpha
+        assert(math.abs(decoded - x) <= alpha / 127.0 + 1e-9, s"x=$x b=$b")
+      }
+    }
+  }
+
+  test("refineKnn with refineK = N equals exact kNN") {
+    val alpha = Quantization.trainAlpha(data, "vec")
+    val qs = data.filter($"id" % 40 === 0).select($"id".as("qid"), $"vec".as("qvec"))
+    val approx = Quantization.refineKnn(data, qs, alpha, k = 5, refineK = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = KnnJoin.exactFlat(
+      data.withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
+      qs.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
+        .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)),
+      5).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(approx == exact)
+  }
+
+  test("refineKnn recall@5 with narrow refineK stays high") {
+    val alpha = Quantization.trainAlpha(data, "vec")
+    val qs = data.filter($"id" % 20 === 0).select($"id".as("qid"), $"vec".as("qvec"))
+    val approx = Quantization.refineKnn(data, qs, alpha, k = 5, refineK = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val exact = KnnJoin.exactFlat(
+      data.withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
+      qs.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
+        .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)),
+      5).collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = exact.map { case (qid, want) =>
+      approx.get(qid).map(got => got.intersect(want).size.toDouble / want.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall $mean")
+  }
+}
