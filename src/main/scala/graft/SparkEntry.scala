@@ -76,7 +76,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
     graft.queries.RelationalQueries.queries ++
     graft.queries.TextQueries.queries ++
-    graft.queries.VectorQueries.queries
+    graft.queries.VectorQueries.queries ++
+    graft.queries.ApproxQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference core: hybrid predicate-filtered kNN (J1+A1, all 4 types)
@@ -134,7 +135,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = coreOracles ++
     graft.queries.RelationalQueries.oracles ++
     graft.queries.TextQueries.oracles ++
-    graft.queries.VectorQueries.oracles
+    graft.queries.VectorQueries.oracles ++
+    graft.queries.ApproxQueries.oracles
 
   private def coreOracles: Map[String, String] = Map(
     "knn_hybrid" ->

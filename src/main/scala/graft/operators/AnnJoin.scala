@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.index.HnswIndex
+
+/** Approximate kNN join via partitioned HNSW sub-indexes — the Spark
+  * re-expression of the reference's per-category / per-decile graph
+  * dispatch (hybrid_graph.cpp:239-459):
+  *
+  *   1. hash-partition the base into `numBuckets` buckets;
+  *   2. inside `mapPartitions`, build one HNSW per bucket and search the
+  *      broadcast query batch against it (the reference's "query each
+  *      sub-index, pool candidates" pattern, hybrid_graph.cpp:306-333);
+  *   3. merge per-bucket candidates with the bounded top-k aggregate.
+  *
+  * Scale shape: the base is streamed exactly once and never shuffled
+  * (hash repartition excepted); per-bucket index build is embarrassingly
+  * parallel; the merge shuffles only (#queries × k × buckets) candidate
+  * rows. For a 1000-executor cluster, numBuckets ≈ #cores and the query
+  * batch is chunked if it exceeds broadcast budget.
+  */
+object AnnJoin {
+
+  /** (qid LONG, rank LONG, nid LONG) approximate top-k by squared L2.
+    * base: (id LONG, vec ARRAY<FLOAT>), queries: (qid LONG, qvec ARRAY<FLOAT>). */
+  def hnswKnn(base: DataFrame, queries: DataFrame, k: Int, ef: Int = 200,
+      numBuckets: Int = 8, m: Int = 16, efConstruction: Int = 200): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val qBatch = queries.select(col("qid").cast("long"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bq = spark.sparkContext.broadcast(qBatch)
+    val candidates = base
+      .select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+      .repartition(numBuckets, pmod(hash(col("id")), lit(numBuckets)))
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val ids = rows.map(_._1)
+          val index = new HnswIndex(rows.head._2.length, m, efConstruction)
+          rows.foreach(r => index.add(r._2))
+          bq.value.iterator.flatMap { case (qid, qvec) =>
+            index.search(qvec, k, ef).iterator.map { case (internal, d) =>
+              (qid, ids(internal), d)
+            }
+          }
+        }
+      }
+      .toDF("qid", "id", "dist")
+    candidates
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
+      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
+  }
+
+  /** Recall@k of `approx` against `exact`, both (qid, rank, nid). */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val a = approx.groupBy("qid").agg(collect_set(col("nid")).as("got"))
+    val e = exact.groupBy("qid").agg(collect_set(col("nid")).as("want"))
+    val r = a.join(e, "qid")
+      .select(avg(size(array_intersect(col("got"), col("want"))) / size(col("want"))))
+      .head.getDouble(0)
+    r
+  }
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.operators.{AnnJoin, SimilaritySearch}
+import graft.streaming.EventPipeline
+
+/** Approximate / streaming / multimodal coverage. The ANN, LSH and
+  * multimodal entries are not SQL-expressible — the driver records a
+  * rows-only check; their quality is asserted by recall floors in the
+  * test suite (HnswSpec, SimilaritySearchSpec).
+  */
+object ApproxQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def evq(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // partitioned-HNSW approximate kNN (per-bucket sub-index + merge)
+    "ann_hnsw_knn" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("vec"))
+      val q = emb(s, dir).filter(col("vec_id") % 71 === 3)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      AnnJoin.hnswKnn(base, q, k = 10, ef = 200, numBuckets = 4)
+    }),
+
+    // signed-random-projection LSH cosine top-k
+    "sim_lsh_topk" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("vec"))
+      val q = emb(s, dir).filter(col("vec_id") % 71 === 3)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      SimilaritySearch.lshCosineTopK(base, q, k = 10, numPlanes = 8)
+    }),
+
+    // multimodal plumbing: binary payloads → deterministic stub features
+    "multimodal_features" -> ((s, dir) => {
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
+      Multimodal.withFeatures(media, "media_id", "bytes")
+        .select(col("media_id"), col("n_bytes"),
+          element_at(col("features"), 1).cast("double").as("f0"))
+    }),
+
+    // streaming-capable hourly window agg (batch twin, exact oracle)
+    "events_stream_hourly" -> ((s, dir) =>
+      EventPipeline.hourlyAgg(evq(s, dir))
+        .select(col("window_start").cast("long").as("window_start_epoch"),
+          col("event_type"), col("n_events"), col("sum_value")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Multimodal features: only the Spark-independent parts are SQL-checkable.
+    // f0 = first md5 byte of the payload scaled to [-1,1) — reproducible.
+    "multimodal_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(('0x' || substr(md5(text), 1, 2)) AS INT) / 128.0 - 1.0 AS f0
+        |FROM documents""".stripMargin,
+
+    "events_stream_hourly" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_epoch,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

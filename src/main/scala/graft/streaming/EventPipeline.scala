@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming event pipeline. Every transform here accepts a
+  * batch OR streaming DataFrame with the `events` schema
+  * (event_id LONG, ts LONG /*ns*/, user_id LONG, event_type STRING,
+  * value DOUBLE) — the streaming-capable twins of the batch queries in
+  * [[graft.queries.RelationalQueries]]. The reference is strictly batch
+  * (SURVEY §2.10); these extend the engine to continuous ingestion.
+  */
+object EventPipeline {
+
+  private def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+
+  /** Hourly tumbling-window aggregates per event type. With a 2h
+    * watermark on streaming input; the watermark is a no-op in batch. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", "2 hours")
+      .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session-window (30-min gap) event counts per user — Spark's native
+    * session_window, usable in streaming with watermark + append mode. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", "2 hours")
+      .groupBy(session_window(col("ets"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+}

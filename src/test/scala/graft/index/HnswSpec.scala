@@ -1,0 +1,58 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.operators.{AnnJoin, KnnJoin}
+import org.apache.spark.sql.functions._
+
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(2024)
+  private val dim = 16
+  private def vec(): Array[Float] = Array.fill(dim)(rnd.nextFloat())
+
+  test("HnswIndex single-index recall@10 >= 0.95 on 2000 random vectors") {
+    val data = Array.fill(2000)(vec())
+    val idx = new HnswIndex(dim, m = 16, efConstruction = 200)
+    data.foreach(idx.add)
+    val queries = Array.fill(20)(vec())
+    val recalls = queries.map { q =>
+      val approx = idx.search(q, 10, ef = 128).map(_._1).toSet
+      val exact = data.zipWithIndex.map { case (v, i) =>
+        (v.zip(q).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum, i)
+      }.sortBy(t => (t._1, t._2)).take(10).map(_._2).toSet
+      approx.intersect(exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.95, s"mean recall $mean")
+  }
+
+  test("filtered search returns only allowed ids") {
+    val data = Array.fill(500)(vec())
+    val idx = new HnswIndex(dim)
+    data.foreach(idx.add)
+    val got = idx.search(vec(), 10, 256, allowed = _ % 2 == 0)
+    assert(got.nonEmpty && got.forall(_._1 % 2 == 0))
+  }
+
+  test("empty and tiny indexes behave") {
+    val idx = new HnswIndex(dim)
+    assert(idx.search(vec(), 5, 10).isEmpty)
+    idx.add(Array.fill(dim)(0.5f))
+    val one = idx.search(vec(), 5, 10)
+    assert(one.length == 1 && one.head._1 == 0)
+  }
+
+  test("partitioned AnnJoin.hnswKnn recall@10 >= 0.9 vs exact join") {
+    val base = Seq.tabulate(2000)(i => (i.toLong, vec())).toDF("id", "vec")
+    val queries = Seq.tabulate(15)(i => (i.toLong, vec())).toDF("qid", "qvec")
+    val approx = AnnJoin.hnswKnn(base, queries, k = 10, ef = 128, numBuckets = 4)
+    val exact = KnnJoin.exactFlat(
+      base.withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
+      queries.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
+        .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)),
+      10)
+    val recall = AnnJoin.recallAtK(approx, exact)
+    assert(recall >= 0.9, s"recall $recall")
+  }
+}

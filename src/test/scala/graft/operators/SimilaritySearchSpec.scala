@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(31)
+  private val dim = 16
+
+  /** Clustered corpus: 40 centers × 40 perturbed members. */
+  private lazy val clustered = {
+    val centers = Array.fill(40)(Array.fill(dim)(rnd.nextFloat() * 10 - 5))
+    Seq.tabulate(1600) { i =>
+      val c = centers(i % 40)
+      (i.toLong, c.map(x => x + rnd.nextFloat().toFloat * 0.5f))
+    }.toDF("id", "vec")
+  }
+
+  private lazy val queries = clustered.filter($"id" < 10)
+    .select($"id".as("qid"), $"vec".as("qvec"))
+
+  test("LSH cosine top-k recall >= 0.8 vs brute force on clustered data") {
+    val exact = SimilaritySearch.bruteForceCosineTopK(clustered, queries, 10)
+    val approx = SimilaritySearch.lshCosineTopK(clustered, queries, 10, numPlanes = 10)
+    val recall = AnnJoin.recallAtK(approx, exact)
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("signatures are deterministic across invocations") {
+    val planes = SimilaritySearch.randomPlanes(8, dim, seed = 7L)
+    val planes2 = SimilaritySearch.randomPlanes(8, dim, seed = 7L)
+    assert(planes.flatten.toSeq == planes2.flatten.toSeq)
+    val sig1 = clustered.withColumn("b", SimilaritySearch.srpSignature($"vec", planes))
+      .select("id", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sig2 = clustered.withColumn("b", SimilaritySearch.srpSignature($"vec", planes2))
+      .select("id", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sig1 == sig2)
+  }
+
+  test("brute force cosine excludes self and ranks by similarity") {
+    val flat = SimilaritySearch.bruteForceCosineTopK(clustered, queries, 5).collect()
+    assert(flat.forall(r => r.getLong(2) != r.getLong(0)))
+    assert(flat.groupBy(_.getLong(0)).forall(_._2.length == 5))
+  }
+}

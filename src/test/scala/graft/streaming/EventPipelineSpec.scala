@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+
+  private def mkEvents(n: Int): Seq[(Long, Long, Long, String, Double)] = {
+    val rnd = new scala.util.Random(3)
+    Seq.tabulate(n) { i =>
+      (i.toLong, i * (HourNs / 50) + rnd.nextInt(1000000).toLong,
+        (i % 5).toLong, if (i % 2 == 0) "click" else "view", rnd.nextInt(100).toDouble)
+    }
+  }
+
+  test("streaming hourlyAgg (complete mode) equals batch hourlyAgg") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = mkEvents(300)
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventPipeline.hourlyAgg(sdf).writeStream
+      .format("memory").queryName("hourly_out").outputMode("complete").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("hourly_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    val batch = EventPipeline.hourlyAgg(
+      data.toDF("event_id", "ts", "user_id", "event_type", "value")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("sessionAgg session counts match the lag-based batch sessionization") {
+    // events with >30min gaps create separate sessions
+    val ev = Seq(
+      (0L, 0L, 1L, "click", 1.0),
+      (1L, 10L * 60 * 1000000000L, 1L, "click", 1.0),   // +10 min: same session
+      (2L, 60L * 60 * 1000000000L, 1L, "click", 1.0),   // +50 min: new session
+      (3L, 0L, 2L, "view", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sessions = EventPipeline.sessionAgg(ev)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sessions == Map(1L -> 2L, 2L -> 1L))
+  }
+}
