@@ -61,6 +61,39 @@ object TextFunctions {
 
   val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  // ---- JVM-side twins of the SQL tokenization (used inside typed
+  // flatMap/map where composed HOF expressions would re-evaluate
+  // `split(text)` per lambda call — Catalyst does no CSE inside lambdas).
+
+  /** Mirror of `filter(split(text, ' '), x -> x != '')`. */
+  def tokenizeJvm(text: String): Array[String] =
+    text.split(" ", -1).filter(_.nonEmpty)
+
+  /** Mirror of [[shingles]]: space-joined word n-grams. */
+  def shinglesJvm(toks: Array[String], n: Int): Array[String] =
+    if (toks.length < n) Array.empty
+    else toks.sliding(n).map(_.mkString(" ")).toArray
+
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** 28-bit content hash: first 7 hex chars of md5 — cheap enough to
+    * compute once per shingle; cross-engine (DuckDB:
+    * `CAST(('0x' || substr(md5(s),1,7)) AS UBIGINT)::BIGINT`). */
+  def hash28Jvm(s: String): Long = java.lang.Long.parseLong(md5Hex(s).substring(0, 7), 16)
+
+  /** Universal-hash family over [[hash28Jvm]]: h_j(x) = (A_j·x + B_j) mod P.
+    * One md5 per shingle + numHashes integer mixes (vs. numHashes md5s).
+    * Constants are deterministic and mirrored into the DuckDB oracle. */
+  val MinhashP: Long = 2038074743L
+  def minhashA(j: Int): Long = (1000003L * (j + 1)) % MinhashP
+  def minhashB(j: Int): Long = (777767777L * (j + 7)) % MinhashP
+
   /** Marker-word language scoring table used by the langid heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "fast", "slow", "small"),

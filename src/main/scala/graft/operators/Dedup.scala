@@ -29,13 +29,21 @@ object Dedup {
         min(col(idCol)).cast("long").as("rep_doc_id"),
         count(lit(1)).as("dup_count"))
 
-  /** Distinct (id, shingle) pairs — the inverted-index input. */
+  /** Distinct (id, shingle) pairs — the inverted-index input. Typed
+    * flatMap, not composed HOF expressions: Catalyst performs no CSE
+    * inside lambda bodies, so the expression form re-splits the text
+    * once per element_at call (O(len²) per doc, measured 50× slower). */
   private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int): DataFrame =
-    df.select(
-        col(idCol).cast("long").as("doc_id"),
-        array_distinct(TF.shingles(TF.tokens(col(textCol)), shingleSize)).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("sh"))
+      shingleSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TF.shinglesJvm(TF.tokenizeJvm(t), shingleSize).distinct.map((id, _))
+      }
+      .toDF("doc_id", "sh")
+  }
 
   /** Exact n-gram Jaccard pairs ≥ minJaccard:
     * (doc_a, doc_b, inter, jac), doc_a < doc_b. */
@@ -56,15 +64,32 @@ object Dedup {
   }
 
   /** Per-doc MinHash signature (array<long> of length numHashes); docs
-    * with no shingles are dropped. */
+    * with no shingles are dropped. One md5 per distinct shingle +
+    * numHashes universal-hash mixes, computed JVM-side in a typed map
+    * (see [[explodedShingles]] for why not composed HOF expressions). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, shingleSize: Int = 3): DataFrame =
-    df.select(
-        col(idCol).cast("long").as("doc_id"),
-        array_distinct(TF.shingles(TF.tokens(col(textCol)), shingleSize)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("mh", TF.minhashSignature(col("sh"), numHashes))
-      .select(col("doc_id"), col("mh"))
+      numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val as = Array.tabulate(numHashes)(TF.minhashA)
+    val bs = Array.tabulate(numHashes)(TF.minhashB)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val sh = TF.shinglesJvm(TF.tokenizeJvm(t), shingleSize).distinct
+        if (sh.isEmpty) None
+        else {
+          val hs = sh.map(TF.hash28Jvm)
+          val mh = Array.tabulate(numHashes) { j =>
+            var m = Long.MaxValue
+            hs.foreach { h => val v = (as(j) * h + bs(j)) % TF.MinhashP; if (v < m) m = v }
+            m
+          }
+          Some((id, mh))
+        }
+      }
+      .toDF("doc_id", "mh")
+  }
 
   /** LSH candidate pairs: docs sharing ≥1 of `bands` band keys, with the
     * estimated similarity = fraction of matching minhash components.

@@ -98,8 +98,11 @@ object TextQueries {
       |  FROM t
       |)""".stripMargin
 
+  /** Mirror of [[TF.hash28Jvm]] + the universal-hash minhash family. */
+  private val h28 = "(CAST(('0x' || substr(md5(s), 1, 7)) AS UBIGINT)::BIGINT)"
   private val minhashList =
-    (0 until 16).map(j => s"list_min(list_transform(sh, s -> ${dh(j, "s")}))")
+    (0 until 16).map(j =>
+      s"list_min(list_transform(sh, s -> (${TF.minhashA(j)} * $h28 + ${TF.minhashB(j)}) % ${TF.MinhashP}))")
       .mkString("[", ",\n       ", "]")
 
   val oracles: Map[String, String] = Map(
