@@ -30,9 +30,21 @@ import graft.functions.VectorFunctions
   */
 object KnnJoin {
 
+  /** Distance column for a metric: "l2" (squared L2, the reference
+    * default), "ip" (negative inner product — the reference's supported-
+    * but-unused second metric, pyglass/glass/common.hpp:8-11), or
+    * "cosine" (negative cosine similarity). Smaller is closer. */
+  private def distFor(metric: String) = metric match {
+    case "l2" => VectorFunctions.l2Sq(col("qvec"), col("vec"))
+    case "ip" => -VectorFunctions.dot(col("qvec"), col("vec"))
+    case "cosine" => -VectorFunctions.cosineSim(col("qvec"), col("vec"))
+    case m => throw new IllegalArgumentException(s"unknown metric $m")
+  }
+
   /** (qid LONG, neighbors ARRAY<LONG>) with neighbors ordered by
-    * (l2_sq dist asc, id asc), at most k entries. */
-  def exact(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * (dist asc, id asc), at most k entries. */
+  def exact(base: DataFrame, queries: DataFrame, k: Int,
+      metric: String = "l2"): DataFrame = {
     val q = broadcast(queries)
     val t0 = q.filter(col("qtype") === 0).crossJoin(base)
     val t1 = q.filter(col("qtype") === 1)
@@ -44,14 +56,15 @@ object KnnJoin {
         col("ts") >= col("l") && col("ts") <= col("r"))
     val unioned = t0.unionByName(t1).unionByName(t2).unionByName(t3)
     unioned
-      .withColumn("dist", VectorFunctions.l2Sq(col("qvec"), col("vec")))
+      .withColumn("dist", distFor(metric))
       .groupBy("qid")
       .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("neighbors"))
   }
 
   /** Flat form: (qid LONG, rank LONG starting at 1, nid LONG). */
-  def exactFlat(base: DataFrame, queries: DataFrame, k: Int): DataFrame =
-    exact(base, queries, k)
+  def exactFlat(base: DataFrame, queries: DataFrame, k: Int,
+      metric: String = "l2"): DataFrame =
+    exact(base, queries, k, metric)
       .select(col("qid"), posexplode(col("neighbors")).as(Seq("rank0", "nid")))
       .select(col("qid"), (col("rank0") + 1).cast("long").as("rank"), col("nid"))
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Clustered physical layouts of the vector base table — the Spark
+  * analog of the reference's three sorted replicas (utils.h:352-479):
+  *
+  *  - by_label:  Hive-partitioned on `label`, rows sorted by `ts` within
+  *    files → a `label = v` predicate prunes to one partition directory
+  *    and a ts range prunes row groups via parquet min/max stats. This
+  *    replaces the reference's binary-searched `(label, ts)` slices
+  *    (hybrid_graph.cpp:176-229) with Catalyst source-level pruning.
+  *  - by_decile: partitioned on `decile = floor(ts*10)` → the reference's
+  *    timestamp_map slicing for range queries.
+  *
+  * At 100 TB these are one-time clustered writes (the same job any
+  * warehouse runs to bucket a fact table); every selective query
+  * afterwards reads only its slice.
+  */
+object Layouts {
+
+  /** Idempotently materialize the label-partitioned layout for a base
+    * DataFrame; returns the layout-backed DataFrame. */
+  def ensureCategoryLayout(base: DataFrame, path: String): DataFrame = {
+    val spark = base.sparkSession
+    val marker = new java.io.File(s"$path/_SUCCESS")
+    if (!marker.exists()) {
+      base
+        .repartition(col("label"))
+        .sortWithinPartitions(col("label"), col("ts"))
+        .write.partitionBy("label").mode("overwrite").parquet(path)
+    }
+    // partition-column type is re-inferred on read → normalize to long
+    spark.read.parquet(path).withColumn("label", col("label").cast("long"))
+  }
+
+  /** Idempotently materialize the decile-partitioned layout. */
+  def ensureDecileLayout(base: DataFrame, path: String): DataFrame = {
+    val spark = base.sparkSession
+    val marker = new java.io.File(s"$path/_SUCCESS")
+    if (!marker.exists()) {
+      base
+        .withColumn("decile", floor(col("ts") * 10).cast("int"))
+        .repartition(col("decile"))
+        .sortWithinPartitions(col("decile"), col("ts"))
+        .write.partitionBy("decile").mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Exact kNN for label-predicate queries (types 1/3) against the
+    * label-partitioned layout. The distinct query labels are collected
+    * (a handful of values — the reference's category_query map,
+    * utils.h:538-547) and pushed as a static `isin` partition filter, so
+    * the scan touches only the matching partition directories. */
+  def prunedCategoryKnn(layout: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val labels = queries.select(col("v")).distinct().collect().map(_.getLong(0))
+    val pruned = layout.filter(col("label").isin(labels: _*))
+    KnnJoin.exact(pruned, queries, k)
+  }
+}

@@ -43,7 +43,49 @@ object VectorQueries {
       Selectivity.splitInterval(
         qs(s, dir).filter(col("qtype").isin(2, 3)).select("qid", "l", "r"))
         .select(col("qid"), col("bucket").cast("long").as("bucket"),
-          col("cover"), col("rf_class")))
+          col("cover"), col("rf_class"))),
+
+    // partition-pruned exact kNN: type-1/3 queries against the
+    // label-partitioned clustered layout (same logical result as
+    // knn_hybrid on those queries; the scan reads only matching
+    // partition dirs — the reference's binary-searched category slice)
+    "knn_pruned" -> ((s, dir) => {
+      val layoutPath =
+        s"/tmp/graft_layouts/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/by_label"
+      val layout = graft.operators.Layouts.ensureCategoryLayout(base(s, dir), layoutPath)
+      val q13 = qs(s, dir).filter(col("qtype").isin(1, 3))
+      val labels = q13.select(col("v")).distinct().collect().map(_.getLong(0))
+      graft.operators.KnnJoin.exactFlat(
+        layout.filter(col("label").isin(labels: _*)), q13, 10)
+    }),
+
+    // inner-product metric kNN (the reference's second metric, unused at
+    // its runtime but supported: pyglass/glass/common.hpp:8-11)
+    "knn_ip" -> ((s, dir) =>
+      graft.operators.KnnJoin.exactFlat(
+        base(s, dir),
+        qs(s, dir).filter(col("qtype") === 0),
+        k = 10, metric = "ip")),
+
+    // recall aggregation (reference GetKNNRecall, utils.h:224-253):
+    // mean |approx ∩ exact| / k of the SQ8 refine path vs the exact oracle
+    "recall_eval" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val alpha = Quantization.trainAlpha(e.select(col("embedding").as("vec")), "vec")
+      val b = e.select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      val approx = Quantization.refineKnn(b, q, alpha, k = 5, refineK = 20)
+        .groupBy("qid").agg(collect_set(col("nid")).as("got"))
+      val exact = graft.operators.KnnJoin.exactFlat(
+        b.withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
+        q.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
+          .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)), 5)
+        .groupBy("qid").agg(collect_set(col("nid")).as("want"))
+      approx.join(exact, "qid")
+        .select(col("qid"),
+          (size(array_intersect(col("got"), col("want"))) / lit(5.0)).as("recall"))
+    })
   )
 
   private val vecCte =
@@ -62,6 +104,34 @@ object VectorQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "knn_pruned" ->
+      s"""WITH $vecCte,
+         |j AS (
+         |  SELECT q.qid, b.id,
+         |    list_sum(list_transform(list_zip(q.qvec, b.vec),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+         |  FROM q, b
+         |  WHERE (q.qtype = 1 AND b.label = q.v)
+         |     OR (q.qtype = 3 AND b.label = q.v AND b.ts BETWEEN q.l AND q.r)
+         |), r AS (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+         |  FROM j
+         |)
+         |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 10""".stripMargin,
+
+    "knn_ip" ->
+      s"""WITH $vecCte,
+         |j AS (
+         |  SELECT q.qid, b.id,
+         |    -list_sum(list_transform(list_zip(q.qvec, b.vec),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dist
+         |  FROM q, b WHERE q.qtype = 0
+         |), r AS (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+         |  FROM j
+         |)
+         |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 10""".stripMargin,
+
     "sq8_refine_knn" ->
       """WITH al AS (
         |  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS a
@@ -89,6 +159,43 @@ object VectorQueries {
         |  FROM c WHERE crnk <= 20
         |)
         |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 5""".stripMargin,
+
+    "recall_eval" ->
+      """WITH al AS (
+        |  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS a
+        |  FROM embeddings
+        |), cb AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS vec,
+        |    list_transform(embedding, x ->
+        |      CAST(round(greatest(least(CAST(x AS DOUBLE) / a, 1.0), -1.0) * 127.0) AS INT)) AS code
+        |  FROM embeddings, al
+        |), cq AS (
+        |  SELECT id AS qid, vec AS qvec, code AS qcode FROM cb WHERE id % 50 = 0
+        |), c AS (
+        |  SELECT cq.qid, cb.id, cb.vec, cq.qvec,
+        |    row_number() OVER (PARTITION BY cq.qid ORDER BY
+        |      CAST(list_sum(list_transform(list_zip(cq.qcode, cb.code),
+        |        p -> CAST(p[1] - p[2] AS BIGINT) * CAST(p[1] - p[2] AS BIGINT))) AS BIGINT), cb.id) AS crnk
+        |  FROM cq, cb
+        |), approx AS (
+        |  SELECT qid, id FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY
+        |      list_sum(list_transform(list_zip(qvec, vec),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), id) AS rnk
+        |    FROM c WHERE crnk <= 20
+        |  ) WHERE rnk <= 5
+        |), exact AS (
+        |  SELECT qid, id FROM (
+        |    SELECT cq.qid, cb.id,
+        |      row_number() OVER (PARTITION BY cq.qid ORDER BY
+        |        list_sum(list_transform(list_zip(cq.qvec, cb.vec),
+        |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), cb.id) AS rnk
+        |    FROM cq, cb
+        |  ) WHERE rnk <= 5
+        |)
+        |SELECT a.qid, CAST(sum(CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) / 5.0 AS recall
+        |FROM approx a LEFT JOIN exact e ON a.qid = e.qid AND a.id = e.id
+        |GROUP BY a.qid""".stripMargin,
 
     "selectivity_route" ->
       s"""WITH $vecCte,
