@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's `BatchSearch` pipeline (hybrid_graph.cpp:147-503) as
+  * one composed, declarative plan:
+  *
+  *   1. stats pass: exact per-query selectivity + route column
+  *      ([[Selectivity.routeQueries]] — the reference's binary-searched
+  *      selectivity stage, :168-230);
+  *   2. route split at plan-build time (the reference's staged dispatch):
+  *      - `bruteforce` type-1/3 → partition-pruned scan on the clustered
+  *        label layout (J2's sorted-slice scan);
+  *      - other exact routes → the streaming exact join;
+  *      - optionally, `full_graph`/`category_graph`/`interval_graph`
+  *        routes → partitioned HNSW ([[AnnJoin.hnswKnn]]) for the
+  *        approximate configuration;
+  *   3. union of per-route results (each already top-k per qid).
+  *
+  * With `ann = false` every route is exact, so the composition returns
+  * byte-identical results to [[KnnJoin.exact]] — asserted in
+  * HybridKnnSpec and by the shared DuckDB oracle of `knn_routed`.
+  */
+object HybridKnn {
+
+  /** (qid, rank, nid) flat results for the full 4-type query batch. */
+  def execute(base: DataFrame, queries: DataFrame, k: Int,
+      categoryLayout: Option[DataFrame] = None,
+      ann: Boolean = false, annEf: Int = 200, annBuckets: Int = 8): DataFrame = {
+    val routes = Selectivity.routeQueries(base, queries).select(col("qid"), col("route"))
+    val q = queries.join(broadcast(routes), "qid")
+
+    // route: low-selectivity category queries → pruned clustered scan
+    val bfCat = q.filter(col("route") === "bruteforce" && col("qtype").isin(1, 3))
+    val bfCatRes = categoryLayout match {
+      case Some(layout) =>
+        val labels = bfCat.select(col("v")).distinct().collect().map(_.getLong(0))
+        if (labels.isEmpty) KnnJoin.exactFlat(base.limit(0), bfCat, k)
+        else KnnJoin.exactFlat(layout.filter(col("label").isin(labels: _*)), bfCat, k)
+      case None => KnnJoin.exactFlat(base, bfCat, k)
+    }
+
+    // remaining routes
+    val rest = q.filter(!(col("route") === "bruteforce" && col("qtype").isin(1, 3)))
+    val restRes =
+      if (!ann) KnnJoin.exactFlat(base, rest, k)
+      else {
+        // approximate configuration: graph routes go to partitioned HNSW
+        // (predicate applied by exact post-filter re-rank of candidates),
+        // exact routes stay on the streaming join. Type-0 only here —
+        // predicate walks are a round-2 item; other types stay exact.
+        val graphQ = rest.filter(col("route") === "full_graph")
+        val exactQ = rest.filter(col("route") =!= "full_graph")
+        AnnJoin.hnswKnn(
+            base.select(col("id"), col("vec")),
+            graphQ.select(col("qid"), col("qvec")), k, annEf, annBuckets)
+          .unionByName(KnnJoin.exactFlat(base, exactQ, k))
+      }
+
+    bfCatRes.unionByName(restRes)
+  }
+}

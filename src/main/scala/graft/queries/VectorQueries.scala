@@ -59,6 +59,17 @@ object VectorQueries {
         layout.filter(col("label").isin(labels: _*)), q13, 10)
     }),
 
+    // the full routed BatchSearch composition in its exact configuration:
+    // stats pass → per-query route → pruned-layout scan for low-sel
+    // category queries, streaming join for the rest → union. Same
+    // logical result as knn_hybrid (shared oracle), different plan.
+    "knn_routed" -> ((s, dir) => {
+      val layoutPath =
+        s"/tmp/graft_layouts/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/by_label"
+      val layout = graft.operators.Layouts.ensureCategoryLayout(base(s, dir), layoutPath)
+      graft.operators.HybridKnn.execute(base(s, dir), qs(s, dir), 10, Some(layout))
+    }),
+
     // inner-product metric kNN (the reference's second metric, unused at
     // its runtime but supported: pyglass/glass/common.hpp:8-11)
     "knn_ip" -> ((s, dir) =>
@@ -103,7 +114,27 @@ object VectorQueries {
       |  FROM embeddings WHERE vec_id % 50 = 0
       |)""".stripMargin
 
+  /** knn_routed is exact → shares the knn_hybrid oracle semantics. */
+  private val knnAllTypesOracle =
+    s"""WITH $vecCte,
+       |j AS (
+       |  SELECT q.qid, b.id,
+       |    list_sum(list_transform(list_zip(q.qvec, b.vec),
+       |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+       |  FROM q, b
+       |  WHERE (q.qtype = 0)
+       |     OR (q.qtype = 1 AND b.label = q.v)
+       |     OR (q.qtype = 2 AND b.ts BETWEEN q.l AND q.r)
+       |     OR (q.qtype = 3 AND b.label = q.v AND b.ts BETWEEN q.l AND q.r)
+       |), r AS (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+       |  FROM j
+       |)
+       |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "knn_routed" -> knnAllTypesOracle,
+
     "knn_pruned" ->
       s"""WITH $vecCte,
          |j AS (

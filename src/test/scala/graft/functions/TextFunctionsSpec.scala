@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Guards the JVM↔SQL twin contract: the typed-flatMap fast paths
+  * (tokenizeJvm/shinglesJvm/hash28Jvm) must produce exactly what the
+  * SQL expressions (and therefore the DuckDB oracle) produce. */
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(23)
+  private val words = Seq("the", "a", "spark", "query", "row", "data", "join", "scan")
+  private def randText(): String = {
+    val n = rnd.nextInt(12)
+    val toks = Seq.fill(n)(words(rnd.nextInt(words.length)))
+    // random extra/leading/trailing spaces
+    val sep = if (rnd.nextBoolean()) " " else "  "
+    val body = toks.mkString(sep)
+    (if (rnd.nextBoolean()) " " else "") + body + (if (rnd.nextBoolean()) " " else "")
+  }
+
+  test("tokenizeJvm equals the SQL tokens expression on adversarial whitespace") {
+    val texts = Seq.fill(200)(randText()) ++ Seq("", " ", "   ", "a", " a ", "a  b")
+    val viaSql = texts.toDF("text")
+      .select(col("text"), TextFunctions.tokens(col("text")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    texts.distinct.foreach { t =>
+      assert(TextFunctions.tokenizeJvm(t).toList == viaSql(t), s"text='$t'")
+    }
+  }
+
+  test("shinglesJvm equals the SQL shingles expression") {
+    val texts = Seq.fill(200)(randText())
+    val viaSql = texts.toDF("text")
+      .select(col("text"),
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    texts.distinct.foreach { t =>
+      val jvm = TextFunctions.shinglesJvm(TextFunctions.tokenizeJvm(t), 3).toList
+      assert(jvm == viaSql(t), s"text='$t'")
+    }
+  }
+
+  test("hash28Jvm / md5Hex equal the SQL conv(md5) path") {
+    val ss = Seq("abc", "", "the quick fox", "ünïcodé ✓", "a b c")
+    val viaSql = ss.toDF("s")
+      .select(col("s"), md5(col("s").cast("binary")).as("h"),
+        conv(substring(md5(col("s").cast("binary")), 1, 7), 16, 10).cast("long").as("h28"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    ss.foreach { s =>
+      assert(TextFunctions.md5Hex(s) == viaSql(s)._1, s"md5 of '$s'")
+      assert(TextFunctions.hash28Jvm(s) == viaSql(s)._2, s"hash28 of '$s'")
+    }
+  }
+
+  test("minhash universal-hash constants are in range and distinct") {
+    val as = (0 until 16).map(TextFunctions.minhashA)
+    val bs = (0 until 16).map(TextFunctions.minhashB)
+    assert(as.forall(a => a > 0 && a < TextFunctions.MinhashP))
+    assert(bs.forall(b => b >= 0 && b < TextFunctions.MinhashP))
+    assert(as.distinct.size == 16 && bs.distinct.size == 16)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HybridKnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(11)
+  private def vec(): Array[Float] = Array.fill(8)(rnd.nextFloat())
+
+  // labels skewed so some category queries fall under the bf threshold
+  private lazy val base = Seq.tabulate(1000)(i =>
+    (i.toLong, (if (i % 100 == 0) 99L else (i % 4).toLong), (i % 50) / 50.0, vec()))
+    .toDF("id", "label", "ts", "vec")
+
+  private lazy val queries = Seq(
+    (0L, 0, -1L, -1.0, -1.0, vec()),    // full_graph route
+    (1L, 1, 2L, -1.0, -1.0, vec()),     // category, sel ~0.25 → category_graph
+    (2L, 1, 99L, -1.0, -1.0, vec()),    // rare category, sel 0.01 → bruteforce
+    (3L, 2, -1L, 0.2, 0.6, vec()),      // range → interval_graph
+    (4L, 3, 99L, 0.0, 0.9, vec()),      // rare category + range → bruteforce
+    (5L, 2, -1L, 0.0, 0.01, vec())      // narrow range → bruteforce (type 2)
+  ).toDF("qid", "qtype", "v", "l", "r", "qvec")
+
+  test("exact configuration equals the one-shot exact join, with pruned layout") {
+    val dir = Files.createTempDirectory("graft-hybrid").toString
+    val layout = Layouts.ensureCategoryLayout(base, s"$dir/by_label")
+    val routed = HybridKnn.execute(base, queries, 10, Some(layout))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = KnnJoin.exactFlat(base, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(routed == exact && routed.nonEmpty)
+  }
+
+  test("ann configuration keeps exact routes exact and full_graph recall high") {
+    val routed = HybridKnn.execute(base, queries, 10, None, ann = true,
+      annEf = 256, annBuckets = 2)
+    val exact = KnnJoin.exactFlat(base, queries, 10)
+    // non-type-0 queries must be identical
+    val rNon0 = routed.filter($"qid" =!= 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val eNon0 = exact.filter($"qid" =!= 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rNon0 == eNon0)
+    // type-0 via HNSW: recall floor
+    val recall = AnnJoin.recallAtK(
+      routed.filter($"qid" === 0L), exact.filter($"qid" === 0L))
+    assert(recall >= 0.9, s"recall $recall")
+  }
+}
