@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{CosineSimilarity, InnerProduct, L2SquaredDistance, Sq8Encode, Sq8L2Squared, VectorNorm}
+
+/** Session-extension registration of the engine's native expressions —
+  * enables `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`), after which the functions
+  * are available in plain SQL text in every session:
+  *
+  *   SELECT id FROM base ORDER BY l2_sq(vec, :qvec) LIMIT 100
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def fn(name: String, usage: String, builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage), builder)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(fn("l2_sq", "squared L2 distance of two float arrays",
+      es => L2SquaredDistance(es(0), es(1))))
+    e.injectFunction(fn("vec_dot", "inner product of two float arrays",
+      es => InnerProduct(es(0), es(1))))
+    e.injectFunction(fn("cosine_sim", "cosine similarity of two float arrays",
+      es => CosineSimilarity(es(0), es(1))))
+    e.injectFunction(fn("vec_norm", "L2 norm of a float array",
+      es => VectorNorm(es(0))))
+    e.injectFunction(fn("sq8_encode", "SQ8-symmetric int8 encoding of a float array",
+      es => Sq8Encode(es(0), es(1))))
+    e.injectFunction(fn("sq8_l2_sq", "integer squared L2 over SQ8 codes",
+      es => Sq8L2Squared(es(0), es(1))))
+  }
+}

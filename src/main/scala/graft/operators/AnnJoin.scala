@@ -59,6 +59,47 @@ object AnnJoin {
       .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
   }
 
+  /** Per-category ANN join for label-equality (type-1) queries — the
+    * reference's per-category sub-index dispatch (hybrid_graph.cpp:47-70
+    * build, :239-298 search). The base is co-partitioned by `label`, one
+    * HNSW is built per label group, and each query is searched ONLY
+    * against its own category's index — so the predicate holds by
+    * construction and no cross-bucket merge is needed: the per-category
+    * result IS the final top-k. The only shuffle is the base
+    * co-partitioning (a one-time cost amortized by layout at scale).
+    *
+    * base: (id, label, vec); queries: (qid, v, qvec).
+    * Returns (qid, rank, nid). */
+  def categoryHnswKnn(base: DataFrame, queries: DataFrame, k: Int,
+      ef: Int = 200, m: Int = 16, efConstruction: Int = 200): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val qByLabel = queries.select(col("qid").cast("long"), col("v").cast("long"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(1), (r.getLong(0), r.getSeq[Float](2).toArray)))
+      .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2)) }
+    val bq = spark.sparkContext.broadcast(qByLabel)
+    base
+      .select(col("id").cast("long"), col("label").cast("long"), col("vec"))
+      .as[(Long, Long, Array[Float])]
+      .repartition(col("label"))
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._2).iterator
+          .filter { case (label, _) => bq.value.contains(label) }
+          .flatMap { case (label, rows) =>
+            val ids = rows.map(_._1)
+            val index = new HnswIndex(rows.head._3.length, m, efConstruction)
+            rows.foreach(r => index.add(r._3))
+            bq.value(label).iterator.flatMap { case (qid, qvec) =>
+              index.search(qvec, k, ef).zipWithIndex.map {
+                case ((internal, _), rank) => (qid, (rank + 1).toLong, ids(internal))
+              }
+            }
+          }
+      }
+      .toDF("qid", "rank", "nid")
+  }
+
   /** Recall@k of `approx` against `exact`, both (qid, rank, nid). */
   def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
     val a = approx.groupBy("qid").agg(collect_set(col("nid")).as("got"))

@@ -98,7 +98,10 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // materialize once: both sides of the band self-join (and est_sim)
+    // would otherwise recompute the signature map
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(
         col("doc_id"), col("mh"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))

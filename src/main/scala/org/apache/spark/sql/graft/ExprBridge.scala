@@ -17,6 +17,17 @@ object ExprBridge {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Apply the function injections of a SparkSessionExtensions setup to
+    * an ALREADY-RUNNING session (builder-time `withExtensions` is a
+    * no-op once a session exists — getOrCreate returns the live one). */
+  def applyExtensionFunctions(
+      spark: SparkSession,
+      ext: org.apache.spark.sql.SparkSessionExtensions => Unit): Unit = {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    ext(e)
+    e.registerFunctions(spark.sessionState.functionRegistry)
+  }
+
   /** Register a named expression builder in the session's function
     * registry so the function is usable from `spark.sql(...)` text.
     */
