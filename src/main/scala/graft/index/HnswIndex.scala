@@ -178,6 +178,56 @@ final class HnswIndex(
     id
   }
 
+  /** Compact binary serialization (dim, params, entry, levels, vectors,
+    * adjacency) — the persisted form of the batch index-build job. */
+  def toBytes: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(new java.util.zip.DeflaterOutputStream(bos))
+    out.writeInt(dim); out.writeInt(m); out.writeInt(efConstruction)
+    out.writeInt(size); out.writeInt(entry); out.writeInt(topLevel)
+    var i = 0
+    while (i < size) {
+      out.writeInt(nodeLevel(i))
+      val v = vecs(i)
+      var d = 0
+      while (d < v.length) { out.writeFloat(v(d)); d += 1 }
+      val ls = links(i)
+      var l = 0
+      while (l < ls.length) {
+        out.writeInt(ls(l).length)
+        ls(l).foreach(out.writeInt)
+        l += 1
+      }
+      i += 1
+    }
+    out.close()
+    bos.toByteArray
+  }
+
+  private[index] def restore(n: Int, e: Int, tl: Int,
+      in: java.io.DataInputStream): Unit = {
+    entry = e; topLevel = tl
+    var i = 0
+    while (i < n) {
+      val lvl = in.readInt()
+      nodeLevel += lvl
+      val v = new Array[Float](dim)
+      var d = 0
+      while (d < dim) { v(d) = in.readFloat(); d += 1 }
+      vecs += v
+      val ls = Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+      var l = 0
+      while (l <= lvl) {
+        val cnt = in.readInt()
+        var j = 0
+        while (j < cnt) { ls(l) += in.readInt(); j += 1 }
+        l += 1
+      }
+      links += ls
+      i += 1
+    }
+  }
+
   /** Top-k (internal id, dist) by squared L2, ascending (dist, id).
     * `allowed` filters results post-walk (reference SearchFilter shape). */
   def search(q: Array[Float], k: Int, ef: Int,
@@ -193,5 +243,18 @@ final class HnswIndex(
     val res = searchLayer(q, cur, effEf, 0).toArray
     val filtered = if (allowed == null) res else res.filter(t => allowed(t._2))
     filtered.map(t => (t._2, t._1)).sortBy(t => (t._2, t._1)).take(k)
+  }
+}
+
+object HnswIndex {
+  def fromBytes(bytes: Array[Byte]): HnswIndex = {
+    val in = new java.io.DataInputStream(
+      new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(bytes)))
+    val dim = in.readInt(); val m = in.readInt(); val efC = in.readInt()
+    val n = in.readInt(); val entry = in.readInt(); val topLevel = in.readInt()
+    val idx = new HnswIndex(dim, m, efC)
+    idx.restore(n, entry, topLevel, in)
+    in.close()
+    idx
   }
 }

@@ -100,6 +100,62 @@ object AnnJoin {
       .toDF("qid", "rank", "nid")
   }
 
+  /** Per-decile ANN join for timestamp-range (type-2) queries — the
+    * reference's decile sub-index union (hybrid_graph.cpp:306-459 + J5):
+    * base co-partitioned by `decile = floor(ts*10)`, one HNSW per decile
+    * group; each query is searched only in deciles overlapping its
+    * [l, r], with an in-filter `allowed` check on partially-covered
+    * deciles (the reference's MEDIUM class) and an unfiltered walk on
+    * fully-covered ones (FULL). Per-decile candidates carry exact
+    * distances, so the bounded top-k merge yields the final result.
+    *
+    * base: (id, ts, vec); queries: (qid, l, r, qvec). → (qid, rank, nid). */
+  def decileHnswKnn(base: DataFrame, queries: DataFrame, k: Int,
+      ef: Int = 200, m: Int = 16, efConstruction: Int = 200): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val qBatch = queries
+      .select(col("qid").cast("long"), col("l").cast("double"),
+        col("r").cast("double"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getSeq[Float](3).toArray))
+    val bq = spark.sparkContext.broadcast(qBatch)
+    base
+      .select(col("id").cast("long"), col("ts").cast("double"), col("vec"))
+      .withColumn("decile", floor(col("ts") * 10).cast("int"))
+      .as[(Long, Double, Array[Float], Int)]
+      .repartition(col("decile"))
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._4).iterator.flatMap { case (decile, rows) =>
+          val bStart = decile / 10.0
+          val bEnd = (decile + 1) / 10.0
+          // closed query interval [l, r] vs half-open decile [bStart, bEnd):
+          // r == bStart still matches rows with ts == r exactly
+          val overlapping = bq.value.filter { case (_, l, r, _) => l < bEnd && r >= bStart }
+          if (overlapping.isEmpty) Iterator.empty
+          else {
+            val ids = rows.map(_._1)
+            val ts = rows.map(_._2)
+            val index = new HnswIndex(rows.head._3.length, m, efConstruction)
+            rows.foreach(r => index.add(r._3))
+            overlapping.iterator.flatMap { case (qid, l, r, qvec) =>
+              val full = l <= bStart && r >= bEnd
+              val allowed: Int => Boolean =
+                if (full) null else i => ts(i) >= l && ts(i) <= r
+              index.search(qvec, k, ef, allowed).iterator.map {
+                case (internal, d) => (qid, ids(internal), d)
+              }
+            }
+          }
+        }
+      }
+      .toDF("qid", "id", "dist")
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
+      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
+  }
+
   /** Recall@k of `approx` against `exact`, both (qid, rank, nid). */
   def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
     val a = approx.groupBy("qid").agg(collect_set(col("nid")).as("got"))

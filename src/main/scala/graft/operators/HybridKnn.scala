@@ -46,15 +46,27 @@ object HybridKnn {
     val restRes =
       if (!ann) KnnJoin.exactFlat(base, rest, k)
       else {
-        // approximate configuration: graph routes go to partitioned HNSW
-        // (predicate applied by exact post-filter re-rank of candidates),
-        // exact routes stay on the streaming join. Type-0 only here —
-        // predicate walks are a round-2 item; other types stay exact.
-        val graphQ = rest.filter(col("route") === "full_graph")
-        val exactQ = rest.filter(col("route") =!= "full_graph")
+        // approximate configuration — the reference's stage layout:
+        //   type-0  → union over hash-bucket sub-indexes  (:306-333)
+        //   type-1  → per-category sub-index              (:239-298)
+        //   type-2  → per-decile sub-indexes w/ in-filter (:338-459)
+        //   type-3 and anything else → exact streaming join
+        val fullQ = rest.filter(col("route") === "full_graph")
+        val catQ = rest.filter(col("route") === "category_graph" && col("qtype") === 1)
+        val intQ = rest.filter(col("route") === "interval_graph" && col("qtype") === 2)
+        val exactQ = rest
+          .filter(col("route") =!= "full_graph")
+          .filter(!(col("route") === "category_graph" && col("qtype") === 1))
+          .filter(!(col("route") === "interval_graph" && col("qtype") === 2))
         AnnJoin.hnswKnn(
             base.select(col("id"), col("vec")),
-            graphQ.select(col("qid"), col("qvec")), k, annEf, annBuckets)
+            fullQ.select(col("qid"), col("qvec")), k, annEf, annBuckets)
+          .unionByName(AnnJoin.categoryHnswKnn(
+            base.select(col("id"), col("label"), col("vec")),
+            catQ.select(col("qid"), col("v"), col("qvec")), k, annEf))
+          .unionByName(AnnJoin.decileHnswKnn(
+            base.select(col("id"), col("ts"), col("vec")),
+            intQ.select(col("qid"), col("l"), col("r"), col("qvec")), k, annEf))
           .unionByName(KnnJoin.exactFlat(base, exactQ, k))
       }
 

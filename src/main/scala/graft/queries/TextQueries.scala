@@ -72,6 +72,18 @@ object TextQueries {
         (predicted === col("lang")).cast("long").as("correct"))
     }),
 
+    // token counting: whitespace tokens + BPE-style pre-tokenizer regex
+    // ([a-z]+ | digit runs | single other chars) + chars-per-token ratio
+    "token_count" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", TF.tokens(col("text")))
+        .withColumn("re_toks", expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          size(col("toks")).cast("long").as("ws_tokens"),
+          size(col("re_toks")).cast("long").as("bpe_tokens"),
+          (length(col("text")) / size(col("re_toks")).cast("double")).as("chars_per_token"))),
+
     // document fingerprinting: full-content md5 + 60-bit compact fp
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
@@ -205,6 +217,19 @@ object TextQueries {
         |       WHEN s_fr = m THEN 'fr' WHEN s_zh = m THEN 'zh' ELSE 'und' END) = lang
         |       THEN 1 ELSE 0 END AS BIGINT) AS correct
         |FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM sc)""".stripMargin,
+
+    "token_count" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks,
+        |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS re_toks
+        |  FROM documents
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(toks) AS BIGINT) AS ws_tokens,
+        |  CAST(len(re_toks) AS BIGINT) AS bpe_tokens,
+        |  length(text) / CAST(len(re_toks) AS DOUBLE) AS chars_per_token
+        |FROM t""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -1,0 +1,64 @@
+package graft.index
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.{AnnJoin, KnnJoin}
+import org.apache.spark.sql.functions._
+
+class AnnIndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(53)
+  private val dim = 12
+  private def vec(): Array[Float] = Array.fill(dim)(rnd.nextFloat())
+
+  test("HnswIndex serialization round-trips search results exactly") {
+    val data = Array.fill(600)(vec())
+    val idx = new HnswIndex(dim, 16, 200)
+    data.foreach(idx.add)
+    val restored = HnswIndex.fromBytes(idx.toBytes)
+    val q = vec()
+    assert(restored.search(q, 10, 128).toSeq == idx.search(q, 10, 128).toSeq)
+    assert(restored.size == idx.size)
+  }
+
+  test("build-once search-twice: persisted index table answers with high recall") {
+    val base = Seq.tabulate(1500)(i => (i.toLong, vec())).toDF("id", "vec")
+    val queries = Seq.tabulate(10)(i => (i.toLong, vec())).toDF("qid", "qvec")
+    val dir = Files.createTempDirectory("graft-annstore").toString + "/index"
+    AnnIndexStore.build(base, dir, numBuckets = 3)
+    val r1 = AnnIndexStore.search(spark, dir, queries, k = 10, ef = 128)
+    val r2 = AnnIndexStore.search(spark, dir, queries, k = 10, ef = 128)
+    val s1 = r1.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val s2 = r2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s1 == s2) // deterministic reuse
+    val exact = KnnJoin.exactFlat(
+      base.withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
+      queries.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
+        .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)), 10)
+    val recall = AnnJoin.recallAtK(r1, exact)
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("decile ANN join: range predicate holds, recall >= 0.85 vs exact") {
+    val base = Seq.tabulate(2000)(i => (i.toLong, (i % 100) / 100.0, vec()))
+      .toDF("id", "ts", "vec")
+    val queries = Seq(
+      (0L, 0.0, 1.0, vec()),     // full range (all deciles FULL)
+      (1L, 0.15, 0.65, vec()),   // partial edges (MEDIUM) + FULL middles
+      (2L, 0.42, 0.48, vec())    // inside one decile (MEDIUM)
+    ).toDF("qid", "l", "r", "qvec")
+    val approx = AnnJoin.decileHnswKnn(base, queries, k = 10, ef = 256)
+    // predicate check
+    val joined = approx.join(queries.select("qid", "l", "r"), "qid")
+      .join(base.select(col("id").as("nid"), col("ts")), "nid")
+    assert(joined.filter(col("ts") < col("l") || col("ts") > col("r")).count() == 0)
+    // recall vs exact type-2
+    val exact = KnnJoin.exactFlat(
+      base.withColumn("label", lit(0L)),
+      queries.withColumn("qtype", lit(2)).withColumn("v", lit(0L)), 10)
+    val recall = AnnJoin.recallAtK(approx, exact)
+    assert(recall >= 0.85, s"recall $recall")
+  }
+}

@@ -35,19 +35,22 @@ class HybridKnnSpec extends SparkSpec {
     assert(routed == exact && routed.nonEmpty)
   }
 
-  test("ann configuration keeps exact routes exact and full_graph recall high") {
+  test("ann configuration: graph routes hit their sub-indexes with high recall, bf routes stay exact") {
     val routed = HybridKnn.execute(base, queries, 10, None, ann = true,
       annEf = 256, annBuckets = 2)
     val exact = KnnJoin.exactFlat(base, queries, 10)
-    // non-type-0 queries must be identical
-    val rNon0 = routed.filter($"qid" =!= 0L)
+    // bruteforce-routed queries (2, 4, 5) must be byte-identical
+    val bfIds = Set(2L, 4L, 5L)
+    val rBf = routed.filter($"qid".isin(bfIds.toSeq: _*))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val eNon0 = exact.filter($"qid" =!= 0L)
+    val eBf = exact.filter($"qid".isin(bfIds.toSeq: _*))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(rNon0 == eNon0)
-    // type-0 via HNSW: recall floor
-    val recall = AnnJoin.recallAtK(
-      routed.filter($"qid" === 0L), exact.filter($"qid" === 0L))
-    assert(recall >= 0.9, s"recall $recall")
+    assert(rBf == eBf)
+    // graph-routed queries (0: full, 1: category, 3: interval): recall floor
+    Seq(0L, 1L, 3L).foreach { qid =>
+      val recall = AnnJoin.recallAtK(
+        routed.filter($"qid" === qid), exact.filter($"qid" === qid))
+      assert(recall >= 0.9, s"qid $qid recall $recall")
+    }
   }
 }
