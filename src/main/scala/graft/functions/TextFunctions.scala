@@ -87,6 +87,28 @@ object TextFunctions {
     * `CAST(('0x' || substr(md5(s),1,7)) AS UBIGINT)::BIGINT`). */
   def hash28Jvm(s: String): Long = java.lang.Long.parseLong(md5Hex(s).substring(0, 7), 16)
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
+    * character k-gram, slide a window of w hashes, keep each window's
+    * minimum; the distinct minima are the document's fingerprint set —
+    * robust to local edits, the standard rolling-hash fingerprint for
+    * near-dup detection at corpus scale. Mirrored by the DuckDB oracle
+    * (substr is 1-based there; offsets here match exactly). */
+  def winnowJvm(text: String, k: Int, w: Int): Array[Long] = {
+    if (text.length < k) return Array.empty
+    val hs = Array.tabulate(text.length - k + 1)(i => hash28Jvm(text.substring(i, i + k)))
+    if (hs.length < w) return Array.empty
+    val out = new Array[Long](hs.length - w + 1)
+    var i = 0
+    while (i < out.length) {
+      var m = Long.MaxValue
+      var j = i
+      while (j < i + w) { if (hs(j) < m) m = hs(j); j += 1 }
+      out(i) = m
+      i += 1
+    }
+    out.distinct
+  }
+
   /** Universal-hash family over [[hash28Jvm]]: h_j(x) = (A_j·x + B_j) mod P.
     * One md5 per shingle + numHashes integer mixes (vs. numHashes md5s).
     * Constants are deterministic and mirrored into the DuckDB oracle. */

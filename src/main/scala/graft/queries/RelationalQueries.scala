@@ -105,6 +105,16 @@ object RelationalQueries {
           col("l_linenumber").cast("long").as("l_linenumber"),
           col("l_extendedprice"))),
 
+    // hierarchical ROLLUP aggregation (grouping sets)
+    "rollup_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))),
+
     // exact distinct aggregation
     "distinct_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -220,6 +230,14 @@ object RelationalQueries {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 100""".stripMargin,
+
+    "rollup_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     "distinct_agg" ->
       """SELECT l_returnflag,

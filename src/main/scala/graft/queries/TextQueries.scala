@@ -84,6 +84,16 @@ object TextQueries {
           size(col("re_toks")).cast("long").as("bpe_tokens"),
           (length(col("text")) / size(col("re_toks")).cast("double")).as("chars_per_token"))),
 
+    // winnowing fingerprints: char 8-gram rolling hashes, window-4 minima
+    "doc_winnow" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) => TF.winnowJvm(t, 8, 4).map((id, _)) }
+        .toDF("doc_id", "fp")
+    }),
+
     // document fingerprinting: full-content md5 + 60-bit compact fp
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
@@ -230,6 +240,20 @@ object TextQueries {
         |  CAST(len(re_toks) AS BIGINT) AS bpe_tokens,
         |  length(text) / CAST(len(re_toks) AS DOUBLE) AS chars_per_token
         |FROM t""".stripMargin,
+
+    "doc_winnow" ->
+      """WITH h AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    list_transform(range(1, length(text) - 8 + 2),
+        |      i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 7)) AS UBIGINT)::BIGINT) AS hs
+        |  FROM documents WHERE length(text) >= 8
+        |), w AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+        |      i -> list_min(hs[i : i + 3]))) AS fps
+        |  FROM h WHERE len(hs) >= 4
+        |)
+        |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

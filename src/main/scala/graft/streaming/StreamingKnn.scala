@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.operators.KnnJoin
+
+/** Continuous kNN serving: a stream of queries joined against a static
+  * base table. The reference is strictly batch; this extends the same
+  * exact kNN join to streaming ingestion (SURVEY §7.5) via foreachBatch
+  * — each micro-batch of queries runs the identical broadcast-join plan
+  * against the (cached) base, so streaming and batch results are
+  * byte-identical by construction.
+  *
+  * At scale the base would be the persisted [[graft.index.AnnIndexStore]]
+  * table for the approximate path; exact per-micro-batch joins are the
+  * oracle configuration.
+  */
+object StreamingKnn {
+
+  /** Wire a streaming query DataFrame (qid, qtype, v, l, r, qvec) to the
+    * exact kNN join against `base`, delivering each micro-batch's flat
+    * results (qid, rank, nid) to `sink`. Caller starts the returned
+    * writer (choosing trigger/checkpoint). */
+  def exactWriter(base: DataFrame, queryStream: DataFrame, k: Int)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val cachedBase = base.cache()
+    queryStream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(KnnJoin.exactFlat(cachedBase, batch, k), batchId)
+      }
+  }
+}
