@@ -74,18 +74,39 @@ object TextFunctions {
     if (toks.length < n) Array.empty
     else toks.sliding(n).map(_.mkString(" ")).toArray
 
-  def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Bytes(s: String): Array[Byte] = {
+    val md = mdLocal.get()
+    md.reset()
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** 28-bit content hash: first 7 hex chars of md5 — cheap enough to
-    * compute once per shingle; cross-engine (DuckDB:
+  def md5Hex(s: String): String = {
+    val d = md5Bytes(s)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** 28-bit content hash: numeric value of the first 7 hex chars of md5
+    * (read straight off the digest bytes) — cheap enough to compute once
+    * per shingle/k-gram; cross-engine (DuckDB:
     * `CAST(('0x' || substr(md5(s),1,7)) AS UBIGINT)::BIGINT`). */
-  def hash28Jvm(s: String): Long = java.lang.Long.parseLong(md5Hex(s).substring(0, 7), 16)
+  def hash28Jvm(s: String): Long = {
+    val d = md5Bytes(s)
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xff) << 12) |
+      ((d(2) & 0xff) << 4) | ((d(3) & 0xff) >>> 4)
+  }
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     * character k-gram, slide a window of w hashes, keep each window's

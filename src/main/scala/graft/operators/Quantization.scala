@@ -27,6 +27,51 @@ object Quantization {
   def withCodes(df: DataFrame, vecCol: String, alpha: Double): DataFrame =
     df.withColumn("code", sq8Encode(col(vecCol), lit(alpha)))
 
+  /** Asymmetric SQ8 (reference sq8_quant.hpp:30-63, hnswalg.h:238-297,
+    * X4/X8): per-dimension (min, dif) training, uint8 encode
+    * `(x - min_d) / dif_d * 255`, and a dequantizing distance that
+    * compares raw query floats against dequantized base codes. Returns
+    * (mins, difs) as driver-side arrays folded into expressions. */
+  def trainAsym(df: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val row = df.select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("d").agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy("d")
+      .as[(Int, Double, Double)].collect()
+    val mins = row.map(_._2)
+    val difs = row.map { case (_, mn, mx) => math.max(mx - mn, 1e-12) }
+    (mins, difs)
+  }
+
+  /** Per-row asymmetric encode to array<int> codes in [0, 255] (kept as
+    * ints — SQL-mirrorable; 4× compression applies at the storage layer). */
+  def asymEncode(vec: Column, mins: Array[Double], difs: Array[Double]): Column = {
+    val minsC = typedLit(mins)
+    val difsC = typedLit(difs)
+    zip_with(vec, sequence(lit(0), lit(mins.length - 1)), (x, i) =>
+      round(((x.cast("double") - element_at(minsC, i.cast("int") + 1)) /
+        element_at(difsC, i.cast("int") + 1)) * 255.0).cast("int"))
+  }
+
+  /** Dequantize asymmetric codes back to floats:
+    * x̂_d = code_d / 255 · dif_d + min_d. */
+  def asymDequantize(code: Column, mins: Array[Double], difs: Array[Double]): Column = {
+    val minsC = typedLit(mins)
+    val difsC = typedLit(difs)
+    zip_with(code, sequence(lit(0), lit(mins.length - 1)), (c, i) =>
+      (c.cast("double") / 255.0 * element_at(difsC, i.cast("int") + 1) +
+        element_at(minsC, i.cast("int") + 1)).cast("float"))
+  }
+
+  /** Dequantizing squared-L2 (X4): raw query floats vs dequantized base
+    * codes — the asymmetric comparison the reference's SQ8Quantizer
+    * computer performs (distance.hpp:268-301). */
+  def asymDistance(qvec: Column, code: Column, mins: Array[Double], difs: Array[Double]): Column = {
+    import graft.functions.{VectorFunctions => VF}
+    VF.l2Sq(qvec, asymDequantize(code, mins, difs))
+  }
+
   /** Two-stage kNN: top-`refineK` candidates by integer code distance,
     * exact fp32 re-rank to top-`k`. Exactly the reference's quantized
     * brute-force path. Output: (qid, rank, nid).

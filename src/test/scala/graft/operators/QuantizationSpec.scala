@@ -44,6 +44,30 @@ class QuantizationSpec extends SparkSpec {
     assert(approx == exact)
   }
 
+  test("asymmetric SQ8: encode range, round-trip bound, distance approximates exact") {
+    val (mins, difs) = Quantization.trainAsym(data, "vec")
+    assert(mins.length == 16 && difs.forall(_ > 0))
+    val enc = data.withColumn("code", Quantization.asymEncode($"vec", mins, difs))
+    val rows = enc.collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val c = r.getSeq[Int](2)
+      assert(c.forall(x => x >= 0 && x <= 255))
+      v.zip(c).zipWithIndex.foreach { case ((x, code), d) =>
+        val dec = code.toDouble / 255.0 * difs(d) + mins(d)
+        assert(math.abs(dec - x) <= difs(d) / 255.0 + 1e-9)
+      }
+    }
+    // dequantizing distance ≈ exact distance
+    val q = data.filter($"id" === 0).select($"vec".as("qvec")).crossJoin(enc.limit(50))
+    val cmp = q.select(
+      graft.functions.VectorFunctions.l2Sq($"qvec", $"vec").as("exact"),
+      Quantization.asymDistance($"qvec", $"code", mins, difs).as("approx")).collect()
+    cmp.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.05 * (r.getDouble(0) + 1.0))
+    }
+  }
+
   test("refineKnn recall@5 with narrow refineK stays high") {
     val alpha = Quantization.trainAlpha(data, "vec")
     val qs = data.filter($"id" % 20 === 0).select($"id".as("qid"), $"vec".as("qvec"))
