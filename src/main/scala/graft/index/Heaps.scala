@@ -1,0 +1,105 @@
+package graft.index
+
+/** Primitive-array heaps for the HNSW beam search — no boxing, no
+  * per-operation allocation (the JVM analog of the reference's
+  * array-backed pools, pyglass/glass/neighbor.hpp:125-303). */
+
+/** Growable min-heap on (dist, id). */
+private[index] final class MinDistHeap(initCap: Int) {
+  private var d = new Array[Double](math.max(initCap, 8))
+  private var id = new Array[Int](math.max(initCap, 8))
+  private var n = 0
+
+  def size: Int = n
+  def nonEmpty: Boolean = n > 0
+  def clear(): Unit = n = 0
+  def minDist: Double = d(0)
+  def minId: Int = id(0)
+
+  def push(dist: Double, node: Int): Unit = {
+    if (n == d.length) {
+      d = java.util.Arrays.copyOf(d, n * 2)
+      id = java.util.Arrays.copyOf(id, n * 2)
+    }
+    var i = n
+    d(i) = dist; id(i) = node
+    n += 1
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      if (d(i) < d(p)) {
+        val td = d(i); d(i) = d(p); d(p) = td
+        val ti = id(i); id(i) = id(p); id(p) = ti
+        i = p
+      } else i = 0
+    }
+  }
+
+  /** Remove the min; call minDist/minId BEFORE popping. */
+  def pop(): Unit = {
+    n -= 1
+    d(0) = d(n); id(0) = id(n)
+    var i = 0
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1; val r = l + 1
+      var m = i
+      if (l < n && d(l) < d(m)) m = l
+      if (r < n && d(r) < d(m)) m = r
+      if (m == i) done = true
+      else {
+        val td = d(i); d(i) = d(m); d(m) = td
+        val ti = id(i); id(i) = id(m); id(m) = ti
+        i = m
+      }
+    }
+  }
+}
+
+/** Bounded max-heap keeping the `cap` smallest (dist, id); root = worst kept. */
+private[index] final class BoundedMaxHeap(cap: Int) {
+  private val d = new Array[Double](math.max(cap, 1))
+  private val id = new Array[Int](math.max(cap, 1))
+  private var n = 0
+
+  def size: Int = n
+  def isFull: Boolean = n >= cap
+  def worstDist: Double = d(0)
+
+  /** Returns true if the element was kept. */
+  def offer(dist: Double, node: Int): Boolean = {
+    if (n < cap) {
+      var i = n
+      d(i) = dist; id(i) = node
+      n += 1
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (d(i) > d(p)) {
+          val td = d(i); d(i) = d(p); d(p) = td
+          val ti = id(i); id(i) = id(p); id(p) = ti
+          i = p
+        } else i = 0
+      }
+      true
+    } else if (dist < d(0)) {
+      d(0) = dist; id(0) = node
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < n && d(l) > d(m)) m = l
+        if (r < n && d(r) > d(m)) m = r
+        if (m == i) done = true
+        else {
+          val td = d(i); d(i) = d(m); d(m) = td
+          val ti = id(i); id(i) = id(m); id(m) = ti
+          i = m
+        }
+      }
+      true
+    } else false
+  }
+
+  /** (dist, id) pairs, unsorted. */
+  def toPairs: Array[(Double, Int)] = Array.tabulate(n)(i => (d(i), id(i)))
+}

@@ -31,23 +31,37 @@ final class HnswIndex(
 
   private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
   private val nodeLevel = mutable.ArrayBuffer.empty[Int]
-  // links(node)(level) = neighbor ids
-  private val links = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+  // links(node)(level) = neighbor ids (primitive int lists, no boxing)
+  private val links = mutable.ArrayBuffer.empty[Array[IntList]]
   private var entry = -1
   private var topLevel = -1
 
   def size: Int = vecs.length
 
+  // four independent accumulator lanes: C2 refuses to vectorize (or even
+  // pipeline) a single serial FP reduction chain; unrolling breaks the
+  // dependency and roughly quadruples ILP. Float accumulation is fine
+  // here — the index is the approximate path (exact re-ranking uses the
+  // Catalyst expressions).
   @inline private def dist(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0
-    var i = 0
     val n = a.length
+    var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
+    var i = 0
+    val n4 = n - 3
+    while (i < n4) {
+      val d0 = a(i) - b(i)
+      val d1 = a(i + 1) - b(i + 1)
+      val d2 = a(i + 2) - b(i + 2)
+      val d3 = a(i + 3) - b(i + 3)
+      s0 += d0 * d0; s1 += d1 * d1; s2 += d2 * d2; s3 += d3 * d3
+      i += 4
+    }
     while (i < n) {
-      val d = a(i).toDouble - b(i).toDouble
-      s += d * d
+      val d = a(i) - b(i)
+      s0 += d * d
       i += 1
     }
-    s
+    ((s0 + s1) + (s2 + s3)).toDouble
   }
 
   @inline private def distTo(q: Array[Float], node: Int): Double = dist(q, vecs(node))
@@ -71,30 +85,45 @@ final class HnswIndex(
     cur
   }
 
-  /** Beam search at one level; returns up to ef (dist, id) pairs. */
-  private def searchLayer(q: Array[Float], start: Int, ef: Int, level: Int): mutable.PriorityQueue[(Double, Int)] = {
-    val visited = mutable.HashSet.empty[Int]
-    // candidates: min-heap by dist (negate for PQ); results: max-heap by dist
-    val cand = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(t => -t._1))
-    val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(t => t._1))
+  // generation-stamped visited set — amortizes clearing across searches,
+  // the reference's lazy-clearing bitset (pyglass/glass/neighbor.hpp:41-102)
+  @transient private var visitedMark: Array[Int] = _
+  @transient private var visitedGen = 0
+
+  private def nextVisitedGen(): Int = {
+    if (visitedMark == null || visitedMark.length < vecs.length) {
+      visitedMark = new Array[Int](math.max(vecs.length * 2, 1024))
+      visitedGen = 0
+    }
+    visitedGen += 1
+    visitedGen
+  }
+
+  /** Beam search at one level; returns the ≤ ef best (dist, id) pairs. */
+  private def searchLayer(q: Array[Float], start: Int, ef: Int, level: Int): BoundedMaxHeap = {
+    val gen = nextVisitedGen()
+    val seen = visitedMark
+    val cand = new MinDistHeap(ef + 1)
+    val res = new BoundedMaxHeap(ef)
     val d0 = distTo(q, start)
-    cand.enqueue((d0, start)); res.enqueue((d0, start)); visited += start
+    cand.push(d0, start); res.offer(d0, start); seen(start) = gen
     while (cand.nonEmpty) {
-      val (cd, c) = cand.dequeue()
-      if (cd > res.head._1 && res.size >= ef) {
+      val cd = cand.minDist
+      val c = cand.minId
+      if (cd > res.worstDist && res.isFull) {
         cand.clear()
       } else {
+        cand.pop()
         val nbrs = links(c)(level)
         var i = 0
         while (i < nbrs.length) {
           val nb = nbrs(i)
-          if (!visited.contains(nb)) {
-            visited += nb
+          if (seen(nb) != gen) {
+            seen(nb) = gen
             val d = distTo(q, nb)
-            if (res.size < ef || d < res.head._1) {
-              cand.enqueue((d, nb))
-              res.enqueue((d, nb))
-              if (res.size > ef) res.dequeue()
+            if (!res.isFull || d < res.worstDist) {
+              cand.push(d, nb)
+              res.offer(d, nb)
             }
           }
           i += 1
@@ -106,21 +135,22 @@ final class HnswIndex(
 
   /** Diversity heuristic (Malkov alg. 4): keep candidate c only if it is
     * closer to q than to every already-kept neighbor. */
-  private def selectNeighbors(q: Array[Float], cands: Seq[(Double, Int)], count: Int): mutable.ArrayBuffer[Int] = {
+  private def selectNeighbors(cands: Array[(Double, Int)], count: Int): IntList = {
     val sorted = cands.sortBy(t => (t._1, t._2))
-    val kept = mutable.ArrayBuffer.empty[Int]
-    val keptD = mutable.ArrayBuffer.empty[Array[Float]]
+    val kept = new IntList(count)
+    val keptD = new Array[Array[Float]](count)
     var i = 0
     while (i < sorted.length && kept.length < count) {
-      val (dq, c) = sorted(i)
+      val dq = sorted(i)._1
+      val c = sorted(i)._2
       val cv = vecs(c)
       var ok = true
       var j = 0
-      while (ok && j < keptD.length) {
+      while (ok && j < kept.length) {
         if (dist(cv, keptD(j)) < dq) ok = false
         j += 1
       }
-      if (ok) { kept += c; keptD += cv }
+      if (ok) { keptD(kept.length) = cv; kept += c }
       i += 1
     }
     // backfill with closest pruned if underfull
@@ -139,7 +169,7 @@ final class HnswIndex(
     val level = math.min((-math.log(rng.nextDouble()) * levelMult).toInt, 32)
     vecs += vec
     nodeLevel += level
-    links += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+    links += Array.fill(level + 1)(new IntList(if (level == 0) maxM0 + 1 else maxM + 1))
     if (entry < 0) {
       entry = id; topLevel = level
       return id
@@ -154,9 +184,9 @@ final class HnswIndex(
     // insert at each level from min(topLevel, level) down to 0
     l = math.min(topLevel, level)
     while (l >= 0) {
-      val found = searchLayer(vec, cur, efConstruction, l).toSeq
+      val found = searchLayer(vec, cur, efConstruction, l).toPairs
       val cap = if (l == 0) maxM0 else maxM
-      val nbrs = selectNeighbors(vec, found, cap)
+      val nbrs = selectNeighbors(found, cap)
       links(id)(l) = nbrs
       // bidirectional links with pruning
       var i = 0
@@ -165,13 +195,27 @@ final class HnswIndex(
         val nbLinks = links(nb)(l)
         nbLinks += id
         if (nbLinks.length > cap) {
-          val pruned = selectNeighbors(vecs(nb),
-            nbLinks.map(x => (dist(vecs(nb), vecs(x)), x)).toSeq, cap)
-          links(nb)(l) = pruned
+          val nbv = vecs(nb)
+          val withD = new Array[(Double, Int)](nbLinks.length)
+          var t = 0
+          while (t < nbLinks.length) {
+            withD(t) = (dist(nbv, vecs(nbLinks(t))), nbLinks(t)); t += 1
+          }
+          links(nb)(l) = selectNeighbors(withD, cap)
         }
         i += 1
       }
-      cur = if (found.nonEmpty) found.minBy(t => (t._1, t._2))._2 else cur
+      var best = cur
+      if (found.nonEmpty) {
+        var bd = Double.MaxValue; var bi = Int.MaxValue
+        var t = 0
+        while (t < found.length) {
+          val (fd, fi) = found(t)
+          if (fd < bd || (fd == bd && fi < bi)) { bd = fd; bi = fi; best = fi }
+          t += 1
+        }
+      }
+      cur = best
       l -= 1
     }
     if (level > topLevel) { topLevel = level; entry = id }
@@ -195,7 +239,8 @@ final class HnswIndex(
       var l = 0
       while (l < ls.length) {
         out.writeInt(ls(l).length)
-        ls(l).foreach(out.writeInt)
+        var j = 0
+        while (j < ls(l).length) { out.writeInt(ls(l)(j)); j += 1 }
         l += 1
       }
       i += 1
@@ -215,7 +260,7 @@ final class HnswIndex(
       var d = 0
       while (d < dim) { v(d) = in.readFloat(); d += 1 }
       vecs += v
-      val ls = Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+      val ls = Array.fill(lvl + 1)(new IntList(4))
       var l = 0
       while (l <= lvl) {
         val cnt = in.readInt()
@@ -240,7 +285,7 @@ final class HnswIndex(
       l -= 1
     }
     val effEf = math.max(ef, k)
-    val res = searchLayer(q, cur, effEf, 0).toArray
+    val res = searchLayer(q, cur, effEf, 0).toPairs
     val filtered = if (allowed == null) res else res.filter(t => allowed(t._2))
     filtered.map(t => (t._2, t._1)).sortBy(t => (t._2, t._1)).take(k)
   }

@@ -124,6 +124,32 @@ object RelationalQueries {
           countDistinct(col("l_partkey")).as("n_parts"),
           count(lit(1)).as("n_rows"))),
 
+    // semi/anti joins (EXISTS / NOT EXISTS)
+    "semi_anti_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      val semi = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select(col("c_custkey").cast("long").as("c_custkey"))
+        .withColumn("tag", lit("has_urgent"))
+      val anti = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+        .select(col("c_custkey").cast("long").as("c_custkey"))
+        .withColumn("tag", lit("no_urgent"))
+      semi.unionByName(anti)
+    }),
+
+    // correlated aggregate: orders above their customer's average price
+    "above_avg_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val avgs = o.groupBy(col("o_custkey").as("ck"))
+        .agg(avg(col("o_totalprice")).as("cavg"))
+      o.join(avgs, o("o_custkey") === avgs("ck"))
+        .filter(col("o_totalprice") > col("cavg"))
+        .select(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_totalprice"))
+    }),
+
     // set operations: INTERSECT / EXCEPT
     "setop_customers" -> ((s, dir) => {
       val ck = t(s, dir, "customer").select(col("c_custkey").cast("long").as("k"))
@@ -245,6 +271,25 @@ object RelationalQueries {
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "semi_anti_orders" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, 'has_urgent' AS tag
+        |FROM customer c WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT CAST(c_custkey AS BIGINT) AS c_custkey, 'no_urgent' AS tag
+        |FROM customer c WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "above_avg_orders" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(o_custkey AS BIGINT) AS o_custkey, o_totalprice
+        |FROM orders o
+        |JOIN (SELECT o_custkey AS ck, avg(o_totalprice) AS cavg
+        |      FROM orders GROUP BY 1) a ON o.o_custkey = a.ck
+        |WHERE o_totalprice > cavg""".stripMargin,
 
     "setop_customers" ->
       """SELECT k, 'with_orders' AS tag FROM (
