@@ -23,7 +23,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Panama Vector API for the ANN index kernels (scalar fallback if absent).
+// javaHome forces a forked javac — the in-process compiler cannot load
+// incubator modules.
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector", "-encoding", "UTF-8")
+Compile / compile / javaHome := Some(file(sys.props("java.home")))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules", "jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

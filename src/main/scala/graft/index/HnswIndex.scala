@@ -38,31 +38,15 @@ final class HnswIndex(
 
   def size: Int = vecs.length
 
-  // four independent accumulator lanes: C2 refuses to vectorize (or even
-  // pipeline) a single serial FP reduction chain; unrolling breaks the
-  // dependency and roughly quadruples ILP. Float accumulation is fine
-  // here — the index is the approximate path (exact re-ranking uses the
-  // Catalyst expressions).
-  @inline private def dist(a: Array[Float], b: Array[Float]): Double = {
-    val n = a.length
-    var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
-    var i = 0
-    val n4 = n - 3
-    while (i < n4) {
-      val d0 = a(i) - b(i)
-      val d1 = a(i + 1) - b(i + 1)
-      val d2 = a(i + 2) - b(i + 2)
-      val d3 = a(i + 3) - b(i + 3)
-      s0 += d0 * d0; s1 += d1 * d1; s2 += d2 * d2; s3 += d3 * d3
-      i += 4
-    }
-    while (i < n) {
-      val d = a(i) - b(i)
-      s0 += d * d
-      i += 1
-    }
-    ((s0 + s1) + (s2 + s3)).toDouble
-  }
+  // SIMD squared-L2 via the Panama Vector API when the incubator module
+  // is enabled, 4-lane-unrolled scalar otherwise (graft.simd
+  // VectorKernels.Holder picks at class-load). Float accumulation is
+  // fine here — the index is the approximate path (exact re-ranking
+  // uses the Catalyst expressions).
+  @transient private lazy val kernel = graft.simd.VectorKernels.Holder.KERNEL
+
+  @inline private def dist(a: Array[Float], b: Array[Float]): Double =
+    kernel.l2sq(a, b)
 
   @inline private def distTo(q: Array[Float], node: Int): Double = dist(q, vecs(node))
 

@@ -40,6 +40,46 @@ object SimilaritySearch {
       when(VF.dot(vec, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) approximate kNN: MLlib KMeans centroids as the
+    * coarse quantizer — base rows are assigned to their nearest centroid
+    * ("list"); each query probes only its `nprobe` nearest lists and
+    * exact-ranks the candidates. The classic IVF-Flat layout, fully
+    * DataFrame-native: the only joins are query→list (broadcast) and
+    * the bounded top-k merge. At scale the list assignment is a
+    * persisted clustered layout (write `partitionBy("list")` once) and
+    * probing prunes partitions exactly like [[graft.operators.Layouts]].
+    *
+    * base: (id, vec); queries: (qid, qvec) → (qid, rank, nid). */
+  def ivfKnn(base: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val spark = base.sparkSession
+    val feat = base.withColumn("fv", array_to_vector(col("vec").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("list")
+      .fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("id"), col("vec"), col("list"))
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    // nprobe nearest lists per query, computed as expressions over the
+    // (small) centroid table folded in as literals
+    val listDists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(VF.l2Sq(col("qvec"), typedLit(c)).as("d"), lit(i).as("list"))
+    }
+    val probed = queries
+      .withColumn("probes",
+        slice(array_sort(array(listDists: _*)), 1, nprobe))
+      .select(col("qid"), col("qvec"), explode(col("probes.list")).as("list"))
+    broadcast(probed).join(assigned, "list")
+      .filter(col("id") =!= col("qid"))
+      .withColumn("dist", VF.l2Sq(col("qvec"), col("vec")))
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
+      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
+  }
+
   /** LSH-bucketed approximate cosine top-k: (qid, rank, nid).
     * Candidates: rows whose signature matches the query's, or differs in
     * exactly one of the probed bits; exact cosine re-rank. */

@@ -41,6 +41,15 @@ object ApproxQueries {
       SimilaritySearch.lshCosineTopK(base, q, k = 10, numPlanes = 8)
     }),
 
+    // IVF-Flat ANN: KMeans coarse quantizer, nprobe nearest lists
+    "ann_ivf_knn" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("vec"))
+      val q = emb(s, dir).filter(col("vec_id") % 71 === 3)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      SimilaritySearch.ivfKnn(base, q, k = 10, nlist = 16, nprobe = 4)
+    }),
+
     // multimodal plumbing: binary payloads → deterministic stub features
     "multimodal_features" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet")

@@ -28,6 +28,21 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF kNN recall >= 0.85 vs exact on clustered data") {
+    val l2queries = clustered.filter($"id" < 10)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val approx = SimilaritySearch.ivfKnn(clustered, l2queries, k = 10,
+      nlist = 20, nprobe = 5)
+    val exact = KnnJoin.exactFlat(
+      clustered.withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
+      l2queries.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
+        .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)), 10)
+      // ivfKnn excludes self-matches; align the oracle
+      .filter($"nid" =!= $"qid")
+    val recall = AnnJoin.recallAtK(approx, exact)
+    assert(recall >= 0.85, s"recall $recall")
+  }
+
   test("signatures are deterministic across invocations") {
     val planes = SimilaritySearch.randomPlanes(8, dim, seed = 7L)
     val planes2 = SimilaritySearch.randomPlanes(8, dim, seed = 7L)
