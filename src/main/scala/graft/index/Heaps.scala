@@ -102,4 +102,9 @@ private[index] final class BoundedMaxHeap(cap: Int) {
 
   /** (dist, id) pairs, unsorted. */
   def toPairs: Array[(Double, Int)] = Array.tabulate(n)(i => (d(i), id(i)))
+
+  /** Packed (floatBits(dist) << 32 | id) longs, unsorted — sorting these
+    * as plain longs is (dist, id) order (dists non-negative). */
+  def toPacked: Array[Long] = Array.tabulate(n)(i =>
+    (java.lang.Float.floatToIntBits(d(i).toFloat).toLong << 32) | (id(i).toLong & 0xffffffffL))
 }

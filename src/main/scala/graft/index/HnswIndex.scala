@@ -118,15 +118,17 @@ final class HnswIndex(
   }
 
   /** Diversity heuristic (Malkov alg. 4): keep candidate c only if it is
-    * closer to q than to every already-kept neighbor. */
-  private def selectNeighbors(cands: Array[(Double, Int)], count: Int): IntList = {
-    val sorted = cands.sortBy(t => (t._1, t._2))
+    * closer to q than to every already-kept neighbor. Candidates arrive
+    * packed as (floatBits(dist) << 32 | id) longs — a plain long sort is
+    * (dist, id) order with zero boxing (dists are non-negative). */
+  private def selectNeighbors(packed: Array[Long], count: Int): IntList = {
+    java.util.Arrays.sort(packed)
     val kept = new IntList(count)
     val keptD = new Array[Array[Float]](count)
     var i = 0
-    while (i < sorted.length && kept.length < count) {
-      val dq = sorted(i)._1
-      val c = sorted(i)._2
+    while (i < packed.length && kept.length < count) {
+      val dq = java.lang.Float.intBitsToFloat((packed(i) >>> 32).toInt).toDouble
+      val c = (packed(i) & 0xffffffffL).toInt
       val cv = vecs(c)
       var ok = true
       var j = 0
@@ -140,13 +142,17 @@ final class HnswIndex(
     // backfill with closest pruned if underfull
     if (kept.length < count) {
       i = 0
-      while (i < sorted.length && kept.length < count) {
-        if (!kept.contains(sorted(i)._2)) kept += sorted(i)._2
+      while (i < packed.length && kept.length < count) {
+        val c = (packed(i) & 0xffffffffL).toInt
+        if (!kept.contains(c)) kept += c
         i += 1
       }
     }
     kept
   }
+
+  @inline private def pack(d: Double, id: Int): Long =
+    (java.lang.Float.floatToIntBits(d.toFloat).toLong << 32) | (id.toLong & 0xffffffffL)
 
   def add(vec: Array[Float]): Int = {
     val id = vecs.length
@@ -168,8 +174,10 @@ final class HnswIndex(
     // insert at each level from min(topLevel, level) down to 0
     l = math.min(topLevel, level)
     while (l >= 0) {
-      val found = searchLayer(vec, cur, efConstruction, l).toPairs
+      val found = searchLayer(vec, cur, efConstruction, l).toPacked
       val cap = if (l == 0) maxM0 else maxM
+      // selectNeighbors sorts `found` in place — afterwards found(0) is
+      // the closest candidate, reused as the next level's entry point
       val nbrs = selectNeighbors(found, cap)
       links(id)(l) = nbrs
       // bidirectional links with pruning
@@ -180,26 +188,16 @@ final class HnswIndex(
         nbLinks += id
         if (nbLinks.length > cap) {
           val nbv = vecs(nb)
-          val withD = new Array[(Double, Int)](nbLinks.length)
+          val withD = new Array[Long](nbLinks.length)
           var t = 0
           while (t < nbLinks.length) {
-            withD(t) = (dist(nbv, vecs(nbLinks(t))), nbLinks(t)); t += 1
+            withD(t) = pack(dist(nbv, vecs(nbLinks(t))), nbLinks(t)); t += 1
           }
           links(nb)(l) = selectNeighbors(withD, cap)
         }
         i += 1
       }
-      var best = cur
-      if (found.nonEmpty) {
-        var bd = Double.MaxValue; var bi = Int.MaxValue
-        var t = 0
-        while (t < found.length) {
-          val (fd, fi) = found(t)
-          if (fd < bd || (fd == bd && fi < bi)) { bd = fd; bi = fi; best = fi }
-          t += 1
-        }
-      }
-      cur = best
+      if (found.nonEmpty) cur = (found(0) & 0xffffffffL).toInt
       l -= 1
     }
     if (level > topLevel) { topLevel = level; entry = id }
