@@ -124,6 +124,37 @@ object RelationalQueries {
           countDistinct(col("l_partkey")).as("n_parts"),
           count(lit(1)).as("n_rows"))),
 
+    // exact interpolated percentiles (median + p90)
+    "percentile_prices" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"),
+          round(expr("percentile(l_quantity, array(0.25, 0.75))")(0), 4).as("q1_qty"),
+          round(expr("percentile(l_quantity, array(0.25, 0.75))")(1), 4).as("q3_qty"))),
+
+    // conditional (pivot-style) aggregation
+    "pivot_status_revenue" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 2).as("rev_f"),
+          round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2).as("rev_o"),
+          round(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0.0)), 2).as("rev_p"),
+          count(lit(1)).as("n"))),
+
+    // array aggregation: ordered collect + array ops
+    "array_agg_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey").cast("long").as("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey").cast("long"))).as("ok"))
+        .select(
+          col("o_custkey"),
+          size(col("ok")).cast("long").as("n_orders"),
+          element_at(col("ok"), 1).as("first_order"),
+          element_at(col("ok"), -1).as("last_order"))),
+
     // semi/anti joins (EXISTS / NOT EXISTS)
     "semi_anti_orders" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -271,6 +302,32 @@ object RelationalQueries {
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "percentile_prices" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS q3_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "pivot_status_revenue" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS rev_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 2) AS rev_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END), 2) AS rev_p,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "array_agg_orders" ->
+      """WITH g AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |    list_sort(list(CAST(o_orderkey AS BIGINT))) AS ok
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT o_custkey, CAST(len(ok) AS BIGINT) AS n_orders,
+        |  ok[1] AS first_order, ok[-1] AS last_order
+        |FROM g""".stripMargin,
 
     "semi_anti_orders" ->
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, 'has_urgent' AS tag
