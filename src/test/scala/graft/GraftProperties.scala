@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.graft.{Sq8Encode, TopKHeap}
+import graft.functions.TextFunctions
+import graft.index.HnswIndex
+
+/** ScalaCheck property suite for the pure (non-Spark) kernels — the
+  * property-based layer of the test plan (SURVEY §5): top-k ≡ sort.take,
+  * quantizer bounds, tokenizer algebra, hash ranges, index invariants.
+  */
+object GraftProperties extends Properties("graft") {
+
+  private val distId = Gen.zip(Gen.chooseNum(0.0, 100.0), Gen.chooseNum(-1000L, 1000L))
+
+  property("TopKHeap equals sorted take(k)") =
+    forAll(Gen.listOf(distId), Gen.chooseNum(1, 20)) { (xs, k) =>
+      val h = new TopKHeap(k)
+      xs.foreach { case (d, i) => h.insert(d, i) }
+      h.sortedPairs.toSeq == xs.sorted.take(k)
+    }
+
+  property("TopKHeap split-merge equals global") =
+    forAll(Gen.listOf(distId), Gen.chooseNum(1, 15), Gen.chooseNum(0, 100)) { (xs, k, cut) =>
+      val (a, b) = xs.splitAt(cut % (xs.length + 1))
+      val ha = new TopKHeap(k); a.foreach { case (d, i) => ha.insert(d, i) }
+      val hb = new TopKHeap(k); b.foreach { case (d, i) => hb.insert(d, i) }
+      ha.mergeFrom(hb)
+      val g = new TopKHeap(k); xs.foreach { case (d, i) => g.insert(d, i) }
+      ha.sortedPairs.toSeq == g.sortedPairs.toSeq
+    }
+
+  property("TopKHeap serialization round-trips") =
+    forAll(Gen.listOf(distId), Gen.chooseNum(1, 10)) { (xs, k) =>
+      val h = new TopKHeap(k)
+      xs.foreach { case (d, i) => h.insert(d, i) }
+      TopKHeap.deserialize(k, h.serialize()).sortedPairs.toSeq == h.sortedPairs.toSeq
+    }
+
+  property("Sq8 encode stays in [-127, 127] and bounds error by alpha/127") =
+    forAll(Gen.chooseNum(-10.0f, 10.0f), Gen.chooseNum(0.1, 10.0)) { (x, alpha) =>
+      val c = Sq8Encode.encodeOne(x, alpha)
+      val decoded = c.toDouble / 127.0 * alpha
+      val clamped = math.max(-alpha, math.min(alpha, x.toDouble))
+      c >= -127 && c <= 127 && math.abs(decoded - clamped) <= alpha / 127.0 + 1e-9
+    }
+
+  property("tokenizer: concatenation with single space is token append") =
+    forAll(Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty)), Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { (a, b) =>
+      val sa = a.mkString(" "); val sb = b.mkString(" ")
+      TextFunctions.tokenizeJvm(sa + " " + sb).toSeq ==
+        TextFunctions.tokenizeJvm(sa).toSeq ++ TextFunctions.tokenizeJvm(sb).toSeq
+    }
+
+  property("hash28 is within 28 bits and deterministic") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val h = TextFunctions.hash28Jvm(s)
+      h >= 0 && h < (1L << 28) && h == TextFunctions.hash28Jvm(s)
+    }
+
+  property("shingles count is max(0, tokens - n + 1)") =
+    forAll(Gen.listOf(Gen.alphaStr.suchThat(_.nonEmpty)), Gen.chooseNum(1, 5)) { (toks, n) =>
+      val sh = TextFunctions.shinglesJvm(toks.toArray, n)
+      sh.length == math.max(0, toks.length - n + 1)
+    }
+
+  property("winnow fingerprints are a subset of k-gram hashes") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val fps = TextFunctions.winnowJvm(s, 4, 3).toSet
+      val all = (0 to math.max(s.length - 4, -1))
+        .map(i => TextFunctions.hash28Jvm(s.substring(i, i + 4))).toSet
+      fps.subsetOf(all)
+    }
+
+  private val smallVecs = Gen.listOfN(60, Gen.listOfN(6, Gen.chooseNum(-1.0f, 1.0f)))
+
+  property("HNSW search returns valid ids ordered by (dist, id)") =
+    forAll(smallVecs, Gen.listOfN(6, Gen.chooseNum(-1.0f, 1.0f))) { (vs, q) =>
+      val idx = new HnswIndex(6, m = 8, efConstruction = 32)
+      vs.foreach(v => idx.add(v.toArray))
+      val res = idx.search(q.toArray, 10, 32)
+      val idsValid = res.forall { case (id, _) => id >= 0 && id < vs.length }
+      val ordered = res.sliding(2).forall {
+        case Array((i1, d1), (i2, d2)) => d1 < d2 || (d1 == d2 && i1 < i2)
+        case _ => true
+      }
+      idsValid && ordered
+    }
+
+  property("HNSW with k >= size returns everything (full recall at exhaustive ef)") =
+    forAll(Gen.listOfN(25, Gen.listOfN(4, Gen.chooseNum(-1.0f, 1.0f)))) { vs =>
+      val idx = new HnswIndex(4, m = 8, efConstruction = 64)
+      vs.foreach(v => idx.add(v.toArray))
+      val res = idx.search(Array.fill(4)(0f), vs.length, 200)
+      res.map(_._1).toSet == vs.indices.toSet
+    }
+}
