@@ -218,6 +218,24 @@ object RelationalQueries {
           .otherwise("small").as("size_class"),
         (col("p_retailprice") * col("p_size")).as("price_volume"))),
 
+    // as-of join shape: each purchase paired with the user's most recent
+    // prior-or-same-time signup (windowed last_value IGNORE NULLS — the
+    // composition that covers DuckDB's native ASOF JOIN semantics)
+    "asof_last_signup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events(s, dir)
+        .withColumn("tus", expr("ts div 1000"))
+        .withColumn("last_signup",
+          last(when(col("event_type") === "signup", col("tus")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("tus").as("purchase_us"),
+          coalesce(col("last_signup"), lit(-1L)).as("signup_us"))
+    }),
+
     // sessionization: 30-min-gap sessions per user (lag + conditional sum).
     // Event time is truncated to MICROseconds: DuckDB's TIMESTAMP is us, so
     // the oracle can only see us precision on the ns-encoded parquet column.
@@ -380,6 +398,22 @@ object RelationalQueries {
         |       ELSE 'small' END AS size_class,
         |  p_retailprice * p_size AS price_volume
         |FROM part""".stripMargin,
+
+    "asof_last_signup" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events
+        |), w AS (
+        |  SELECT event_id, user_id, event_type, tus,
+        |    last_value(CASE WHEN event_type = 'signup' THEN tus END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+        |  FROM e
+        |)
+        |SELECT CAST(event_id AS BIGINT) AS event_id,
+        |  CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(tus AS BIGINT) AS purchase_us,
+        |  CAST(coalesce(last_signup, -1) AS BIGINT) AS signup_us
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
 
     "sessionize" ->
       """WITH g AS (

@@ -37,6 +37,16 @@ object TextQueries {
     "neardup_cosine" -> ((s, dir) =>
       Dedup.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", minCosine = 0.4)),
 
+    // end-to-end dedup outcome: the surviving document set after dropping
+    // the higher-id member of every near-dup pair (jaccard >= 0.5)
+    "dedup_survivors" -> ((s, dir) => {
+      val pairs = Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
+        shingleSize = 3, minJaccard = 0.5)
+      docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+        .join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+    }),
+
     // quality scoring: lexical diversity, stopword ratio, length
     "text_quality" -> ((s, dir) =>
       docs(s, dir)
@@ -189,6 +199,23 @@ object TextQueries {
         |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |) WHERE cos >= 0.4""".stripMargin,
+
+    "dedup_survivors" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(sh) AS sh FROM shl),
+         |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), dropped AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM (
+         |    SELECT doc_a, doc_b, inter / (x.n + y.n - inter) AS jac
+         |    FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+         |  ) WHERE jac >= 0.5
+         |)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+         |WHERE CAST(doc_id AS BIGINT) NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (
