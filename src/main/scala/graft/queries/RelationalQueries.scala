@@ -105,6 +105,16 @@ object RelationalQueries {
           col("l_linenumber").cast("long").as("l_linenumber"),
           col("l_extendedprice"))),
 
+    // second-moment statistics (stddev / variance / correlation)
+    "stats_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(avg(col("l_discount")), 6).as("avg_disc"))),
+
     // hierarchical ROLLUP aggregation (grouping sets)
     "rollup_revenue" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -305,6 +315,14 @@ object RelationalQueries {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 100""".stripMargin,
+
+    "stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_extendedprice), 2) AS var_price,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "rollup_revenue" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
