@@ -28,7 +28,10 @@ object HybridKnn {
   def execute(base: DataFrame, queries: DataFrame, k: Int,
       categoryLayout: Option[DataFrame] = None,
       ann: Boolean = false, annEf: Int = 200, annBuckets: Int = 8): DataFrame = {
-    val routes = Selectivity.routeQueries(base, queries).select(col("qid"), col("route"))
+    // stats-lookup routing: no base scan at query time (routeQueriesFast);
+    // any routing decision preserves exactness — it only picks WHICH
+    // exact physical path runs (ANN routes excepted, behind the flag)
+    val routes = Selectivity.routeQueriesFast(base, queries).select(col("qid"), col("route"))
     val q = queries.join(broadcast(routes), "qid")
 
     // route: low-selectivity category queries → pruned clustered scan

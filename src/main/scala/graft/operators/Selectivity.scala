@@ -57,6 +57,53 @@ object Selectivity {
           .otherwise("interval_graph"))
   }
 
+  /** Stats-lookup routing — the scale path. Where [[routeQueries]]
+    * counts matches exactly with a predicate join over the base (one
+    * full pass), this derives selectivity from the two tiny stats
+    * tables the reference also precomputes (category_map +
+    * timestamp_map): exact for type 0/1, interpolated-histogram
+    * estimate for type 2/3 (independence assumption for type 3 — the
+    * standard CBO treatment). Cost: two broadcast joins against
+    * ≤ (labels + 10) rows, no base scan at query time.
+    * Output: (qid, qtype, sel, route). */
+  def routeQueriesFast(base: DataFrame, queries: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    val n = base.count().toDouble
+    val cat = broadcast(categoryCounts(base).withColumnRenamed("label", "cv"))
+    val hist = broadcast(decileHistogram(base))
+    val buckets = broadcast(spark.range(0, 10)
+      .select(col("id").cast("int").as("decile"),
+        (col("id") / 10.0).as("bstart"), ((col("id") + 1) / 10.0).as("bend"))
+      .join(hist, Seq("decile"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L))))
+    // range-fraction estimate per query: sum over overlapped deciles of
+    // cnt * covered-fraction
+    val rangeEst = queries.select(col("qid"), col("l"), col("r"))
+      .join(buckets, col("l") < col("bend") && col("r") >= col("bstart"), "left")
+      .withColumn("cover",
+        (least(col("r"), col("bend")) - greatest(col("l"), col("bstart"))) /
+          (col("bend") - col("bstart")))
+      .groupBy("qid")
+      .agg(sum(coalesce(col("cover"), lit(0.0)) * col("cnt")).as("range_cnt"))
+    queries.select(col("qid"), col("qtype"), col("v"), col("l"), col("r"))
+      .join(cat, col("v") === col("cv"), "left")
+      .join(rangeEst, Seq("qid"), "left")
+      .withColumn("sel",
+        when(col("qtype") === 0, lit(1.0))
+          .when(col("qtype") === 1, coalesce(col("cnt"), lit(0L)) / n)
+          .when(col("qtype") === 2, coalesce(col("range_cnt"), lit(0.0)) / n)
+          .otherwise( // type 3: independence assumption
+            (coalesce(col("cnt"), lit(0L)) / n) *
+              (coalesce(col("range_cnt"), lit(0.0)) / n)))
+      .withColumn("route",
+        when(col("qtype") === 0, "full_graph")
+          .when(col("qtype") === 3 && col("sel") < BfThresholdType3, "bruteforce")
+          .when(col("qtype") =!= 3 && col("sel") < BfThreshold, "bruteforce")
+          .when(col("qtype") === 1 || col("qtype") === 3, "category_graph")
+          .otherwise("interval_graph"))
+      .select(col("qid"), col("qtype"), col("sel"), col("route"))
+  }
+
   /** SplitInterval: one row per (query, overlapped decile) with the
     * covered fraction of the bucket and its class:
     * SMALL (< 0.2 covered → quantized slice scan), FULL (fully covered

@@ -29,6 +29,19 @@ class SelectivitySpec extends SparkSpec {
     assert(routes(4L)._2 == "bruteforce")
   }
 
+  test("routeQueriesFast agrees with exact routing on lookup-resolvable queries") {
+    val exact = Selectivity.routeQueries(base, queries)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val fast = Selectivity.routeQueriesFast(base, queries)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(fast == exact)
+    // estimates are exact for type 0/1 and decile-aligned ranges here
+    val sels = Selectivity.routeQueriesFast(base, queries)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sels(0L) == 1.0)
+    assert(math.abs(sels(1L) - 0.1) < 1e-12)
+  }
+
   test("categoryCounts and decileHistogram are exact") {
     val cc = Selectivity.categoryCounts(base).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
