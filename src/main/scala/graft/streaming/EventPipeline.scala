@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object EventPipeline {
 
+  case class UserTotals(n: Long, sum: Double)
+
   private def withEventTime(events: DataFrame): DataFrame =
     events.withColumn("ets", timestamp_micros(expr("ts div 1000")))
 
@@ -26,6 +28,30 @@ object EventPipeline {
         round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** Custom arbitrary-state streaming: cumulative per-user totals kept
+    * in `GroupState` across micro-batches (mapGroupsWithState) — the
+    * extension point for state machines no built-in aggregation covers.
+    * Emits the updated (user_id, n_events, sum_value) per batch; in
+    * batch mode it degenerates to a plain grouped aggregate. */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotals, (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var n = 0L
+          var sum = 0.0
+          state.getOption.foreach { s => n = s.n; sum = s.sum }
+          rows.foreach { r => n += 1; sum += r._2 }
+          state.update(UserTotals(n, sum))
+          (user, n, sum)
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
 
   /** Session-window (30-min gap) event counts per user — Spark's native
     * session_window, usable in streaming with watermark + append mode. */

@@ -35,6 +35,25 @@ class EventPipelineSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("mapGroupsWithState keeps cumulative per-user totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventPipeline.runningUserTotals(sdf).writeStream
+      .format("memory").queryName("totals_out").outputMode("update").start()
+    mem.addData((0L, 0L, 1L, "click", 2.0), (1L, 1L, 1L, "click", 3.0), (2L, 2L, 2L, "view", 5.0))
+    q.processAllAvailable()
+    mem.addData((3L, 3L, 1L, "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    // last update per user carries the cumulative state
+    val last = spark.table("totals_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.maxBy(_._2) }
+    assert(last(1L) == (1L, 3L, 9.0))
+    assert(last(2L) == (2L, 1L, 5.0))
+  }
+
   test("sessionAgg session counts match the lag-based batch sessionization") {
     // events with >30min gaps create separate sessions
     val ev = Seq(
