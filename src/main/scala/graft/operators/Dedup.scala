@@ -49,7 +49,13 @@ object Dedup {
     * (doc_a, doc_b, inter, jac), doc_a < doc_b. */
   def jaccardShinglePairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+    // The shingle explosion feeds three plan legs (both self-join sides
+    // + the size agg): hash-partition it by shingle once and cache, so
+    // the self-join reuses the partitioning with no further exchange
+    // and the explosion is computed once instead of three times.
     val ex = explodedShingles(df, idCol, textCol, shingleSize)
+      .repartition(col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -98,16 +104,18 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // materialize once: both sides of the band self-join (and est_sim)
-    // would otherwise recompute the signature map
+    // materialize the banded keys hash-partitioned on the join key:
+    // signatures are computed once, and the band self-join reads both
+    // sides from the same cached partitioning with no exchange
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(
         col("doc_id"), col("mh"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_key",
         md5(expr(s"cast(array_join(transform(slice(mh, band * $rows + 1, $rows), " +
           "x -> cast(x as string)), ',') as binary)")))
+      .repartition(col("band"), col("band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -142,6 +150,8 @@ object Dedup {
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .withColumn("chunk_val",
         expr(s"shiftright(simhash, chunk * $w) & ${(1L << w) - 1}"))
+      .repartition(col("chunk"), col("chunk_val"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("a")
       .join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
@@ -159,9 +169,14 @@ object Dedup {
     * scale path is [[SimilaritySearch.lshCosineCandidates]]. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
+    // norms are computed once per ROW, not once per PAIR: the O(N²)
+    // inner loop does 1 inner product instead of 3. Same double
+    // arithmetic as CosineSimilarity (dot / (sqrt(Σa²)·sqrt(Σb²))).
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", VF.norm2(col("vec")))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cos", VF.cosineSim(col("a.vec"), col("b.vec")))
+      .withColumn("cos",
+        VF.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= minCosine)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }

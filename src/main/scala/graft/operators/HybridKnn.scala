@@ -28,20 +28,22 @@ object HybridKnn {
   def execute(base: DataFrame, queries: DataFrame, k: Int,
       categoryLayout: Option[DataFrame] = None,
       ann: Boolean = false, annEf: Int = 200, annBuckets: Int = 8): DataFrame = {
-    // stats-lookup routing: no base scan at query time (routeQueriesFast);
-    // any routing decision preserves exactness — it only picks WHICH
-    // exact physical path runs (ANN routes excepted, behind the flag)
-    val routes = Selectivity.routeQueriesFast(base, queries).select(col("qid"), col("route"))
-    val q = queries.join(broadcast(routes), "qid")
+    // stats-lookup routing (Selectivity.withRoutes): one tiny stats
+    // collect, then `route` is a literal-folded column on the query
+    // batch itself — no join. Any routing decision preserves exactness —
+    // it only picks WHICH exact physical path runs (ANN routes excepted,
+    // behind the flag).
+    val q = Selectivity.withRoutes(base, queries)
 
     // route: low-selectivity category queries → pruned clustered scan
     val bfCat = q.filter(col("route") === "bruteforce" && col("qtype").isin(1, 3))
     val bfCatRes = categoryLayout match {
       case Some(layout) =>
         val labels = bfCat.select(col("v")).distinct().collect().map(_.getLong(0))
-        if (labels.isEmpty) KnnJoin.exactFlat(base.limit(0), bfCat, k)
-        else KnnJoin.exactFlat(layout.filter(col("label").isin(labels: _*)), bfCat, k)
-      case None => KnnJoin.exactFlat(base, bfCat, k)
+        if (labels.isEmpty) KnnJoin.exactFlat(base.limit(0), bfCat, k, types = Seq(1, 3))
+        else KnnJoin.exactFlat(layout.filter(col("label").isin(labels: _*)), bfCat, k,
+          types = Seq(1, 3))
+      case None => KnnJoin.exactFlat(base, bfCat, k, types = Seq(1, 3))
     }
 
     // remaining routes

@@ -42,20 +42,28 @@ object KnnJoin {
   }
 
   /** (qid LONG, neighbors ARRAY<LONG>) with neighbors ordered by
-    * (dist asc, id asc), at most k entries. */
+    * (dist asc, id asc), at most k entries.
+    *
+    * `types` restricts which predicate branches are planned — callers
+    * that routed the batch already (HybridKnn, pruned-layout scans) know
+    * only a subset of query types can arrive, and a smaller union keeps
+    * the physical plan (and its codegen) proportional to the work. */
   def exact(base: DataFrame, queries: DataFrame, k: Int,
-      metric: String = "l2"): DataFrame = {
+      metric: String = "l2", types: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame = {
+    require(types.nonEmpty, "at least one query type branch is required")
     val q = broadcast(queries)
-    val t0 = q.filter(col("qtype") === 0).crossJoin(base)
-    val t1 = q.filter(col("qtype") === 1)
-      .join(base, col("label") === col("v"))
-    val t2 = q.filter(col("qtype") === 2)
-      .join(base, col("ts") >= col("l") && col("ts") <= col("r"))
-    val t3 = q.filter(col("qtype") === 3)
-      .join(base, col("label") === col("v") &&
-        col("ts") >= col("l") && col("ts") <= col("r"))
-    val unioned = t0.unionByName(t1).unionByName(t2).unionByName(t3)
-    unioned
+    val branches = types.distinct.sorted.map {
+      case 0 => q.filter(col("qtype") === 0).crossJoin(base)
+      case 1 => q.filter(col("qtype") === 1)
+        .join(base, col("label") === col("v"))
+      case 2 => q.filter(col("qtype") === 2)
+        .join(base, col("ts") >= col("l") && col("ts") <= col("r"))
+      case 3 => q.filter(col("qtype") === 3)
+        .join(base, col("label") === col("v") &&
+          col("ts") >= col("l") && col("ts") <= col("r"))
+      case t => throw new IllegalArgumentException(s"unknown query type $t")
+    }
+    branches.reduce(_.unionByName(_))
       .withColumn("dist", distFor(metric))
       .groupBy("qid")
       .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("neighbors"))
@@ -63,8 +71,8 @@ object KnnJoin {
 
   /** Flat form: (qid LONG, rank LONG starting at 1, nid LONG). */
   def exactFlat(base: DataFrame, queries: DataFrame, k: Int,
-      metric: String = "l2"): DataFrame =
-    exact(base, queries, k, metric)
+      metric: String = "l2", types: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame =
+    exact(base, queries, k, metric, types)
       .select(col("qid"), posexplode(col("neighbors")).as(Seq("rank0", "nid")))
       .select(col("qid"), (col("rank0") + 1).cast("long").as("rank"), col("nid"))
 }

@@ -57,6 +57,6 @@ object Layouts {
   def prunedCategoryKnn(layout: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val labels = queries.select(col("v")).distinct().collect().map(_.getLong(0))
     val pruned = layout.filter(col("label").isin(labels: _*))
-    KnnJoin.exact(pruned, queries, k)
+    KnnJoin.exact(pruned, queries, k, types = Seq(1, 3))
   }
 }

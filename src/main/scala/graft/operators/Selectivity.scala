@@ -59,49 +59,55 @@ object Selectivity {
 
   /** Stats-lookup routing — the scale path. Where [[routeQueries]]
     * counts matches exactly with a predicate join over the base (one
-    * full pass), this derives selectivity from the two tiny stats
-    * tables the reference also precomputes (category_map +
-    * timestamp_map): exact for type 0/1, interpolated-histogram
-    * estimate for type 2/3 (independence assumption for type 3 — the
-    * standard CBO treatment). Cost: two broadcast joins against
-    * ≤ (labels + 10) rows, no base scan at query time.
+    * full pass), this derives selectivity from the reference's two
+    * precomputed stats tables (category_map + timestamp_map): exact for
+    * type 0/1, interpolated-histogram estimate for type 2/3
+    * (independence assumption for type 3 — the standard CBO treatment).
     * Output: (qid, qtype, sel, route). */
-  def routeQueriesFast(base: DataFrame, queries: DataFrame): DataFrame = {
-    val spark = base.sparkSession
-    val n = base.count().toDouble
-    val cat = broadcast(categoryCounts(base).withColumnRenamed("label", "cv"))
-    val hist = broadcast(decileHistogram(base))
-    val buckets = broadcast(spark.range(0, 10)
-      .select(col("id").cast("int").as("decile"),
-        (col("id") / 10.0).as("bstart"), ((col("id") + 1) / 10.0).as("bend"))
-      .join(hist, Seq("decile"), "left")
-      .withColumn("cnt", coalesce(col("cnt"), lit(0L))))
-    // range-fraction estimate per query: sum over overlapped deciles of
-    // cnt * covered-fraction
-    val rangeEst = queries.select(col("qid"), col("l"), col("r"))
-      .join(buckets, col("l") < col("bend") && col("r") >= col("bstart"), "left")
-      .withColumn("cover",
-        (least(col("r"), col("bend")) - greatest(col("l"), col("bstart"))) /
-          (col("bend") - col("bstart")))
-      .groupBy("qid")
-      .agg(sum(coalesce(col("cover"), lit(0.0)) * col("cnt")).as("range_cnt"))
-    queries.select(col("qid"), col("qtype"), col("v"), col("l"), col("r"))
-      .join(cat, col("v") === col("cv"), "left")
-      .join(rangeEst, Seq("qid"), "left")
+  def routeQueriesFast(base: DataFrame, queries: DataFrame): DataFrame =
+    withRoutes(base, queries)
+      .select(col("qid"), col("qtype"), col("sel"), col("route"))
+
+  /** The queries with `sel` and `route` appended, from ONE stats pass:
+    * the (label, decile) cell grid — both the reference's category_map
+    * and timestamp_map fall out of it — is collected to the driver
+    * (≤ labels×11 rows) and folded into the routing expression as
+    * literals. No join, no per-query job: the routed query batch is a
+    * single narrow projection, so composing plans on top of it adds
+    * nothing to the physical plan but a `when()` column. */
+  def withRoutes(base: DataFrame, queries: DataFrame): DataFrame = {
+    val cells = base
+      .select(col("label"), floor(col("ts") * 10).cast("int").as("decile"))
+      .groupBy("label", "decile").agg(count(lit(1)).as("cnt"))
+      .collect()
+    val n = math.max(cells.map(_.getLong(2)).sum, 1L).toDouble
+    val catMap: Map[Long, Long] = cells.groupBy(_.getLong(0))
+      .map { case (l, rs) => l -> rs.map(_.getLong(2)).sum }
+    val hist = new Array[Long](10)
+    cells.foreach { r =>
+      val d = r.getInt(1); if (d >= 0 && d < 10) hist(d) += r.getLong(2)
+    }
+    val catCnt =
+      if (catMap.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(catMap), col("v")), lit(0L))
+    // range estimate: sum over deciles of cnt × covered-fraction
+    val rangeCnt = (0 until 10).map { d =>
+      greatest(lit(0.0),
+        (least(col("r"), lit((d + 1) / 10.0)) - greatest(col("l"), lit(d / 10.0))) * 10.0) *
+        lit(hist(d).toDouble)
+    }.reduce(_ + _)
+    queries
       .withColumn("sel",
         when(col("qtype") === 0, lit(1.0))
-          .when(col("qtype") === 1, coalesce(col("cnt"), lit(0L)) / n)
-          .when(col("qtype") === 2, coalesce(col("range_cnt"), lit(0.0)) / n)
-          .otherwise( // type 3: independence assumption
-            (coalesce(col("cnt"), lit(0L)) / n) *
-              (coalesce(col("range_cnt"), lit(0.0)) / n)))
+          .when(col("qtype") === 1, catCnt / n)
+          .when(col("qtype") === 2, rangeCnt / n)
+          .otherwise((catCnt / n) * (rangeCnt / n)))
       .withColumn("route",
         when(col("qtype") === 0, "full_graph")
           .when(col("qtype") === 3 && col("sel") < BfThresholdType3, "bruteforce")
           .when(col("qtype") =!= 3 && col("sel") < BfThreshold, "bruteforce")
           .when(col("qtype") === 1 || col("qtype") === 3, "category_graph")
           .otherwise("interval_graph"))
-      .select(col("qid"), col("qtype"), col("sel"), col("route"))
   }
 
   /** SplitInterval: one row per (query, overlapped decile) with the

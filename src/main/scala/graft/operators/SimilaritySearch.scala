@@ -40,7 +40,7 @@ object SimilaritySearch {
       when(VF.dot(vec, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** IVF (inverted-file) approximate kNN: MLlib KMeans centroids as the
+  /** IVF (inverted-file) approximate kNN: k-means centroids as the
     * coarse quantizer — base rows are assigned to their nearest centroid
     * ("list"); each query probes only its `nprobe` nearest lists and
     * exact-ranks the candidates. The classic IVF-Flat layout, fully
@@ -49,19 +49,30 @@ object SimilaritySearch {
     * persisted clustered layout (write `partitionBy("list")` once) and
     * probing prunes partitions exactly like [[graft.operators.Layouts]].
     *
+    * The quantizer is trained on a bounded driver-side sample (the
+    * standard IVF recipe at any scale — Lloyd's on ≤ `sampleCap`
+    * points costs milliseconds), then both the base assignment and the
+    * query probes are literal-folded centroid expressions: one sample
+    * collect, zero training jobs, no shuffle beyond the top-k merge.
+    * For a non-uniformly-laid-out base at scale pass `sampleFraction`
+    * < 1 so the prefix-limit sample is randomized first.
+    *
     * base: (id, vec); queries: (qid, qvec) → (qid, rank, nid). */
   def ivfKnn(base: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val spark = base.sparkSession
-    val feat = base.withColumn("fv", array_to_vector(col("vec").cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("list")
-      .fit(feat)
-    val assigned = model.transform(feat)
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L,
+      sampleCap: Int = 16384, sampleFraction: Double = 1.0,
+      maxIter: Int = 10): DataFrame = {
+    val sampleDf = if (sampleFraction < 1.0) base.sample(withReplacement = false, sampleFraction, seed) else base
+    val sample = sampleDf.select(col("vec")).limit(sampleCap)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val centroids = lloydKMeans(sample, nlist, maxIter, seed)
+    val assignDists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(VF.l2Sq(col("vec"), typedLit(c)).as("d"), lit(i).as("list"))
+    }
+    val assigned = base
+      .withColumn("list",
+        element_at(array_sort(array(assignDists: _*)), 1).getField("list"))
       .select(col("id"), col("vec"), col("list"))
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     // nprobe nearest lists per query, computed as expressions over the
     // (small) centroid table folded in as literals
     val listDists = centroids.zipWithIndex.map { case (c, i) =>
@@ -69,7 +80,7 @@ object SimilaritySearch {
     }
     val probed = queries
       .withColumn("probes",
-        slice(array_sort(array(listDists: _*)), 1, nprobe))
+        slice(array_sort(array(listDists: _*)), 1, math.min(nprobe, centroids.length)))
       .select(col("qid"), col("qvec"), explode(col("probes.list")).as("list"))
     broadcast(probed).join(assigned, "list")
       .filter(col("id") =!= col("qid"))
@@ -78,6 +89,74 @@ object SimilaritySearch {
       .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
       .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
       .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
+  }
+
+  /** Seeded k-means++ init + Lloyd's iterations on a driver-side
+    * sample: the IVF coarse quantizer. Deterministic for a fixed
+    * (sample, seed); empty clusters keep their previous centroid. */
+  private[graft] def lloydKMeans(points: Array[Array[Float]], k: Int,
+      maxIter: Int, seed: Long): Array[Array[Float]] = {
+    require(points.nonEmpty, "k-means needs a non-empty sample")
+    val n = points.length
+    val dim = points(0).length
+    val kk = math.min(k, n)
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val rnd = new java.util.Random(seed)
+    // k-means++ seeding
+    val cents = Array.ofDim[Array[Float]](kk)
+    cents(0) = points(rnd.nextInt(n)).clone()
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var i = 0; var sum = 0.0
+      while (i < n) {
+        val d = l2(points(i), cents(c - 1))
+        if (d < d2(i)) d2(i) = d
+        sum += d2(i); i += 1
+      }
+      var target = rnd.nextDouble() * sum
+      var j = 0
+      while (j < n - 1 && target > d2(j)) { target -= d2(j); j += 1 }
+      cents(c) = points(j).clone()
+      c += 1
+    }
+    // Lloyd iterations
+    val sums = Array.ofDim[Double](kk, dim)
+    val counts = new Array[Long](kk)
+    var iter = 0
+    while (iter < maxIter) {
+      java.util.Arrays.fill(counts, 0L)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var cj = 0
+        while (cj < kk) {
+          val d = l2(points(i), cents(cj))
+          if (d < bestD) { bestD = d; best = cj }
+          cj += 1
+        }
+        val s = sums(best)
+        var di = 0
+        while (di < dim) { s(di) += points(i)(di); di += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var cj = 0
+      while (cj < kk) {
+        if (counts(cj) > 0) {
+          var di = 0
+          while (di < dim) { cents(cj)(di) = (sums(cj)(di) / counts(cj)).toFloat; di += 1 }
+        }
+        cj += 1
+      }
+      iter += 1
+    }
+    cents
   }
 
   /** LSH-bucketed approximate cosine top-k: (qid, rank, nid).
