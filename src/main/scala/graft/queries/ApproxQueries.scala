@@ -50,6 +50,33 @@ object ApproxQueries {
       SimilaritySearch.ivfKnn(base, q, k = 10, nlist = 16, nprobe = 4)
     }),
 
+    // SQL-level ANN auto-route (SURVEY §4's AnnJoinStrategy): the plain
+    // `ORDER BY l2_sq(vec, :qvec) LIMIT k` shape over a registered
+    // parquet path plans as an HNSW index search (AnnTopKExec) instead
+    // of a full scan — the reference's core premise surfaced in Catalyst
+    "ann_sql_topk" -> ((s, dir) => {
+      val basePath = s"$dir/embeddings.parquet"
+      val idxPath = s"/tmp/graft_ann_sql/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$idxPath/_SUCCESS").exists()) {
+        graft.index.AnnIndexStore.build(
+          emb(s, dir).select(col("vec_id").cast("long").as("id"),
+            col("embedding").as("vec")),
+          idxPath, numBuckets = 4)
+      }
+      org.apache.spark.sql.graft.AnnCatalog.register(
+        basePath, idxPath, idCol = "vec_id", vecCol = "embedding", ef = 200)
+      val qvs = emb(s, dir).filter(col("vec_id") % 97 === 1)
+        .select(col("vec_id"), col("embedding")).limit(5)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      qvs.map { case (qid, qv) =>
+        s.read.parquet(basePath)
+          .orderBy(graft.functions.VectorFunctions.l2Sq(col("embedding"), typedLit(qv)),
+            col("vec_id"))
+          .select("vec_id").limit(10)
+          .select(lit(qid).as("qid"), col("vec_id").as("nid"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // multimodal plumbing: binary payloads → deterministic stub features
     "multimodal_features" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet")

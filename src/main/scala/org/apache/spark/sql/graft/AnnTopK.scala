@@ -1,0 +1,175 @@
+package org.apache.spark.sql.graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, GenericInternalRow, IntegerLiteral, Literal, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{Limit, LogicalPlan, Project, ReturnAnswer, Sort}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+import graft.index.HnswIndex
+
+/** SQL-level ANN auto-routing — the optional "AnnJoinStrategy" polish of
+  * SURVEY §4: the reference's entire premise is that
+  *
+  *   SELECT id FROM base ORDER BY l2_sq(vec, :qvec) LIMIT k
+  *
+  * should not scan the base (hybrid_graph.cpp:239-298 routes it into an
+  * HNSW walk). Spark's own planner turns this shape into
+  * `TakeOrderedAndProject` — an exact full scan. When (a) the session
+  * opts in (`spark.graft.ann.autoRoute`, default true), and (b) an
+  * [[AnnCatalog]] index is registered for the scanned parquet path, this
+  * strategy plans the bucketed-HNSW search from [[graft.index.AnnIndexStore]]
+  * instead: each index bucket row searches its sub-graph, the driver
+  * merges top-k — O(buckets · ef) distance evaluations instead of O(N).
+  *
+  * Matching is deliberately narrow (approximate results must be opted
+  * into, never sprung on a user): single ascending `l2_sq(vec, literal)`
+  * sort key (optional `id` tiebreak), projected output exactly the id
+  * column, scan = registered path. Anything else falls through to the
+  * built-in strategies untouched.
+  */
+object AnnCatalog {
+
+  /** Where the bucketed index table lives + the base column contract. */
+  case class IndexMeta(indexPath: String, idCol: String, vecCol: String, ef: Int)
+
+  private val registry = TrieMap.empty[String, IndexMeta]
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Declare that `basePath` (a parquet dataset with columns
+    * (idCol LONG, vecCol ARRAY&lt;FLOAT&gt;)) has a bucketed HNSW index
+    * table (built by [[graft.index.AnnIndexStore.build]]) at `indexPath`. */
+  def register(basePath: String, indexPath: String,
+      idCol: String = "id", vecCol: String = "vec", ef: Int = 200): Unit =
+    registry.put(norm(basePath), IndexMeta(indexPath, idCol, vecCol, ef))
+
+  def unregister(basePath: String): Unit = registry.remove(norm(basePath))
+
+  def clear(): Unit = registry.clear()
+
+  private[graft] def lookup(paths: Seq[org.apache.hadoop.fs.Path]): Option[IndexMeta] =
+    paths.iterator.flatMap(p => registry.get(p.toUri.getPath)).nextOption()
+}
+
+case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
+
+  private object FloatArrayLiteral {
+    def unapply(e: Expression): Option[Array[Float]] = e match {
+      case Literal(a: ArrayData, ArrayType(FloatType, _)) if a != null =>
+        Some(a.toFloatArray())
+      case _ => None
+    }
+  }
+
+  /** l2_sq(vecAttr, queryLiteral) in either argument order. */
+  private object DistCall {
+    def unapply(e: Expression): Option[(Attribute, Array[Float])] = e match {
+      case L2SquaredDistance(a: Attribute, FloatArrayLiteral(q)) => Some((a, q))
+      case L2SquaredDistance(FloatArrayLiteral(q), a: Attribute) => Some((a, q))
+      case _ => None
+    }
+  }
+
+  /** Strip attribute-only projections; yield the file relation beneath. */
+  private def unwrap(plan: LogicalPlan): Option[HadoopFsRelation] = plan match {
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(child)
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: HadoopFsRelation => Some(fs)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = {
+    if (session.conf.get("spark.graft.ann.autoRoute", "true") != "true") return Nil
+    plan match {
+      // the planner hands collect()-rooted plans to strategies as
+      // ReturnAnswer(Limit(...)) and SpecialLimits would claim that
+      // whole subtree — match through the wrapper first
+      case ReturnAnswer(root) => apply(root)
+      case Limit(IntegerLiteral(k), Project(pl, s: Sort)) if s.global =>
+        route(k, pl, s).toSeq
+      case _ => Nil
+    }
+  }
+
+  private def route(k: Int, outer: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      sort: Sort): Option[SparkPlan] = {
+    val keys = sort.order match {
+      case Seq(SortOrder(DistCall(v, q), Ascending, _, _)) =>
+        Some((v, q, None: Option[AttributeReference]))
+      case Seq(SortOrder(DistCall(v, q), Ascending, _, _),
+               SortOrder(tie: AttributeReference, Ascending, _, _)) =>
+        Some((v, q, Some(tie)))
+      case _ => None
+    }
+    for {
+      (vecAttr, qvec, tie) <- keys
+      fs <- unwrap(sort.child)
+      meta <- AnnCatalog.lookup(fs.location.rootPaths)
+      if vecAttr.name.equalsIgnoreCase(meta.vecCol)
+      if tie.forall(_.name.equalsIgnoreCase(meta.idCol))
+      idAttr <- outer match {
+        case Seq(a: AttributeReference)
+            if a.name.equalsIgnoreCase(meta.idCol) && a.dataType == LongType =>
+          Some(a)
+        case _ => None
+      }
+    } yield {
+      val ef = session.conf.getOption("spark.graft.ann.ef")
+        .map(_.toInt).getOrElse(meta.ef)
+      AnnTopKExec(Seq(idAttr), meta.copy(ef = ef), qvec, k)
+    }
+  }
+}
+
+/** Physical index-search node: reads the bucketed index table, each
+  * bucket walks its HNSW for the (plan-time constant) query vector, the
+  * driver merges to the global top-k ordered by (dist, id). The merge is
+  * k·buckets rows — the same two-level shape as the reference's
+  * per-sub-index candidate pooling (hybrid_graph.cpp:306-333). */
+case class AnnTopKExec(output: Seq[Attribute],
+    meta: AnnCatalog.IndexMeta, qvec: Array[Float], k: Int)
+    extends LeafExecNode {
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val ids = AnnTopKExec.searchIds(session, meta, qvec, k)
+    sparkContext.parallelize(ids.toIndexedSeq, 1).mapPartitions { it =>
+      val proj = UnsafeProjection.create(Array[DataType](LongType))
+      val row = new GenericInternalRow(1)
+      it.map { id => row.update(0, id); proj(row) }
+    }
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"AnnTopK k=$k ef=${meta.ef} index=${meta.indexPath}"
+}
+
+object AnnTopKExec {
+  /** Distributed bucket search + driver top-k merge, ascending (dist, id). */
+  private[graft] def searchIds(spark: SparkSession,
+      meta: AnnCatalog.IndexMeta, qvec: Array[Float], k: Int): Array[Long] = {
+    import spark.implicits._
+    val ef = math.max(meta.ef, k)
+    spark.read.parquet(meta.indexPath)
+      .select("ids", "graph")
+      .as[(Array[Long], Array[Byte])]
+      .flatMap { case (ids, bytes) =>
+        HnswIndex.fromBytes(bytes).search(qvec, k, ef).iterator
+          .map { case (internal, d) => (d, ids(internal)) }
+      }
+      .rdd
+      .takeOrdered(k)(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+      .map(_._2)
+  }
+}

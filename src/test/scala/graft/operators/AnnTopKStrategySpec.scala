@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.AnnCatalog
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import graft.index.AnnIndexStore
+
+/** The SQL ANN auto-route: ORDER BY l2_sq(vec, lit) LIMIT k over a
+  * registered parquet path must plan as AnnTopKExec (index search), and
+  * fall back to the built-in exact plan in every non-matching case. */
+class AnnTopKStrategySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private lazy val dirs = {
+    val root = Files.createTempDirectory("graft_anntopk").toFile
+    root.deleteOnExit()
+    val basePath = s"$root/base"
+    val indexPath = s"$root/index"
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(30)(Array.fill(dim)(rnd.nextFloat() * 10 - 5))
+    Seq.tabulate(1200) { i =>
+      (i.toLong, centers(i % 30).map(x => x + rnd.nextFloat() * 0.5f))
+    }.toDF("id", "vec").write.mode("overwrite").parquet(basePath)
+    AnnIndexStore.build(spark.read.parquet(basePath), indexPath, numBuckets = 3)
+    (basePath, indexPath)
+  }
+
+  private def planOf(qv: Array[Float], k: Int) =
+    spark.read.parquet(dirs._1)
+      .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+      .select("id")
+      .limit(k)
+
+  private def qvecOf(id: Long): Array[Float] =
+    spark.read.parquet(dirs._1).filter(col("id") === id)
+      .select("vec").head.getSeq[Float](0).toArray
+
+  test("registered path routes to AnnTopKExec with good recall") {
+    AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec", ef = 150)
+    try {
+      val qv = qvecOf(7L)
+      val df = planOf(qv, 10)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("AnnTopK"), s"expected AnnTopK in:\n$physical")
+      val got = df.collect().map(_.getLong(0)).toSet
+      val exact = spark.read.parquet(dirs._1)
+        .withColumn("d", VectorFunctions.l2Sq(col("vec"), typedLit(qv)))
+        .orderBy(col("d"), col("id")).select("id").limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val recall = got.intersect(exact).size / 10.0
+      assert(recall >= 0.8, s"recall $recall")
+    } finally AnnCatalog.unregister(dirs._1)
+  }
+
+  test("unregistered path keeps the built-in exact plan") {
+    val physical = planOf(qvecOf(3L), 5).queryExecution.executedPlan.toString
+    assert(!physical.contains("AnnTopK"))
+    assert(physical.contains("TakeOrderedAndProject"))
+  }
+
+  test("opt-out config disables the route even when registered") {
+    AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec")
+    try {
+      spark.conf.set("spark.graft.ann.autoRoute", "false")
+      val physical = planOf(qvecOf(3L), 5).queryExecution.executedPlan.toString
+      assert(!physical.contains("AnnTopK"))
+    } finally {
+      spark.conf.unset("spark.graft.ann.autoRoute")
+      AnnCatalog.unregister(dirs._1)
+    }
+  }
+
+  test("non-matching shapes fall through (desc order, extra columns)") {
+    AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec")
+    try {
+      val qv = qvecOf(3L)
+      val desc = spark.read.parquet(dirs._1)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)).desc)
+        .select("id").limit(5)
+      assert(!desc.queryExecution.executedPlan.toString.contains("AnnTopK"))
+      val wide = spark.read.parquet(dirs._1)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)))
+        .limit(5)
+      assert(!wide.queryExecution.executedPlan.toString.contains("AnnTopK"))
+    } finally AnnCatalog.unregister(dirs._1)
+  }
+
+  test("SQL text form routes too") {
+    AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec", ef = 150)
+    try {
+      spark.read.parquet(dirs._1).createOrReplaceTempView("ann_base")
+      val qv = qvecOf(11L)
+      val lit = qv.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      val df = spark.sql(
+        s"SELECT id FROM ann_base ORDER BY l2_sq(vec, $lit), id LIMIT 10")
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("AnnTopK"), s"expected AnnTopK in:\n$physical")
+      assert(df.collect().length == 10)
+    } finally AnnCatalog.unregister(dirs._1)
+  }
+}
