@@ -255,8 +255,51 @@ final class HnswIndex(
     }
   }
 
+  /** In-filter beam search at level 0: the walk's frontier expands over
+    * ALL nodes (distance-ordered, unfiltered — disallowed nodes still
+    * route), but the result pool only accepts `allowed` nodes. The
+    * reference's in-filter walk shape (searcher.hpp:415-491,
+    * SearchRangeFilterSubTime) without the 2-hop budget heuristic. */
+  private def searchLayerFiltered(q: Array[Float], start: Int, ef: Int,
+      allowed: Int => Boolean): BoundedMaxHeap = {
+    val gen = nextVisitedGen()
+    val seen = visitedMark
+    val cand = new MinDistHeap(ef + 1)
+    val res = new BoundedMaxHeap(ef)
+    val d0 = distTo(q, start)
+    cand.push(d0, start)
+    if (allowed(start)) res.offer(d0, start)
+    seen(start) = gen
+    while (cand.nonEmpty) {
+      val cd = cand.minDist
+      val c = cand.minId
+      if (cd > res.worstDist && res.isFull) {
+        cand.clear()
+      } else {
+        cand.pop()
+        val nbrs = links(c)(0)
+        var i = 0
+        while (i < nbrs.length) {
+          val nb = nbrs(i)
+          if (seen(nb) != gen) {
+            seen(nb) = gen
+            val d = distTo(q, nb)
+            if (!res.isFull || d < res.worstDist) {
+              cand.push(d, nb)
+              if (allowed(nb)) res.offer(d, nb)
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    res
+  }
+
   /** Top-k (internal id, dist) by squared L2, ascending (dist, id).
-    * `allowed` filters results post-walk (reference SearchFilter shape). */
+    * With `allowed`, runs the in-filter walk ([[searchLayerFiltered]] —
+    * the reference's SearchFilter/SearchRangeFilter dispatch,
+    * searcher.hpp:262-374). */
   def search(q: Array[Float], k: Int, ef: Int,
       allowed: Int => Boolean = null): Array[(Int, Double)] = {
     if (entry < 0) return Array.empty
@@ -267,9 +310,10 @@ final class HnswIndex(
       l -= 1
     }
     val effEf = math.max(ef, k)
-    val res = searchLayer(q, cur, effEf, 0).toPairs
-    val filtered = if (allowed == null) res else res.filter(t => allowed(t._2))
-    filtered.map(t => (t._2, t._1)).sortBy(t => (t._2, t._1)).take(k)
+    val res =
+      if (allowed == null) searchLayer(q, cur, effEf, 0)
+      else searchLayerFiltered(q, cur, effEf, allowed)
+    res.toPairs.map(t => (t._2, t._1)).sortBy(t => (t._2, t._1)).take(k)
   }
 }
 

@@ -71,7 +71,8 @@ object AnnJoin {
     * base: (id, label, vec); queries: (qid, v, qvec).
     * Returns (qid, rank, nid). */
   def categoryHnswKnn(base: DataFrame, queries: DataFrame, k: Int,
-      ef: Int = 200, m: Int = 16, efConstruction: Int = 200): DataFrame = {
+      ef: Int = 200, m: Int = 16, efConstruction: Int = 200,
+      efSlope: Option[SearchParams.EfSlope] = None): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     val qByLabel = queries.select(col("qid").cast("long"), col("v").cast("long"), col("qvec"))
@@ -90,8 +91,65 @@ object AnnJoin {
             val ids = rows.map(_._1)
             val index = new HnswIndex(rows.head._3.length, m, efConstruction)
             rows.foreach(r => index.add(r._3))
+            // ef sloped by category size (hybrid_graph.cpp:263-267)
+            val effEf = efSlope.map(s => math.max(ef, s.efFor(rows.length))).getOrElse(ef)
             bq.value(label).iterator.flatMap { case (qid, qvec) =>
-              index.search(qvec, k, ef).zipWithIndex.map {
+              index.search(qvec, k, effEf).zipWithIndex.map {
+                case ((internal, _), rank) => (qid, (rank + 1).toLong, ids(internal))
+              }
+            }
+          }
+      }
+      .toDF("qid", "rank", "nid")
+  }
+
+  /** Per-category ANN join for type-3 (label AND ts-range) queries — the
+    * reference's `SearchCategoryRange` (searcher.hpp:301-374, dispatched
+    * hybrid_graph.cpp:267, ef table hybrid_graph.h:32-33): search the
+    * category's sub-index with an in-filter timestamp check, widening ef
+    * by the inverse of the range's coverage (the narrower the slice, the
+    * more of the walk's frontier the filter rejects). Predicate holds by
+    * construction for the label and by the `allowed` filter for ts, so
+    * the per-category result is final — no cross-bucket merge.
+    *
+    * base: (id, label, ts, vec); queries: (qid, v, l, r, qvec).
+    * Returns (qid, rank, nid). */
+  def categoryRangeHnswKnn(base: DataFrame, queries: DataFrame, k: Int,
+      ef: Int = 200, m: Int = 16, efConstruction: Int = 200,
+      efSlope: Option[SearchParams.EfSlope] = None): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val qByLabel = queries
+      .select(col("qid").cast("long"), col("v").cast("long"),
+        col("l").cast("double"), col("r").cast("double"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(1),
+        (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getSeq[Float](4).toArray)))
+      .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2)) }
+    val bq = spark.sparkContext.broadcast(qByLabel)
+    base
+      .select(col("id").cast("long"), col("label").cast("long"),
+        col("ts").cast("double"), col("vec"))
+      .as[(Long, Long, Double, Array[Float])]
+      .repartition(col("label"))
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._2).iterator
+          .filter { case (label, _) => bq.value.contains(label) }
+          .flatMap { case (label, rows) =>
+            val ids = rows.map(_._1)
+            val ts = rows.map(_._3)
+            val index = new HnswIndex(rows.head._4.length, m, efConstruction)
+            rows.foreach(r => index.add(r._4))
+            val baseEf = efSlope.map(s => math.max(ef, s.efFor(rows.length))).getOrElse(ef)
+            bq.value(label).iterator.flatMap { case (qid, l, r, qvec) =>
+              // in-category coverage of the ts range → in-filter ef band
+              var inRange = 0
+              var i = 0
+              while (i < ts.length) { if (ts(i) >= l && ts(i) <= r) inRange += 1; i += 1 }
+              val cover = inRange.toDouble / ts.length
+              val effEf = SearchParams.inFilterEf(baseEf, cover)
+              val allowed: Int => Boolean = j => ts(j) >= l && ts(j) <= r
+              index.search(qvec, k, effEf, allowed).zipWithIndex.map {
                 case ((internal, _), rank) => (qid, (rank + 1).toLong, ids(internal))
               }
             }

@@ -52,23 +52,31 @@ object HybridKnn {
       if (!ann) KnnJoin.exactFlat(base, rest, k)
       else {
         // approximate configuration — the reference's stage layout:
-        //   type-0  → union over hash-bucket sub-indexes  (:306-333)
-        //   type-1  → per-category sub-index              (:239-298)
-        //   type-2  → per-decile sub-indexes w/ in-filter (:338-459)
-        //   type-3 and anything else → exact streaming join
+        //   type-0 → union over hash-bucket sub-indexes       (:306-333)
+        //   type-1 → per-category sub-index                   (:239-298)
+        //   type-2 → per-decile sub-indexes w/ in-filter      (:338-459)
+        //   type-3 → in-filter walk of the category sub-index (:267,
+        //            searcher.hpp:301-374); ef sloped by category size
+        //   anything else → exact streaming join
+        val slope = Some(SearchParams.EfSlope(annEf))
         val fullQ = rest.filter(col("route") === "full_graph")
         val catQ = rest.filter(col("route") === "category_graph" && col("qtype") === 1)
+        val cat3Q = rest.filter(col("route") === "category_graph" && col("qtype") === 3)
         val intQ = rest.filter(col("route") === "interval_graph" && col("qtype") === 2)
         val exactQ = rest
           .filter(col("route") =!= "full_graph")
-          .filter(!(col("route") === "category_graph" && col("qtype") === 1))
+          .filter(!(col("route") === "category_graph" && col("qtype").isin(1, 3)))
           .filter(!(col("route") === "interval_graph" && col("qtype") === 2))
         AnnJoin.hnswKnn(
             base.select(col("id"), col("vec")),
             fullQ.select(col("qid"), col("qvec")), k, annEf, annBuckets)
           .unionByName(AnnJoin.categoryHnswKnn(
             base.select(col("id"), col("label"), col("vec")),
-            catQ.select(col("qid"), col("v"), col("qvec")), k, annEf))
+            catQ.select(col("qid"), col("v"), col("qvec")), k, annEf, efSlope = slope))
+          .unionByName(AnnJoin.categoryRangeHnswKnn(
+            base.select(col("id"), col("label"), col("ts"), col("vec")),
+            cat3Q.select(col("qid"), col("v"), col("l"), col("r"), col("qvec")),
+            k, annEf, efSlope = slope))
           .unionByName(AnnJoin.decileHnswKnn(
             base.select(col("id"), col("ts"), col("vec")),
             intQ.select(col("qid"), col("l"), col("r"), col("qvec")), k, annEf))

@@ -70,6 +70,15 @@ object VectorQueries {
       graft.operators.HybridKnn.execute(base(s, dir), qs(s, dir), 10, Some(layout))
     }),
 
+    // the same routed composition in its APPROXIMATE configuration —
+    // the reference's production BatchSearch: type-0 hash-bucket union,
+    // type-1 category walk, type-2 decile in-filter, type-3 category
+    // range walk, ef sloped by sub-index size. Rows-only check (recall
+    // floors are asserted in CategoryAnnSpec/HybridKnnSpec).
+    "knn_routed_ann" -> ((s, dir) =>
+      graft.operators.HybridKnn.execute(base(s, dir), qs(s, dir), 10,
+        ann = true, annEf = 150, annBuckets = 4)),
+
     // inner-product metric kNN (the reference's second metric, unused at
     // its runtime but supported: pyglass/glass/common.hpp:8-11)
     "knn_ip" -> ((s, dir) =>

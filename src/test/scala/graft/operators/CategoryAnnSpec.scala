@@ -31,6 +31,34 @@ class CategoryAnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  private lazy val t3queries = Seq.tabulate(12)(i =>
+    (100L + i, 3, (i % 6).toLong, (i % 3) / 10.0, (i % 3) / 10.0 + 0.5, vec()))
+    .toDF("qid", "qtype", "v", "l", "r", "qvec")
+
+  test("type-3 in-filter category walk: predicate exact, recall >= 0.9") {
+    val approx = AnnJoin.categoryRangeHnswKnn(
+      base, t3queries.select("qid", "v", "l", "r", "qvec"), k = 10, ef = 256)
+    // every neighbor satisfies BOTH the label and the ts-range predicate
+    val joined = approx
+      .join(t3queries.select("qid", "v", "l", "r"), "qid")
+      .join(base.select(col("id").as("nid"), col("label"), col("ts")), "nid")
+    assert(joined.filter(col("label") =!= col("v") ||
+      col("ts") < col("l") || col("ts") > col("r")).count() == 0)
+    val exact = KnnJoin.exactFlat(base, t3queries, 10)
+    val recall = AnnJoin.recallAtK(approx, exact)
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("ef autoscaling: sloped by sub-index size, capped; in-filter band widens") {
+    val s = SearchParams.EfSlope(base = 150, slope = 0.02, capFactor = 8)
+    assert(s.efFor(0) == 150)
+    assert(s.efFor(10000) == 350)           // 150 + 0.02·10k
+    assert(s.efFor(100000000L) == 1200)     // capped at 8×base
+    assert(SearchParams.inFilterEf(100, 1.0) == 100)
+    assert(SearchParams.inFilterEf(100, 0.5) == 200)
+    assert(SearchParams.inFilterEf(100, 0.01) == 400)  // bounded 4×
+  }
+
   test("GraftExtensions registers SQL functions (applied to the live session)") {
     org.apache.spark.sql.graft.ExprBridge
       .applyExtensionFunctions(spark, new graft.GraftExtensions)
