@@ -56,7 +56,7 @@ private[index] final class MinDistHeap(initCap: Int) {
 }
 
 /** Bounded max-heap keeping the `cap` smallest (dist, id); root = worst kept. */
-private[index] final class BoundedMaxHeap(cap: Int) {
+private[index] final class BoundedMaxHeap(val cap: Int) {
   private val d = new Array[Double](math.max(cap, 1))
   private val id = new Array[Int](math.max(cap, 1))
   private var n = 0
@@ -64,6 +64,7 @@ private[index] final class BoundedMaxHeap(cap: Int) {
   def size: Int = n
   def isFull: Boolean = n >= cap
   def worstDist: Double = d(0)
+  def clear(): Unit = n = 0
 
   /** Returns true if the element was kept. */
   def offer(dist: Double, node: Int): Boolean = {

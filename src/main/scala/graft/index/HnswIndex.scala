@@ -26,6 +26,7 @@ final class HnswIndex(
 
   private val maxM = m
   private val maxM0 = 2 * m
+  private val pruneSlack = 8
   private val levelMult = 1.0 / math.log(m.toDouble)
   private val rng = new java.util.Random(seed)
 
@@ -83,12 +84,26 @@ final class HnswIndex(
     visitedGen
   }
 
-  /** Beam search at one level; returns the ≤ ef best (dist, id) pairs. */
+  // build-path scratch heaps (single-threaded insert loop): searchLayer
+  // runs once per level per insert — reusing the two heaps removes the
+  // dominant allocation churn of the build (the reference's pools are
+  // likewise reused across searches, pyglass/glass/neighbor.hpp:125-303)
+  @transient private var scratchCand: MinDistHeap = _
+  @transient private var scratchRes: BoundedMaxHeap = _
+
+  /** Beam search at one level; returns the ≤ ef best (dist, id) pairs.
+    * NOTE the returned heap is scratch when ef == efConstruction —
+    * consume it before the next searchLayer call (single-threaded). */
   private def searchLayer(q: Array[Float], start: Int, ef: Int, level: Int): BoundedMaxHeap = {
     val gen = nextVisitedGen()
     val seen = visitedMark
-    val cand = new MinDistHeap(ef + 1)
-    val res = new BoundedMaxHeap(ef)
+    val reuse = ef == efConstruction
+    if (reuse && scratchRes == null) {
+      scratchCand = new MinDistHeap(ef + 1)
+      scratchRes = new BoundedMaxHeap(ef)
+    }
+    val cand = if (reuse) { scratchCand.clear(); scratchCand } else new MinDistHeap(ef + 1)
+    val res = if (reuse) { scratchRes.clear(); scratchRes } else new BoundedMaxHeap(ef)
     val d0 = distTo(q, start)
     cand.push(d0, start); res.offer(d0, start); seen(start) = gen
     while (cand.nonEmpty) {
@@ -120,13 +135,17 @@ final class HnswIndex(
   /** Diversity heuristic (Malkov alg. 4): keep candidate c only if it is
     * closer to q than to every already-kept neighbor. Candidates arrive
     * packed as (floatBits(dist) << 32 | id) longs — a plain long sort is
-    * (dist, id) order with zero boxing (dists are non-negative). */
+    * (dist, id) order with zero boxing (dists are non-negative).
+    * The diversity loop only considers the closest `4·count` candidates
+    * (the tail of a 200-wide beam almost never survives pruning but
+    * would cost O(tail · kept) distance calls per insert). */
   private def selectNeighbors(packed: Array[Long], count: Int): IntList = {
     java.util.Arrays.sort(packed)
+    val window = math.min(packed.length, count * 4)
     val kept = new IntList(count)
     val keptD = new Array[Array[Float]](count)
     var i = 0
-    while (i < packed.length && kept.length < count) {
+    while (i < window && kept.length < count) {
       val dq = java.lang.Float.intBitsToFloat((packed(i) >>> 32).toInt).toDouble
       val c = (packed(i) & 0xffffffffL).toInt
       val cv = vecs(c)
@@ -180,13 +199,15 @@ final class HnswIndex(
       // the closest candidate, reused as the next level's entry point
       val nbrs = selectNeighbors(found, cap)
       links(id)(l) = nbrs
-      // bidirectional links with pruning
+      // bidirectional links with pruning — lists may overshoot `cap` by
+      // a small slack before being pruned back, amortizing the O(deg²)
+      // re-selection over several inserts (degree stays ≤ cap + slack)
       var i = 0
       while (i < nbrs.length) {
         val nb = nbrs(i)
         val nbLinks = links(nb)(l)
         nbLinks += id
-        if (nbLinks.length > cap) {
+        if (nbLinks.length > cap + pruneSlack) {
           val nbv = vecs(nb)
           val withD = new Array[Long](nbLinks.length)
           var t = 0
