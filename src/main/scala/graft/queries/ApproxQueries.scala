@@ -86,6 +86,15 @@ object ApproxQueries {
           element_at(col("features"), 1).cast("double").as("f0"))
     }),
 
+    // sketch aggregates: HyperLogLog++ approximate distinct per event
+    // type, alongside the exact count (rows-only: the sketch estimate is
+    // engine-specific; ApproxAggSpec bounds its relative error)
+    "approx_distinct_users" -> ((s, dir) =>
+      evq(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))),
+
     // streaming-capable hourly window agg (batch twin, exact oracle)
     "events_stream_hourly" -> ((s, dir) =>
       EventPipeline.hourlyAgg(evq(s, dir))

@@ -263,6 +263,87 @@ object RelationalQueries {
           max(col("tus") - coalesce(col("prev_ts"), col("tus"))).as("max_gap_us"))
         .select(col("user_id").cast("long").as("user_id"),
           col("n_sessions"), col("n_events"), col("max_gap_us"))
+    }),
+
+    // CUBE grouping sets: every (returnflag × linestatus) subtotal level.
+    // Group columns are never null in the corpus, so coalesce-to-'ALL'
+    // identifies subtotal rows unambiguously in both engines.
+    "cube_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("revenue"))),
+
+    // lateral explode (UDTF shape): part type text → one row per token
+    "part_tokens" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          explode(split(col("p_type"), " ")).as("word"))
+        .select(col("p_partkey"), col("word"),
+          length(col("word")).cast("long").as("word_len"))),
+
+    // range self-join: pairs of same-user events within a 5-minute
+    // window — equi key (user) + range condition, the classic
+    // interval-join shape (event-time at µs for oracle parity)
+    "event_pairs_range" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id").cast("long").as("eid"),
+        col("user_id").cast("long").as("uid"), expr("ts div 1000").as("tus"))
+      val a = e.select(col("eid").as("eid_a"), col("uid"), col("tus").as("t_a"))
+      val b = e.select(col("eid").as("eid_b"), col("uid"), col("tus").as("t_b"))
+      a.join(b, Seq("uid"))
+        .filter(col("eid_a") < col("eid_b") &&
+          col("t_b") >= col("t_a") && col("t_b") <= col("t_a") + lit(300000000L))
+        .groupBy(col("uid"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // skew-mitigation pattern with exact semantics: the build side is
+    // replicated over 16 salt values, the probe side hashes into one —
+    // the classic salted equi-join; the result is identical to the
+    // plain join (the oracle runs the unsalted form)
+    "salted_join_revenue" -> ((s, dir) => {
+      val salts = 16
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_extendedprice")), lit(salts)))
+      l.join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // lead window + event-time arithmetic: gap to each customer's next
+    // order (rows without a next order are excluded — no-null outputs)
+    "order_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("ous"), col("o_orderkey"))
+      t(s, dir, "orders")
+        // o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC, so the
+        // cast is the identity on the naive value (what epoch_us sees)
+        .withColumn("ous", unix_micros(col("o_orderdate").cast("timestamp")))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("next_us", lead(col("ous"), 1).over(w))
+        .filter(col("next_key").isNotNull)
+        .select(col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("next_key").cast("long").as("next_orderkey"),
+          (col("next_us") - col("ous")).as("gap_us"))
+    }),
+
+    // multiset set op: INTERSECT ALL keeps duplicate cardinalities
+    // (customers' order counts in both status classes)
+    "setop_all_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey").cast("long").as("k"))
+        .intersectAll(
+          o.filter(col("o_orderstatus") === "F").select(col("o_custkey").cast("long").as("k")))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
     })
   )
 
@@ -443,6 +524,61 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN prev_ts IS NULL OR tus - prev_ts > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events,
         |  CAST(max(tus - coalesce(prev_ts, tus)) AS BIGINT) AS max_gap_us
-        |FROM g GROUP BY user_id""".stripMargin
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "cube_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "part_tokens" ->
+      """WITH x AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+        |    unnest(string_split(p_type, ' ')) AS word
+        |  FROM part
+        |)
+        |SELECT p_partkey, word, CAST(length(word) AS BIGINT) AS word_len
+        |FROM x""".stripMargin,
+
+    "event_pairs_range" ->
+      """WITH e AS (
+        |  SELECT event_id AS eid, CAST(user_id AS BIGINT) AS uid, epoch_us(ts) AS tus
+        |  FROM events
+        |)
+        |SELECT a.uid AS uid, count(*) AS n_pairs
+        |FROM e a JOIN e b ON a.uid = b.uid AND a.eid < b.eid
+        |  AND b.tus >= a.tus AND b.tus <= a.tus + 300000000
+        |GROUP BY a.uid""".stripMargin,
+
+    "salted_join_revenue" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "order_gaps" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS ous FROM orders
+        |), w AS (
+        |  SELECT o_custkey, o_orderkey, ous,
+        |    lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY ous, o_orderkey) AS next_key,
+        |    lead(ous) OVER (PARTITION BY o_custkey ORDER BY ous, o_orderkey) AS next_us
+        |  FROM o
+        |)
+        |SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(next_key AS BIGINT) AS next_orderkey,
+        |  CAST(next_us - ous AS BIGINT) AS gap_us
+        |FROM w WHERE next_key IS NOT NULL""".stripMargin,
+
+    "setop_all_orders" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT CAST(o_custkey AS BIGINT) AS k FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT CAST(o_custkey AS BIGINT) AS k FROM orders WHERE o_orderstatus = 'F'
+        |) GROUP BY k""".stripMargin
   )
 }
