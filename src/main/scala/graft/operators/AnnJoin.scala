@@ -26,12 +26,20 @@ object AnnJoin {
   /** (qid LONG, rank LONG, nid LONG) approximate top-k by squared L2.
     * base: (id LONG, vec ARRAY<FLOAT>), queries: (qid LONG, qvec ARRAY<FLOAT>). */
   def hnswKnn(base: DataFrame, queries: DataFrame, k: Int, ef: Int = 200,
-      numBuckets: Int = 8, m: Int = 16, efConstruction: Int = 200): DataFrame = {
+      numBuckets: Int = 8, m: Int = 16, efConstruction: Int = 200): DataFrame =
+    hnswKnnBatch(base,
+      queries.select(col("qid").cast("long"), col("qvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
+      k, ef, numBuckets, m, efConstruction)
+
+  /** Pre-collected query-batch form — composition layers (HybridKnn)
+    * collect the routed batch once and feed every route from it. An
+    * empty batch plans nothing (no base shuffle, no index build). */
+  private[graft] def hnswKnnBatch(base: DataFrame, qBatch: Array[(Long, Array[Float])],
+      k: Int, ef: Int, numBuckets: Int, m: Int = 16, efConstruction: Int = 200): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    val qBatch = queries.select(col("qid").cast("long"), col("qvec"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    if (qBatch.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     val bq = spark.sparkContext.broadcast(qBatch)
     val candidates = base
       .select(col("id").cast("long"), col("vec"))
@@ -72,13 +80,21 @@ object AnnJoin {
     * Returns (qid, rank, nid). */
   def categoryHnswKnn(base: DataFrame, queries: DataFrame, k: Int,
       ef: Int = 200, m: Int = 16, efConstruction: Int = 200,
+      efSlope: Option[SearchParams.EfSlope] = None): DataFrame =
+    categoryHnswKnnBatch(base,
+      queries.select(col("qid").cast("long"), col("v").cast("long"), col("qvec"))
+        .collect()
+        .map(r => (r.getLong(1), (r.getLong(0), r.getSeq[Float](2).toArray)))
+        .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2)) },
+      k, ef, m, efConstruction, efSlope)
+
+  private[graft] def categoryHnswKnnBatch(base: DataFrame,
+      qByLabel: Map[Long, Array[(Long, Array[Float])]], k: Int,
+      ef: Int, m: Int = 16, efConstruction: Int = 200,
       efSlope: Option[SearchParams.EfSlope] = None): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    val qByLabel = queries.select(col("qid").cast("long"), col("v").cast("long"), col("qvec"))
-      .collect()
-      .map(r => (r.getLong(1), (r.getLong(0), r.getSeq[Float](2).toArray)))
-      .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2)) }
+    if (qByLabel.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     val bq = spark.sparkContext.broadcast(qByLabel)
     base
       .select(col("id").cast("long"), col("label").cast("long"), col("vec"))
@@ -116,16 +132,24 @@ object AnnJoin {
     * Returns (qid, rank, nid). */
   def categoryRangeHnswKnn(base: DataFrame, queries: DataFrame, k: Int,
       ef: Int = 200, m: Int = 16, efConstruction: Int = 200,
+      efSlope: Option[SearchParams.EfSlope] = None): DataFrame =
+    categoryRangeHnswKnnBatch(base,
+      queries
+        .select(col("qid").cast("long"), col("v").cast("long"),
+          col("l").cast("double"), col("r").cast("double"), col("qvec"))
+        .collect()
+        .map(r => (r.getLong(1),
+          (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getSeq[Float](4).toArray)))
+        .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2)) },
+      k, ef, m, efConstruction, efSlope)
+
+  private[graft] def categoryRangeHnswKnnBatch(base: DataFrame,
+      qByLabel: Map[Long, Array[(Long, Double, Double, Array[Float])]], k: Int,
+      ef: Int, m: Int = 16, efConstruction: Int = 200,
       efSlope: Option[SearchParams.EfSlope] = None): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    val qByLabel = queries
-      .select(col("qid").cast("long"), col("v").cast("long"),
-        col("l").cast("double"), col("r").cast("double"), col("qvec"))
-      .collect()
-      .map(r => (r.getLong(1),
-        (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getSeq[Float](4).toArray)))
-      .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2)) }
+    if (qByLabel.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     val bq = spark.sparkContext.broadcast(qByLabel)
     base
       .select(col("id").cast("long"), col("label").cast("long"),
@@ -169,14 +193,21 @@ object AnnJoin {
     *
     * base: (id, ts, vec); queries: (qid, l, r, qvec). → (qid, rank, nid). */
   def decileHnswKnn(base: DataFrame, queries: DataFrame, k: Int,
-      ef: Int = 200, m: Int = 16, efConstruction: Int = 200): DataFrame = {
+      ef: Int = 200, m: Int = 16, efConstruction: Int = 200): DataFrame =
+    decileHnswKnnBatch(base,
+      queries
+        .select(col("qid").cast("long"), col("l").cast("double"),
+          col("r").cast("double"), col("qvec"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getSeq[Float](3).toArray)),
+      k, ef, m, efConstruction)
+
+  private[graft] def decileHnswKnnBatch(base: DataFrame,
+      qBatch: Array[(Long, Double, Double, Array[Float])], k: Int,
+      ef: Int, m: Int = 16, efConstruction: Int = 200): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    val qBatch = queries
-      .select(col("qid").cast("long"), col("l").cast("double"),
-        col("r").cast("double"), col("qvec"))
-      .collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getSeq[Float](3).toArray))
+    if (qBatch.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     val bq = spark.sparkContext.broadcast(qBatch)
     base
       .select(col("id").cast("long"), col("ts").cast("double"), col("vec"))

@@ -301,11 +301,11 @@ object RelationalQueries {
     }),
 
     // skew-mitigation pattern with exact semantics: the build side is
-    // replicated over 16 salt values, the probe side hashes into one —
+    // replicated over 8 salt values, the probe side hashes into one —
     // the classic salted equi-join; the result is identical to the
     // plain join (the oracle runs the unsalted form)
     "salted_join_revenue" -> ((s, dir) => {
-      val salts = 16
+      val salts = 8
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"))
         .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
