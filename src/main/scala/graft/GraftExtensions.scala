@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{AnnTopKStrategy, CosineSimilarity, InnerProduct, L2SquaredDistance, Sq8Encode, Sq8L2Squared, VectorNorm}
+import org.apache.spark.sql.graft.{AnnTopKStrategy, CosineSimilarity, InnerProduct, L2SquaredDistance, Sq4AsymL2Sq, Sq4Encode, Sq8Encode, Sq8L2Squared, VectorNorm}
 
 /** Session-extension registration of the engine's native expressions —
   * enables `spark.sql.extensions=graft.GraftExtensions` (or
@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => Sq8Encode(es(0), es(1))))
     e.injectFunction(fn("sq8_l2_sq", "integer squared L2 over SQ8 codes",
       es => Sq8L2Squared(es(0), es(1))))
+    e.injectFunction(fn("sq4_encode", "packed 4-bit asymmetric encoding of a float array",
+      es => Sq4Encode(es(0), es(1), es(2))))
+    e.injectFunction(fn("sq4_asym_l2_sq", "dequantizing squared L2 over packed SQ4 codes",
+      es => Sq4AsymL2Sq(es(0), es(1), es(2), es(3))))
     // `ORDER BY l2_sq(vec, :qvec) LIMIT k` over an AnnCatalog-registered
     // table auto-routes to the bucketed HNSW index (SURVEY §4's optional
     // AnnJoinStrategy). Opt-out: spark.graft.ann.autoRoute=false.

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ExprBridge, Sq8Encode, Sq8L2Squared}
+import org.apache.spark.sql.graft.{ExprBridge, Sq4AsymL2Sq, Sq4Encode, Sq8Encode, Sq8L2Squared}
 
 /** SQ8 symmetric quantization + the two-stage refine pattern
   * (reference: hybrid_graph.cpp:206-229 quantized candidates,
@@ -71,6 +71,19 @@ object Quantization {
     import graft.functions.{VectorFunctions => VF}
     VF.l2Sq(qvec, asymDequantize(code, mins, difs))
   }
+
+  /** SQ4 (X5): per-dim (min, dif) training shared with [[trainAsym]];
+    * codes are 4-bit, two dims packed per byte (8× compression). */
+  def sq4Encode(vec: Column, mins: Array[Double], difs: Array[Double]): Column =
+    ExprBridge.column(Sq4Encode(ExprBridge.expression(vec),
+      ExprBridge.expression(typedLit(mins)), ExprBridge.expression(typedLit(difs))))
+
+  /** Dequantizing squared-L2 against packed SQ4 codes (X5 distance). */
+  def sq4AsymDistance(qvec: Column, code: Column,
+      mins: Array[Double], difs: Array[Double]): Column =
+    ExprBridge.column(Sq4AsymL2Sq(ExprBridge.expression(qvec),
+      ExprBridge.expression(code),
+      ExprBridge.expression(typedLit(mins)), ExprBridge.expression(typedLit(difs))))
 
   /** Two-stage kNN: top-`refineK` candidates by integer code distance,
     * exact fp32 re-rank to top-`k`. Exactly the reference's quantized

@@ -104,6 +104,23 @@ object VectorQueries {
         .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
     }),
 
+    // SQ4 4-bit packed kNN (X5): per-dim (min, dif) training, two dims
+    // per byte, dequantizing squared-L2 against raw query floats
+    "sq4_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val data = e.select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+      val (mins, difs) = Quantization.trainAsym(data, "vec")
+      val coded = data.withColumn("code", Quantization.sq4Encode(col("vec"), mins, difs))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      broadcast(q).crossJoin(coded.select(col("id"), col("code")))
+        .withColumn("dist", Quantization.sq4AsymDistance(col("qvec"), col("code"), mins, difs))
+        .groupBy("qid")
+        .agg(graft.operators.TopKAggregate.topkIds(5, col("dist"), col("id")).as("nb"))
+        .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
+        .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
+    }),
+
     // recall aggregation (reference GetKNNRecall, utils.h:224-253):
     // mean |approx ∩ exact| / k of the SQ8 refine path vs the exact oracle
     "recall_eval" -> ((s, dir) => {
@@ -238,6 +255,34 @@ object VectorQueries {
         |    list_sum(list_transform(range(1, len(q.qvec) + 1), i ->
         |      (CAST(q.qvec[i] AS DOUBLE) - CAST(CAST(CAST(cb.code[i] AS DOUBLE) / 255.0 * difs[i] + mins[i] AS FLOAT) AS DOUBLE))
         |      * (CAST(q.qvec[i] AS DOUBLE) - CAST(CAST(CAST(cb.code[i] AS DOUBLE) / 255.0 * difs[i] + mins[i] AS FLOAT) AS DOUBLE)))) AS dist
+        |  FROM q, cb, stl
+        |), r AS (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+        |  FROM j
+        |)
+        |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 5""".stripMargin,
+
+    "sq4_knn" ->
+      """WITH st AS (
+        |  SELECT i, min(x) AS mn, greatest(max(x) - min(x), 1e-12) AS df
+        |  FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+        |               generate_subscripts(embedding, 1) AS i FROM embeddings)
+        |  GROUP BY i
+        |), stl AS (
+        |  SELECT list(mn ORDER BY i) AS mins, list(df ORDER BY i) AS difs FROM st
+        |), cb AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id,
+        |    list_transform(range(1, len(embedding) + 1), i ->
+        |      CAST(round(greatest(least((CAST(embedding[i] AS DOUBLE) - mins[i]) / difs[i], 1.0), 0.0) * 15.0) AS INT)) AS code
+        |  FROM embeddings, stl
+        |), q AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qvec
+        |  FROM embeddings WHERE vec_id % 50 = 0
+        |), j AS (
+        |  SELECT q.qid, cb.id,
+        |    list_sum(list_transform(range(1, len(q.qvec) + 1), i ->
+        |      (CAST(q.qvec[i] AS DOUBLE) - CAST(CAST(CAST(cb.code[i] AS DOUBLE) / 15.0 * difs[i] + mins[i] AS FLOAT) AS DOUBLE))
+        |      * (CAST(q.qvec[i] AS DOUBLE) - CAST(CAST(CAST(cb.code[i] AS DOUBLE) / 15.0 * difs[i] + mins[i] AS FLOAT) AS DOUBLE)))) AS dist
         |  FROM q, cb, stl
         |), r AS (
         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk

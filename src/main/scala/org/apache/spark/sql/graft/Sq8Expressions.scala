@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -53,6 +53,94 @@ case class Sq8Encode(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** SQ4 asymmetric quantization (reference X5, pyglass/glass/quant/
+  * sq4_quant.hpp + distance.hpp:399-436): per-dimension (min, dif)
+  * training like asymmetric SQ8, but codes are 4-bit — two dimensions
+  * packed per byte (8× compression), compared by a dequantizing
+  * distance against raw query floats. Unused at the reference's runtime
+  * but part of its operator surface; here it completes the quantizer
+  * family with the same train/encode/distance contract. */
+case class Sq4Encode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq4_encode"
+
+  override def nullSafeEval(vec: Any, mins: Any, difs: Any): Any =
+    Sq4Encode.encodeAll(vec.asInstanceOf[ArrayData],
+      mins.asInstanceOf[ArrayData], difs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, mn, df) =>
+      s"${ev.value} = org.apache.spark.sql.graft.Sq4Encode.encodeAll($v, $mn, $df);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object Sq4Encode {
+  /** code_d = round(clamp((x_d - min_d)/dif_d, [0,1]) · 15); dims 2j
+    * (low nibble) and 2j+1 (high nibble) share byte j. */
+  def encodeAll(vec: ArrayData, mins: ArrayData, difs: ArrayData): Array[Byte] = {
+    val n = math.min(vec.numElements(), mins.numElements())
+    val out = new Array[Byte]((n + 1) / 2)
+    var d = 0
+    while (d < n) {
+      var v = (vec.getFloat(d).toDouble - mins.getDouble(d)) / difs.getDouble(d)
+      if (v > 1.0) v = 1.0
+      if (v < 0.0) v = 0.0
+      val c = math.floor(v * 15.0 + 0.5).toInt
+      out(d >> 1) = (out(d >> 1) | (if ((d & 1) == 0) c else c << 4)).toByte
+      d += 1
+    }
+    out
+  }
+}
+
+/** Dequantizing squared-L2 over packed 4-bit codes: raw query floats vs
+  * x̂_d = code_d/15 · dif_d + min_d (float-rounded, then double math —
+  * mirrored op-for-op by the DuckDB oracle). */
+case class Sq4AsymL2Sq(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), BinaryType, ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq4_asym_l2_sq"
+
+  override def nullSafeEval(q: Any, code: Any, mins: Any, difs: Any): Any =
+    Sq4AsymL2Sq.distance(q.asInstanceOf[ArrayData], code.asInstanceOf[Array[Byte]],
+      mins.asInstanceOf[ArrayData], difs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c, mn, df) =>
+      s"${ev.value} = org.apache.spark.sql.graft.Sq4AsymL2Sq.distance($q, $c, $mn, $df);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, fo: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = fo)
+}
+
+object Sq4AsymL2Sq {
+  def distance(q: ArrayData, code: Array[Byte], mins: ArrayData, difs: ArrayData): Double = {
+    val n = math.min(q.numElements(), mins.numElements())
+    var s = 0.0
+    var d = 0
+    while (d < n) {
+      val nib = if ((d & 1) == 0) code(d >> 1) & 0xF else (code(d >> 1) >> 4) & 0xF
+      val xhat = (nib.toDouble / 15.0 * difs.getDouble(d) + mins.getDouble(d)).toFloat
+      val diff = q.getFloat(d).toDouble - xhat.toDouble
+      s += diff * diff
+      d += 1
+    }
+    s
+  }
 }
 
 object Sq8Encode {

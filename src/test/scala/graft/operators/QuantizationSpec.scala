@@ -68,6 +68,37 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("SQ4: packed length, nibble order, round-trip bound, distance approximates exact") {
+    val (mins, difs) = Quantization.trainAsym(data, "vec")
+    val coded = data.withColumn("code", Quantization.sq4Encode($"vec", mins, difs))
+    val rows = coded.select($"vec", $"code").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      val code = r.getAs[Array[Byte]](1)
+      assert(code.length == (v.length + 1) / 2)
+      v.indices.foreach { d =>
+        val nib = if ((d & 1) == 0) code(d >> 1) & 0xF else (code(d >> 1) >> 4) & 0xF
+        assert(nib >= 0 && nib <= 15)
+        val xhat = nib / 15.0 * difs(d) + mins(d)
+        // half-step quantization error bound
+        assert(math.abs(xhat - v(d)) <= difs(d) / 30.0 + 1e-6,
+          s"dim $d: x=${v(d)} xhat=$xhat dif=${difs(d)}")
+      }
+    }
+    // dequantizing distance tracks the exact distance within quant error
+    val q = data.limit(1).select($"vec".as("qvec")).crossJoin(coded)
+      .withColumn("approx", Quantization.sq4AsymDistance($"qvec", $"code", mins, difs))
+      .withColumn("exact", graft.functions.VectorFunctions.l2Sq($"qvec", $"vec"))
+      .select($"approx", $"exact").collect()
+    val dim = 16
+    val worst = difs.max / 30.0 * 2  // per-dim error doubles in the difference
+    q.foreach { r =>
+      val bound = dim * (worst * worst + 2 * worst * math.sqrt(r.getDouble(1) / dim + 1e-9)) + 1e-6
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= bound * 4,
+        s"approx=${r.getDouble(0)} exact=${r.getDouble(1)}")
+    }
+  }
+
   test("refineKnn recall@5 with narrow refineK stays high") {
     val alpha = Quantization.trainAlpha(data, "vec")
     val qs = data.filter($"id" % 20 === 0).select($"id".as("qid"), $"vec".as("qvec"))
