@@ -99,7 +99,13 @@ object ApproxQueries {
     "events_stream_hourly" -> ((s, dir) =>
       EventPipeline.hourlyAgg(evq(s, dir))
         .select(col("window_start").cast("long").as("window_start_epoch"),
-          col("event_type"), col("n_events"), col("sum_value")))
+          col("event_type"), col("n_events"), col("sum_value"))),
+
+    // stream-stream interval join (purchase ← same-user signup within
+    // the preceding hour), run on its batch twin; EventPipelineSpec
+    // proves MemoryStream output ≡ this plan
+    "stream_join_attrib" -> ((s, dir) =>
+      EventPipeline.purchaseAttribution(evq(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -115,6 +121,21 @@ object ApproxQueries {
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_epoch,
         |  event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_join_attrib" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'
+        |), s AS (
+        |  SELECT event_id AS signup_id, user_id, epoch_us(ts) AS sus
+        |  FROM events WHERE event_type = 'signup'
+        |)
+        |SELECT CAST(p.purchase_id AS BIGINT) AS purchase_id,
+        |  CAST(p.user_id AS BIGINT) AS user_id,
+        |  CAST(s.signup_id AS BIGINT) AS signup_id,
+        |  CAST(p.pus - s.sus AS BIGINT) AS latency_us
+        |FROM p JOIN s ON p.user_id = s.user_id
+        |  AND s.sus <= p.pus AND s.sus >= p.pus - 3600000000""".stripMargin
   )
 }

@@ -53,6 +53,32 @@ object EventPipeline {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Stream-stream interval join: each purchase paired with every signup
+    * of the same user in the preceding hour. Both sides carry watermarks
+    * and the join condition is time-bounded — exactly what Spark requires
+    * to bound join state in streaming (late rows beyond the watermark are
+    * dropped, matched state is evicted past the interval). In batch the
+    * same plan is a plain equi+range join; the driver's oracle checks
+    * that twin. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val e = withEventTime(events)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ets").as("pts"))
+      .withWatermark("pts", "2 hours")
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ets").as("sts"))
+      .withWatermark("sts", "2 hours")
+    purchases.join(signups,
+        col("user_id") === col("s_user") &&
+          col("sts") <= col("pts") &&
+          col("sts") >= col("pts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id").cast("long").as("purchase_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("signup_id").cast("long").as("signup_id"),
+        (unix_micros(col("pts")) - unix_micros(col("sts"))).as("latency_us"))
+  }
+
   /** Session-window (30-min gap) event counts per user — Spark's native
     * session_window, usable in streaming with watermark + append mode. */
   def sessionAgg(events: DataFrame): DataFrame =

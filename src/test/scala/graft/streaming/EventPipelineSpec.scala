@@ -54,6 +54,36 @@ class EventPipelineSpec extends SparkSpec {
     assert(last(2L) == (2L, 1L, 5.0))
   }
 
+  test("stream-stream interval join equals its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val MinNs = 60L * 1000 * 1000 * 1000
+    // NOTE times sit one day past the epoch: a row whose event time is
+    // <= the current watermark is dropped as late, and the initial
+    // watermark is epoch 0 — t0 = 0 would discard the signup itself.
+    val t0 = 24L * 60 * MinNs
+    // user 1: signup at t0, purchases at +10min (joins) and +2h (outside)
+    // user 2: purchase with no signup (drops)
+    val data = Seq(
+      (0L, t0, 1L, "signup", 0.0),
+      (1L, t0 + 10L * MinNs, 1L, "purchase", 5.0),
+      (2L, t0 + 120L * MinNs, 1L, "purchase", 7.0),
+      (3L, t0 + 5L * MinNs, 2L, "purchase", 9.0))
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventPipeline.purchaseAttribution(sdf).writeStream
+      .format("memory").queryName("attr_out").outputMode("append").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("attr_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    val batch = EventPipeline.purchaseAttribution(
+      data.toDF("event_id", "ts", "user_id", "event_type", "value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(batch == Set((1L, 1L, 0L, 10L * 60 * 1000000L)))
+  }
+
   test("sessionAgg session counts match the lag-based batch sessionization") {
     // events with >30min gaps create separate sessions
     val ev = Seq(
