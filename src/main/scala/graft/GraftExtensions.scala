@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => Sq4Encode(es(0), es(1), es(2))))
     e.injectFunction(fn("sq4_asym_l2_sq", "dequantizing squared L2 over packed SQ4 codes",
       es => Sq4AsymL2Sq(es(0), es(1), es(2), es(3))))
+    e.injectFunction(fn("nearest_centroids", "k nearest centroid indices in a flat matrix",
+      es => org.apache.spark.sql.graft.NearestCentroids(es(0), es(1), es(2))))
     // `ORDER BY l2_sq(vec, :qvec) LIMIT k` over an AnnCatalog-registered
     // table auto-routes to the bucketed HNSW index (SURVEY §4's optional
     // AnnJoinStrategy). Opt-out: spark.graft.ann.autoRoute=false.

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, ExprBridge, InnerProduct, L2SquaredDistance, VectorNorm}
+import org.apache.spark.sql.graft.{CosineSimilarity, ExprBridge, InnerProduct, L2SquaredDistance, NearestCentroids, VectorNorm}
 
 /** Column-level API over the native Catalyst vector expressions in
   * [[org.apache.spark.sql.graft.VectorExpressions]]. */
@@ -17,6 +17,12 @@ object VectorFunctions {
 
   def norm2(a: Column): Column =
     ExprBridge.column(VectorNorm(ExprBridge.expression(a)))
+
+  /** Indices of the k nearest centroids; `centroidsFlat` is the
+    * row-major nlist·dim matrix (usually a literal). */
+  def nearestCentroids(vec: Column, centroidsFlat: Column, k: Column): Column =
+    ExprBridge.column(NearestCentroids(ExprBridge.expression(vec),
+      ExprBridge.expression(centroidsFlat), ExprBridge.expression(k)))
 
   /** Make `l2_sq`, `vec_dot`, `cosine_sim`, `vec_norm` usable in SQL text. */
   def register(spark: SparkSession): Unit = {

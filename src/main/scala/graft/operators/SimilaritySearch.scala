@@ -66,22 +66,18 @@ object SimilaritySearch {
     val sample = sampleDf.select(col("vec")).limit(sampleCap)
       .collect().map(_.getSeq[Float](0).toArray)
     val centroids = lloydKMeans(sample, nlist, maxIter, seed)
-    val assignDists = centroids.zipWithIndex.map { case (c, i) =>
-      struct(VF.l2Sq(col("vec"), typedLit(c)).as("d"), lit(i).as("list"))
-    }
+    // one flat centroid-matrix literal + the native NearestCentroids
+    // expression: O(nlist) codegen instead of an nlist-way struct tree
+    val centsFlat = typedLit(centroids.flatten)
     val assigned = base
       .withColumn("list",
-        element_at(array_sort(array(assignDists: _*)), 1).getField("list"))
+        element_at(VF.nearestCentroids(col("vec"), centsFlat, lit(1)), 1))
       .select(col("id"), col("vec"), col("list"))
-    // nprobe nearest lists per query, computed as expressions over the
-    // (small) centroid table folded in as literals
-    val listDists = centroids.zipWithIndex.map { case (c, i) =>
-      struct(VF.l2Sq(col("qvec"), typedLit(c)).as("d"), lit(i).as("list"))
-    }
+    // nprobe nearest lists per query
     val probed = queries
-      .withColumn("probes",
-        slice(array_sort(array(listDists: _*)), 1, math.min(nprobe, centroids.length)))
-      .select(col("qid"), col("qvec"), explode(col("probes.list")).as("list"))
+      .select(col("qid"), col("qvec"),
+        explode(VF.nearestCentroids(col("qvec"), centsFlat,
+          lit(math.min(nprobe, centroids.length)))).as("list"))
     broadcast(probed).join(assigned, "list")
       .filter(col("id") =!= col("qid"))
       .withColumn("dist", VF.l2Sq(col("qvec"), col("vec")))

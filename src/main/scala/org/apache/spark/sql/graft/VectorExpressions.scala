@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -188,3 +188,73 @@ case class VectorNorm(child: Expression)
     copy(child = newChild)
 }
 
+
+/** Indices of the `k` nearest centroids (squared L2, ties by index
+  * ascending) for a vector against a flattened centroid matrix literal
+  * (`nlist · dim` floats, row-major). One expression replaces the
+  * nlist-way literal-struct trees an expression-composed IVF quantizer
+  * would need — O(nlist) codegen size instead of O(nlist · dim), and a
+  * tight primitive loop at runtime. Used by
+  * [[graft.operators.SimilaritySearch.ivfKnn]] for both the base-side
+  * list assignment (k = 1) and the query-side probes (k = nprobe). */
+case class NearestCentroids(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+
+  override def nullSafeEval(vec: Any, cents: Any, k: Any): Any =
+    NearestCentroids.topk(vec.asInstanceOf[ArrayData],
+      cents.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c, k) =>
+      s"${ev.value} = org.apache.spark.sql.graft.NearestCentroids.topk($v, $c, $k);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object NearestCentroids {
+  def topk(vec: ArrayData, cents: ArrayData, k: Int): ArrayData = {
+    val dim = vec.numElements()
+    val n = if (dim == 0) 0 else cents.numElements() / dim
+    val q = new Array[Float](dim)
+    var d = 0
+    while (d < dim) { q(d) = vec.getFloat(d); d += 1 }
+    val dist = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      var s = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < dim) {
+        val df = q(i).toDouble - cents.getFloat(off + i).toDouble
+        s += df * df
+        i += 1
+      }
+      dist(c) = s
+      c += 1
+    }
+    val kk = math.min(math.max(k, 0), n)
+    val idx = Array.range(0, n)
+    // selection of kk smallest by (dist, index) — nlist is small
+    var sel = 0
+    while (sel < kk) {
+      var best = sel
+      var j = sel + 1
+      while (j < n) {
+        if (dist(idx(j)) < dist(idx(best)) ||
+          (dist(idx(j)) == dist(idx(best)) && idx(j) < idx(best))) best = j
+        j += 1
+      }
+      val t = idx(sel); idx(sel) = idx(best); idx(best) = t
+      sel += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOfRange(idx, 0, kk))
+  }
+}
