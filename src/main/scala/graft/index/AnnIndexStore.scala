@@ -43,12 +43,51 @@ object AnnIndexStore {
   }
 
   /** Search a persisted index table: every bucket row searches the
-    * broadcast query batch; bounded top-k merge. (qid, rank, nid). */
+    * broadcast query batch; bounded top-k merge. (qid, rank, nid).
+    *
+    * The query batch is broadcast-sized by contract (the contest shape,
+    * 1M × ~420 B ≈ 420 MB, fits a broadcast); batches beyond that go
+    * through [[searchChunked]], which never materializes the full batch
+    * on the driver. */
   def search(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, ef: Int = 200): DataFrame = {
-    import spark.implicits._
     val qBatch = queries.select(col("qid").cast("long"), col("qvec"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    searchBatch(spark, path, qBatch, k, ef)
+  }
+
+  /** Chunked search for query batches too large to hold on the driver
+    * at once: streams the batch through `toLocalIterator` in
+    * `chunkRows`-sized slices, broadcasts one slice at a time (each
+    * chunk's result is eagerly materialized, so the previous broadcast
+    * is unreferenced before the next is built), and unions the
+    * per-chunk results. Peak driver memory is one chunk + one
+    * partition, independent of total batch size. */
+  def searchChunked(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, ef: Int = 200, chunkRows: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val it = queries.select(col("qid").cast("long"), col("qvec"))
+      .toLocalIterator()
+    val chunks = Iterator.continually {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+      while (it.hasNext && buf.length < chunkRows) {
+        val r = it.next()
+        buf += ((r.getLong(0), r.getSeq[Float](1).toArray))
+      }
+      buf.toArray
+    }.takeWhile(_.nonEmpty)
+    val results = chunks.map { chunk =>
+      // materialize this chunk's results so its broadcast can be freed
+      searchBatch(spark, path, chunk, k, ef).localCheckpoint(eager = true)
+    }.toSeq
+    if (results.isEmpty) spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+    else results.reduce(_.unionByName(_))
+  }
+
+  private def searchBatch(spark: SparkSession, path: String,
+      qBatch: Array[(Long, Array[Float])], k: Int, ef: Int): DataFrame = {
+    import spark.implicits._
+    if (qBatch.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     val bq = spark.sparkContext.broadcast(qBatch)
     spark.read.parquet(path)
       .select(col("ids"), col("graph"))

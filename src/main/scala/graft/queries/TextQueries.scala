@@ -104,6 +104,19 @@ object TextQueries {
         .toDF("doc_id", "fp")
     }),
 
+    // deterministic hash-based sampling: ~10% of docs chosen by a
+    // content-independent md5 of the id — reproducible across engines
+    // and runs (the pipeline-sampling primitive; rng-based sample()
+    // is not cross-engine checkable)
+    "sample_hash_docs" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("h",
+          conv(substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long"))
+        .filter(col("h") % 10 === 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("len_chars"))),
+
     // document fingerprinting: full-content md5 + 60-bit compact fp
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
@@ -138,6 +151,12 @@ object TextQueries {
       .mkString("[", ",\n       ", "]")
 
   val oracles: Map[String, String] = Map(
+    "sample_hash_docs" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(length(text) AS BIGINT) AS len_chars
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0""".stripMargin,
+
     "dedup_jaccard_pairs" ->
       s"""WITH $shingleCte,
          |ex AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(sh) AS sh FROM shl),

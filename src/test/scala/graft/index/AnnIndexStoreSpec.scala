@@ -39,6 +39,10 @@ class AnnIndexStoreSpec extends SparkSpec {
         .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)), 10)
     val recall = AnnJoin.recallAtK(r1, exact)
     assert(recall >= 0.9, s"recall $recall")
+    // chunked form (3 chunks of 4) is row-identical to the one-shot form
+    val rc = AnnIndexStore.searchChunked(spark, dir, queries, k = 10, ef = 128, chunkRows = 4)
+    val sc = rc.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sc == s1)
   }
 
   test("decile ANN join: range predicate holds, recall >= 0.85 vs exact") {
