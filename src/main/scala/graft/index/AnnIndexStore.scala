@@ -42,6 +42,63 @@ object AnnIndexStore {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Build one sub-index per VALUE of `bucketCol` (label, decile, …) —
+    * the reference's per-category/per-decile build-once lifecycle
+    * (hybrid_graph.cpp:47-89): later query batches search only their
+    * own value's sub-index. Persisted as (bucket, ids, graph) rows.
+    * base: (id LONG, <bucketCol> LONG, vec ARRAY<FLOAT>). */
+  def buildBy(base: DataFrame, path: String, bucketCol: String,
+      m: Int = 16, efConstruction: Int = 200): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    base.select(col("id").cast("long"), col(bucketCol).cast("long").as("bucket"), col("vec"))
+      .as[(Long, Long, Array[Float])]
+      .repartition(col("bucket"))
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._2).iterator.map { case (bucket, rows) =>
+          val index = new HnswIndex(rows.head._3.length, m, efConstruction)
+          rows.foreach(r => index.add(r._3))
+          (bucket, rows.map(_._1), index.toBytes)
+        }
+      }
+      .toDF("bucket", "ids", "graph")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Search a [[buildBy]] table with bucket-keyed queries (qid, v,
+    * qvec): each query runs ONLY against its own value's sub-index —
+    * the predicate holds by construction, the per-bucket result is
+    * final (no merge), and the scan prunes to the requested buckets via
+    * parquet min/max stats. (qid, rank, nid). */
+  def searchBy(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, ef: Int = 200): DataFrame = {
+    import spark.implicits._
+    val qByBucket = queries.select(col("qid").cast("long"), col("v").cast("long"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(1), (r.getLong(0), r.getSeq[Float](2).toArray)))
+      .groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2)) }
+    if (qByBucket.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+    val bq = spark.sparkContext.broadcast(qByBucket)
+    val wanted = qByBucket.keys.toSeq
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(wanted: _*))
+      .select(col("bucket"), col("ids"), col("graph"))
+      .as[(Long, Array[Long], Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (bucket, ids, graphBytes) =>
+          bq.value.get(bucket).iterator.flatMap { qs =>
+            val index = HnswIndex.fromBytes(graphBytes)
+            qs.iterator.flatMap { case (qid, qvec) =>
+              index.search(qvec, k, ef).zipWithIndex.map {
+                case ((internal, _), rank) => (qid, (rank + 1).toLong, ids(internal))
+              }
+            }
+          }
+        }
+      }
+      .toDF("qid", "rank", "nid")
+  }
+
   /** Search a persisted index table: every bucket row searches the
     * broadcast query batch; bounded top-k merge. (qid, rank, nid).
     *

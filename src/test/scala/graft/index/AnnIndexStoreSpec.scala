@@ -45,6 +45,28 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(sc == s1)
   }
 
+  test("buildBy/searchBy: per-label persisted indexes, predicate by construction") {
+    val base = Seq.tabulate(1200)(i => (i.toLong, (i % 4).toLong, vec()))
+      .toDF("id", "label", "vec")
+    val queries = Seq.tabulate(8)(i => (i.toLong, (i % 4).toLong, vec()))
+      .toDF("qid", "v", "qvec")
+    val dir = Files.createTempDirectory("graft-annstore-by").toString + "/by_label"
+    AnnIndexStore.buildBy(base, dir, "label")
+    val res = AnnIndexStore.searchBy(spark, dir, queries, k = 10, ef = 200)
+    // every neighbor belongs to the query's label bucket
+    val joined = res.join(queries.select($"qid", $"v"), "qid")
+      .join(base.select($"id".as("nid"), $"label"), "nid")
+    assert(joined.filter($"label" =!= $"v").count() == 0)
+    assert(res.groupBy("qid").count().collect().forall(_.getLong(1) == 10))
+    // recall vs the exact per-label join
+    val exact = KnnJoin.exactFlat(
+      base.withColumn("ts", lit(0.0)),
+      queries.withColumn("qtype", lit(1))
+        .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)), 10, types = Seq(1))
+    val recall = AnnJoin.recallAtK(res, exact)
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("decile ANN join: range predicate holds, recall >= 0.85 vs exact") {
     val base = Seq.tabulate(2000)(i => (i.toLong, (i % 100) / 100.0, vec()))
       .toDF("id", "ts", "vec")
