@@ -79,6 +79,25 @@ object VectorQueries {
       graft.operators.HybridKnn.execute(base(s, dir), qs(s, dir), 10,
         ann = true, annEf = 150, annBuckets = 4)),
 
+    // build-once/search-many lifecycle over PERSISTED index tables: the
+    // hash-bucket store answers type-0 queries, the per-label store
+    // (buildBy) answers type-1 with the predicate by construction.
+    // Rows-only; AnnIndexStoreSpec enforces recall + determinism.
+    "knn_stored" -> ((s, dir) => {
+      val root = s"/tmp/graft_ann_store/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val b = base(s, dir)
+      if (!new java.io.File(s"$root/by_hash/_SUCCESS").exists())
+        graft.index.AnnIndexStore.build(b.select(col("id"), col("vec")), s"$root/by_hash", 4)
+      if (!new java.io.File(s"$root/by_label/_SUCCESS").exists())
+        graft.index.AnnIndexStore.buildBy(
+          b.select(col("id"), col("label"), col("vec")), s"$root/by_label", "label")
+      val q = qs(s, dir)
+      graft.index.AnnIndexStore.search(s, s"$root/by_hash",
+          q.filter(col("qtype") === 0).select(col("qid"), col("qvec")), 10, 200)
+        .unionByName(graft.index.AnnIndexStore.searchBy(s, s"$root/by_label",
+          q.filter(col("qtype") === 1).select(col("qid"), col("v"), col("qvec")), 10, 200))
+    }),
+
     // inner-product metric kNN (the reference's second metric, unused at
     // its runtime but supported: pyglass/glass/common.hpp:8-11)
     "knn_ip" -> ((s, dir) =>
