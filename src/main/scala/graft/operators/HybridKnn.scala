@@ -33,22 +33,48 @@ object HybridKnn {
     // batch itself — no join. Any routing decision preserves exactness —
     // it only picks WHICH exact physical path runs (ANN routes excepted,
     // behind the flag).
-    val q = Selectivity.withRoutes(base, queries)
+    // The routed query batch is collected ONCE (it is broadcast-sized by
+    // contract) and every route is fed from that array — one driver job
+    // instead of one per route, the query side of every sub-plan becomes
+    // a LocalRelation, and empty routes plan nothing at all.
+    val spark = base.sparkSession
+    import spark.implicits._
+    val routed = Selectivity.withRoutes(base, queries)
+      .select(col("qid").cast("long"), col("qtype").cast("int"),
+        col("v").cast("long"), col("l").cast("double"), col("r").cast("double"),
+        col("qvec"), col("route"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getSeq[Float](5).toArray, r.getString(6)))
+
+    def asQueryDf(rows: Array[(Long, Int, Long, Double, Double, Array[Float], String)]) =
+      rows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).toSeq
+        .toDF("qid", "qtype", "v", "l", "r", "qvec")
+
+    def emptyRes = spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+
+    // route: low-selectivity category queries → pruned clustered scan
+    val bfCatRows = routed.filter(t => t._7 == "bruteforce" && (t._2 == 1 || t._2 == 3))
+    val bfCatRes =
+      if (bfCatRows.isEmpty) emptyRes
+      else categoryLayout match {
+        case Some(layout) =>
+          val labels = bfCatRows.map(_._3).distinct
+          KnnJoin.exactFlat(layout.filter(col("label").isin(labels: _*)),
+            asQueryDf(bfCatRows), k, types = Seq(1, 3))
+        case None => KnnJoin.exactFlat(base, asQueryDf(bfCatRows), k, types = Seq(1, 3))
+      }
+
+    val rest = routed.filterNot(t => t._7 == "bruteforce" && (t._2 == 1 || t._2 == 3))
 
     if (!ann) {
-      // exact configuration: a fully lazy composed plan, no collects
-      // beyond the stats grid and the pruned-scan label list
-      val bfCat = q.filter(col("route") === "bruteforce" && col("qtype").isin(1, 3))
-      val bfCatRes = categoryLayout match {
-        case Some(layout) =>
-          val labels = bfCat.select(col("v")).distinct().collect().map(_.getLong(0))
-          if (labels.isEmpty) KnnJoin.exactFlat(base.limit(0), bfCat, k, types = Seq(1, 3))
-          else KnnJoin.exactFlat(layout.filter(col("label").isin(labels: _*)), bfCat, k,
-            types = Seq(1, 3))
-        case None => KnnJoin.exactFlat(base, bfCat, k, types = Seq(1, 3))
-      }
-      val rest = q.filter(!(col("route") === "bruteforce" && col("qtype").isin(1, 3)))
-      return bfCatRes.unionByName(KnnJoin.exactFlat(base, rest, k))
+      // exact configuration: everything else through the streaming join,
+      // only the type branches actually present in the batch
+      val restRes =
+        if (rest.isEmpty) emptyRes
+        else KnnJoin.exactFlat(base, asQueryDf(rest), k,
+          types = rest.map(_._2).distinct.toSeq)
+      return bfCatRes.unionByName(restRes)
     }
 
     // approximate configuration — the reference's stage layout:
@@ -58,47 +84,19 @@ object HybridKnn {
     //   type-3 → in-filter walk of the category sub-index (:267,
     //            searcher.hpp:301-374); ef sloped by category size
     //   anything else → exact streaming join
-    // The routed query batch is collected ONCE (it is broadcast-sized by
-    // contract) and every route is fed from that array — one driver job
-    // instead of one per route, and empty routes plan nothing at all.
-    val spark = base.sparkSession
-    import spark.implicits._
-    val routed = q.select(col("qid").cast("long"), col("qtype").cast("int"),
-        col("v").cast("long"), col("l").cast("double"), col("r").cast("double"),
-        col("qvec"), col("route"))
-      .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
-        r.getDouble(4), r.getSeq[Float](5).toArray, r.getString(6)))
-
     val slope = Some(SearchParams.EfSlope(annEf))
-    val bfCatRows = routed.filter(t => t._7 == "bruteforce" && (t._2 == 1 || t._2 == 3))
-    val fullQ = routed.collect { case (qid, _, _, _, _, qv, "full_graph") => (qid, qv) }
-    val catQ = routed.collect { case (qid, 1, v, _, _, qv, "category_graph") => (v, (qid, qv)) }
+    val fullQ = rest.collect { case (qid, _, _, _, _, qv, "full_graph") => (qid, qv) }
+    val catQ = rest.collect { case (qid, 1, v, _, _, qv, "category_graph") => (v, (qid, qv)) }
       .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2)) }
-    val cat3Q = routed.collect { case (qid, 3, v, l, r, qv, "category_graph") => (v, (qid, l, r, qv)) }
+    val cat3Q = rest.collect { case (qid, 3, v, l, r, qv, "category_graph") => (v, (qid, l, r, qv)) }
       .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2)) }
-    val intQ = routed.collect { case (qid, 2, _, l, r, qv, "interval_graph") => (qid, l, r, qv) }
-    val exactRows = routed.filterNot(t =>
-      (t._7 == "bruteforce" && (t._2 == 1 || t._2 == 3)) ||
-        t._7 == "full_graph" ||
+    val intQ = rest.collect { case (qid, 2, _, l, r, qv, "interval_graph") => (qid, l, r, qv) }
+    val exactRows = rest.filterNot(t =>
+      t._7 == "full_graph" ||
         (t._7 == "category_graph" && (t._2 == 1 || t._2 == 3)) ||
         (t._7 == "interval_graph" && t._2 == 2))
-
-    def asQueryDf(rows: Array[(Long, Int, Long, Double, Double, Array[Float], String)]) =
-      rows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).toSeq
-        .toDF("qid", "qtype", "v", "l", "r", "qvec")
-
-    val bfCatRes =
-      if (bfCatRows.isEmpty) spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
-      else categoryLayout match {
-        case Some(layout) =>
-          val labels = bfCatRows.map(_._3).distinct
-          KnnJoin.exactFlat(layout.filter(col("label").isin(labels: _*)),
-            asQueryDf(bfCatRows), k, types = Seq(1, 3))
-        case None => KnnJoin.exactFlat(base, asQueryDf(bfCatRows), k, types = Seq(1, 3))
-      }
     val exactRes =
-      if (exactRows.isEmpty) spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+      if (exactRows.isEmpty) emptyRes
       else KnnJoin.exactFlat(base, asQueryDf(exactRows), k,
         types = exactRows.map(_._2).distinct.toSeq)
 
