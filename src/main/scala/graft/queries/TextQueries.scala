@@ -104,6 +104,45 @@ object TextQueries {
         .toDF("doc_id", "fp")
     }),
 
+    // repetition-based quality signals (the Gopher-rules family):
+    // duplicate-token fraction and top-bigram concentration per doc
+    "text_repetition" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bigrams = toks.select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          (lit(1.0) - size(array_distinct(col("toks"))) / size(col("toks")).cast("double"))
+            .as("dup_token_frac"),
+          explode(expr(
+            "transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat(x, ' ', element_at(toks, i + 2)))"))
+            .as("bg"))
+      bigrams
+        .groupBy(col("doc_id"), col("n_tokens"), col("dup_token_frac"), col("bg"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("dup_token_frac"))
+        .agg(max(col("cnt")).as("top_bg_cnt"), sum(col("cnt")).as("n_bigrams"))
+        .withColumn("top_bg_ratio", col("top_bg_cnt") / col("n_bigrams").cast("double"))
+    }),
+
+    // source-mixture weights: per-source share and the uniform-target
+    // resampling weight (the mixture-balancing primitive)
+    "source_mixture" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bySrc = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val totals = d.agg(count(lit(1)).as("total"),
+        countDistinct(col("source")).as("n_sources"))
+      bySrc.crossJoin(totals)
+        .withColumn("share", col("n_docs") / col("total").cast("double"))
+        .withColumn("uniform_weight",
+          (lit(1.0) / col("n_sources").cast("double")) /
+            (col("n_docs") / col("total").cast("double")))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          col("share"), col("uniform_weight"))
+    }),
+
     // deterministic hash-based sampling: ~10% of docs chosen by a
     // content-independent md5 of the id — reproducible across engines
     // and runs (the pipeline-sampling primitive; rng-based sample()
@@ -151,6 +190,39 @@ object TextQueries {
       .mkString("[", ",\n       ", "]")
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS dup_token_frac,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t WHERE len(toks) >= 2
+        |), c AS (
+        |  SELECT doc_id, n_tokens, dup_token_frac, bg, count(*) AS cnt
+        |  FROM b GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT doc_id, n_tokens, dup_token_frac,
+        |  CAST(max(cnt) AS BIGINT) AS top_bg_cnt,
+        |  CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(max(cnt) AS BIGINT) / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS top_bg_ratio
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
+
+    "source_mixture" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT count(*) AS total, count(DISTINCT source) AS n_sources FROM documents
+        |)
+        |SELECT source, n_docs, sum_chars,
+        |  n_docs / CAST(total AS DOUBLE) AS share,
+        |  (1.0 / CAST(n_sources AS DOUBLE)) / (n_docs / CAST(total AS DOUBLE)) AS uniform_weight
+        |FROM s, t""".stripMargin,
+
     "sample_hash_docs" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
         |  CAST(length(text) AS BIGINT) AS len_chars
