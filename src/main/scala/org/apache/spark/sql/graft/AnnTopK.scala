@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, GenericInternalRow, IntegerLiteral, Literal, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, Expression, GenericInternalRow, IntegerLiteral, Literal, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{Limit, LogicalPlan, Project, ReturnAnswer, Sort}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
@@ -119,16 +119,27 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
       meta <- AnnCatalog.lookup(fs.location.rootPaths)
       if vecAttr.name.equalsIgnoreCase(meta.vecCol)
       if tie.forall(_.name.equalsIgnoreCase(meta.idCol))
-      idAttr <- outer match {
-        case Seq(a: AttributeReference)
-            if a.name.equalsIgnoreCase(meta.idCol) && a.dataType == LongType =>
-          Some(a)
-        case _ => None
+      // the routed output: exactly one id column; any other columns must
+      // be constants (a collapsed outer projection like
+      // `SELECT 42 AS qid, id ...` is still index-answerable)
+      template <- {
+        val slots = outer.map {
+          case a: AttributeReference
+              if a.name.equalsIgnoreCase(meta.idCol) && a.dataType == LongType =>
+            Some(None)
+          case Alias(a: AttributeReference, _)
+              if a.name.equalsIgnoreCase(meta.idCol) && a.dataType == LongType =>
+            Some(None)
+          case Alias(l: Literal, _) => Some(Some(l.value))
+          case _ => None
+        }
+        if (slots.contains(None) || slots.count(_ == Some(None)) != 1) None
+        else Some(slots.map(_.get))
       }
     } yield {
       val ef = session.conf.getOption("spark.graft.ann.ef")
         .map(_.toInt).getOrElse(meta.ef)
-      AnnTopKExec(Seq(idAttr), meta.copy(ef = ef), qvec, k)
+      AnnTopKExec(outer.map(_.toAttribute), template, meta.copy(ef = ef), qvec, k)
     }
   }
 }
@@ -137,17 +148,27 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
   * bucket walks its HNSW for the (plan-time constant) query vector, the
   * driver merges to the global top-k ordered by (dist, id). The merge is
   * k·buckets rows — the same two-level shape as the reference's
-  * per-sub-index candidate pooling (hybrid_graph.cpp:306-333). */
-case class AnnTopKExec(output: Seq[Attribute],
+  * per-sub-index candidate pooling (hybrid_graph.cpp:306-333).
+  * `template` maps each output slot to a constant (Some(value)) or the
+  * result id (None — exactly one slot). */
+case class AnnTopKExec(output: Seq[Attribute], template: Seq[Option[Any]],
     meta: AnnCatalog.IndexMeta, qvec: Array[Float], k: Int)
     extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
     val ids = AnnTopKExec.searchIds(session, meta, qvec, k)
+    val types = output.map(_.dataType).toArray
+    val tmpl = template.toArray
     sparkContext.parallelize(ids.toIndexedSeq, 1).mapPartitions { it =>
-      val proj = UnsafeProjection.create(Array[DataType](LongType))
-      val row = new GenericInternalRow(1)
-      it.map { id => row.update(0, id); proj(row) }
+      val proj = UnsafeProjection.create(types)
+      val row = new GenericInternalRow(tmpl.length)
+      var i = 0
+      while (i < tmpl.length) {
+        tmpl(i).foreach(v => row.update(i, v))
+        i += 1
+      }
+      val idSlot = tmpl.indexOf(None)
+      it.map { id => row.update(idSlot, id); proj(row) }
     }
   }
 

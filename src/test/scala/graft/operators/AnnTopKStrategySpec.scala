@@ -90,6 +90,22 @@ class AnnTopKStrategySpec extends SparkSpec {
     } finally AnnCatalog.unregister(dirs._1)
   }
 
+  test("collapsed projection with constants and aliased id still routes") {
+    AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec", ef = 150)
+    try {
+      val qv = qvecOf(5L)
+      val df = spark.read.parquet(dirs._1)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id").limit(7)
+        .select(lit(5L).as("qid"), col("id").as("nid"))
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("AnnTopK"), s"expected AnnTopK in:\n$physical")
+      val rows = df.collect()
+      assert(rows.length == 7 && rows.forall(_.getLong(0) == 5L))
+      assert(rows.map(_.getLong(1)).contains(5L)) // self is its own nearest
+    } finally AnnCatalog.unregister(dirs._1)
+  }
+
   test("SQL text form routes too") {
     AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec", ef = 150)
     try {
