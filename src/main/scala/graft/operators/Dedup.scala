@@ -69,6 +69,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
   }
 
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (the AllPairs /
+    * PPJoin family): shingles are globally ordered rarest-first; for a
+    * threshold t, two sets with J ≥ t MUST share an element within the
+    * first `|X| - ceil(t·|X|) + 1` elements of that order — so the
+    * inverted index is built over prefixes only, plus a length filter
+    * (t·|A| ≤ |B|), then candidates are verified exactly. Lossless:
+    * returns exactly [[jaccardShinglePairs]]'s rows (asserted in
+    * DedupSpec), but the index join touches a fraction of the postings —
+    * the scale path for high thresholds (dedup runs at t ≥ 0.5).
+    * (doc_a, doc_b, inter, jac), doc_a < doc_b. */
+  def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+    val ex = explodedShingles(df, idCol, textCol, shingleSize)
+    val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    // per-doc shingle list in (global rarest-first, shingle) order
+    val sorted = ex.join(freq, "sh")
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, sh))), x -> x.sh)").as("shs"))
+      .withColumn("n", size(col("shs")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixes = sorted.select(col("doc_id"), col("n"),
+      explode(slice(col("shs"), lit(1),
+        (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int"))).as("sh"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= ceil(lit(minJaccard) * col("a.n")) &&
+          col("a.n") >= ceil(lit(minJaccard) * col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sorted.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("n").as("na")), "doc_a")
+      .join(sorted.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
+  }
+
   /** Per-doc MinHash signature (array<long> of length numHashes); docs
     * with no shingles are dropped. One md5 per distinct shingle +
     * numHashes universal-hash mixes, computed JVM-side in a typed map

@@ -30,6 +30,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)))            // same tokens, no shared 3-shingles
   }
 
+  test("prefix-filtered jaccard pairs equal the full inverted-index join") {
+    // fixture docs plus randomized ones, at two thresholds
+    val rnd = new scala.util.Random(11)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val rdocs = docs.unionByName(Seq.tabulate(40) { i =>
+      (100L + i, Seq.fill(6 + rnd.nextInt(6))(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text"))
+    for (t <- Seq(0.2, 0.5)) {
+      val classic = Dedup.jaccardShinglePairs(rdocs, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val prefix = Dedup.jaccardPrefixPairs(rdocs, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(prefix == classic, s"threshold $t: $prefix vs $classic")
+    }
+  }
+
   test("minhash LSH finds exact dups with est_sim 1") {
     val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
