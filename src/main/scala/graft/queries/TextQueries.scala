@@ -38,11 +38,12 @@ object TextQueries {
       Dedup.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", minCosine = 0.4)),
 
     // end-to-end dedup outcome: the surviving document set after dropping
-    // the higher-id member of every near-dup pair (jaccard >= 0.5) —
-    // runs the prefix-filtered AllPairs path (lossless vs the full
-    // inverted-index join; same oracle proves it)
+    // the higher-id member of every near-dup pair (jaccard >= 0.5).
+    // Runs the inverted-index join — at this corpus's posting sizes it
+    // beats the prefix-filtered AllPairs path (Dedup.jaccardPrefixPairs,
+    // proven row-identical in DedupSpec), which wins when postings grow.
     "dedup_survivors" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPrefixPairs(docs(s, dir), "doc_id", "text",
+      val pairs = Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
         shingleSize = 3, minJaccard = 0.5)
       docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
         .join(pairs.select(col("doc_b").as("doc_id")).distinct(),
