@@ -108,26 +108,45 @@ object TextQueries {
     }),
 
     // repetition-based quality signals (the Gopher-rules family):
-    // duplicate-token fraction and top-bigram concentration per doc
+    // duplicate-token fraction and top-bigram concentration per doc.
+    // Pure per-document computation → one typed map, zero shuffles
+    // (the bigram-explode + two-level groupBy form costs two exchanges
+    // for what is local arithmetic).
     "text_repetition" -> ((s, dir) => {
-      val toks = docs(s, dir)
-        .select(col("doc_id").cast("long").as("doc_id"),
-          expr("filter(split(text, ' '), x -> x != '')").as("toks"))
-        .filter(size(col("toks")) >= 2)
-      val bigrams = toks.select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          (lit(1.0) - size(array_distinct(col("toks"))) / size(col("toks")).cast("double"))
-            .as("dup_token_frac"),
-          explode(expr(
-            "transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat(x, ' ', element_at(toks, i + 2)))"))
-            .as("bg"))
-      bigrams
-        .groupBy(col("doc_id"), col("n_tokens"), col("dup_token_frac"), col("bg"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"), col("n_tokens"), col("dup_token_frac"))
-        .agg(max(col("cnt")).as("top_bg_cnt"), sum(col("cnt")).as("n_bigrams"))
-        .withColumn("top_bg_ratio", col("top_bg_cnt") / col("n_bigrams").cast("double"))
+      val spark = s
+      import spark.implicits._
+      docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = TF.tokenizeJvm(text)
+          if (toks.length < 2) None
+          else {
+            val n = toks.length
+            val dupFrac = 1.0 - toks.distinct.length / n.toDouble
+            val counts = new java.util.HashMap[String, Long]()
+            var top = 0L
+            var i = 0
+            while (i < n - 1) {
+              val bg = toks(i) + " " + toks(i + 1)
+              val c = counts.merge(bg, 1L, (a, b) => a + b)
+              if (c > top) top = c
+              i += 1
+            }
+            Some((id, n.toLong, dupFrac, top, (n - 1).toLong, top / (n - 1).toDouble))
+          }
+        }
+        .toDF("doc_id", "n_tokens", "dup_token_frac", "top_bg_cnt", "n_bigrams", "top_bg_ratio")
     }),
+
+    // wide→long UNPIVOT (stack) of per-returnflag aggregates
+    "unpivot_lineitem" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("price"),
+          round(sum(col("l_discount")), 2).as("disc"))
+        .selectExpr("l_returnflag",
+          "stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (metric, value)")),
 
     // source-mixture weights: per-source share and the uniform-target
     // resampling weight (the mixture-balancing primitive)
@@ -193,6 +212,17 @@ object TextQueries {
       .mkString("[", ",\n       ", "]")
 
   val oracles: Map[String, String] = Map(
+    "unpivot_lineitem" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+        |    round(sum(l_extendedprice), 2) AS price,
+        |    round(sum(l_discount), 2) AS disc
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
+        |UNION ALL SELECT l_returnflag, 'price', price FROM a
+        |UNION ALL SELECT l_returnflag, 'disc', disc FROM a""".stripMargin,
+
     "text_repetition" ->
       """WITH t AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
