@@ -165,6 +165,19 @@ object TextQueries {
           col("share"), col("uniform_weight"))
     }),
 
+    // canonicalization for dedup/training: lowercase, trim, collapse
+    // runs of spaces, mask digit runs — emitted as a stable fingerprint
+    "text_normalize" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("norm",
+          regexp_replace(
+            lower(trim(regexp_replace(col("text"), "[ ]+", " "))),
+            "[0-9]+", "<num>"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("norm").cast("binary")).as("norm_md5"),
+          length(col("norm")).cast("long").as("norm_len"),
+          (length(col("text")) - length(col("norm"))).cast("long").as("len_delta"))),
+
     // deterministic hash-based sampling: ~10% of docs chosen by a
     // content-independent md5 of the id — reproducible across engines
     // and runs (the pipeline-sampling primitive; rng-based sample()
@@ -255,6 +268,20 @@ object TextQueries {
         |  n_docs / CAST(total AS DOUBLE) AS share,
         |  (1.0 / CAST(n_sources AS DOUBLE)) / (n_docs / CAST(total AS DOUBLE)) AS uniform_weight
         |FROM s, t""".stripMargin,
+
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(regexp_replace(text, '[ ]+', ' ', 'g'))),
+        |                   '[0-9]+', '<num>', 'g') AS norm,
+        |    text
+        |  FROM documents
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  md5(norm) AS norm_md5,
+        |  CAST(length(norm) AS BIGINT) AS norm_len,
+        |  CAST(length(text) - length(norm) AS BIGINT) AS len_delta
+        |FROM n""".stripMargin,
 
     "sample_hash_docs" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
