@@ -336,6 +336,24 @@ object RelationalQueries {
           (col("next_us") - col("ous")).as("gap_us"))
     }),
 
+    // source/sink breadth: events → CSV sink → CSV source (schema'd)
+    // → aggregate; the oracle aggregates the same logical rows from
+    // parquet (doubles round-trip losslessly through Spark's CSV)
+    "csv_roundtrip_agg" -> ((s, dir) => {
+      val path = s"/tmp/graft_csv/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
+      events(s, dir)
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          col("event_type"), col("value").cast("double"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .csv(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+
     // multiset set op: INTERSECT ALL keeps duplicate cardinalities
     // (customers' order counts in both status classes)
     "setop_all_orders" -> ((s, dir) => {
@@ -573,6 +591,12 @@ object RelationalQueries {
         |  CAST(next_key AS BIGINT) AS next_orderkey,
         |  CAST(next_us - ous AS BIGINT) AS gap_us
         |FROM w WHERE next_key IS NOT NULL""".stripMargin,
+
+    "csv_roundtrip_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "setop_all_orders" ->
       """SELECT k, count(*) AS n FROM (
