@@ -6,11 +6,12 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, Expression, GenericInternalRow, IntegerLiteral, Literal, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{Limit, LogicalPlan, Project, ReturnAnswer, Sort}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, IsNotNull}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit, LogicalPlan, Project, ReturnAnswer, Sort}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
 
 import graft.index.HnswIndex
 
@@ -36,8 +37,13 @@ import graft.index.HnswIndex
   */
 object AnnCatalog {
 
-  /** Where the bucketed index table lives + the base column contract. */
-  case class IndexMeta(indexPath: String, idCol: String, vecCol: String, ef: Int)
+  /** Where the bucketed index table lives + the base column contract.
+    * `labelIndex` optionally points at a per-label index table
+    * ([[graft.index.AnnIndexStore.buildBy]]) keyed by `labelCol`, which
+    * answers `WHERE labelCol = v ORDER BY l2_sq ... LIMIT k` — the
+    * reference's type-1 route — from the matching sub-index alone. */
+  case class IndexMeta(indexPath: String, idCol: String, vecCol: String, ef: Int,
+      labelIndex: Option[(String, String)] = None)
 
   private val registry = TrieMap.empty[String, IndexMeta]
 
@@ -46,10 +52,14 @@ object AnnCatalog {
 
   /** Declare that `basePath` (a parquet dataset with columns
     * (idCol LONG, vecCol ARRAY&lt;FLOAT&gt;)) has a bucketed HNSW index
-    * table (built by [[graft.index.AnnIndexStore.build]]) at `indexPath`. */
+    * table (built by [[graft.index.AnnIndexStore.build]]) at `indexPath`.
+    * Pass `labelCol` -> per-label index path (from
+    * [[graft.index.AnnIndexStore.buildBy]]) to also route
+    * label-equality-filtered top-k statements. */
   def register(basePath: String, indexPath: String,
-      idCol: String = "id", vecCol: String = "vec", ef: Int = 200): Unit =
-    registry.put(norm(basePath), IndexMeta(indexPath, idCol, vecCol, ef))
+      idCol: String = "id", vecCol: String = "vec", ef: Int = 200,
+      labelIndex: Option[(String, String)] = None): Unit =
+    registry.put(norm(basePath), IndexMeta(indexPath, idCol, vecCol, ef, labelIndex))
 
   def unregister(basePath: String): Unit = registry.remove(norm(basePath))
 
@@ -78,13 +88,42 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
     }
   }
 
-  /** Strip attribute-only projections; yield the file relation beneath. */
-  private def unwrap(plan: LogicalPlan): Option[HadoopFsRelation] = plan match {
+  private object LongEquality {
+    def unapply(e: Expression): Option[(AttributeReference, Long)] = e match {
+      case EqualTo(a: AttributeReference, Literal(v: Long, LongType)) => Some((a, v))
+      case EqualTo(Literal(v: Long, LongType), a: AttributeReference) => Some((a, v))
+      case EqualTo(a: AttributeReference, Literal(v: Int, IntegerType)) => Some((a, v.toLong))
+      case EqualTo(Literal(v: Int, IntegerType), a: AttributeReference) => Some((a, v.toLong))
+      case _ => None
+    }
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Strip attribute-only projections and at most one label-equality
+    * filter (`attr = intLit`, plus the IsNotNull the optimizer infers);
+    * yield the file relation beneath and the equality if present. */
+  private def unwrap(plan: LogicalPlan)
+      : Option[(HadoopFsRelation, Option[(AttributeReference, Long)])] = plan match {
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       unwrap(child)
+    case Filter(cond, child) =>
+      val parts = conjuncts(cond)
+      val eqs = parts.collect { case LongEquality(a, v) => (a, v) }
+      val residue = parts.filter {
+        case LongEquality(_, _) => false
+        case IsNotNull(_: AttributeReference) => false
+        case _ => true
+      }
+      if (eqs.length == 1 && residue.isEmpty)
+        unwrap(child).collect { case (fs, None) => (fs, Some(eqs.head)) }
+      else None
     case lr: LogicalRelation =>
       lr.relation match {
-        case fs: HadoopFsRelation => Some(fs)
+        case fs: HadoopFsRelation => Some((fs, None))
         case _ => None
       }
     case _ => None
@@ -115,10 +154,20 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
     }
     for {
       (vecAttr, qvec, tie) <- keys
-      fs <- unwrap(sort.child)
+      (fs, labelEq) <- unwrap(sort.child)
       meta <- AnnCatalog.lookup(fs.location.rootPaths)
       if vecAttr.name.equalsIgnoreCase(meta.vecCol)
       if tie.forall(_.name.equalsIgnoreCase(meta.idCol))
+      // a label-equality predicate routes to the per-label index table
+      // (the reference's type-1 dispatch) when one is registered
+      (searchPath, bucket) <- labelEq match {
+        case None => Some((meta.indexPath, None: Option[Long]))
+        case Some((attr, v)) => meta.labelIndex match {
+          case Some((labelCol, p)) if attr.name.equalsIgnoreCase(labelCol) =>
+            Some((p, Some(v)))
+          case _ => None
+        }
+      }
       // the routed output: exactly one id column; any other columns must
       // be constants (a collapsed outer projection like
       // `SELECT 42 AS qid, id ...` is still index-answerable)
@@ -139,7 +188,8 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
     } yield {
       val ef = session.conf.getOption("spark.graft.ann.ef")
         .map(_.toInt).getOrElse(meta.ef)
-      AnnTopKExec(outer.map(_.toAttribute), template, meta.copy(ef = ef), qvec, k)
+      AnnTopKExec(outer.map(_.toAttribute), template,
+        meta.copy(indexPath = searchPath, ef = ef), qvec, k, bucket)
     }
   }
 }
@@ -152,11 +202,12 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
   * `template` maps each output slot to a constant (Some(value)) or the
   * result id (None — exactly one slot). */
 case class AnnTopKExec(output: Seq[Attribute], template: Seq[Option[Any]],
-    meta: AnnCatalog.IndexMeta, qvec: Array[Float], k: Int)
+    meta: AnnCatalog.IndexMeta, qvec: Array[Float], k: Int,
+    bucket: Option[Long] = None)
     extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val ids = AnnTopKExec.searchIds(session, meta, qvec, k)
+    val ids = AnnTopKExec.searchIds(session, meta, qvec, k, bucket)
     val types = output.map(_.dataType).toArray
     val tmpl = template.toArray
     sparkContext.parallelize(ids.toIndexedSeq, 1).mapPartitions { it =>
@@ -173,16 +224,21 @@ case class AnnTopKExec(output: Seq[Attribute], template: Seq[Option[Any]],
   }
 
   override def simpleString(maxFields: Int): String =
-    s"AnnTopK k=$k ef=${meta.ef} index=${meta.indexPath}"
+    s"AnnTopK k=$k ef=${meta.ef} index=${meta.indexPath}" +
+      bucket.map(b => s" bucket=$b").getOrElse("")
 }
 
 object AnnTopKExec {
-  /** Distributed bucket search + driver top-k merge, ascending (dist, id). */
+  /** Distributed bucket search + driver top-k merge, ascending (dist, id).
+    * With `bucket`, only that sub-index row is read (parquet min/max
+    * pruning on the per-label table). */
   private[graft] def searchIds(spark: SparkSession,
-      meta: AnnCatalog.IndexMeta, qvec: Array[Float], k: Int): Array[Long] = {
+      meta: AnnCatalog.IndexMeta, qvec: Array[Float], k: Int,
+      bucket: Option[Long] = None): Array[Long] = {
     import spark.implicits._
     val ef = math.max(meta.ef, k)
-    spark.read.parquet(meta.indexPath)
+    val table = spark.read.parquet(meta.indexPath)
+    bucket.fold(table)(b => table.filter(org.apache.spark.sql.functions.col("bucket") === b))
       .select("ids", "graph")
       .as[(Array[Long], Array[Byte])]
       .flatMap { case (ids, bytes) =>

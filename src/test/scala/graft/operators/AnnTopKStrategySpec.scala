@@ -106,6 +106,40 @@ class AnnTopKStrategySpec extends SparkSpec {
     } finally AnnCatalog.unregister(dirs._1)
   }
 
+  test("label-equality predicate routes to the per-label index (type-1 dispatch)") {
+    val root = Files.createTempDirectory("graft_anntopk_lbl").toFile
+    root.deleteOnExit()
+    val basePath = s"$root/base"
+    val byLabelPath = s"$root/by_label"
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextFloat() * 10 - 5))
+    val df = Seq.tabulate(1000) { i =>
+      (i.toLong, (i % 5).toLong, centers(i % 20).map(x => x + rnd.nextFloat() * 0.5f))
+    }.toDF("id", "label", "vec")
+    df.write.mode("overwrite").parquet(basePath)
+    graft.index.AnnIndexStore.buildBy(spark.read.parquet(basePath), byLabelPath, "label")
+    AnnCatalog.register(basePath, s"$root/unused", idCol = "id", vecCol = "vec",
+      ef = 200, labelIndex = Some(("label", byLabelPath)))
+    try {
+      val qv = spark.read.parquet(basePath).filter(col("id") === 42L)
+        .select("vec").head.getSeq[Float](0).toArray
+      val routed = spark.read.parquet(basePath)
+        .filter(col("label") === 2L)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id").limit(10)
+      val physical = routed.queryExecution.executedPlan.toString
+      assert(physical.contains("bucket=2"), s"expected bucketed AnnTopK in:\n$physical")
+      val got = routed.collect().map(_.getLong(0))
+      assert(got.length == 10 && got.forall(_ % 5 == 2)) // label = id % 5
+      // recall vs exact filtered top-k
+      val exact = spark.read.parquet(basePath).filter(col("label") === 2L)
+        .withColumn("d", VectorFunctions.l2Sq(col("vec"), typedLit(qv)))
+        .orderBy(col("d"), col("id")).select("id").limit(10)
+        .collect().map(_.getLong(0)).toSet
+      assert(got.toSet.intersect(exact).size >= 8)
+    } finally AnnCatalog.unregister(basePath)
+  }
+
   test("SQL text form routes too") {
     AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec", ef = 150)
     try {
