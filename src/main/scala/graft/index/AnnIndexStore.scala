@@ -47,22 +47,77 @@ object AnnIndexStore {
     * (hybrid_graph.cpp:47-89): later query batches search only their
     * own value's sub-index. Persisted as (bucket, ids, graph) rows.
     * base: (id LONG, <bucketCol> LONG, vec ARRAY<FLOAT>). */
+  /** `attrCol` (optional) persists one aligned double per row (e.g. the
+    * raw timestamp) so range predicates can run the in-filter walk
+    * against the stored sub-index ([[searchDecileRange]]). */
   def buildBy(base: DataFrame, path: String, bucketCol: String,
-      m: Int = 16, efConstruction: Int = 200): Unit = {
+      m: Int = 16, efConstruction: Int = 200,
+      attrCol: Option[String] = None): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
-    base.select(col("id").cast("long"), col(bucketCol).cast("long").as("bucket"), col("vec"))
-      .as[(Long, Long, Array[Float])]
+    val attr = attrCol.map(c => col(c).cast("double")).getOrElse(lit(0.0))
+    base.select(col("id").cast("long"), col(bucketCol).cast("long").as("bucket"),
+        attr.as("attr"), col("vec"))
+      .as[(Long, Long, Double, Array[Float])]
       .repartition(col("bucket"))
       .mapPartitions { it =>
         it.toArray.groupBy(_._2).iterator.map { case (bucket, rows) =>
-          val index = new HnswIndex(rows.head._3.length, m, efConstruction)
-          rows.foreach(r => index.add(r._3))
-          (bucket, rows.map(_._1), index.toBytes)
+          val index = new HnswIndex(rows.head._4.length, m, efConstruction)
+          rows.foreach(r => index.add(r._4))
+          (bucket, rows.map(_._1), rows.map(_._3), index.toBytes)
         }
       }
-      .toDF("bucket", "ids", "graph")
+      .toDF("bucket", "ids", "attrs", "graph")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Range search over a decile-bucketed [[buildBy]] table (bucketCol =
+    * floor(ts·10), attrCol = ts): each query reads only its overlapping
+    * decile rows (bucket min/max pruned), walks fully-covered deciles
+    * unfiltered and partially-covered ones with the ts in-filter, and
+    * the per-decile candidates merge through the bounded top-k — the
+    * stored-index form of the reference's type-2 stage
+    * (hybrid_graph.cpp:338-459). queries: (qid, l, r, qvec). */
+  def searchDecileRange(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, ef: Int = 200): DataFrame = {
+    import spark.implicits._
+    val qBatch = queries
+      .select(col("qid").cast("long"), col("l").cast("double"),
+        col("r").cast("double"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getSeq[Float](3).toArray))
+    if (qBatch.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+    val bq = spark.sparkContext.broadcast(qBatch)
+    val minB = math.floor(qBatch.map(_._2).min * 10).toLong
+    val maxB = math.floor(qBatch.map(_._3).max * 10).toLong
+    spark.read.parquet(path)
+      .filter(col("bucket") >= minB && col("bucket") <= maxB)
+      .select(col("bucket"), col("ids"), col("attrs"), col("graph"))
+      .as[(Long, Array[Long], Array[Double], Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (decile, ids, ts, graphBytes) =>
+          val bStart = decile / 10.0
+          val bEnd = (decile + 1) / 10.0
+          val overlapping = bq.value.filter { case (_, l, r, _) => l < bEnd && r >= bStart }
+          if (overlapping.isEmpty) Iterator.empty
+          else {
+            val index = HnswIndex.fromBytes(graphBytes)
+            overlapping.iterator.flatMap { case (qid, l, r, qvec) =>
+              val full = l <= bStart && r >= bEnd
+              val allowed: Int => Boolean =
+                if (full) null else i => ts(i) >= l && ts(i) <= r
+              index.search(qvec, k, ef, allowed).iterator.map {
+                case (internal, d) => (qid, ids(internal), d)
+              }
+            }
+          }
+        }
+      }
+      .toDF("qid", "id", "dist")
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
+      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
   }
 
   /** Search a [[buildBy]] table with bucket-keyed queries (qid, v,

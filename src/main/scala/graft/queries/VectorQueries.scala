@@ -80,8 +80,9 @@ object VectorQueries {
         ann = true, annEf = 150, annBuckets = 4)),
 
     // build-once/search-many lifecycle over PERSISTED index tables: the
-    // hash-bucket store answers type-0 queries, the per-label store
-    // (buildBy) answers type-1 with the predicate by construction.
+    // hash-bucket store answers type-0, the per-label store (buildBy)
+    // answers type-1 with the predicate by construction, and the decile
+    // store (buildBy + ts attr) answers type-2 with the in-filter walk.
     // Rows-only; AnnIndexStoreSpec enforces recall + determinism.
     "knn_stored" -> ((s, dir) => {
       val root = s"/tmp/graft_ann_store/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -91,11 +92,18 @@ object VectorQueries {
       if (!new java.io.File(s"$root/by_label/_SUCCESS").exists())
         graft.index.AnnIndexStore.buildBy(
           b.select(col("id"), col("label"), col("vec")), s"$root/by_label", "label")
+      if (!new java.io.File(s"$root/by_decile/_SUCCESS").exists())
+        graft.index.AnnIndexStore.buildBy(
+          b.withColumn("decile", floor(col("ts") * 10).cast("long")),
+          s"$root/by_decile", "decile", attrCol = Some("ts"))
       val q = qs(s, dir)
       graft.index.AnnIndexStore.search(s, s"$root/by_hash",
           q.filter(col("qtype") === 0).select(col("qid"), col("qvec")), 10, 200)
         .unionByName(graft.index.AnnIndexStore.searchBy(s, s"$root/by_label",
           q.filter(col("qtype") === 1).select(col("qid"), col("v"), col("qvec")), 10, 200))
+        .unionByName(graft.index.AnnIndexStore.searchDecileRange(s, s"$root/by_decile",
+          q.filter(col("qtype") === 2).select(col("qid"), col("l"), col("r"), col("qvec")),
+          10, 200))
     }),
 
     // inner-product metric kNN (the reference's second metric, unused at

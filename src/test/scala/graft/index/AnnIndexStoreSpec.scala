@@ -67,6 +67,27 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("stored decile-range search: predicate holds, recall >= 0.85 vs exact") {
+    val base = Seq.tabulate(1500)(i => (i.toLong, (i % 40) / 40.0, vec()))
+      .toDF("id", "ts", "vec")
+    val dir = Files.createTempDirectory("graft-annstore-dec").toString + "/by_decile"
+    AnnIndexStore.buildBy(
+      base.withColumn("decile", floor(col("ts") * 10).cast("long")),
+      dir, "decile", attrCol = Some("ts"))
+    val queries = Seq.tabulate(8)(i =>
+      (i.toLong, (i % 3) / 10.0, (i % 3) / 10.0 + 0.35, vec()))
+      .toDF("qid", "l", "r", "qvec")
+    val res = AnnIndexStore.searchDecileRange(spark, dir, queries, k = 10, ef = 256)
+    val joined = res.join(queries.select($"qid", $"l", $"r"), "qid")
+      .join(base.select($"id".as("nid"), $"ts"), "nid")
+    assert(joined.filter($"ts" < $"l" || $"ts" > $"r").count() == 0)
+    val exact = KnnJoin.exactFlat(
+      base.withColumn("label", lit(0L)),
+      queries.withColumn("qtype", lit(2)).withColumn("v", lit(0L)), 10, types = Seq(2))
+    val recall = AnnJoin.recallAtK(res, exact)
+    assert(recall >= 0.85, s"recall $recall")
+  }
+
   test("decile ANN join: range predicate holds, recall >= 0.85 vs exact") {
     val base = Seq.tabulate(2000)(i => (i.toLong, (i % 100) / 100.0, vec()))
       .toDF("id", "ts", "vec")
