@@ -71,6 +71,44 @@ object AnnIndexStore {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Type-3 search over a per-label [[buildBy]] table built with
+    * `attrCol = ts`: each query walks ONLY its label's sub-index with
+    * the ts in-filter — the stored-index form of the reference's
+    * SearchCategoryRange (searcher.hpp:301-374).
+    * queries: (qid, v, l, r, qvec) → (qid, rank, nid). */
+  def searchByRange(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, ef: Int = 200): DataFrame = {
+    import spark.implicits._
+    val qByBucket = queries
+      .select(col("qid").cast("long"), col("v").cast("long"),
+        col("l").cast("double"), col("r").cast("double"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(1),
+        (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getSeq[Float](4).toArray)))
+      .groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2)) }
+    if (qByBucket.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+    val bq = spark.sparkContext.broadcast(qByBucket)
+    val wanted = qByBucket.keys.toSeq
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(wanted: _*))
+      .select(col("bucket"), col("ids"), col("attrs"), col("graph"))
+      .as[(Long, Array[Long], Array[Double], Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (bucket, ids, ts, graphBytes) =>
+          bq.value.get(bucket).iterator.flatMap { qs =>
+            val index = HnswIndex.fromBytes(graphBytes)
+            qs.iterator.flatMap { case (qid, l, r, qvec) =>
+              val allowed: Int => Boolean = i => ts(i) >= l && ts(i) <= r
+              index.search(qvec, k, ef, allowed).zipWithIndex.map {
+                case ((internal, _), rank) => (qid, (rank + 1).toLong, ids(internal))
+              }
+            }
+          }
+        }
+      }
+      .toDF("qid", "rank", "nid")
+  }
+
   /** Range search over a decile-bucketed [[buildBy]] table (bucketCol =
     * floor(ts·10), attrCol = ts): each query reads only its overlapping
     * decile rows (bucket min/max pruned), walks fully-covered deciles

@@ -91,7 +91,8 @@ object VectorQueries {
         graft.index.AnnIndexStore.build(b.select(col("id"), col("vec")), s"$root/by_hash", 4)
       if (!new java.io.File(s"$root/by_label/_SUCCESS").exists())
         graft.index.AnnIndexStore.buildBy(
-          b.select(col("id"), col("label"), col("vec")), s"$root/by_label", "label")
+          b.select(col("id"), col("label"), col("ts"), col("vec")), s"$root/by_label",
+          "label", attrCol = Some("ts"))
       if (!new java.io.File(s"$root/by_decile/_SUCCESS").exists())
         graft.index.AnnIndexStore.buildBy(
           b.withColumn("decile", floor(col("ts") * 10).cast("long")),
@@ -104,6 +105,9 @@ object VectorQueries {
         .unionByName(graft.index.AnnIndexStore.searchDecileRange(s, s"$root/by_decile",
           q.filter(col("qtype") === 2).select(col("qid"), col("l"), col("r"), col("qvec")),
           10, 200))
+        .unionByName(graft.index.AnnIndexStore.searchByRange(s, s"$root/by_label",
+          q.filter(col("qtype") === 3)
+            .select(col("qid"), col("v"), col("l"), col("r"), col("qvec")), 10, 200))
     }),
 
     // inner-product metric kNN (the reference's second metric, unused at

@@ -67,6 +67,24 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("stored type-3 search: label AND range predicates hold, recall >= 0.85") {
+    val base = Seq.tabulate(1500)(i => (i.toLong, (i % 4).toLong, (i % 30) / 30.0, vec()))
+      .toDF("id", "label", "ts", "vec")
+    val dir = Files.createTempDirectory("graft-annstore-t3").toString + "/by_label"
+    AnnIndexStore.buildBy(base, dir, "label", attrCol = Some("ts"))
+    val queries = Seq.tabulate(8)(i =>
+      (i.toLong, (i % 4).toLong, (i % 2) / 10.0, (i % 2) / 10.0 + 0.5, vec()))
+      .toDF("qid", "v", "l", "r", "qvec")
+    val res = AnnIndexStore.searchByRange(spark, dir, queries, k = 10, ef = 256)
+    val joined = res.join(queries.select($"qid", $"v", $"l", $"r"), "qid")
+      .join(base.select($"id".as("nid"), $"label", $"ts"), "nid")
+    assert(joined.filter($"label" =!= $"v" || $"ts" < $"l" || $"ts" > $"r").count() == 0)
+    val exact = KnnJoin.exactFlat(base,
+      queries.withColumn("qtype", lit(3)), 10, types = Seq(3))
+    val recall = AnnJoin.recallAtK(res, exact)
+    assert(recall >= 0.85, s"recall $recall")
+  }
+
   test("stored decile-range search: predicate holds, recall >= 0.85 vs exact") {
     val base = Seq.tabulate(1500)(i => (i.toLong, (i % 40) / 40.0, vec()))
       .toDF("id", "ts", "vec")
