@@ -6,12 +6,12 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, Expression, GenericInternalRow, IntegerLiteral, Literal, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, IsNotNull}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, GreaterThanOrEqual, IsNotNull, LessThanOrEqual}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit, LogicalPlan, Project, ReturnAnswer, Sort}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 import graft.index.HnswIndex
 
@@ -43,7 +43,8 @@ object AnnCatalog {
     * answers `WHERE labelCol = v ORDER BY l2_sq ... LIMIT k` — the
     * reference's type-1 route — from the matching sub-index alone. */
   case class IndexMeta(indexPath: String, idCol: String, vecCol: String, ef: Int,
-      labelIndex: Option[(String, String)] = None)
+      labelIndex: Option[(String, String)] = None,
+      rangeIndex: Option[(String, String)] = None)
 
   private val registry = TrieMap.empty[String, IndexMeta]
 
@@ -53,13 +54,18 @@ object AnnCatalog {
   /** Declare that `basePath` (a parquet dataset with columns
     * (idCol LONG, vecCol ARRAY&lt;FLOAT&gt;)) has a bucketed HNSW index
     * table (built by [[graft.index.AnnIndexStore.build]]) at `indexPath`.
-    * Pass `labelCol` -> per-label index path (from
-    * [[graft.index.AnnIndexStore.buildBy]]) to also route
-    * label-equality-filtered top-k statements. */
+    * Pass `labelIndex` = (labelCol → per-label index path from
+    * [[graft.index.AnnIndexStore.buildBy]], built with `attrCol = tsCol`
+    * when type-3 statements should route too) and/or `rangeIndex` =
+    * (tsCol → decile index path, `buildBy` over `floor(ts·10)` with
+    * `attrCol = tsCol`) to also route predicated top-k statements —
+    * all four of the reference's query types, from SQL text. */
   def register(basePath: String, indexPath: String,
       idCol: String = "id", vecCol: String = "vec", ef: Int = 200,
-      labelIndex: Option[(String, String)] = None): Unit =
-    registry.put(norm(basePath), IndexMeta(indexPath, idCol, vecCol, ef, labelIndex))
+      labelIndex: Option[(String, String)] = None,
+      rangeIndex: Option[(String, String)] = None): Unit =
+    registry.put(norm(basePath),
+      IndexMeta(indexPath, idCol, vecCol, ef, labelIndex, rangeIndex))
 
   def unregister(basePath: String): Unit = registry.remove(norm(basePath))
 
@@ -98,32 +104,74 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
     }
   }
 
+  private object NumLit {
+    def unapply(e: Expression): Option[Double] = e match {
+      case Literal(v: Double, DoubleType) => Some(v)
+      case Literal(v: Float, FloatType) => Some(v.toDouble)
+      case Literal(v: Int, IntegerType) => Some(v.toDouble)
+      case Literal(v: Long, LongType) => Some(v.toDouble)
+      case _ => None
+    }
+  }
+
+  /** `attr >= lit` / `attr <= lit` in either writing, as (attr, isLower, bound). */
+  private object Bound {
+    def unapply(e: Expression): Option[(AttributeReference, Boolean, Double)] = e match {
+      case GreaterThanOrEqual(a: AttributeReference, NumLit(v)) => Some((a, true, v))
+      case LessThanOrEqual(NumLit(v), a: AttributeReference) => Some((a, true, v))
+      case LessThanOrEqual(a: AttributeReference, NumLit(v)) => Some((a, false, v))
+      case GreaterThanOrEqual(NumLit(v), a: AttributeReference) => Some((a, false, v))
+      case _ => None
+    }
+  }
+
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case x => Seq(x)
   }
 
-  /** Strip attribute-only projections and at most one label-equality
-    * filter (`attr = intLit`, plus the IsNotNull the optimizer infers);
-    * yield the file relation beneath and the equality if present. */
-  private def unwrap(plan: LogicalPlan)
-      : Option[(HadoopFsRelation, Option[(AttributeReference, Long)])] = plan match {
+  /** The predicates the index layer can answer: at most one integer
+    * equality (label) and at most one closed numeric interval (ts). */
+  private case class PredInfo(eq: Option[(AttributeReference, Long)] = None,
+      range: Option[(AttributeReference, Double, Double)] = None)
+
+  /** Strip attribute-only projections and at most one index-answerable
+    * filter (label equality and/or closed ts interval, plus the
+    * IsNotNull conjuncts the optimizer infers). */
+  private def unwrap(plan: LogicalPlan): Option[(HadoopFsRelation, PredInfo)] = plan match {
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       unwrap(child)
     case Filter(cond, child) =>
       val parts = conjuncts(cond)
       val eqs = parts.collect { case LongEquality(a, v) => (a, v) }
+      val bounds = parts.collect { case Bound(a, lower, v) => (a, lower, v) }
       val residue = parts.filter {
         case LongEquality(_, _) => false
+        case Bound(_, _, _) => false
         case IsNotNull(_: AttributeReference) => false
         case _ => true
       }
-      if (eqs.length == 1 && residue.isEmpty)
-        unwrap(child).collect { case (fs, None) => (fs, Some(eqs.head)) }
-      else None
+      val range = bounds.groupBy(_._1.name) match {
+        case m if m.isEmpty => Some(None)
+        case m if m.size == 1 =>
+          val bs = m.head._2
+          val los = bs.filter(_._2).map(_._3)
+          val his = bs.filterNot(_._2).map(_._3)
+          if (los.length == 1 && his.length == 1)
+            Some(Some((bs.head._1, los.head, his.head)))
+          else None
+        case _ => None
+      }
+      range match {
+        case Some(r) if eqs.length <= 1 && residue.isEmpty && (eqs.nonEmpty || r.nonEmpty) =>
+          unwrap(child).collect { case (fs, PredInfo(None, None)) =>
+            (fs, PredInfo(eqs.headOption, r))
+          }
+        case _ => None
+      }
     case lr: LogicalRelation =>
       lr.relation match {
-        case fs: HadoopFsRelation => Some((fs, None))
+        case fs: HadoopFsRelation => Some((fs, PredInfo()))
         case _ => None
       }
     case _ => None
@@ -154,19 +202,33 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
     }
     for {
       (vecAttr, qvec, tie) <- keys
-      (fs, labelEq) <- unwrap(sort.child)
+      (fs, preds) <- unwrap(sort.child)
       meta <- AnnCatalog.lookup(fs.location.rootPaths)
       if vecAttr.name.equalsIgnoreCase(meta.vecCol)
       if tie.forall(_.name.equalsIgnoreCase(meta.idCol))
-      // a label-equality predicate routes to the per-label index table
-      // (the reference's type-1 dispatch) when one is registered
-      (searchPath, bucket) <- labelEq match {
-        case None => Some((meta.indexPath, None: Option[Long]))
-        case Some((attr, v)) => meta.labelIndex match {
-          case Some((labelCol, p)) if attr.name.equalsIgnoreCase(labelCol) =>
-            Some((p, Some(v)))
-          case _ => None
+      // predicate → stored-index route: the reference's 4-type dispatch
+      //   none        → hash-bucket table       (type 0)
+      //   label = v   → per-label table         (type 1)
+      //   l ≤ ts ≤ r  → decile table, in-filter (type 2)
+      //   both        → per-label table + ts in-filter (type 3)
+      annRoute <- (preds.eq, preds.range) match {
+        case (None, None) => Some(AnnTopKExec.HashRoute(meta.indexPath))
+        case (Some((attr, v)), None) => meta.labelIndex.collect {
+          case (labelCol, p) if attr.name.equalsIgnoreCase(labelCol) =>
+            AnnTopKExec.LabelRoute(p, v, None)
         }
+        case (None, Some((attr, lo, hi))) => meta.rangeIndex.collect {
+          case (tsCol, p) if attr.name.equalsIgnoreCase(tsCol) =>
+            AnnTopKExec.RangeRoute(p, lo, hi)
+        }
+        case (Some((lAttr, v)), Some((tAttr, lo, hi))) =>
+          (meta.labelIndex, meta.rangeIndex) match {
+            case (Some((labelCol, p)), Some((tsCol, _)))
+                if lAttr.name.equalsIgnoreCase(labelCol) &&
+                  tAttr.name.equalsIgnoreCase(tsCol) =>
+              Some(AnnTopKExec.LabelRoute(p, v, Some((lo, hi))))
+            case _ => None
+          }
       }
       // the routed output: exactly one id column; any other columns must
       // be constants (a collapsed outer projection like
@@ -188,8 +250,7 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
     } yield {
       val ef = session.conf.getOption("spark.graft.ann.ef")
         .map(_.toInt).getOrElse(meta.ef)
-      AnnTopKExec(outer.map(_.toAttribute), template,
-        meta.copy(indexPath = searchPath, ef = ef), qvec, k, bucket)
+      AnnTopKExec(outer.map(_.toAttribute), template, annRoute, ef, qvec, k)
     }
   }
 }
@@ -202,12 +263,11 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
   * `template` maps each output slot to a constant (Some(value)) or the
   * result id (None — exactly one slot). */
 case class AnnTopKExec(output: Seq[Attribute], template: Seq[Option[Any]],
-    meta: AnnCatalog.IndexMeta, qvec: Array[Float], k: Int,
-    bucket: Option[Long] = None)
+    route: AnnTopKExec.AnnRoute, ef: Int, qvec: Array[Float], k: Int)
     extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val ids = AnnTopKExec.searchIds(session, meta, qvec, k, bucket)
+    val ids = AnnTopKExec.searchIds(session, route, qvec, k, ef)
     val types = output.map(_.dataType).toArray
     val tmpl = template.toArray
     sparkContext.parallelize(ids.toIndexedSeq, 1).mapPartitions { it =>
@@ -224,28 +284,79 @@ case class AnnTopKExec(output: Seq[Attribute], template: Seq[Option[Any]],
   }
 
   override def simpleString(maxFields: Int): String =
-    s"AnnTopK k=$k ef=${meta.ef} index=${meta.indexPath}" +
-      bucket.map(b => s" bucket=$b").getOrElse("")
+    s"AnnTopK k=$k ef=$ef $route"
 }
 
 object AnnTopKExec {
+
+  /** Which stored index answers the statement, and under which predicate. */
+  sealed trait AnnRoute { def path: String }
+  /** Type 0: every hash bucket searched, results pooled. */
+  case class HashRoute(path: String) extends AnnRoute {
+    override def toString: String = s"index=$path"
+  }
+  /** Type 1/3: one label bucket, optional ts in-filter. */
+  case class LabelRoute(path: String, bucket: Long,
+      tsRange: Option[(Double, Double)]) extends AnnRoute {
+    override def toString: String =
+      s"index=$path bucket=$bucket" +
+        tsRange.map { case (l, r) => s" ts=[$l,$r]" }.getOrElse("")
+  }
+  /** Type 2: overlapping decile buckets, in-filter on partial ones. */
+  case class RangeRoute(path: String, lo: Double, hi: Double) extends AnnRoute {
+    override def toString: String = s"index=$path ts=[$lo,$hi]"
+  }
+
   /** Distributed bucket search + driver top-k merge, ascending (dist, id).
-    * With `bucket`, only that sub-index row is read (parquet min/max
-    * pruning on the per-label table). */
-  private[graft] def searchIds(spark: SparkSession,
-      meta: AnnCatalog.IndexMeta, qvec: Array[Float], k: Int,
-      bucket: Option[Long] = None): Array[Long] = {
+    * Bucketed routes read only the matching sub-index rows (parquet
+    * min/max pruning); range routes run the in-filter walk on partially
+    * covered deciles. */
+  private[graft] def searchIds(spark: SparkSession, route: AnnRoute,
+      qvec: Array[Float], k: Int, ef: Int): Array[Long] = {
+    import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val ef = math.max(meta.ef, k)
-    val table = spark.read.parquet(meta.indexPath)
-    bucket.fold(table)(b => table.filter(org.apache.spark.sql.functions.col("bucket") === b))
-      .select("ids", "graph")
-      .as[(Array[Long], Array[Byte])]
-      .flatMap { case (ids, bytes) =>
-        HnswIndex.fromBytes(bytes).search(qvec, k, ef).iterator
-          .map { case (internal, d) => (d, ids(internal)) }
-      }
-      .rdd
+    val effEf = math.max(ef, k)
+    val candidates = route match {
+      case HashRoute(path) =>
+        spark.read.parquet(path)
+          .select("ids", "graph").as[(Array[Long], Array[Byte])]
+          .flatMap { case (ids, bytes) =>
+            HnswIndex.fromBytes(bytes).search(qvec, k, effEf).iterator
+              .map { case (internal, d) => (d, ids(internal)) }
+          }
+      case LabelRoute(path, bucket, tsRange) =>
+        spark.read.parquet(path)
+          .filter(col("bucket") === bucket)
+          .select("ids", "attrs", "graph").as[(Array[Long], Array[Double], Array[Byte])]
+          .flatMap { case (ids, ts, bytes) =>
+            val allowed: Int => Boolean = tsRange match {
+              case None => null
+              case Some((l, r)) => i => ts(i) >= l && ts(i) <= r
+            }
+            HnswIndex.fromBytes(bytes).search(qvec, k, effEf, allowed).iterator
+              .map { case (internal, d) => (d, ids(internal)) }
+          }
+      case RangeRoute(path, lo, hi) =>
+        val minB = math.floor(lo * 10).toLong
+        val maxB = math.floor(hi * 10).toLong
+        spark.read.parquet(path)
+          .filter(col("bucket") >= minB && col("bucket") <= maxB)
+          .select("bucket", "ids", "attrs", "graph")
+          .as[(Long, Array[Long], Array[Double], Array[Byte])]
+          .flatMap { case (decile, ids, ts, bytes) =>
+            val bStart = decile / 10.0
+            val bEnd = (decile + 1) / 10.0
+            if (lo >= bEnd || hi < bStart) Iterator.empty
+            else {
+              val full = lo <= bStart && hi >= bEnd
+              val allowed: Int => Boolean =
+                if (full) null else i => ts(i) >= lo && ts(i) <= hi
+              HnswIndex.fromBytes(bytes).search(qvec, k, effEf, allowed).iterator
+                .map { case (internal, d) => (d, ids(internal)) }
+            }
+          }
+    }
+    candidates.rdd
       .takeOrdered(k)(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
       .map(_._2)
   }

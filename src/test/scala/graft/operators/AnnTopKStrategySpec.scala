@@ -140,6 +140,51 @@ class AnnTopKStrategySpec extends SparkSpec {
     } finally AnnCatalog.unregister(basePath)
   }
 
+  test("range and label+range predicates route to stored decile/label indexes") {
+    val root = Files.createTempDirectory("graft_anntopk_rng").toFile
+    root.deleteOnExit()
+    val basePath = s"$root/base"
+    val byLabelPath = s"$root/by_label"
+    val byDecilePath = s"$root/by_decile"
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextFloat() * 10 - 5))
+    Seq.tabulate(1000) { i =>
+      (i.toLong, (i % 5).toLong, (i % 50) / 50.0,
+        centers(i % 20).map(x => x + rnd.nextFloat() * 0.5f))
+    }.toDF("id", "label", "ts", "vec").write.mode("overwrite").parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    graft.index.AnnIndexStore.buildBy(base, byLabelPath, "label", attrCol = Some("ts"))
+    graft.index.AnnIndexStore.buildBy(
+      base.withColumn("decile", floor(col("ts") * 10).cast("long")),
+      byDecilePath, "decile", attrCol = Some("ts"))
+    AnnCatalog.register(basePath, s"$root/unused", idCol = "id", vecCol = "vec",
+      ef = 200, labelIndex = Some(("label", byLabelPath)),
+      rangeIndex = Some(("ts", byDecilePath)))
+    try {
+      val qv = base.filter(col("id") === 10L).select("vec").head.getSeq[Float](0).toArray
+      // type 2: ts range only
+      val t2 = base.filter(col("ts") >= 0.1 && col("ts") <= 0.6)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id").limit(10)
+      val p2 = t2.queryExecution.executedPlan.toString
+      assert(p2.contains("ts=[0.1,0.6]"), s"expected range AnnTopK in:\n$p2")
+      val got2 = t2.collect().map(_.getLong(0))
+      assert(got2.length == 10)
+      val tsOf = Seq.tabulate(1000)(i => (i.toLong, (i % 50) / 50.0)).toMap
+      assert(got2.forall(id => tsOf(id) >= 0.1 && tsOf(id) <= 0.6))
+      // type 3: label AND ts range
+      val t3 = base.filter(col("label") === 1L && col("ts") >= 0.1 && col("ts") <= 0.8)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id").limit(10)
+      val p3 = t3.queryExecution.executedPlan.toString
+      assert(p3.contains("bucket=1") && p3.contains("ts=[0.1,0.8]"),
+        s"expected label+range AnnTopK in:\n$p3")
+      val got3 = t3.collect().map(_.getLong(0))
+      assert(got3.nonEmpty && got3.forall(id =>
+        id % 5 == 1 && tsOf(id) >= 0.1 && tsOf(id) <= 0.8))
+    } finally AnnCatalog.unregister(basePath)
+  }
+
   test("SQL text form routes too") {
     AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec", ef = 150)
     try {
