@@ -77,6 +77,48 @@ object ApproxQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // the reference's full 4-type query template from PLAIN SQL shapes,
+    // every type auto-routed to its persisted index table by the
+    // injected planner strategy (AnnTopKStrategySpec proves the plans)
+    "ann_sql_routed" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => VF}
+      val root = s"/tmp/graft_sql_route/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val basePath = s"$root/base"
+      if (!new java.io.File(s"$basePath/_SUCCESS").exists())
+        graft.SparkEntry.vecBase(s, dir).write.mode("overwrite").parquet(basePath)
+      val b = s.read.parquet(basePath)
+      if (!new java.io.File(s"$root/by_hash/_SUCCESS").exists())
+        graft.index.AnnIndexStore.build(b.select(col("id"), col("vec")), s"$root/by_hash", 4)
+      if (!new java.io.File(s"$root/by_label/_SUCCESS").exists())
+        graft.index.AnnIndexStore.buildBy(b, s"$root/by_label", "label", attrCol = Some("ts"))
+      if (!new java.io.File(s"$root/by_decile/_SUCCESS").exists())
+        graft.index.AnnIndexStore.buildBy(
+          b.withColumn("decile", floor(col("ts") * 10).cast("long")),
+          s"$root/by_decile", "decile", attrCol = Some("ts"))
+      org.apache.spark.sql.graft.AnnCatalog.register(basePath, s"$root/by_hash",
+        idCol = "id", vecCol = "vec", ef = 200,
+        labelIndex = Some(("label", s"$root/by_label")),
+        rangeIndex = Some(("ts", s"$root/by_decile")))
+      val qs4 = graft.SparkEntry.vecQueries(s, dir)
+        .select("qid", "qtype", "v", "l", "r", "qvec").collect()
+        .groupBy(_.getInt(1)).flatMap(_._2.headOption).toSeq
+      qs4.map { q =>
+        val (qid, qtype, v) = (q.getLong(0), q.getInt(1), q.getLong(2))
+        val (l, r, qv) = (q.getDouble(3), q.getDouble(4), q.getSeq[Float](5).toArray)
+        val filtered = qtype match {
+          case 0 => b
+          case 1 => b.filter(col("label") === v)
+          case 2 => b.filter(col("ts") >= l && col("ts") <= r)
+          case _ => b.filter(col("label") === v && col("ts") >= l && col("ts") <= r)
+        }
+        filtered
+          .orderBy(VF.l2Sq(col("vec"), typedLit(qv)), col("id"))
+          .select("id").limit(10)
+          .select(lit(qid).as("qid"), lit(qtype).cast("long").as("qtype"),
+            col("id").as("nid"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // multimodal plumbing: binary payloads → deterministic stub features
     "multimodal_features" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet")
