@@ -329,11 +329,18 @@ object AnnTopKExec {
           .filter(col("bucket") === bucket)
           .select("ids", "attrs", "graph").as[(Array[Long], Array[Double], Array[Byte])]
           .flatMap { case (ids, ts, bytes) =>
-            val allowed: Int => Boolean = tsRange match {
-              case None => null
-              case Some((l, r)) => i => ts(i) >= l && ts(i) <= r
+            // in-filter walks widen ef by the inverse of the slice's
+            // coverage (the reference's selectivity bands)
+            val (allowed, wEf) = tsRange match {
+              case None => (Option.empty[Int => Boolean], effEf)
+              case Some((l, r)) =>
+                var in = 0; var i = 0
+                while (i < ts.length) { if (ts(i) >= l && ts(i) <= r) in += 1; i += 1 }
+                val cover = if (ts.length == 0) 1.0 else in.toDouble / ts.length
+                (Some((i: Int) => ts(i) >= l && ts(i) <= r),
+                  graft.operators.SearchParams.inFilterEf(effEf, cover))
             }
-            HnswIndex.fromBytes(bytes).search(qvec, k, effEf, allowed).iterator
+            HnswIndex.fromBytes(bytes).search(qvec, k, wEf, allowed.orNull).iterator
               .map { case (internal, d) => (d, ids(internal)) }
           }
       case RangeRoute(path, lo, hi) =>
@@ -351,7 +358,11 @@ object AnnTopKExec {
               val full = lo <= bStart && hi >= bEnd
               val allowed: Int => Boolean =
                 if (full) null else i => ts(i) >= lo && ts(i) <= hi
-              HnswIndex.fromBytes(bytes).search(qvec, k, effEf, allowed).iterator
+              val cover =
+                (math.min(hi, bEnd) - math.max(lo, bStart)) / (bEnd - bStart)
+              val wEf = if (full) effEf
+                else graft.operators.SearchParams.inFilterEf(effEf, cover)
+              HnswIndex.fromBytes(bytes).search(qvec, k, wEf, allowed).iterator
                 .map { case (internal, d) => (d, ids(internal)) }
             }
           }

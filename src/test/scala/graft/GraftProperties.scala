@@ -96,4 +96,38 @@ object GraftProperties extends Properties("graft") {
       val res = idx.search(Array.fill(4)(0f), vs.length, 200)
       res.map(_._1).toSet == vs.indices.toSet
     }
+
+  property("NearestCentroids.topk equals brute-force argsort by (dist, index)") =
+    forAll(
+      Gen.listOfN(4, Gen.chooseNum(-1.0f, 1.0f)),
+      Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n * 4, Gen.chooseNum(-1.0f, 1.0f))),
+      Gen.chooseNum(1, 6)) { (v, centsFlat, k) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val vec = new GenericArrayData(v.toArray)
+      val cents = new GenericArrayData(centsFlat.toArray)
+      val got = org.apache.spark.sql.graft.NearestCentroids
+        .topk(vec, cents, k).toIntArray.toSeq
+      val n = centsFlat.length / 4
+      val dists = Array.tabulate(n) { c =>
+        val d = (0 until 4).map { i =>
+          val df = v(i).toDouble - centsFlat(c * 4 + i).toDouble; df * df
+        }.sum
+        (d, c)
+      }
+      val want = dists.sortBy(identity).take(math.min(k, n)).map(_._2).toSeq
+      got == want
+    }
+
+  property("lloydKMeans is deterministic and returns min(k, n) centroids of dim d") =
+    forAll(
+      Gen.chooseNum(1, 30).flatMap(n =>
+        Gen.listOfN(n, Gen.listOfN(5, Gen.chooseNum(-1.0f, 1.0f)))),
+      Gen.chooseNum(1, 8)) { (pts, k) =>
+      val arr = pts.map(_.toArray).toArray
+      val a = graft.operators.SimilaritySearch.lloydKMeans(arr, k, 5, seed = 3L)
+      val b = graft.operators.SimilaritySearch.lloydKMeans(arr, k, 5, seed = 3L)
+      a.length == math.min(k, arr.length) &&
+        a.forall(_.length == 5) &&
+        a.zip(b).forall { case (x, y) => x.sameElements(y) }
+    }
 }
