@@ -251,7 +251,7 @@ object AnnJoin {
     val e = exact.groupBy("qid").agg(collect_set(col("nid")).as("want"))
     val r = a.join(e, "qid")
       .select(avg(size(array_intersect(col("got"), col("want"))) / size(col("want"))))
-      .head.getDouble(0)
+      .head().getDouble(0)
     r
   }
 }

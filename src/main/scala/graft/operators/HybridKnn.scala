@@ -60,7 +60,7 @@ object HybridKnn {
       else categoryLayout match {
         case Some(layout) =>
           val labels = bfCatRows.map(_._3).distinct
-          KnnJoin.exactFlat(layout.filter(col("label").isin(labels: _*)),
+          KnnJoin.exactFlat(layout.filter(col("label").isin(labels.toIndexedSeq: _*)),
             asQueryDf(bfCatRows), k, types = Seq(1, 3))
         case None => KnnJoin.exactFlat(base, asQueryDf(bfCatRows), k, types = Seq(1, 3))
       }

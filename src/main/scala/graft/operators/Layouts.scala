@@ -56,7 +56,7 @@ object Layouts {
     * the scan touches only the matching partition directories. */
   def prunedCategoryKnn(layout: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val labels = queries.select(col("v")).distinct().collect().map(_.getLong(0))
-    val pruned = layout.filter(col("label").isin(labels: _*))
+    val pruned = layout.filter(col("label").isin(labels.toIndexedSeq: _*))
     KnnJoin.exact(pruned, queries, k, types = Seq(1, 3))
   }
 }

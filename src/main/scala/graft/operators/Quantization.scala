@@ -21,7 +21,7 @@ object Quantization {
     * is folded into the encode expression as a literal. */
   def trainAlpha(df: DataFrame, vecCol: String): Double =
     df.agg(max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))))
-      .head.getDouble(0)
+      .head().getDouble(0)
 
   /** Add a `code BINARY` column quantizing `vecCol` with the given α. */
   def withCodes(df: DataFrame, vecCol: String, alpha: Double): DataFrame =

@@ -160,7 +160,7 @@ object SimilaritySearch {
     * exactly one of the probed bits; exact cosine re-rank. */
   def lshCosineTopK(base: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int = 12, seed: Long = 7L): DataFrame = {
-    val dim = base.select(size(col("vec"))).head.getInt(0)
+    val dim = base.select(size(col("vec"))).head().getInt(0)
     val planes = randomPlanes(numPlanes, dim, seed)
     val b = base.withColumn("bucket", srpSignature(col("vec"), planes))
     val probes = lit(0L) +: (0 until numPlanes).map(j => lit(1L << j))

@@ -56,7 +56,7 @@ object VectorQueries {
       val q13 = qs(s, dir).filter(col("qtype").isin(1, 3))
       val labels = q13.select(col("v")).distinct().collect().map(_.getLong(0))
       graft.operators.KnnJoin.exactFlat(
-        layout.filter(col("label").isin(labels: _*)), q13, 10, types = Seq(1, 3))
+        layout.filter(col("label").isin(labels.toIndexedSeq: _*)), q13, 10, types = Seq(1, 3))
     }),
 
     // the full routed BatchSearch composition in its exact configuration:
