@@ -22,7 +22,8 @@ class HybridKnnSpec extends SparkSpec {
     (2L, 1, 99L, -1.0, -1.0, vec()),    // rare category, sel 0.01 → bruteforce
     (3L, 2, -1L, 0.2, 0.6, vec()),      // range → interval_graph
     (4L, 3, 99L, 0.0, 0.9, vec()),      // rare category + range → bruteforce
-    (5L, 2, -1L, 0.0, 0.01, vec())      // narrow range → bruteforce (type 2)
+    (5L, 2, -1L, 0.0, 0.01, vec()),     // narrow range → bruteforce (type 2)
+    (6L, 3, 2L, 0.1, 0.9, vec())        // common category + wide range → category_graph (type 3)
   ).toDF("qid", "qtype", "v", "l", "r", "qvec")
 
   test("exact configuration equals the one-shot exact join, with pruned layout") {
@@ -46,11 +47,16 @@ class HybridKnnSpec extends SparkSpec {
     val eBf = exact.filter($"qid".isin(bfIds.toSeq: _*))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(rBf == eBf)
-    // graph-routed queries (0: full, 1: category, 3: interval): recall floor
-    Seq(0L, 1L, 3L).foreach { qid =>
+    // graph-routed queries (0: full, 1: category, 3: interval,
+    // 6: type-3 category range walk): recall floor
+    Seq(0L, 1L, 3L, 6L).foreach { qid =>
       val recall = AnnJoin.recallAtK(
         routed.filter($"qid" === qid), exact.filter($"qid" === qid))
       assert(recall >= 0.9, s"qid $qid recall $recall")
     }
+    // type-3 graph route must still satisfy BOTH predicates exactly
+    val t3 = routed.filter($"qid" === 6L)
+      .join(base.select($"id".as("nid"), $"label", $"ts"), "nid")
+    assert(t3.filter($"label" =!= 2L || $"ts" < 0.1 || $"ts" > 0.9).count() == 0)
   }
 }
