@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ExprBridge, Sq4AsymL2Sq, Sq4Encode, Sq8Encode, Sq8L2Squared}
+import org.apache.spark.sql.graft.{ExprBridge, Sq4AsymL2Sq, Sq4Encode, Sq8AsymL2Sq, Sq8Encode, Sq8L2Squared}
 
 /** SQ8 symmetric quantization + the two-stage refine pattern
   * (reference: hybrid_graph.cpp:206-229 quantized candidates,
@@ -66,11 +66,13 @@ object Quantization {
 
   /** Dequantizing squared-L2 (X4): raw query floats vs dequantized base
     * codes — the asymmetric comparison the reference's SQ8Quantizer
-    * computer performs (distance.hpp:268-301). */
-  def asymDistance(qvec: Column, code: Column, mins: Array[Double], difs: Array[Double]): Column = {
-    import graft.functions.{VectorFunctions => VF}
-    VF.l2Sq(qvec, asymDequantize(code, mins, difs))
-  }
+    * computer performs (distance.hpp:268-301). Native codegen expression
+    * (bit-identical to the dequantize+l2Sq chain it replaced, which Spark
+    * evaluated as interpreted higher-order functions per pair). */
+  def asymDistance(qvec: Column, code: Column, mins: Array[Double], difs: Array[Double]): Column =
+    ExprBridge.column(Sq8AsymL2Sq(ExprBridge.expression(qvec),
+      ExprBridge.expression(code),
+      ExprBridge.expression(typedLit(mins)), ExprBridge.expression(typedLit(difs))))
 
   /** SQ4 (X5): per-dim (min, dif) training shared with [[trainAsym]];
     * codes are 4-bit, two dims packed per byte (8× compression). */

@@ -143,6 +143,50 @@ object Sq4AsymL2Sq {
   }
 }
 
+/** Dequantizing squared-L2 over asymmetric SQ8 int codes (reference X4,
+  * pyglass/glass/quant/sq8_quant.hpp:30-63 + distance.hpp:268-301): raw
+  * query floats vs x̂_d = code_d/255 · dif_d + min_d (float-rounded, then
+  * double math — the exact op order of the interpreted
+  * `Quantization.asymDequantize`/`l2Sq` chain it replaces, so results
+  * stay bit-identical to the DuckDB oracle). Codes are `ARRAY<INT>` in
+  * [0, 255] as produced by `Quantization.asymEncode`. */
+case class Sq8AsymL2Sq(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(IntegerType), ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq8_asym_l2_sq"
+
+  override def nullSafeEval(q: Any, code: Any, mins: Any, difs: Any): Any =
+    Sq8AsymL2Sq.distance(q.asInstanceOf[ArrayData], code.asInstanceOf[ArrayData],
+      mins.asInstanceOf[ArrayData], difs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c, mn, df) =>
+      s"${ev.value} = org.apache.spark.sql.graft.Sq8AsymL2Sq.distance($q, $c, $mn, $df);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, fo: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = fo)
+}
+
+object Sq8AsymL2Sq {
+  def distance(q: ArrayData, code: ArrayData, mins: ArrayData, difs: ArrayData): Double = {
+    val n = math.min(q.numElements(), mins.numElements())
+    var s = 0.0
+    var d = 0
+    while (d < n) {
+      val xhat = (code.getInt(d).toDouble / 255.0 * difs.getDouble(d) + mins.getDouble(d)).toFloat
+      val diff = q.getFloat(d).toDouble - xhat.toDouble
+      s += diff * diff
+      d += 1
+    }
+    s
+  }
+}
+
 object Sq8Encode {
   /** round(clamp(x/α, [-1,1]) · 127), half away from zero. */
   def encodeOne(x: Float, alpha: Double): Byte = {

@@ -68,6 +68,22 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("Sq8AsymL2Sq codegen is bit-identical to the interpreted dequantize+l2Sq chain") {
+    val (mins, difs) = Quantization.trainAsym(data, "vec")
+    val enc = data.withColumn("code", Quantization.asymEncode($"vec", mins, difs))
+    val q = data.filter($"id" < 5).select($"id".as("qid"), $"vec".as("qvec")).crossJoin(enc)
+    val cmp = q.select(
+      Quantization.asymDistance($"qvec", $"code", mins, difs).as("native"),
+      graft.functions.VectorFunctions.l2Sq(
+        $"qvec", Quantization.asymDequantize($"code", mins, difs)).as("chain")).collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native=${r.getDouble(0)} chain=${r.getDouble(1)}")
+    }
+  }
+
   test("SQ4: packed length, nibble order, round-trip bound, distance approximates exact") {
     val (mins, difs) = Quantization.trainAsym(data, "vec")
     val coded = data.withColumn("code", Quantization.sq4Encode($"vec", mins, difs))
