@@ -68,6 +68,11 @@ object AnnIndexStore {
         }
       }
       .toDF("bucket", "ids", "attrs", "graph")
+      // record WHICH column the aligned attrs came from, so range routes
+      // can refuse an index whose attrs are the 0.0 placeholder (a label
+      // index built without attrCol would otherwise silently answer
+      // type-3 statements wrong — ADVICE r2)
+      .withColumn("attr_col", lit(attrCol.orNull))
       .write.mode("overwrite").parquet(path)
   }
 
@@ -126,7 +131,10 @@ object AnnIndexStore {
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getSeq[Float](3).toArray))
     if (qBatch.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     val bq = spark.sparkContext.broadcast(qBatch)
-    val minB = math.floor(qBatch.map(_._2).min * 10).toLong
+    // widen the coarse prune one bucket low: floor(ts*10) float rounding
+    // can file a boundary row one decile down (ADVICE r2); the per-row
+    // in-filter keeps the extra bucket correct
+    val minB = math.floor(qBatch.map(_._2).min * 10).toLong - 1
     val maxB = math.floor(qBatch.map(_._3).max * 10).toLong
     spark.read.parquet(path)
       .filter(col("bucket") >= minB && col("bucket") <= maxB)
@@ -136,7 +144,8 @@ object AnnIndexStore {
         it.flatMap { case (decile, ids, ts, graphBytes) =>
           val bStart = decile / 10.0
           val bEnd = (decile + 1) / 10.0
-          val overlapping = bq.value.filter { case (_, l, r, _) => l < bEnd && r >= bStart }
+          // boundary buckets inclusive on both sides (see minB note)
+          val overlapping = bq.value.filter { case (_, l, r, _) => l <= bEnd && r >= bStart }
           if (overlapping.isEmpty) Iterator.empty
           else {
             val index = HnswIndex.fromBytes(graphBytes)

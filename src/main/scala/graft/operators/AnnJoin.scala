@@ -219,8 +219,13 @@ object AnnJoin {
           val bStart = decile / 10.0
           val bEnd = (decile + 1) / 10.0
           // closed query interval [l, r] vs half-open decile [bStart, bEnd):
-          // r == bStart still matches rows with ts == r exactly
-          val overlapping = bq.value.filter { case (_, l, r, _) => l < bEnd && r >= bStart }
+          // r == bStart still matches rows with ts == r exactly. The low
+          // side is inclusive too (l <= bEnd): floor(ts*10) on a double
+          // just below a decile boundary files the row one bucket down
+          // with ts == that bucket's bEnd, so a query with l exactly at
+          // the boundary must still visit it (the in-filter keeps it
+          // correct — ADVICE r2).
+          val overlapping = bq.value.filter { case (_, l, r, _) => l <= bEnd && r >= bStart }
           if (overlapping.isEmpty) Iterator.empty
           else {
             val ids = rows.map(_._1)

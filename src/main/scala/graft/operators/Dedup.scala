@@ -22,6 +22,27 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
   */
 object Dedup {
 
+  // The pair miners persist() intermediates (shingle explosions, banded
+  // keys) so both self-join sides reuse one exchange. Cached plans are
+  // keyed in Spark's CacheManager and survive until unpersisted, so a
+  // long-lived session calling miners repeatedly would accumulate cached
+  // partitions — every persist is tracked here and released with
+  // [[releaseCaches]] once the returned plans are materialized.
+  private val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def tracked(df: DataFrame): DataFrame = synchronized {
+    caches += df
+    df
+  }
+
+  /** Unpersist every intermediate cached by prior pair-mining calls.
+    * Call after materializing the returned DataFrames (results computed
+    * after release simply recompute the intermediates). */
+  def releaseCaches(): Unit = synchronized {
+    caches.foreach(_.unpersist(blocking = false))
+    caches.clear()
+  }
+
   /** Exact duplicate groups: (text_hash, rep_doc_id = min id, dup_count). */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
@@ -53,9 +74,9 @@ object Dedup {
     // + the size agg): hash-partition it by shingle once and cache, so
     // the self-join reuses the partitioning with no further exchange
     // and the explosion is computed once instead of three times.
-    val ex = explodedShingles(df, idCol, textCol, shingleSize)
+    val ex = tracked(explodedShingles(df, idCol, textCol, shingleSize)
       .repartition(col("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -84,11 +105,11 @@ object Dedup {
     val ex = explodedShingles(df, idCol, textCol, shingleSize)
     val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     // per-doc shingle list in (global rarest-first, shingle) order
-    val sorted = ex.join(freq, "sh")
+    val sorted = tracked(ex.join(freq, "sh")
       .groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(df, sh))), x -> x.sh)").as("shs"))
       .withColumn("n", size(col("shs")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val prefixes = sorted.select(col("doc_id"), col("n"),
       explode(slice(col("shs"), lit(1),
         (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int"))).as("sh"))
@@ -146,14 +167,14 @@ object Dedup {
     // signatures are computed once, and the band self-join reads both
     // sides from the same cached partitioning with no exchange
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
-    val banded = sig.select(
+    val banded = tracked(sig.select(
         col("doc_id"), col("mh"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_key",
         md5(expr(s"cast(array_join(transform(slice(mh, band * $rows + 1, $rows), " +
           "x -> cast(x as string)), ',') as binary)")))
       .repartition(col("band"), col("band_key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -184,12 +205,12 @@ object Dedup {
     val fp = simhashFingerprints(df, idCol, textCol, bits)
     val chunks = maxHamming + 1
     val w = bits / chunks
-    val banded = fp.select(col("doc_id"), col("simhash"),
+    val banded = tracked(fp.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .withColumn("chunk_val",
         expr(s"shiftright(simhash, chunk * $w) & ${(1L << w) - 1}"))
       .repartition(col("chunk"), col("chunk_val"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     banded.as("a")
       .join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&

@@ -63,13 +63,31 @@ object AnnCatalog {
   def register(basePath: String, indexPath: String,
       idCol: String = "id", vecCol: String = "vec", ef: Int = 200,
       labelIndex: Option[(String, String)] = None,
-      rangeIndex: Option[(String, String)] = None): Unit =
+      rangeIndex: Option[(String, String)] = None): Unit = {
+    (labelIndex.map(_._2) ++ rangeIndex.map(_._2)).foreach(attrCache.remove)
     registry.put(norm(basePath),
       IndexMeta(indexPath, idCol, vecCol, ef, labelIndex, rangeIndex))
+  }
 
   def unregister(basePath: String): Unit = registry.remove(norm(basePath))
 
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); attrCache.clear() }
+
+  // which column an index table's aligned `attrs` were built from
+  // (AnnIndexStore.buildBy writes it as a constant `attr_col` column).
+  // Cached per path — read once at first route decision. None when the
+  // table predates the column or was built without attrCol, in which
+  // case ts-filtered routes must fall through to the exact plan.
+  private val attrCache = TrieMap.empty[String, Option[String]]
+
+  private[graft] def attrColOf(spark: SparkSession, indexPath: String): Option[String] =
+    attrCache.getOrElseUpdate(indexPath, {
+      try {
+        val df = spark.read.parquet(indexPath)
+        if (!df.columns.contains("attr_col")) None
+        else Option(df.select("attr_col").head.getString(0))
+      } catch { case _: Throwable => None }
+    })
 
   private[graft] def lookup(paths: Seq[org.apache.hadoop.fs.Path]): Option[IndexMeta] =
     paths.iterator.flatMap(p => registry.get(p.toUri.getPath)).nextOption()
@@ -217,15 +235,21 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
           case (labelCol, p) if attr.name.equalsIgnoreCase(labelCol) =>
             AnnTopKExec.LabelRoute(p, v, None)
         }
+        // ts-filtered routes additionally require the index's stored
+        // attrs to BE that ts column (attr_col metadata) — an index built
+        // without it has placeholder 0.0 attrs and would silently answer
+        // the range predicate wrong; fall through to the exact plan
         case (None, Some((attr, lo, hi))) => meta.rangeIndex.collect {
-          case (tsCol, p) if attr.name.equalsIgnoreCase(tsCol) =>
+          case (tsCol, p) if attr.name.equalsIgnoreCase(tsCol) &&
+              AnnCatalog.attrColOf(session, p).exists(_.equalsIgnoreCase(tsCol)) =>
             AnnTopKExec.RangeRoute(p, lo, hi)
         }
         case (Some((lAttr, v)), Some((tAttr, lo, hi))) =>
           (meta.labelIndex, meta.rangeIndex) match {
             case (Some((labelCol, p)), Some((tsCol, _)))
                 if lAttr.name.equalsIgnoreCase(labelCol) &&
-                  tAttr.name.equalsIgnoreCase(tsCol) =>
+                  tAttr.name.equalsIgnoreCase(tsCol) &&
+                  AnnCatalog.attrColOf(session, p).exists(_.equalsIgnoreCase(tsCol)) =>
               Some(AnnTopKExec.LabelRoute(p, v, Some((lo, hi))))
             case _ => None
           }
@@ -344,7 +368,9 @@ object AnnTopKExec {
               .map { case (internal, d) => (d, ids(internal)) }
           }
       case RangeRoute(path, lo, hi) =>
-        val minB = math.floor(lo * 10).toLong
+        // one bucket of slack low: floor(ts*10) float rounding can file a
+        // boundary row one decile down; the in-filter keeps it correct
+        val minB = math.floor(lo * 10).toLong - 1
         val maxB = math.floor(hi * 10).toLong
         spark.read.parquet(path)
           .filter(col("bucket") >= minB && col("bucket") <= maxB)
@@ -353,7 +379,7 @@ object AnnTopKExec {
           .flatMap { case (decile, ids, ts, bytes) =>
             val bStart = decile / 10.0
             val bEnd = (decile + 1) / 10.0
-            if (lo >= bEnd || hi < bStart) Iterator.empty
+            if (lo > bEnd || hi < bStart) Iterator.empty
             else {
               val full = lo <= bStart && hi >= bEnd
               val allowed: Int => Boolean =
