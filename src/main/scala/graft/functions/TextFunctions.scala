@@ -98,6 +98,12 @@ object TextFunctions {
     new String(out)
   }
 
+  /** 60-bit md5 hash (JVM twin of [[hash60]]'s arithmetic, without the
+    * seed prefix): numeric value of the first 15 hex chars. DuckDB:
+    * `CAST(('0x' || substr(md5(s),1,15)) AS UBIGINT)::BIGINT`. */
+  def hash60Jvm(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
   /** 28-bit content hash: numeric value of the first 7 hex chars of md5
     * (read straight off the digest bytes) — cheap enough to compute once
     * per shingle/k-gram; cross-engine (DuckDB:

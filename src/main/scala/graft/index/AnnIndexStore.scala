@@ -102,9 +102,19 @@ object AnnIndexStore {
         it.flatMap { case (bucket, ids, ts, graphBytes) =>
           bq.value.get(bucket).iterator.flatMap { qs =>
             val index = HnswIndex.fromBytes(graphBytes)
+            val tsIdx = new TsIndex(ts)
             qs.iterator.flatMap { case (qid, l, r, qvec) =>
-              val allowed: Int => Boolean = i => ts(i) >= l && ts(i) <= r
-              index.search(qvec, k, ef, allowed).zipWithIndex.map {
+              val cover = tsIdx.coverage(l, r)
+              val hits =
+                if (cover < graft.operators.SearchParams.SmallCoverage)
+                  index.exactOver(qvec, tsIdx.inRange(l, r), k)
+                else {
+                  val allowed: Int => Boolean = i => ts(i) >= l && ts(i) <= r
+                  index.search(qvec, k,
+                    graft.operators.SearchParams.inFilterEf(ef, cover), allowed,
+                    seeds = tsIdx.seeds(l, r, graft.operators.SearchParams.FilterSeeds))
+                }
+              hits.zipWithIndex.map {
                 case ((internal, _), rank) => (qid, (rank + 1).toLong, ids(internal))
               }
             }
@@ -149,13 +159,23 @@ object AnnIndexStore {
           if (overlapping.isEmpty) Iterator.empty
           else {
             val index = HnswIndex.fromBytes(graphBytes)
+            val tsIdx = new TsIndex(ts)
             overlapping.iterator.flatMap { case (qid, l, r, qvec) =>
               val full = l <= bStart && r >= bEnd
-              val allowed: Int => Boolean =
-                if (full) null else i => ts(i) >= l && ts(i) <= r
-              index.search(qvec, k, ef, allowed).iterator.map {
-                case (internal, d) => (qid, ids(internal), d)
-              }
+              val hits =
+                if (full) index.search(qvec, k, ef)
+                else {
+                  val cover = tsIdx.coverage(l, r)
+                  if (cover < graft.operators.SearchParams.SmallCoverage)
+                    index.exactOver(qvec, tsIdx.inRange(l, r), k)
+                  else {
+                    val allowed: Int => Boolean = i => ts(i) >= l && ts(i) <= r
+                    index.search(qvec, k,
+                      graft.operators.SearchParams.inFilterEf(ef, cover), allowed,
+                      seeds = tsIdx.seeds(l, r, graft.operators.SearchParams.FilterSeeds))
+                  }
+                }
+              hits.iterator.map { case (internal, d) => (qid, ids(internal), d) }
             }
           }
         }

@@ -13,10 +13,23 @@ import scala.collection.mutable
   * pyglass/glass/searcher.hpp:262-299 filtered walk) — this is a clean
   * re-implementation of the published algorithm, not a port.
   *
+  * Search walks the graph on SQ8 codes (int8 squared-L2, lazily encoded
+  * once per loaded graph — 4× less memory traffic per hop) and
+  * re-ranks the beam's pool in fp32 before returning — the reference's
+  * quantized-search + exact-refine architecture (searcher.hpp:576-578,
+  * hybrid_graph.cpp:465-494). The build inserts on fp32 (graph quality
+  * is decided at build time; the codes don't exist until the graph is
+  * frozen).
+  *
+  * With an `allowed` predicate, [[search]] dispatches to the in-filter
+  * walk: the frontier expands over ALL nodes (disallowed nodes still
+  * route) but the result pool accepts only allowed ones; optional
+  * `seeds` (in-predicate entry points) start the beam inside the
+  * matching slice, and a visited-node budget bounds the walk when the
+  * predicate matches little or nothing.
+  *
   * Deterministic: single-threaded build, seeded level RNG, id-ordered
-  * tie-breaks. Optional `allowed` predicate supports the reference's
-  * filtered search (predicate applied at result collection; the walk
-  * itself stays unfiltered so connectivity is preserved).
+  * tie-breaks, exact fp32 final ranking.
   */
 final class HnswIndex(
     val dim: Int,
@@ -36,8 +49,52 @@ final class HnswIndex(
   private val links = mutable.ArrayBuffer.empty[Array[IntList]]
   private var entry = -1
   private var topLevel = -1
+  // global max |component|, tracked on insert/restore — the SQ8 α
+  private var maxAbs = 0.0
 
   def size: Int = vecs.length
+
+  // SQ8 codes for the quantized walk, encoded lazily once the graph is
+  // queried (one O(N·dim) pass; invalidated by subsequent add()s).
+  // Rebuilt rather than serialized: re-encoding on load costs less than
+  // +dim bytes/node in every persisted index row, and keeps the on-disk
+  // format unchanged. Flat layout (node i at offset i·dim): contiguous
+  // for hardware prefetch, one pointer chase less per hop.
+  @transient private var codes: Array[Byte] = _
+  @transient private var codeAlpha = 1.0
+
+  private def ensureCodes(): Unit = {
+    val n = vecs.length
+    if (codes == null || codes.length != n * dim) {
+      require(n.toLong * dim < Int.MaxValue,
+        s"sub-index too large for a flat code matrix ($n x $dim) - raise the bucket count")
+      val a = if (maxAbs > 0) maxAbs else 1.0
+      val cs = new Array[Byte](n * dim)
+      var i = 0
+      while (i < n) {
+        val v = vecs(i)
+        val off = i * dim
+        var d = 0
+        while (d < dim) {
+          cs(off + d) = org.apache.spark.sql.graft.Sq8Encode.encodeOne(v(d), a)
+          d += 1
+        }
+        i += 1
+      }
+      codeAlpha = a
+      codes = cs
+    }
+  }
+
+  private def encodeSq8(v: Array[Float], alpha: Double): Array[Byte] = {
+    val out = new Array[Byte](v.length)
+    var d = 0
+    while (d < v.length) {
+      out(d) = org.apache.spark.sql.graft.Sq8Encode.encodeOne(v(d), alpha)
+      d += 1
+    }
+    out
+  }
 
   // SIMD squared-L2 via the Panama Vector API when the incubator module
   // is enabled, 4-lane-unrolled scalar otherwise (graft.simd
@@ -173,10 +230,20 @@ final class HnswIndex(
   @inline private def pack(d: Double, id: Int): Long =
     (java.lang.Float.floatToIntBits(d.toFloat).toLong << 32) | (id.toLong & 0xffffffffL)
 
+  @inline private def trackAlpha(vec: Array[Float]): Unit = {
+    var d = 0
+    while (d < vec.length) {
+      val a = math.abs(vec(d).toDouble)
+      if (a > maxAbs) maxAbs = a
+      d += 1
+    }
+  }
+
   def add(vec: Array[Float]): Int = {
     val id = vecs.length
     val level = math.min((-math.log(rng.nextDouble()) * levelMult).toInt, 32)
     vecs += vec
+    trackAlpha(vec)
     nodeLevel += level
     links += Array.fill(level + 1)(new IntList(if (level == 0) maxM0 + 1 else maxM + 1))
     if (entry < 0) {
@@ -263,6 +330,7 @@ final class HnswIndex(
       var d = 0
       while (d < dim) { v(d) = in.readFloat(); d += 1 }
       vecs += v
+      trackAlpha(v)
       val ls = Array.fill(lvl + 1)(new IntList(4))
       var l = 0
       while (l <= lvl) {
@@ -276,21 +344,38 @@ final class HnswIndex(
     }
   }
 
-  /** In-filter beam search at level 0: the walk's frontier expands over
-    * ALL nodes (distance-ordered, unfiltered — disallowed nodes still
-    * route), but the result pool only accepts `allowed` nodes. The
-    * reference's in-filter walk shape (searcher.hpp:415-491,
-    * SearchRangeFilterSubTime) without the 2-hop budget heuristic. */
-  private def searchLayerFiltered(q: Array[Float], start: Int, ef: Int,
-      allowed: Int => Boolean): BoundedMaxHeap = {
+  // ---- quantized search path (SQ8 walk + fp32 refine) -----------------
+
+  @inline private def qdistTo(qc: Array[Short], node: Int): Double =
+    kernel.l2sqI8Pre(qc, codes, node * dim, dim).toDouble
+
+  /** Greedy single-entry descent on codes (upper layers). */
+  private def greedyStepCoded(qc: Array[Short], start: Int, level: Int): Int = {
+    var cur = start
+    var curD = qdistTo(qc, cur)
+    var improved = true
+    while (improved) {
+      improved = false
+      val nbrs = links(cur)(level)
+      var i = 0
+      while (i < nbrs.length) {
+        val c = nbrs(i)
+        val d = qdistTo(qc, c)
+        if (d < curD) { cur = c; curD = d; improved = true }
+        i += 1
+      }
+    }
+    cur
+  }
+
+  /** Level-0 beam search on codes. */
+  private def searchLayerCoded(qc: Array[Short], start: Int, ef: Int): BoundedMaxHeap = {
     val gen = nextVisitedGen()
     val seen = visitedMark
     val cand = new MinDistHeap(ef + 1)
     val res = new BoundedMaxHeap(ef)
-    val d0 = distTo(q, start)
-    cand.push(d0, start)
-    if (allowed(start)) res.offer(d0, start)
-    seen(start) = gen
+    val d0 = qdistTo(qc, start)
+    cand.push(d0, start); res.offer(d0, start); seen(start) = gen
     while (cand.nonEmpty) {
       val cd = cand.minDist
       val c = cand.minId
@@ -304,7 +389,69 @@ final class HnswIndex(
           val nb = nbrs(i)
           if (seen(nb) != gen) {
             seen(nb) = gen
-            val d = distTo(q, nb)
+            val d = qdistTo(qc, nb)
+            if (!res.isFull || d < res.worstDist) {
+              cand.push(d, nb)
+              res.offer(d, nb)
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    res
+  }
+
+  /** In-filter beam search at level 0 on codes: the frontier expands
+    * over ALL nodes (disallowed nodes still route), the result pool
+    * accepts only `allowed` nodes — the reference's in-filter walk shape
+    * (searcher.hpp:415-491, SearchRangeFilterSubTime). `seeds` start the
+    * beam inside the predicate slice (searcher.hpp:301-317: without
+    * them a narrow slice far from the global entry may never be
+    * reached); `maxVisits` bounds the walk when the predicate matches
+    * little (an un-fillable result pool would otherwise never trigger
+    * the frontier-pruning early exit and the walk would visit the whole
+    * connected component). */
+  private def searchLayerFilteredCoded(qc: Array[Short], start: Int, ef: Int,
+      allowed: Int => Boolean, seeds: Array[Int], maxVisits: Int): BoundedMaxHeap = {
+    val gen = nextVisitedGen()
+    val seen = visitedMark
+    val cand = new MinDistHeap(ef + 1)
+    val res = new BoundedMaxHeap(ef)
+    val d0 = qdistTo(qc, start)
+    cand.push(d0, start)
+    if (allowed(start)) res.offer(d0, start)
+    seen(start) = gen
+    var visits = 1
+    if (seeds != null) {
+      var s = 0
+      while (s < seeds.length) {
+        val sd = seeds(s)
+        if (seen(sd) != gen) {
+          seen(sd) = gen
+          val d = qdistTo(qc, sd)
+          cand.push(d, sd)
+          if (allowed(sd)) res.offer(d, sd)
+          visits += 1
+        }
+        s += 1
+      }
+    }
+    while (cand.nonEmpty && visits < maxVisits) {
+      val cd = cand.minDist
+      val c = cand.minId
+      if (cd > res.worstDist && res.isFull) {
+        cand.clear()
+      } else {
+        cand.pop()
+        val nbrs = links(c)(0)
+        var i = 0
+        while (i < nbrs.length) {
+          val nb = nbrs(i)
+          if (seen(nb) != gen) {
+            seen(nb) = gen
+            val d = qdistTo(qc, nb)
+            visits += 1
             if (!res.isFull || d < res.worstDist) {
               cand.push(d, nb)
               if (allowed(nb)) res.offer(d, nb)
@@ -317,24 +464,64 @@ final class HnswIndex(
     res
   }
 
-  /** Top-k (internal id, dist) by squared L2, ascending (dist, id).
-    * With `allowed`, runs the in-filter walk ([[searchLayerFiltered]] —
-    * the reference's SearchFilter/SearchRangeFilter dispatch,
-    * searcher.hpp:262-374). */
+  /** Top-k (internal id, dist) ascending (dist, id); `dist` is the EXACT
+    * fp32 squared L2 (the walk runs on SQ8 codes, the returned pool is
+    * re-ranked exactly — reference refine, hybrid_graph.cpp:465-494).
+    * With `allowed`, runs the in-filter walk with optional in-predicate
+    * entry `seeds` and a visited budget (default 32·ef + 1024). */
   def search(q: Array[Float], k: Int, ef: Int,
-      allowed: Int => Boolean = null): Array[(Int, Double)] = {
+      allowed: Int => Boolean = null,
+      seeds: Array[Int] = null,
+      maxVisits: Int = 0): Array[(Int, Double)] = {
     if (entry < 0) return Array.empty
+    ensureCodes()
+    // query codes pre-widened to short: halves the hot loop's lane
+    // conversions (the base side stays packed bytes)
+    val qb = encodeSq8(q, codeAlpha)
+    val qc = new Array[Short](qb.length)
+    var qi = 0
+    while (qi < qb.length) { qc(qi) = qb(qi).toShort; qi += 1 }
     var cur = entry
     var l = topLevel
     while (l > 0) {
-      cur = greedyStep(q, cur, l)
+      cur = greedyStepCoded(qc, cur, l)
       l -= 1
     }
     val effEf = math.max(ef, k)
     val res =
-      if (allowed == null) searchLayer(q, cur, effEf, 0)
-      else searchLayerFiltered(q, cur, effEf, allowed)
-    res.toPairs.map(t => (t._2, t._1)).sortBy(t => (t._2, t._1)).take(k)
+      if (allowed == null) searchLayerCoded(qc, cur, effEf)
+      else {
+        val budget = if (maxVisits > 0) maxVisits else 32 * effEf + 1024
+        searchLayerFilteredCoded(qc, cur, effEf, allowed, seeds, budget)
+      }
+    rerank(q, res, k)
+  }
+
+  /** fp32 re-rank of the quantized beam's pool: exact distance per
+    * surviving candidate, (dist, id) ascending, top-k. */
+  private def rerank(q: Array[Float], res: BoundedMaxHeap, k: Int): Array[(Int, Double)] = {
+    val pairs = res.toPairs
+    val out = new Array[(Int, Double)](pairs.length)
+    var i = 0
+    while (i < pairs.length) {
+      val id = pairs(i)._2
+      out(i) = (id, dist(q, vecs(id)))
+      i += 1
+    }
+    out.sortBy(t => (t._2, t._1)).take(k)
+  }
+
+  /** Exact top-k over an explicit node subset — the SMALL-slice scan
+    * route (hybrid_graph.cpp:356-364): when a range predicate keeps only
+    * a sliver of a sub-index, scanning it exactly beats any walk. */
+  def exactOver(q: Array[Float], nodes: Array[Int], k: Int): Array[(Int, Double)] = {
+    val out = new Array[(Int, Double)](nodes.length)
+    var i = 0
+    while (i < nodes.length) {
+      out(i) = (nodes(i), dist(q, vecs(nodes(i))))
+      i += 1
+    }
+    out.sortBy(t => (t._2, t._1)).take(k)
   }
 }
 

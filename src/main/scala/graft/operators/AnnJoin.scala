@@ -164,16 +164,24 @@ object AnnJoin {
             val ts = rows.map(_._3)
             val index = new HnswIndex(rows.head._4.length, m, efConstruction)
             rows.foreach(r => index.add(r._4))
+            // coverage/seeds by binary search on the sorted-ts view —
+            // O(log n) per query instead of a per-query O(n) scan
+            // (hybrid_graph.cpp:181-199)
+            val tsIdx = new graft.index.TsIndex(ts)
             val baseEf = efSlope.map(s => math.max(ef, s.efFor(rows.length))).getOrElse(ef)
             bq.value(label).iterator.flatMap { case (qid, l, r, qvec) =>
-              // in-category coverage of the ts range → in-filter ef band
-              var inRange = 0
-              var i = 0
-              while (i < ts.length) { if (ts(i) >= l && ts(i) <= r) inRange += 1; i += 1 }
-              val cover = inRange.toDouble / ts.length
-              val effEf = SearchParams.inFilterEf(baseEf, cover)
-              val allowed: Int => Boolean = j => ts(j) >= l && ts(j) <= r
-              index.search(qvec, k, effEf, allowed).zipWithIndex.map {
+              val cover = tsIdx.coverage(l, r)
+              val hits =
+                if (cover < SearchParams.SmallCoverage)
+                  // SMALL slice: exact scan beats any walk and is exact
+                  index.exactOver(qvec, tsIdx.inRange(l, r), k)
+                else {
+                  val effEf = SearchParams.inFilterEf(baseEf, cover)
+                  val allowed: Int => Boolean = j => ts(j) >= l && ts(j) <= r
+                  index.search(qvec, k, effEf, allowed,
+                    seeds = tsIdx.seeds(l, r, SearchParams.FilterSeeds))
+                }
+              hits.zipWithIndex.map {
                 case ((internal, _), rank) => (qid, (rank + 1).toLong, ids(internal))
               }
             }
@@ -232,13 +240,25 @@ object AnnJoin {
             val ts = rows.map(_._2)
             val index = new HnswIndex(rows.head._3.length, m, efConstruction)
             rows.foreach(r => index.add(r._3))
+            val tsIdx = new graft.index.TsIndex(ts)
             overlapping.iterator.flatMap { case (qid, l, r, qvec) =>
               val full = l <= bStart && r >= bEnd
-              val allowed: Int => Boolean =
-                if (full) null else i => ts(i) >= l && ts(i) <= r
-              index.search(qvec, k, ef, allowed).iterator.map {
-                case (internal, d) => (qid, ids(internal), d)
-              }
+              val hits =
+                if (full) index.search(qvec, k, ef)
+                else {
+                  // the reference's SplitInterval classes per partial
+                  // bucket (hybrid_graph.cpp:338-459): SMALL coverage →
+                  // exact slice scan, MEDIUM → seeded in-filter walk
+                  val cover = tsIdx.coverage(l, r)
+                  if (cover < SearchParams.SmallCoverage)
+                    index.exactOver(qvec, tsIdx.inRange(l, r), k)
+                  else {
+                    val allowed: Int => Boolean = i => ts(i) >= l && ts(i) <= r
+                    index.search(qvec, k, SearchParams.inFilterEf(ef, cover), allowed,
+                      seeds = tsIdx.seeds(l, r, SearchParams.FilterSeeds))
+                  }
+                }
+              hits.iterator.map { case (internal, d) => (qid, ids(internal), d) }
             }
           }
         }

@@ -224,10 +224,21 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs with cosine ≥ minCosine:
-    * (id_a, id_b, cos), id_a < id_b. Brute-force O(N²) — the LSH-bucketed
-    * scale path is [[SimilaritySearch.lshCosineCandidates]]. */
+    * (id_a, id_b, cos), id_a < id_b.
+    *
+    * Up to `lshAbove` rows: brute-force all-pairs (exact). Above it, the
+    * all-pairs crossJoin is a cartesian product no cluster survives, so
+    * the operator switches to the SRP-banded miner
+    * ([[SimilaritySearch.lshCosineCandidates]]) — band-bucket collisions
+    * verified by the same exact cosine, approximate in recall only (every
+    * returned pair is exact and above the threshold). The switch costs
+    * one count() at plan-build time. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double): DataFrame = {
+      minCosine: Double, lshAbove: Long = 200000,
+      numPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    if (df.count() > lshAbove)
+      return SimilaritySearch.lshCosineCandidates(
+        df, idCol, vecCol, minCosine, numPlanes, bands)
     // norms are computed once per ROW, not once per PAIR: the O(N²)
     // inner loop does 1 inner product instead of 3. Same double
     // arithmetic as CosineSimilarity (dot / (sqrt(Σa²)·sqrt(Σb²))).

@@ -21,42 +21,84 @@ import org.apache.spark.sql.functions._
   * With `ann = false` every route is exact, so the composition returns
   * byte-identical results to [[KnnJoin.exact]] — asserted in
   * HybridKnnSpec and by the shared DuckDB oracle of `knn_routed`.
+  *
+  * Query batches up to `chunkRows` are collected once (broadcast-sized
+  * by contract); larger batches stream through `toLocalIterator` in
+  * `chunkRows`-sized slices, each slice executed and eagerly
+  * materialized before the next is read — peak driver memory is one
+  * slice, independent of total batch size (the same bounded-feed shape
+  * as `AnnIndexStore.searchChunked`). Per-qid top-k makes slices
+  * independent, so the union is exact.
   */
 object HybridKnn {
+
+  private type RoutedRow = (Long, Int, Long, Double, Double, Array[Float], String)
 
   /** (qid, rank, nid) flat results for the full 4-type query batch. */
   def execute(base: DataFrame, queries: DataFrame, k: Int,
       categoryLayout: Option[DataFrame] = None,
-      ann: Boolean = false, annEf: Int = 200, annBuckets: Int = 8): DataFrame = {
+      ann: Boolean = false, annEf: Int = 200, annBuckets: Int = 8,
+      chunkRows: Int = 200000): DataFrame = {
     // stats-lookup routing (Selectivity.withRoutes): one tiny stats
     // collect, then `route` is a literal-folded column on the query
     // batch itself — no join. Any routing decision preserves exactness —
     // it only picks WHICH exact physical path runs (ANN routes excepted,
     // behind the flag).
-    // The routed query batch is collected ONCE (it is broadcast-sized by
-    // contract) and every route is fed from that array — one driver job
-    // instead of one per route, the query side of every sub-plan becomes
-    // a LocalRelation, and empty routes plan nothing at all.
     val spark = base.sparkSession
-    import spark.implicits._
-    val routed = Selectivity.withRoutes(base, queries)
+    val routedDf = Selectivity.withRoutes(base, queries)
       .select(col("qid").cast("long"), col("qtype").cast("int"),
         col("v").cast("long"), col("l").cast("double"), col("r").cast("double"),
         col("qvec"), col("route"))
-      .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
-        r.getDouble(4), r.getSeq[Float](5).toArray, r.getString(6)))
 
-    def asQueryDf(rows: Array[(Long, Int, Long, Double, Double, Array[Float], String)]) =
+    def rowOf(r: org.apache.spark.sql.Row): RoutedRow =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getSeq[Float](5).toArray, r.getString(6))
+
+    if (queries.count() <= chunkRows) {
+      // common case: one driver job, every route fed from one array
+      executeBatch(base, routedDf.collect().map(rowOf), k,
+        categoryLayout, ann, annEf, annBuckets)
+    } else {
+      val it = routedDf.toLocalIterator()
+      val chunks = Iterator.continually {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[RoutedRow]
+        while (it.hasNext && buf.length < chunkRows) buf += rowOf(it.next())
+        buf.toArray
+      }.takeWhile(_.nonEmpty)
+      val results = chunks.map { chunk =>
+        // materialize this chunk's result so its broadcasts can be freed
+        // before the next chunk is pulled from the iterator
+        executeBatch(base, chunk, k, categoryLayout, ann, annEf, annBuckets)
+          .localCheckpoint(eager = true)
+      }.toSeq
+      if (results.isEmpty) emptyRes(spark)
+      else results.reduce(_.unionByName(_))
+    }
+  }
+
+  private def emptyRes(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+  }
+
+  // The routed query slice is broadcast-sized; every route is fed from
+  // this array — one driver job instead of one per route, the query side
+  // of every sub-plan becomes a LocalRelation, and empty routes plan
+  // nothing at all.
+  private def executeBatch(base: DataFrame, routed: Array[RoutedRow], k: Int,
+      categoryLayout: Option[DataFrame],
+      ann: Boolean, annEf: Int, annBuckets: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+
+    def asQueryDf(rows: Array[RoutedRow]) =
       rows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).toSeq
         .toDF("qid", "qtype", "v", "l", "r", "qvec")
-
-    def emptyRes = spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
 
     // route: low-selectivity category queries → pruned clustered scan
     val bfCatRows = routed.filter(t => t._7 == "bruteforce" && (t._2 == 1 || t._2 == 3))
     val bfCatRes =
-      if (bfCatRows.isEmpty) emptyRes
+      if (bfCatRows.isEmpty) emptyRes(spark)
       else categoryLayout match {
         case Some(layout) =>
           val labels = bfCatRows.map(_._3).distinct
@@ -71,7 +113,7 @@ object HybridKnn {
       // exact configuration: everything else through the streaming join,
       // only the type branches actually present in the batch
       val restRes =
-        if (rest.isEmpty) emptyRes
+        if (rest.isEmpty) emptyRes(spark)
         else KnnJoin.exactFlat(base, asQueryDf(rest), k,
           types = rest.map(_._2).distinct.toSeq)
       return bfCatRes.unionByName(restRes)
@@ -96,7 +138,7 @@ object HybridKnn {
         (t._7 == "category_graph" && (t._2 == 1 || t._2 == 3)) ||
         (t._7 == "interval_graph" && t._2 == 2))
     val exactRes =
-      if (exactRows.isEmpty) emptyRes
+      if (exactRows.isEmpty) emptyRes(spark)
       else KnnJoin.exactFlat(base, asQueryDf(exactRows), k,
         types = exactRows.map(_._2).distinct.toSeq)
 

@@ -27,4 +27,15 @@ object SearchParams {
     * spread is ≈ 1.7×; narrow slices at our scale benefit from more). */
   def inFilterEf(ef: Int, cover: Double, maxFactor: Double = 4.0): Int =
     math.ceil(ef * math.min(maxFactor, 1.0 / math.max(cover, 1.0 / maxFactor))).toInt
+
+  /** Below this in-range fraction a filtered walk is replaced by an
+    * exact scan of the slice — the reference's SMALL class
+    * (hybrid_graph.cpp:117-124: cover < 0.2 → slice scan). Matches
+    * [[Selectivity.splitInterval]]'s SMALL threshold. */
+  val SmallCoverage = 0.2
+
+  /** In-predicate entry seeds for filtered walks (the reference seeds
+    * its filtered beam with ~10 evenly spaced in-range points,
+    * searcher.hpp:301-317). */
+  val FilterSeeds = 10
 }

@@ -155,6 +155,81 @@ object SimilaritySearch {
     cents
   }
 
+  /** Deterministic md5-derived hyperplanes, reproducible in ANY engine
+    * with an md5 function (the DuckDB oracle recomputes them exactly):
+    * plane(j)(d) = hash60("plane_j_d") / 2^59 − 1.0 ∈ [−1, 1). Division
+    * by a power of two is exact, so the value is bit-identical across
+    * engines. Uniform (not Gaussian) components — fine for SRP: only the
+    * direction's sign pattern matters. */
+  def hashPlanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    import graft.functions.{TextFunctions => TF}
+    Array.tabulate(numPlanes)(j => Array.tabulate(dim)(d =>
+      TF.hash60Jvm(s"plane_${j}_${d}").toDouble / 576460752303423488.0 - 1.0))
+  }
+
+  /** Banded SRP near-duplicate mining — the scale path for
+    * embedding-cosine dedup (the exact pattern of
+    * [[Dedup.minhashLshCandidates]]): every row gets a `numPlanes`-bit
+    * signed-random-projection signature, the signature splits into
+    * `bands` keys, rows colliding on ≥ 1 band key become candidate
+    * pairs, and candidates are verified by EXACT cosine ≥ `minCosine`
+    * (same arithmetic as [[Dedup.cosineNearDupPairs]]). Pair space is
+    * band-bucket collisions — never all-pairs. Signatures use
+    * [[hashPlanes]], so the whole pipeline (planes → signatures → bands
+    * → verified pairs) is mirrorable by a SQL oracle.
+    *
+    * Output: (id_a, id_b, cos), id_a < id_b, distinct.
+    * Recall is probabilistic in the band parameters (a pair at cos c
+    * matches one band of b bits with (1 − θ(c)/π)^b); DedupSpec floors
+    * it at ≥ 0.9 for near-dup-grade pairs. */
+  def lshCosineCandidates(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, numPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    require(numPlanes <= 60, "signature must fit a long")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = numPlanes / bands
+    val mask = (1L << rows) - 1
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = spark.sparkContext.broadcast(hashPlanes(numPlanes, dim))
+    // signatures in a typed map: sequential double dot per plane — the
+    // exact op order the oracle's list_sum mirror reproduces
+    val sig = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val ps = planes.value
+        var s = 0L
+        var j = 0
+        while (j < ps.length) {
+          val p = ps(j)
+          val n = math.min(v.length, p.length)
+          var dot = 0.0
+          var d = 0
+          while (d < n) { dot += v(d).toDouble * p(d); d += 1 }
+          if (dot > 0) s |= 1L << j
+          j += 1
+        }
+        (id, s)
+      }
+      .toDF("id", "sig")
+    val banded = sig.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_val", expr(s"shiftright(sig, band * $rows) & $mask"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", VF.norm2(col("vec")))
+    cand
+      .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos", VF.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** LSH-bucketed approximate cosine top-k: (qid, rank, nid).
     * Candidates: rows whose signature matches the query's, or differs in
     * exactly one of the probed bits; exact cosine re-rank. */

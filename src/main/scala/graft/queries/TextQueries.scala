@@ -37,6 +37,15 @@ object TextQueries {
     "neardup_cosine" -> ((s, dir) =>
       Dedup.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", minCosine = 0.4)),
 
+    // SRP-banded near-dup mining (the 100 TB path for the query above):
+    // md5-derived hyperplanes → 16-bit signatures → 4 band keys →
+    // collision pairs → exact cosine verify. The oracle recomputes the
+    // ENTIRE pipeline (planes included) in SQL.
+    "neardup_lsh_pairs" -> ((s, dir) =>
+      graft.operators.SimilaritySearch.lshCosineCandidates(
+        emb(s, dir), "vec_id", "embedding", minCosine = 0.4,
+        numPlanes = 16, bands = 4)),
+
     // end-to-end dedup outcome: the surviving document set after dropping
     // the higher-id member of every near-dup pair (jaccard >= 0.5).
     // Runs the inverted-index join — at this corpus's posting sizes it
@@ -349,6 +358,34 @@ object TextQueries {
         |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |) WHERE cos >= 0.4""".stripMargin,
+
+    "neardup_lsh_pairs" ->
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings),
+        |js AS (SELECT unnest(range(0, 16)) AS j),
+        |sg AS (
+        |  SELECT e.id,
+        |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1), d ->
+        |      CAST(e.embedding[d] AS DOUBLE) *
+        |      (CAST(CAST(('0x'||substr(md5('plane_'||CAST(js.j AS VARCHAR)||'_'||CAST(d-1 AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT)
+        |       / 576460752303423488.0 - 1.0))) > 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(js.j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+        |  FROM e, js GROUP BY e.id
+        |),
+        |bv AS (
+        |  SELECT id, band, (sig >> (band * 4)) & 15 AS band_val
+        |  FROM (SELECT id, sig, unnest([0,1,2,3]) AS band FROM sg)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bv a JOIN bv b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id
+        |)
+        |SELECT id_a, id_b, cos FROM (
+        |  SELECT cand.id_a, cand.id_b,
+        |    list_sum(list_transform(list_zip(ea.embedding, eb.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM cand JOIN e ea ON cand.id_a = ea.id JOIN e eb ON cand.id_b = eb.id
         |) WHERE cos >= 0.4""".stripMargin,
 
     "dedup_survivors" ->

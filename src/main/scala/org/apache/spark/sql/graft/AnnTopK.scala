@@ -353,19 +353,24 @@ object AnnTopKExec {
           .filter(col("bucket") === bucket)
           .select("ids", "attrs", "graph").as[(Array[Long], Array[Double], Array[Byte])]
           .flatMap { case (ids, ts, bytes) =>
-            // in-filter walks widen ef by the inverse of the slice's
-            // coverage (the reference's selectivity bands)
-            val (allowed, wEf) = tsRange match {
-              case None => (Option.empty[Int => Boolean], effEf)
+            val index = HnswIndex.fromBytes(bytes)
+            val hits = tsRange match {
+              case None => index.search(qvec, k, effEf)
               case Some((l, r)) =>
-                var in = 0; var i = 0
-                while (i < ts.length) { if (ts(i) >= l && ts(i) <= r) in += 1; i += 1 }
-                val cover = if (ts.length == 0) 1.0 else in.toDouble / ts.length
-                (Some((i: Int) => ts(i) >= l && ts(i) <= r),
-                  graft.operators.SearchParams.inFilterEf(effEf, cover))
+                // coverage by binary search on the sorted-ts view; SMALL
+                // slices scan exactly, the rest walk in-filter with
+                // in-range seeds and coverage-widened ef
+                val tsIdx = new graft.index.TsIndex(ts)
+                val cover = tsIdx.coverage(l, r)
+                if (cover < graft.operators.SearchParams.SmallCoverage)
+                  index.exactOver(qvec, tsIdx.inRange(l, r), k)
+                else
+                  index.search(qvec, k,
+                    graft.operators.SearchParams.inFilterEf(effEf, cover),
+                    (i: Int) => ts(i) >= l && ts(i) <= r,
+                    seeds = tsIdx.seeds(l, r, graft.operators.SearchParams.FilterSeeds))
             }
-            HnswIndex.fromBytes(bytes).search(qvec, k, wEf, allowed.orNull).iterator
-              .map { case (internal, d) => (d, ids(internal)) }
+            hits.iterator.map { case (internal, d) => (d, ids(internal)) }
           }
       case RangeRoute(path, lo, hi) =>
         // one bucket of slack low: floor(ts*10) float rounding can file a
@@ -381,15 +386,22 @@ object AnnTopKExec {
             val bEnd = (decile + 1) / 10.0
             if (lo > bEnd || hi < bStart) Iterator.empty
             else {
+              val index = HnswIndex.fromBytes(bytes)
               val full = lo <= bStart && hi >= bEnd
-              val allowed: Int => Boolean =
-                if (full) null else i => ts(i) >= lo && ts(i) <= hi
-              val cover =
-                (math.min(hi, bEnd) - math.max(lo, bStart)) / (bEnd - bStart)
-              val wEf = if (full) effEf
-                else graft.operators.SearchParams.inFilterEf(effEf, cover)
-              HnswIndex.fromBytes(bytes).search(qvec, k, wEf, allowed).iterator
-                .map { case (internal, d) => (d, ids(internal)) }
+              val hits =
+                if (full) index.search(qvec, k, effEf)
+                else {
+                  val tsIdx = new graft.index.TsIndex(ts)
+                  val cover = tsIdx.coverage(lo, hi)
+                  if (cover < graft.operators.SearchParams.SmallCoverage)
+                    index.exactOver(qvec, tsIdx.inRange(lo, hi), k)
+                  else
+                    index.search(qvec, k,
+                      graft.operators.SearchParams.inFilterEf(effEf, cover),
+                      (i: Int) => ts(i) >= lo && ts(i) <= hi,
+                      seeds = tsIdx.seeds(lo, hi, graft.operators.SearchParams.FilterSeeds))
+                }
+              hits.iterator.map { case (internal, d) => (d, ids(internal)) }
             }
           }
     }

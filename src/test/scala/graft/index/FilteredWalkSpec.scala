@@ -1,0 +1,93 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-filter walk behavior under narrow predicates: entry seeding,
+  * SMALL-slice exact scans, and the visited budget (VERDICT r2 #3). */
+class FilteredWalkSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(23)
+  private val n = 4000
+  private val dim = 16
+
+  // ts-correlated clustered vectors: nodes near ts t sit near the point
+  // (t, t, ...) — a narrow ts slice is also a tight vector-space cluster
+  // far from the global entry, the case entry seeding exists for
+  private val ts = Array.tabulate(n)(i => i.toDouble / n)
+  private val vecs = Array.tabulate(n) { i =>
+    val c = (i.toDouble / n).toFloat
+    Array.fill(dim)(c * 10f + rnd.nextFloat() * 0.5f)
+  }
+
+  private lazy val index = {
+    val ix = new HnswIndex(dim, m = 12, efConstruction = 150)
+    vecs.foreach(ix.add)
+    ix
+  }
+  private lazy val tsIdx = new TsIndex(ts)
+
+  private def exactTopK(q: Array[Float], l: Double, r: Double, k: Int): Seq[Int] = {
+    def d(a: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val x = a(i).toDouble - q(i).toDouble; s += x * x; i += 1 }
+      s
+    }
+    ts.indices.filter(i => ts(i) >= l && ts(i) <= r)
+      .sortBy(i => (d(vecs(i)), i)).take(k)
+  }
+
+  private def qAt(t: Double): Array[Float] =
+    Array.fill(dim)((t * 10).toFloat + 0.25f)
+
+  test("coverage <= 0.05 range: recall >= 0.85 (SMALL slice scans exactly)") {
+    val (l, r) = (0.90, 0.94)  // 4% coverage, far from the entry region
+    assert(tsIdx.coverage(l, r) <= 0.05)
+    val want = exactTopK(qAt(0.92), l, r, 10).toSet
+    val got = index.exactOver(qAt(0.92), tsIdx.inRange(l, r), 10).map(_._1).toSet
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.85, s"recall $recall")
+    assert(recall == 1.0)  // the slice scan is exact by construction
+  }
+
+  test("seeded in-filter walk: recall >= 0.85 on a clustered 25%-coverage slice") {
+    val (l, r) = (0.70, 0.95)
+    val cover = tsIdx.coverage(l, r)
+    assert(cover > 0.2 && cover <= 0.3)
+    val q = qAt(0.85)
+    val allowed: Int => Boolean = i => ts(i) >= l && ts(i) <= r
+    val got = index.search(q, 10, ef = 200, allowed,
+      seeds = tsIdx.seeds(l, r, 10)).map(_._1).toSet
+    val want = exactTopK(q, l, r, 10).toSet
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.85, s"recall $recall")
+  }
+
+  test("all results satisfy the predicate") {
+    val (l, r) = (0.3, 0.6)
+    val hits = index.search(qAt(0.5), 10, 200,
+      (i: Int) => ts(i) >= l && ts(i) <= r, seeds = tsIdx.seeds(l, r, 10))
+    assert(hits.nonEmpty)
+    assert(hits.forall { case (i, _) => ts(i) >= l && ts(i) <= r })
+  }
+
+  test("empty predicate terminates under the visited budget and returns nothing") {
+    val t0 = System.nanoTime()
+    val hits = index.search(qAt(0.5), 10, 200, (_: Int) => false)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(hits.isEmpty)
+    // without a budget this would walk all 4000 nodes every time; with
+    // the 32·ef cap it must stop well before exhausting a much larger
+    // graph — sanity-bound the runtime loosely
+    assert(ms < 2000, s"took $ms ms")
+  }
+
+  test("search distances are exact fp32 after the quantized walk") {
+    val q = qAt(0.4)
+    val hits = index.search(q, 5, 200)
+    hits.foreach { case (i, d) =>
+      var s = 0.0; var j = 0
+      while (j < dim) { val x = vecs(i)(j).toDouble - q(j).toDouble; s += x * x; j += 1 }
+      assert(math.abs(d - s) <= 1e-6 * (1.0 + s), s"node $i: $d vs $s")
+    }
+  }
+}
