@@ -42,26 +42,39 @@ object AnnIndexStore {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Build one sub-index per VALUE of `bucketCol` (label, decile, …) —
+  /** Build sub-indexes per VALUE of `bucketCol` (label, decile, …) —
     * the reference's per-category/per-decile build-once lifecycle
     * (hybrid_graph.cpp:47-89): later query batches search only their
-    * own value's sub-index. Persisted as (bucket, ids, graph) rows.
+    * own value's sub-index rows. Persisted as (bucket, ids, graph)
+    * rows; a value above `maxRowsPerIndex` spans several salted rows.
     * base: (id LONG, <bucketCol> LONG, vec ARRAY<FLOAT>). */
   /** `attrCol` (optional) persists one aligned double per row (e.g. the
     * raw timestamp) so range predicates can run the in-filter walk
     * against the stored sub-index ([[searchDecileRange]]). */
   def buildBy(base: DataFrame, path: String, bucketCol: String,
       m: Int = 16, efConstruction: Int = 200,
-      attrCol: Option[String] = None): Unit = {
+      attrCol: Option[String] = None,
+      maxRowsPerIndex: Int = 200000): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
     val attr = attrCol.map(c => col(c).cast("double")).getOrElse(lit(0.0))
-    base.select(col("id").cast("long"), col(bucketCol).cast("long").as("bucket"),
-        attr.as("attr"), col("vec"))
-      .as[(Long, Long, Double, Array[Float])]
-      .repartition(col("bucket"))
+    val keyed = base.select(col("id").cast("long"),
+      col(bucketCol).cast("long").as("bucket"), attr.as("attr"), col("vec"))
+    // oversized bucket values split into salted sub-indexes — one giant
+    // bucket would otherwise be one straggler task building one giant
+    // graph; readers merge sub-rows through the bounded top-k
+    val splits = keyed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        math.max(1, math.ceil(r.getLong(1).toDouble / maxRowsPerIndex).toInt))
+      .toMap
+    val splitsCol = element_at(typedLit(splits), col("bucket"))
+    keyed
+      .withColumn("sub", pmod(hash(col("id")), splitsCol).cast("int"))
+      .as[(Long, Long, Double, Array[Float], Int)]
+      .repartition(col("bucket"), col("sub"))
       .mapPartitions { it =>
-        it.toArray.groupBy(_._2).iterator.map { case (bucket, rows) =>
+        it.toArray.groupBy(t => (t._2, t._5)).iterator.map { case ((bucket, _), rows) =>
           val index = new HnswIndex(rows.head._4.length, m, efConstruction)
           rows.foreach(r => index.add(r._4))
           (bucket, rows.map(_._1), rows.map(_._3), index.toBytes)
@@ -114,14 +127,16 @@ object AnnIndexStore {
                     graft.operators.SearchParams.inFilterEf(ef, cover), allowed,
                     seeds = tsIdx.seeds(l, r, graft.operators.SearchParams.FilterSeeds))
                 }
-              hits.zipWithIndex.map {
-                case ((internal, _), rank) => (qid, (rank + 1).toLong, ids(internal))
-              }
+              hits.iterator.map { case (internal, d) => (qid, ids(internal), d) }
             }
           }
         }
       }
-      .toDF("qid", "rank", "nid")
+      .toDF("qid", "id", "dist")
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
+      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
   }
 
   /** Range search over a decile-bucketed [[buildBy]] table (bucketCol =
@@ -188,10 +203,11 @@ object AnnIndexStore {
   }
 
   /** Search a [[buildBy]] table with bucket-keyed queries (qid, v,
-    * qvec): each query runs ONLY against its own value's sub-index —
-    * the predicate holds by construction, the per-bucket result is
-    * final (no merge), and the scan prunes to the requested buckets via
-    * parquet min/max stats. (qid, rank, nid). */
+    * qvec): each query runs ONLY against its own value's sub-index rows
+    * — the predicate holds by construction, per-row candidates merge
+    * through the bounded top-k (several rows per value when the build
+    * salted an oversized bucket), and the scan prunes to the requested
+    * buckets via parquet min/max stats. (qid, rank, nid). */
   def searchBy(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, ef: Int = 200): DataFrame = {
     import spark.implicits._
@@ -211,14 +227,18 @@ object AnnIndexStore {
           bq.value.get(bucket).iterator.flatMap { qs =>
             val index = HnswIndex.fromBytes(graphBytes)
             qs.iterator.flatMap { case (qid, qvec) =>
-              index.search(qvec, k, ef).zipWithIndex.map {
-                case ((internal, _), rank) => (qid, (rank + 1).toLong, ids(internal))
+              index.search(qvec, k, ef).iterator.map { case (internal, d) =>
+                (qid, ids(internal), d)
               }
             }
           }
         }
       }
-      .toDF("qid", "rank", "nid")
+      .toDF("qid", "id", "dist")
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
+      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
   }
 
   /** Search a persisted index table: every bucket row searches the

@@ -11,10 +11,17 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` (the JVM analog of `mapInPandas` batching: one codec
   * init per partition, streaming over rows).
   *
-  * ==== STUB BOUNDARY ====
-  * This container ships no image/audio codecs, so [[decodeFeaturesStub]]
-  * and [[frameOffsetsStub]] are clearly-marked deterministic fakes keyed
-  * on content bytes. They honor the exact contract a real decoder would
+  * IMAGES are decoded for real via `javax.imageio` (pure JVM — PNG,
+  * JPEG, BMP, GIF per the runtime's registered readers):
+  * [[decodeImageFeatures]] produces (width, height, channels, features)
+  * with a 5×5 luminance thumbnail + per-channel statistics + aspect —
+  * see [[withImageFeatures]].
+  *
+  * ==== STUB BOUNDARY (audio/video only) ====
+  * No audio/video codecs ship in a bare JVM, so [[decodeFeaturesStub]]
+  * and [[frameOffsetsStub]] remain clearly-marked deterministic fakes
+  * keyed on content bytes, used as the fallback for payloads imageio
+  * cannot decode. They honor the exact contract a real decoder would
   * (fixed feature dim, n-frame sampling) — swap the kernel, keep the
   * Spark plumbing (schema, batching, partitioning) unchanged.
   */
@@ -50,22 +57,118 @@ object Multimodal {
     if (bytes.isEmpty) Array.fill(n)(0L)
     else Array.tabulate(n)(i => (bytes.length.toLong * i) / n)
 
+  /** REAL image decode (javax.imageio): None when the payload is not a
+    * decodable image. Features ([[FeatureDim]] = 32 floats, all in
+    * [-1, 1]):
+    *   [0..24]  5×5 mean-luminance thumbnail (row-major), 0.299R+0.587G+0.114B
+    *   [25..27] mean R, G, B
+    *   [28..30] stddev R, G, B
+    *   [31]     aspect = min(w/h, h/w)
+    * each scaled from its natural range into [-1, 1]. One bulk getRGB —
+    * a single pass over the pixels. */
+  def decodeImageFeatures(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      val channels = img.getColorModel.getNumComponents
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val grid = 5
+      val cellSum = new Array[Double](grid * grid)
+      val cellCnt = new Array[Long](grid * grid)
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      var sr2 = 0.0; var sg2 = 0.0; var sb2 = 0.0
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * grid / h, grid - 1)
+        var x = 0
+        while (x < w) {
+          val p = px(y * w + x)
+          val r = (p >> 16) & 0xff
+          val g = (p >> 8) & 0xff
+          val b = p & 0xff
+          val lum = 0.299 * r + 0.587 * g + 0.114 * b
+          val cell = cy * grid + math.min(x * grid / w, grid - 1)
+          cellSum(cell) += lum
+          cellCnt(cell) += 1
+          sr += r; sg += g; sb += b
+          sr2 += r.toDouble * r; sg2 += g.toDouble * g; sb2 += b.toDouble * b
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      val out = new Array[Float](FeatureDim)
+      var c = 0
+      while (c < grid * grid) {
+        val mean = if (cellCnt(c) == 0) 0.0 else cellSum(c) / cellCnt(c)
+        out(c) = (mean / 255.0 * 2.0 - 1.0).toFloat
+        c += 1
+      }
+      def meanStd(s: Double, s2: Double): (Double, Double) = {
+        val m = s / n
+        (m, math.sqrt(math.max(0.0, s2 / n - m * m)))
+      }
+      val (mr, dr) = meanStd(sr, sr2)
+      val (mg, dg) = meanStd(sg, sg2)
+      val (mb, db) = meanStd(sb, sb2)
+      out(25) = (mr / 255.0 * 2.0 - 1.0).toFloat
+      out(26) = (mg / 255.0 * 2.0 - 1.0).toFloat
+      out(27) = (mb / 255.0 * 2.0 - 1.0).toFloat
+      out(28) = (dr / 127.5 - 1.0).toFloat
+      out(29) = (dg / 127.5 - 1.0).toFloat
+      out(30) = (db / 127.5 - 1.0).toFloat
+      out(31) = (math.min(w.toDouble / h, h.toDouble / w) * 2.0 - 1.0).toFloat
+      Some((w, h, channels, out))
+    } catch {
+      case _: Throwable => None
+    }
+  }
+
   /** Attach decoded features to a media DataFrame.
     * df must have (idCol LONG-castable, bytesCol BINARY). Returns
     * (media_id, n_bytes, features ARRAY<FLOAT>). Batched per partition —
-    * the expensive "codec" is initialized once per task, not per row. */
+    * the expensive codec is initialized once per task, not per row.
+    * Decodable images get the REAL [[decodeImageFeatures]] features;
+    * everything else falls back to the deterministic hash stub. */
   def withFeatures(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init point (real impl: load codec/model here)
+        // per-partition init point (audio/video impl: load codec here)
         it.map { case (id, bytes) =>
-          (id, bytes.length.toLong, decodeFeaturesStub(bytes))
+          val feats = decodeImageFeatures(bytes).map(_._4)
+            .getOrElse(decodeFeaturesStub(bytes))
+          (id, bytes.length.toLong, feats)
         }
       }
       .toDF("media_id", "n_bytes", "features")
+  }
+
+  /** Attach REAL image features: (media_id, n_bytes, width, height,
+    * channels, features). Payloads imageio cannot decode fall back to
+    * the deterministic hash features with width/height/channels = -1,
+    * so the pipeline is total over mixed corpora. Batched per partition
+    * like [[withFeatures]]. */
+  def withImageFeatures(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeImageFeatures(bytes) match {
+            case Some((w, h, c, f)) => (id, bytes.length.toLong, w, h, c, f)
+            case None => (id, bytes.length.toLong, -1, -1, -1, decodeFeaturesStub(bytes))
+          }
+        }
+      }
+      .toDF("media_id", "n_bytes", "width", "height", "channels", "features")
   }
 
   /** Frame-sample a video-like payload: (media_id, frame_index, offset). */

@@ -72,51 +72,77 @@ object AnnJoin {
     * build, :239-298 search). The base is co-partitioned by `label`, one
     * HNSW is built per label group, and each query is searched ONLY
     * against its own category's index — so the predicate holds by
-    * construction and no cross-bucket merge is needed: the per-category
-    * result IS the final top-k. The only shuffle is the base
-    * co-partitioning (a one-time cost amortized by layout at scale).
+    * construction. Labels above `maxRowsPerIndex` are salted into
+    * sub-buckets (one giant category would otherwise be one straggler
+    * task building one giant graph — the reference dedicates special
+    * handling to exactly this, its maxc category); per-sub-index
+    * candidates carry exact distances, so the bounded top-k merge yields
+    * the final result either way.
     *
     * base: (id, label, vec); queries: (qid, v, qvec).
     * Returns (qid, rank, nid). */
   def categoryHnswKnn(base: DataFrame, queries: DataFrame, k: Int,
       ef: Int = 200, m: Int = 16, efConstruction: Int = 200,
-      efSlope: Option[SearchParams.EfSlope] = None): DataFrame =
+      efSlope: Option[SearchParams.EfSlope] = None,
+      maxRowsPerIndex: Int = 200000): DataFrame =
     categoryHnswKnnBatch(base,
       queries.select(col("qid").cast("long"), col("v").cast("long"), col("qvec"))
         .collect()
         .map(r => (r.getLong(1), (r.getLong(0), r.getSeq[Float](2).toArray)))
         .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2)) },
-      k, ef, m, efConstruction, efSlope)
+      k, ef, m, efConstruction, efSlope, maxRowsPerIndex)
+
+  /** (label → sub-bucket count) for the requested labels: one small agg
+    * job; labels under the cap keep a single sub-index. */
+  private def labelSplits(base: DataFrame, labels: Iterable[Long],
+      maxRowsPerIndex: Int): Map[Long, Int] = {
+    val counts = base.filter(col("label").isin(labels.toSeq: _*))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    counts.map { case (l, c) =>
+      l -> math.max(1, math.ceil(c.toDouble / maxRowsPerIndex).toInt)
+    }.toMap
+  }
 
   private[graft] def categoryHnswKnnBatch(base: DataFrame,
       qByLabel: Map[Long, Array[(Long, Array[Float])]], k: Int,
       ef: Int, m: Int = 16, efConstruction: Int = 200,
-      efSlope: Option[SearchParams.EfSlope] = None): DataFrame = {
+      efSlope: Option[SearchParams.EfSlope] = None,
+      maxRowsPerIndex: Int = 200000): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     if (qByLabel.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     val bq = spark.sparkContext.broadcast(qByLabel)
+    val splits = labelSplits(base, qByLabel.keys, maxRowsPerIndex)
+    val splitsCol = element_at(typedLit(splits), col("label"))
     base
       .select(col("id").cast("long"), col("label").cast("long"), col("vec"))
-      .as[(Long, Long, Array[Float])]
-      .repartition(col("label"))
+      .filter(col("label").isin(qByLabel.keys.toSeq: _*))
+      .withColumn("sub", pmod(hash(col("id")), splitsCol).cast("int"))
+      .as[(Long, Long, Array[Float], Int)]
+      .repartition(col("label"), col("sub"))
       .mapPartitions { it =>
-        it.toArray.groupBy(_._2).iterator
-          .filter { case (label, _) => bq.value.contains(label) }
-          .flatMap { case (label, rows) =>
+        it.toArray.groupBy(t => (t._2, t._4)).iterator
+          .flatMap { case ((label, _), rows) =>
             val ids = rows.map(_._1)
             val index = new HnswIndex(rows.head._3.length, m, efConstruction)
             rows.foreach(r => index.add(r._3))
             // ef sloped by category size (hybrid_graph.cpp:263-267)
             val effEf = efSlope.map(s => math.max(ef, s.efFor(rows.length))).getOrElse(ef)
             bq.value(label).iterator.flatMap { case (qid, qvec) =>
-              index.search(qvec, k, effEf).zipWithIndex.map {
-                case ((internal, _), rank) => (qid, (rank + 1).toLong, ids(internal))
+              index.search(qvec, k, effEf).iterator.map { case (internal, d) =>
+                (qid, ids(internal), d)
               }
             }
           }
       }
-      .toDF("qid", "rank", "nid")
+      .toDF("qid", "id", "dist")
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
+      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
   }
 
   /** Per-category ANN join for type-3 (label AND ts-range) queries — the
@@ -125,14 +151,16 @@ object AnnJoin {
     * category's sub-index with an in-filter timestamp check, widening ef
     * by the inverse of the range's coverage (the narrower the slice, the
     * more of the walk's frontier the filter rejects). Predicate holds by
-    * construction for the label and by the `allowed` filter for ts, so
-    * the per-category result is final — no cross-bucket merge.
+    * construction for the label and by the `allowed` filter for ts;
+    * oversized labels are salted into sub-buckets (see
+    * [[categoryHnswKnn]]) and merged through the bounded top-k.
     *
     * base: (id, label, ts, vec); queries: (qid, v, l, r, qvec).
     * Returns (qid, rank, nid). */
   def categoryRangeHnswKnn(base: DataFrame, queries: DataFrame, k: Int,
       ef: Int = 200, m: Int = 16, efConstruction: Int = 200,
-      efSlope: Option[SearchParams.EfSlope] = None): DataFrame =
+      efSlope: Option[SearchParams.EfSlope] = None,
+      maxRowsPerIndex: Int = 200000): DataFrame =
     categoryRangeHnswKnnBatch(base,
       queries
         .select(col("qid").cast("long"), col("v").cast("long"),
@@ -141,25 +169,29 @@ object AnnJoin {
         .map(r => (r.getLong(1),
           (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getSeq[Float](4).toArray)))
         .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2)) },
-      k, ef, m, efConstruction, efSlope)
+      k, ef, m, efConstruction, efSlope, maxRowsPerIndex)
 
   private[graft] def categoryRangeHnswKnnBatch(base: DataFrame,
       qByLabel: Map[Long, Array[(Long, Double, Double, Array[Float])]], k: Int,
       ef: Int, m: Int = 16, efConstruction: Int = 200,
-      efSlope: Option[SearchParams.EfSlope] = None): DataFrame = {
+      efSlope: Option[SearchParams.EfSlope] = None,
+      maxRowsPerIndex: Int = 200000): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     if (qByLabel.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     val bq = spark.sparkContext.broadcast(qByLabel)
+    val splits = labelSplits(base, qByLabel.keys, maxRowsPerIndex)
+    val splitsCol = element_at(typedLit(splits), col("label"))
     base
       .select(col("id").cast("long"), col("label").cast("long"),
         col("ts").cast("double"), col("vec"))
-      .as[(Long, Long, Double, Array[Float])]
-      .repartition(col("label"))
+      .filter(col("label").isin(qByLabel.keys.toSeq: _*))
+      .withColumn("sub", pmod(hash(col("id")), splitsCol).cast("int"))
+      .as[(Long, Long, Double, Array[Float], Int)]
+      .repartition(col("label"), col("sub"))
       .mapPartitions { it =>
-        it.toArray.groupBy(_._2).iterator
-          .filter { case (label, _) => bq.value.contains(label) }
-          .flatMap { case (label, rows) =>
+        it.toArray.groupBy(t => (t._2, t._5)).iterator
+          .flatMap { case ((label, _), rows) =>
             val ids = rows.map(_._1)
             val ts = rows.map(_._3)
             val index = new HnswIndex(rows.head._4.length, m, efConstruction)
@@ -181,13 +213,15 @@ object AnnJoin {
                   index.search(qvec, k, effEf, allowed,
                     seeds = tsIdx.seeds(l, r, SearchParams.FilterSeeds))
                 }
-              hits.zipWithIndex.map {
-                case ((internal, _), rank) => (qid, (rank + 1).toLong, ids(internal))
-              }
+              hits.iterator.map { case (internal, d) => (qid, ids(internal), d) }
             }
           }
       }
-      .toDF("qid", "rank", "nid")
+      .toDF("qid", "id", "dist")
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
+      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
   }
 
   /** Per-decile ANN join for timestamp-range (type-2) queries — the

@@ -123,8 +123,14 @@ object ApproxQueries {
     "multimodal_features" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
-      Multimodal.withFeatures(media, "media_id", "bytes")
+      // text payloads are never decodable images, so the imageio kernel
+      // deterministically falls back (width/channels = -1, hash stub
+      // features) — exactly what the oracle mirrors; real images take
+      // the javax.imageio path (MultimodalSpec covers it with PNGs)
+      Multimodal.withImageFeatures(media, "media_id", "bytes")
         .select(col("media_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("channels").cast("long").as("channels"),
           element_at(col("features"), 1).cast("double").as("f0"))
     }),
 
@@ -156,6 +162,8 @@ object ApproxQueries {
     "multimodal_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(-1 AS BIGINT) AS width,
+        |  CAST(-1 AS BIGINT) AS channels,
         |  CAST(('0x' || substr(md5(text), 1, 2)) AS INT) / 128.0 - 1.0 AS f0
         |FROM documents""".stripMargin,
 

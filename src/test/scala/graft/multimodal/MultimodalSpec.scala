@@ -38,6 +38,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  private def png(w: Int, h: Int)(color: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, color(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode: dimensions, channel stats, thumbnail from actual PNGs") {
+    val red = png(8, 6)((_, _) => 0xff0000)
+    val halfBlack = png(10, 10)((x, _) => if (x < 5) 0x000000 else 0xffffff)
+    val rows = Seq((0L, red), (1L, halfBlack), (2L, "not-an-image".getBytes))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.withImageFeatures(rows, "media_id", "bytes")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getSeq[Float](5))).toMap
+    // red 8x6: decoded dims + channels; mean R max, G/B min; zero stddev
+    val (w0, h0, c0, f0) = out(0L)
+    assert(w0 == 8 && h0 == 6 && c0 == 3)
+    assert(math.abs(f0(25) - 1.0f) < 1e-3)   // mean R = 255 → 1
+    assert(math.abs(f0(26) + 1.0f) < 1e-3)   // mean G = 0 → -1
+    assert(math.abs(f0(28) + 1.0f) < 1e-3)   // stddev R = 0 → -1
+    // half black/white: luminance thumbnail dark on the left column,
+    // bright on the right; aspect = 1 (square)
+    val (_, _, _, f1) = out(1L)
+    assert(f1(0) < -0.9f && f1(4) > 0.9f)
+    assert(math.abs(f1(31) - 1.0f) < 1e-6)
+    // non-image falls back: dims -1, stub features
+    val (w2, _, _, f2) = out(2L)
+    assert(w2 == -1)
+    assert(f2 == Multimodal.decodeFeaturesStub("not-an-image".getBytes).toSeq)
+  }
+
+  test("withFeatures routes decodable images through the real kernel") {
+    val blue = png(4, 4)((_, _) => 0x0000ff)
+    val rows = Seq((0L, blue), (1L, "plain text".getBytes)).toDF("media_id", "bytes")
+    val f = Multimodal.withFeatures(rows, "media_id", "bytes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(f(0L) == Multimodal.decodeImageFeatures(blue).get._4.toSeq)
+    assert(f(1L) == Multimodal.decodeFeaturesStub("plain text".getBytes).toSeq)
+  }
+
   test("features survive a similarity-search round trip (pipeline plumbing)") {
     val feats = Multimodal.withFeatures(media, "media_id", "bytes")
       .select($"media_id".as("id"), $"features".as("vec"))
