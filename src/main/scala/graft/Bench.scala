@@ -27,6 +27,10 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // pair-miner caches are per-call; freeing them between queries
+      // keeps the shared bench JVM from accumulating cached partitions
+      // (the r02 relational "regressions" were exactly this contention)
+      graft.operators.Dedup.releaseCaches()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
