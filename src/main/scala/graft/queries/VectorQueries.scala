@@ -38,6 +38,15 @@ object VectorQueries {
         .select(col("qid"), col("qtype").cast("long").as("qtype"),
           col("matches"), col("sel"), col("route"))),
 
+    // the SCALE stats path: selectivity from the precomputed
+    // (label × decile) grid — exact for types 0/1, interpolated
+    // histogram estimate for 2/3 (the reference's category_map +
+    // timestamp_map lookup); oracle recomputes the estimator in SQL
+    "selectivity_route_fast" -> ((s, dir) =>
+      Selectivity.routeQueriesFast(base(s, dir), qs(s, dir))
+        .select(col("qid"), col("qtype").cast("long").as("qtype"),
+          col("sel"), col("route"))),
+
     // SplitInterval: decile decomposition of range predicates
     "interval_split" -> ((s, dir) =>
       Selectivity.splitInterval(
@@ -377,6 +386,43 @@ object VectorQueries {
          |       WHEN qtype = 1 OR qtype = 3 THEN 'category_graph'
          |       ELSE 'interval_graph' END AS route
          |FROM m""".stripMargin,
+
+    "selectivity_route_fast" ->
+      s"""WITH $vecCte,
+         |nn AS (SELECT greatest(CAST(count(*) AS DOUBLE), 1.0) AS n FROM b),
+         |cm AS (SELECT label, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY label),
+         |hl AS (
+         |  SELECT list(cnt ORDER BY d) AS hist FROM (
+         |    SELECT ds.d, CAST(coalesce(h.cnt, 0) AS DOUBLE) AS cnt
+         |    FROM (SELECT unnest(range(0, 10)) AS d) ds
+         |    LEFT JOIN (
+         |      SELECT CAST(floor(ts * 10) AS INT) AS d, count(*) AS cnt
+         |      FROM b GROUP BY 1
+         |    ) h ON ds.d = h.d
+         |  )
+         |),
+         |se AS (
+         |  SELECT q.qid, CAST(q.qtype AS BIGINT) AS qtype,
+         |    CAST(coalesce(cm.cnt, 0) AS BIGINT) AS catcnt,
+         |    list_sum(list_transform(range(0, 10), d ->
+         |      greatest(0.0, (least(q.r, (d + 1) / 10.0) - greatest(q.l, d / 10.0)) * 10.0)
+         |        * hl.hist[d + 1])) AS rangecnt,
+         |    nn.n AS n
+         |  FROM q
+         |  LEFT JOIN cm ON cm.label = q.v
+         |  CROSS JOIN hl CROSS JOIN nn
+         |)
+         |SELECT qid, qtype,
+         |  CASE WHEN qtype = 0 THEN 1.0
+         |       WHEN qtype = 1 THEN catcnt / n
+         |       WHEN qtype = 2 THEN rangecnt / n
+         |       ELSE (catcnt / n) * (rangecnt / n) END AS sel,
+         |  CASE WHEN qtype = 0 THEN 'full_graph'
+         |       WHEN qtype = 3 AND (catcnt / n) * (rangecnt / n) < 0.08 THEN 'bruteforce'
+         |       WHEN qtype != 3 AND (CASE WHEN qtype = 1 THEN catcnt / n ELSE rangecnt / n END) < 0.045 THEN 'bruteforce'
+         |       WHEN qtype = 1 OR qtype = 3 THEN 'category_graph'
+         |       ELSE 'interval_graph' END AS route
+         |FROM se""".stripMargin,
 
     "interval_split" ->
       s"""WITH $vecCte,

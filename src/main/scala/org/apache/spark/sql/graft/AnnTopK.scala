@@ -31,9 +31,10 @@ import graft.index.HnswIndex
   *
   * Matching is deliberately narrow (approximate results must be opted
   * into, never sprung on a user): single ascending `l2_sq(vec, literal)`
-  * sort key (optional `id` tiebreak), projected output exactly the id
-  * column, scan = registered path. Anything else falls through to the
-  * built-in strategies untouched.
+  * sort key (optional `id` tiebreak), projected output of id / constant
+  * / base columns (wide outputs fetch the k result rows by id), scan =
+  * registered path. Anything else falls through to the built-in
+  * strategies untouched.
   */
 object AnnCatalog {
 
@@ -254,27 +255,34 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
             case _ => None
           }
       }
-      // the routed output: exactly one id column; any other columns must
-      // be constants (a collapsed outer projection like
-      // `SELECT 42 AS qid, id ...` is still index-answerable)
-      template <- {
-        val slots = outer.map {
+      // the routed output: each slot is the id, a constant, or any other
+      // base column (wide outputs are answered by an id-keyed point
+      // fetch of the k result rows — `SELECT id, label, ts ... LIMIT k`
+      // routes too, not just bare-id projections)
+      slots <- {
+        val classified = outer.map {
           case a: AttributeReference
               if a.name.equalsIgnoreCase(meta.idCol) && a.dataType == LongType =>
-            Some(None)
+            Some(AnnTopKExec.IdSlot: AnnTopKExec.Slot)
           case Alias(a: AttributeReference, _)
               if a.name.equalsIgnoreCase(meta.idCol) && a.dataType == LongType =>
-            Some(None)
-          case Alias(l: Literal, _) => Some(Some(l.value))
+            Some(AnnTopKExec.IdSlot: AnnTopKExec.Slot)
+          case Alias(l: Literal, _) =>
+            Some(AnnTopKExec.ConstSlot(l.value): AnnTopKExec.Slot)
+          case a: AttributeReference =>
+            Some(AnnTopKExec.ColSlot(a.name): AnnTopKExec.Slot)
+          case Alias(a: AttributeReference, _) =>
+            Some(AnnTopKExec.ColSlot(a.name): AnnTopKExec.Slot)
           case _ => None
         }
-        if (slots.contains(None) || slots.count(_ == Some(None)) != 1) None
-        else Some(slots.map(_.get))
+        if (classified.contains(None)) None else Some(classified.map(_.get))
       }
     } yield {
       val ef = session.conf.getOption("spark.graft.ann.ef")
         .map(_.toInt).getOrElse(meta.ef)
-      AnnTopKExec(outer.map(_.toAttribute), template, annRoute, ef, qvec, k)
+      val basePath = fs.location.rootPaths.head.toString
+      AnnTopKExec(outer.map(_.toAttribute), slots, annRoute, ef, qvec, k,
+        basePath, meta.idCol)
     }
   }
 }
@@ -284,26 +292,62 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
   * driver merges to the global top-k ordered by (dist, id). The merge is
   * k·buckets rows — the same two-level shape as the reference's
   * per-sub-index candidate pooling (hybrid_graph.cpp:306-333).
-  * `template` maps each output slot to a constant (Some(value)) or the
-  * result id (None — exactly one slot). */
-case class AnnTopKExec(output: Seq[Attribute], template: Seq[Option[Any]],
-    route: AnnTopKExec.AnnRoute, ef: Int, qvec: Array[Float], k: Int)
+  * `slots` maps each output column to the result id, a constant, or a
+  * base column; base columns are answered by a second point-lookup scan
+  * of the base parquet filtered to the k result ids (pushed-down isin —
+  * k rows, not a full scan). */
+case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
+    route: AnnTopKExec.AnnRoute, ef: Int, qvec: Array[Float], k: Int,
+    basePath: String, idCol: String)
     extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
     val ids = AnnTopKExec.searchIds(session, route, qvec, k, ef)
     val types = output.map(_.dataType).toArray
-    val tmpl = template.toArray
-    sparkContext.parallelize(ids.toIndexedSeq, 1).mapPartitions { it =>
-      val proj = UnsafeProjection.create(types)
-      val row = new GenericInternalRow(tmpl.length)
+    val slotArr = slots.toArray
+    // wide outputs: fetch the k result rows' columns by id (tiny scan,
+    // id-isin pushed to parquet), keyed for rank-order assembly
+    val fetchCols = slotArr.collect { case AnnTopKExec.ColSlot(n) => n }.distinct
+    val fetched: Map[Long, org.apache.spark.sql.Row] =
+      if (fetchCols.isEmpty || ids.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.col
+        session.read.parquet(basePath)
+          .filter(col(idCol).isin(ids.toIndexedSeq: _*))
+          .select((col(idCol).cast("long").as("__id") +: fetchCols.toIndexedSeq.map(col)): _*)
+          .collect()
+          .map(r => r.getLong(0) -> r)
+          .toMap
+      }
+    val colIndex = fetchCols.zipWithIndex.toMap
+    val converters = slotArr.zipWithIndex.map { case (s, i) =>
+      s match {
+        case AnnTopKExec.ColSlot(_) =>
+          CatalystTypeConverters.createToCatalystConverter(types(i))
+        case _ => null
+      }
+    }
+    // a stale index could return an id no longer in the base — drop it
+    // rather than fail the whole statement
+    val outIds = if (fetchCols.isEmpty) ids else ids.filter(fetched.contains)
+    val rows = outIds.map { id =>
+      val row = new GenericInternalRow(slotArr.length)
       var i = 0
-      while (i < tmpl.length) {
-        tmpl(i).foreach(v => row.update(i, v))
+      while (i < slotArr.length) {
+        slotArr(i) match {
+          case AnnTopKExec.IdSlot => row.update(i, id)
+          case AnnTopKExec.ConstSlot(v) => row.update(i, v)
+          case AnnTopKExec.ColSlot(n) =>
+            row.update(i, converters(i)(fetched(id).get(colIndex(n) + 1)))
+        }
         i += 1
       }
-      val idSlot = tmpl.indexOf(None)
-      it.map { id => row.update(idSlot, id); proj(row) }
+      row
+    }
+    sparkContext.parallelize(rows.toIndexedSeq, 1).mapPartitions { it =>
+      val proj = UnsafeProjection.create(types)
+      it.map(proj(_))
     }
   }
 
@@ -312,6 +356,13 @@ case class AnnTopKExec(output: Seq[Attribute], template: Seq[Option[Any]],
 }
 
 object AnnTopKExec {
+
+  /** Output-slot source: the result id, a plan-time constant, or a
+    * fetched base column. */
+  sealed trait Slot
+  case object IdSlot extends Slot
+  case class ConstSlot(value: Any) extends Slot
+  case class ColSlot(name: String) extends Slot
 
   /** Which stored index answers the statement, and under which predicate. */
   sealed trait AnnRoute { def path: String }

@@ -185,6 +185,39 @@ class AnnTopKStrategySpec extends SparkSpec {
     } finally AnnCatalog.unregister(basePath)
   }
 
+  test("wide projection routes: non-id base columns fetched by id") {
+    val root = Files.createTempDirectory("graft_anntopk_wide").toFile
+    root.deleteOnExit()
+    val basePath = s"$root/base"
+    val indexPath = s"$root/index"
+    val rnd = new scala.util.Random(29)
+    Seq.tabulate(800) { i =>
+      (i.toLong, s"name_$i", (i % 40) / 40.0, Array.fill(dim)(rnd.nextFloat()))
+    }.toDF("id", "name", "ts", "vec").write.mode("overwrite").parquet(basePath)
+    AnnIndexStore.build(spark.read.parquet(basePath).select("id", "vec"),
+      indexPath, numBuckets = 2)
+    AnnCatalog.register(basePath, indexPath, idCol = "id", vecCol = "vec", ef = 150)
+    try {
+      val qv = spark.read.parquet(basePath).filter(col("id") === 77L)
+        .select("vec").head.getSeq[Float](0).toArray
+      val df = spark.read.parquet(basePath)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id", "name", "ts")
+        .limit(6)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("AnnTopK"), s"expected AnnTopK in:\n$physical")
+      val rows = df.collect()
+      assert(rows.length == 6)
+      // fetched columns line up with the base row of each returned id
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        assert(r.getString(1) == s"name_$id")
+        assert(math.abs(r.getDouble(2) - (id % 40) / 40.0) < 1e-12)
+      }
+      assert(rows.map(_.getLong(0)).contains(77L))
+    } finally AnnCatalog.unregister(basePath)
+  }
+
   test("SQL text form routes too") {
     AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec", ef = 150)
     try {
