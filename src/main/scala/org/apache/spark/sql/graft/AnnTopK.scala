@@ -156,8 +156,13 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
 
   /** Strip attribute-only projections and at most one index-answerable
     * filter (label equality and/or closed ts interval, plus the
-    * IsNotNull conjuncts the optimizer infers). */
-  private def unwrap(plan: LogicalPlan): Option[(HadoopFsRelation, PredInfo)] = plan match {
+    * IsNotNull conjuncts the optimizer infers). Matches both the v1
+    * (LogicalRelation/HadoopFsRelation) and v2 (DataSourceV2ScanRelation
+    * over a FileScan) parquet read paths; the v2 case only matches when
+    * the scan consumed NO partition filters — a consumed filter is
+    * invisible here and routing without it would answer the wrong
+    * predicate. Returns the scan's root paths. */
+  private def unwrap(plan: LogicalPlan): Option[(Seq[org.apache.hadoop.fs.Path], PredInfo)] = plan match {
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       unwrap(child)
     case Filter(cond, child) =>
@@ -183,14 +188,21 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
       }
       range match {
         case Some(r) if eqs.length <= 1 && residue.isEmpty && (eqs.nonEmpty || r.nonEmpty) =>
-          unwrap(child).collect { case (fs, PredInfo(None, None)) =>
-            (fs, PredInfo(eqs.headOption, r))
+          unwrap(child).collect { case (paths, PredInfo(None, None)) =>
+            (paths, PredInfo(eqs.headOption, r))
           }
         case _ => None
       }
     case lr: LogicalRelation =>
       lr.relation match {
-        case fs: HadoopFsRelation => Some((fs, PredInfo()))
+        case fs: HadoopFsRelation => Some((fs.location.rootPaths, PredInfo()))
+        case _ => None
+      }
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      r.scan match {
+        case fs: org.apache.spark.sql.execution.datasources.v2.FileScan
+            if fs.partitionFilters.isEmpty =>
+          Some((fs.fileIndex.rootPaths, PredInfo()))
         case _ => None
       }
     case _ => None
@@ -221,8 +233,8 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
     }
     for {
       (vecAttr, qvec, tie) <- keys
-      (fs, preds) <- unwrap(sort.child)
-      meta <- AnnCatalog.lookup(fs.location.rootPaths)
+      (rootPaths, preds) <- unwrap(sort.child)
+      meta <- AnnCatalog.lookup(rootPaths)
       if vecAttr.name.equalsIgnoreCase(meta.vecCol)
       if tie.forall(_.name.equalsIgnoreCase(meta.idCol))
       // predicate → stored-index route: the reference's 4-type dispatch
@@ -280,7 +292,7 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
     } yield {
       val ef = session.conf.getOption("spark.graft.ann.ef")
         .map(_.toInt).getOrElse(meta.ef)
-      val basePath = fs.location.rootPaths.head.toString
+      val basePath = rootPaths.head.toString
       AnnTopKExec(outer.map(_.toAttribute), slots, annRoute, ef, qvec, k,
         basePath, meta.idCol)
     }

@@ -218,6 +218,24 @@ class AnnTopKStrategySpec extends SparkSpec {
     } finally AnnCatalog.unregister(basePath)
   }
 
+  test("DataSourceV2 parquet scan routes too (v1 source list cleared)") {
+    AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec", ef = 150)
+    val prior = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try {
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      val qv = qvecOf(9L)
+      val df = spark.read.parquet(dirs._1)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id").limit(10)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("AnnTopK"), s"expected AnnTopK in:\n$physical")
+      assert(df.collect().map(_.getLong(0)).contains(9L))
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prior)
+      AnnCatalog.unregister(dirs._1)
+    }
+  }
+
   test("SQL text form routes too") {
     AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec", ef = 150)
     try {
