@@ -67,6 +67,33 @@ public final class PanamaKernels implements VectorKernels.DistanceKernel {
     }
 
     @Override
+    public int l2sqI8Both(byte[] flat, int offA, int offB, int n) {
+        int upper = B128.loopBound(n);
+        jdk.incubator.vector.IntVector acc = jdk.incubator.vector.IntVector.zero(I256);
+        int i = 0;
+        for (; i < upper; i += B128.length()) {
+            jdk.incubator.vector.ShortVector va = (jdk.incubator.vector.ShortVector)
+                jdk.incubator.vector.ByteVector.fromArray(B128, flat, offA + i)
+                    .convertShape(jdk.incubator.vector.VectorOperators.B2S, S256, 0);
+            jdk.incubator.vector.ShortVector vb = (jdk.incubator.vector.ShortVector)
+                jdk.incubator.vector.ByteVector.fromArray(B128, flat, offB + i)
+                    .convertShape(jdk.incubator.vector.VectorOperators.B2S, S256, 0);
+            jdk.incubator.vector.ShortVector d = va.sub(vb);
+            jdk.incubator.vector.IntVector lo = (jdk.incubator.vector.IntVector)
+                d.convertShape(jdk.incubator.vector.VectorOperators.S2I, I256, 0);
+            jdk.incubator.vector.IntVector hi = (jdk.incubator.vector.IntVector)
+                d.convertShape(jdk.incubator.vector.VectorOperators.S2I, I256, 1);
+            acc = acc.add(lo.mul(lo)).add(hi.mul(hi));
+        }
+        int s = acc.reduceLanes(jdk.incubator.vector.VectorOperators.ADD);
+        for (; i < n; i++) {
+            int d = flat[offA + i] - flat[offB + i];
+            s += d * d;
+        }
+        return s;
+    }
+
+    @Override
     public int l2sqI8Pre(short[] q, byte[] flat, int off, int n) {
         int upper = B128.loopBound(n);
         jdk.incubator.vector.IntVector acc = jdk.incubator.vector.IntVector.zero(I256);

@@ -51,6 +51,27 @@ public final class VectorKernels {
         }
 
         /**
+         * Both operands are rows of the same flat code matrix (node-to-
+         * node distance during the quantized graph build).
+         */
+        default int l2sqI8Both(byte[] flat, int offA, int offB, int n) {
+            int s0 = 0, s1 = 0, s2 = 0, s3 = 0;
+            int i = 0;
+            for (; i + 3 < n; i += 4) {
+                int d0 = flat[offA + i] - flat[offB + i];
+                int d1 = flat[offA + i + 1] - flat[offB + i + 1];
+                int d2 = flat[offA + i + 2] - flat[offB + i + 2];
+                int d3 = flat[offA + i + 3] - flat[offB + i + 3];
+                s0 += d0 * d0; s1 += d1 * d1; s2 += d2 * d2; s3 += d3 * d3;
+            }
+            for (; i < n; i++) {
+                int d = flat[offA + i] - flat[offB + i];
+                s0 += d * d;
+            }
+            return (s0 + s1) + (s2 + s3);
+        }
+
+        /**
          * Hot-loop variant: the query side is pre-widened to short[]
          * ONCE per search, halving the per-hop lane conversions (the
          * data side still loads packed bytes -- that is where the 4x

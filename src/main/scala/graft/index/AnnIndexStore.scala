@@ -32,8 +32,8 @@ object AnnIndexStore {
         val rows = it.toArray
         if (rows.isEmpty) Iterator.empty
         else {
-          val index = new HnswIndex(rows.head._2.length, m, efConstruction)
-          rows.foreach(r => index.add(r._2))
+          val index = HnswIndex.buildOn(rows.head._2.length, m, efConstruction,
+            rows.iterator.map(_._2), HnswIndex.maxAbsOf(rows.iterator.map(_._2)))
           Iterator.single(
             (TaskContext.getPartitionId(), rows.map(_._1), index.toBytes))
         }
@@ -75,8 +75,8 @@ object AnnIndexStore {
       .repartition(col("bucket"), col("sub"))
       .mapPartitions { it =>
         it.toArray.groupBy(t => (t._2, t._5)).iterator.map { case ((bucket, _), rows) =>
-          val index = new HnswIndex(rows.head._4.length, m, efConstruction)
-          rows.foreach(r => index.add(r._4))
+          val index = HnswIndex.buildOn(rows.head._4.length, m, efConstruction,
+            rows.iterator.map(_._4), HnswIndex.maxAbsOf(rows.iterator.map(_._4)))
           (bucket, rows.map(_._1), rows.map(_._3), index.toBytes)
         }
       }

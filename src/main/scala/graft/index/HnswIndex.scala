@@ -108,10 +108,66 @@ final class HnswIndex(
 
   @inline private def distTo(q: Array[Float], node: Int): Double = dist(q, vecs(node))
 
-  /** Greedy single-entry descent at one level. */
-  private def greedyStep(q: Array[Float], start: Int, level: Int): Int = {
+  // ---- quantized BUILD path ------------------------------------------
+  // The reference builds its graphs on quantized codes too (pyglass
+  // builds through the quantizer's computer). After `FreezeAt` inserts
+  // the build freezes an alpha (max |x| so far, 1.25x headroom for later
+  // values — encode clamps), back-fills a flat code matrix, and every
+  // later insert runs its beam/diversity arithmetic on int8 codes. The
+  // first FreezeAt inserts build fp32 (no alpha known yet). Search-time
+  // codes (`ensureCodes`) are encoded independently with the final
+  // alpha; returned distances are always exact fp32 via the re-rank.
+  private val FreezeAt = 1024
+  @transient private var bAlpha = 0.0
+  @transient private var bCodes: Array[Byte] = _
+
+  private def encodeInto(i: Int): Unit = {
+    val need = (i + 1) * dim
+    if (bCodes.length < need)
+      bCodes = java.util.Arrays.copyOf(bCodes, math.max(bCodes.length * 2, need))
+    val v = vecs(i)
+    val off = i * dim
+    var d = 0
+    while (d < dim) {
+      bCodes(off + d) = org.apache.spark.sql.graft.Sq8Encode.encodeOne(v(d), bAlpha)
+      d += 1
+    }
+  }
+
+  private def freezeBuildCodes(): Unit = {
+    bAlpha = (if (maxAbs > 0) maxAbs else 1.0) * 1.25
+    bCodes = new Array[Byte](math.max(vecs.length * dim * 2, 1 << 14))
+    var i = 0
+    while (i < vecs.length) { encodeInto(i); i += 1 }
+  }
+
+  /** Pre-train the build quantizer on the full data range (batch builds
+    * materialize their rows before inserting, so callers can pass the
+    * true max |component| up front — the reference trains its quantizer
+    * on the whole dataset before building). Inserts then run quantized
+    * from the first node with full code resolution. Call before add(). */
+  def preTrain(alpha: Double): Unit = {
+    require(vecs.isEmpty, "preTrain must precede inserts")
+    require(alpha > 0, "alpha must be positive")
+    bAlpha = alpha
+    bCodes = new Array[Byte](1 << 14)
+  }
+
+  /** Node-to-node distance in the build's active metric. */
+  @inline private def nodeDist(a: Int, b: Int): Double =
+    if (bAlpha != 0.0) kernel.l2sqI8Both(bCodes, a * dim, b * dim, dim).toDouble
+    else dist(vecs(a), vecs(b))
+
+  /** Inserted-vector-to-node distance in the build's active metric
+    * (`qc` = the inserted vector's widened codes, null before freeze). */
+  @inline private def buildDistTo(q: Array[Float], qc: Array[Short], node: Int): Double =
+    if (qc != null) kernel.l2sqI8Pre(qc, bCodes, node * dim, dim).toDouble
+    else distTo(q, node)
+
+  /** Greedy single-entry descent at one level (build metric). */
+  private def greedyStep(q: Array[Float], qc: Array[Short], start: Int, level: Int): Int = {
     var cur = start
-    var curD = distTo(q, cur)
+    var curD = buildDistTo(q, qc, cur)
     var improved = true
     while (improved) {
       improved = false
@@ -119,7 +175,7 @@ final class HnswIndex(
       var i = 0
       while (i < nbrs.length) {
         val c = nbrs(i)
-        val d = distTo(q, c)
+        val d = buildDistTo(q, qc, c)
         if (d < curD) { cur = c; curD = d; improved = true }
         i += 1
       }
@@ -151,7 +207,8 @@ final class HnswIndex(
   /** Beam search at one level; returns the ≤ ef best (dist, id) pairs.
     * NOTE the returned heap is scratch when ef == efConstruction —
     * consume it before the next searchLayer call (single-threaded). */
-  private def searchLayer(q: Array[Float], start: Int, ef: Int, level: Int): BoundedMaxHeap = {
+  private def searchLayer(q: Array[Float], qc: Array[Short], start: Int,
+      ef: Int, level: Int): BoundedMaxHeap = {
     val gen = nextVisitedGen()
     val seen = visitedMark
     val reuse = ef == efConstruction
@@ -161,7 +218,7 @@ final class HnswIndex(
     }
     val cand = if (reuse) { scratchCand.clear(); scratchCand } else new MinDistHeap(ef + 1)
     val res = if (reuse) { scratchRes.clear(); scratchRes } else new BoundedMaxHeap(ef)
-    val d0 = distTo(q, start)
+    val d0 = buildDistTo(q, qc, start)
     cand.push(d0, start); res.offer(d0, start); seen(start) = gen
     while (cand.nonEmpty) {
       val cd = cand.minDist
@@ -176,7 +233,7 @@ final class HnswIndex(
           val nb = nbrs(i)
           if (seen(nb) != gen) {
             seen(nb) = gen
-            val d = distTo(q, nb)
+            val d = buildDistTo(q, qc, nb)
             if (!res.isFull || d < res.worstDist) {
               cand.push(d, nb)
               res.offer(d, nb)
@@ -200,19 +257,18 @@ final class HnswIndex(
     java.util.Arrays.sort(packed)
     val window = math.min(packed.length, count * 4)
     val kept = new IntList(count)
-    val keptD = new Array[Array[Float]](count)
     var i = 0
     while (i < window && kept.length < count) {
       val dq = java.lang.Float.intBitsToFloat((packed(i) >>> 32).toInt).toDouble
       val c = (packed(i) & 0xffffffffL).toInt
-      val cv = vecs(c)
       var ok = true
       var j = 0
       while (ok && j < kept.length) {
-        if (dist(cv, keptD(j)) < dq) ok = false
+        // same metric as the candidate dists (codes after the freeze)
+        if (nodeDist(c, kept(j)) < dq) ok = false
         j += 1
       }
-      if (ok) { keptD(kept.length) = cv; kept += c }
+      if (ok) kept += c
       i += 1
     }
     // backfill with closest pruned if underfull
@@ -250,17 +306,36 @@ final class HnswIndex(
       entry = id; topLevel = level
       return id
     }
+    // freeze the quantized build once enough data fixes an alpha; from
+    // then on every insert's beam/diversity runs on int8 codes. If the
+    // data's range outgrows the frozen alpha (clamping would degrade
+    // the graph), re-freeze with the new range and re-encode — the
+    // 1.25x headroom makes re-freezes O(log(range growth)) amortized.
+    if (bAlpha == 0.0 && vecs.length >= FreezeAt) freezeBuildCodes()
+    else if (bAlpha != 0.0) {
+      if (maxAbs > bAlpha) freezeBuildCodes()
+      else encodeInto(id)
+    }
+    val qc: Array[Short] =
+      if (bAlpha == 0.0) null
+      else {
+        val out = new Array[Short](dim)
+        val off = id * dim
+        var d = 0
+        while (d < dim) { out(d) = bCodes(off + d).toShort; d += 1 }
+        out
+      }
     var cur = entry
     // descend levels above the node's level greedily
     var l = topLevel
     while (l > level) {
-      cur = greedyStep(vec, cur, l)
+      cur = greedyStep(vec, qc, cur, l)
       l -= 1
     }
     // insert at each level from min(topLevel, level) down to 0
     l = math.min(topLevel, level)
     while (l >= 0) {
-      val found = searchLayer(vec, cur, efConstruction, l).toPacked
+      val found = searchLayer(vec, qc, cur, efConstruction, l).toPacked
       val cap = if (l == 0) maxM0 else maxM
       // selectNeighbors sorts `found` in place — afterwards found(0) is
       // the closest candidate, reused as the next level's entry point
@@ -275,11 +350,10 @@ final class HnswIndex(
         val nbLinks = links(nb)(l)
         nbLinks += id
         if (nbLinks.length > cap + pruneSlack) {
-          val nbv = vecs(nb)
           val withD = new Array[Long](nbLinks.length)
           var t = 0
           while (t < nbLinks.length) {
-            withD(t) = pack(dist(nbv, vecs(nbLinks(t))), nbLinks(t)); t += 1
+            withD(t) = pack(nodeDist(nb, nbLinks(t)), nbLinks(t)); t += 1
           }
           links(nb)(l) = selectNeighbors(withD, cap)
         }
@@ -526,6 +600,32 @@ final class HnswIndex(
 }
 
 object HnswIndex {
+
+  /** Max |component| over a vector batch — the [[HnswIndex.preTrain]]
+    * input for batch builds (one pass, no allocation). */
+  def maxAbsOf(vecs: Iterator[Array[Float]]): Double = {
+    var ma = 0.0
+    while (vecs.hasNext) {
+      val v = vecs.next()
+      var d = 0
+      while (d < v.length) {
+        val a = math.abs(v(d).toDouble)
+        if (a > ma) ma = a
+        d += 1
+      }
+    }
+    ma
+  }
+
+  /** Build a pre-trained index over a materialized row batch. */
+  def buildOn(dim: Int, m: Int, efConstruction: Int,
+      vecs: Iterator[Array[Float]], alpha: Double): HnswIndex = {
+    val idx = new HnswIndex(dim, m, efConstruction)
+    if (alpha > 0) idx.preTrain(alpha)
+    vecs.foreach(idx.add)
+    idx
+  }
+
   def fromBytes(bytes: Array[Byte]): HnswIndex = {
     val in = new java.io.DataInputStream(
       new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(bytes)))

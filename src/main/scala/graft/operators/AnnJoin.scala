@@ -50,8 +50,8 @@ object AnnJoin {
         if (rows.isEmpty) Iterator.empty
         else {
           val ids = rows.map(_._1)
-          val index = new HnswIndex(rows.head._2.length, m, efConstruction)
-          rows.foreach(r => index.add(r._2))
+          val index = HnswIndex.buildOn(rows.head._2.length, m, efConstruction,
+            rows.iterator.map(_._2), HnswIndex.maxAbsOf(rows.iterator.map(_._2)))
           bq.value.iterator.flatMap { case (qid, qvec) =>
             index.search(qvec, k, ef).iterator.map { case (internal, d) =>
               (qid, ids(internal), d)
@@ -127,8 +127,8 @@ object AnnJoin {
         it.toArray.groupBy(t => (t._2, t._4)).iterator
           .flatMap { case ((label, _), rows) =>
             val ids = rows.map(_._1)
-            val index = new HnswIndex(rows.head._3.length, m, efConstruction)
-            rows.foreach(r => index.add(r._3))
+            val index = HnswIndex.buildOn(rows.head._3.length, m, efConstruction,
+              rows.iterator.map(_._3), HnswIndex.maxAbsOf(rows.iterator.map(_._3)))
             // ef sloped by category size (hybrid_graph.cpp:263-267)
             val effEf = efSlope.map(s => math.max(ef, s.efFor(rows.length))).getOrElse(ef)
             bq.value(label).iterator.flatMap { case (qid, qvec) =>
@@ -194,8 +194,8 @@ object AnnJoin {
           .flatMap { case ((label, _), rows) =>
             val ids = rows.map(_._1)
             val ts = rows.map(_._3)
-            val index = new HnswIndex(rows.head._4.length, m, efConstruction)
-            rows.foreach(r => index.add(r._4))
+            val index = HnswIndex.buildOn(rows.head._4.length, m, efConstruction,
+              rows.iterator.map(_._4), HnswIndex.maxAbsOf(rows.iterator.map(_._4)))
             // coverage/seeds by binary search on the sorted-ts view —
             // O(log n) per query instead of a per-query O(n) scan
             // (hybrid_graph.cpp:181-199)
@@ -272,8 +272,8 @@ object AnnJoin {
           else {
             val ids = rows.map(_._1)
             val ts = rows.map(_._2)
-            val index = new HnswIndex(rows.head._3.length, m, efConstruction)
-            rows.foreach(r => index.add(r._3))
+            val index = HnswIndex.buildOn(rows.head._3.length, m, efConstruction,
+              rows.iterator.map(_._3), HnswIndex.maxAbsOf(rows.iterator.map(_._3)))
             val tsIdx = new graft.index.TsIndex(ts)
             overlapping.iterator.flatMap { case (qid, l, r, qvec) =>
               val full = l <= bStart && r >= bEnd

@@ -223,6 +223,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Connected components over a near-dup pair graph — the cluster
+    * assignment step of corpus dedup (every doc maps to the minimum
+    * doc id reachable through pair edges; keep one representative per
+    * cluster, drop the rest). Iterative min-label propagation: each
+    * round every node adopts the smallest label among itself and its
+    * neighbors, until a fixpoint — O(diameter) rounds, each one join +
+    * aggregate over the edge list. Near-dup graphs have tiny diameters
+    * (clusters are quasi-cliques), so this converges in 2-3 rounds at
+    * any corpus size; the driver-side loop only inspects a change
+    * COUNT per round, never the data.
+    *
+    * nodes: one column `idCol`; pairs: (doc_a, doc_b) undirected.
+    * Returns (doc_id, cluster_rep), cluster_rep = min id in component —
+    * including singleton docs (their own rep). */
+  def nearDupComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tracked(edges)
+    var labels = nodes.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("cluster_rep", col("doc_id"))
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // candidate label per node = min over (own label, neighbors' labels)
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_rep")).as("nbr_rep"))
+      val next = labels.join(viaEdges, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_rep"), coalesce(col("nbr_rep"), col("cluster_rep"))).as("cluster_rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tracked(next)
+      val changed = next.join(labels.withColumnRenamed("cluster_rep", "old_rep"), "doc_id")
+        .filter(col("cluster_rep") < col("old_rep")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels
+  }
+
   /** Embedding near-duplicate pairs with cosine ≥ minCosine:
     * (id_a, id_b, cos), id_a < id_b.
     *

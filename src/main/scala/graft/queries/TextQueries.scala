@@ -59,6 +59,16 @@ object TextQueries {
           Seq("doc_id"), "left_anti")
     }),
 
+    // cluster assignment: connected components over the jaccard >= 0.5
+    // pair graph via iterative min-label propagation (O(diameter)
+    // rounds); oracle recomputes components with a recursive CTE
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
+        shingleSize = 3, minJaccard = 0.5)
+      Dedup.nearDupComponents(
+        docs(s, dir).select(col("doc_id")), "doc_id", pairs)
+    }),
+
     // quality scoring: lexical diversity, stopword ratio, length
     "text_quality" -> ((s, dir) =>
       docs(s, dir)
@@ -404,6 +414,31 @@ object TextQueries {
          |)
          |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
          |WHERE CAST(doc_id AS BIGINT) NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |ex AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(sh) AS sh FROM shl),
+         |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), pe AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, inter / (x.n + y.n - inter) AS jac
+         |    FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+         |  ) WHERE jac >= 0.5
+         |), ed AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pe
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pe
+         |), reach(a, b) AS (
+         |  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN ed e ON e.src = r.b
+         |)
+         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
+         |FROM reach GROUP BY a""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (

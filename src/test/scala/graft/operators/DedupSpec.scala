@@ -6,6 +6,18 @@ import graft.SparkSpec
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("nearDupComponents: chains collapse to min-id reps, singletons keep their own") {
+    // components: {1,2,3,4} via a chain (needs >1 propagation round),
+    // {10,11}, and singletons {20}, {21}
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((3L, 4L), (2L, 3L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupComponents(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+    Dedup.releaseCaches()
+  }
+
   private val docs = Seq(
     (0L, "the quick brown fox jumps over the lazy dog today"),
     (1L, "the quick brown fox jumps over the lazy dog today"),           // exact dup of 0
