@@ -69,6 +69,36 @@ object TextQueries {
         docs(s, dir).select(col("doc_id")), "doc_id", pairs)
     }),
 
+    // END-TO-END training-corpus pipeline: quality floor → exact dedup
+    // (keep min id per content hash) → near-dup drop (jaccard ≥ 0.5,
+    // higher id loses) → deterministic hash sample. Every stage is an
+    // operator from this library; the oracle recomputes the whole
+    // composition in SQL. Output: the surviving training set.
+    "corpus_pipeline" -> ((s, dir) => {
+      val quality = docs(s, dir)
+        .withColumn("toks", TF.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("ttr", TF.typeTokenRatio(col("toks")))
+        .filter(col("n_tokens") >= 20 && col("ttr") >= 0.3)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("n_tokens"))
+      val reps = quality
+        .groupBy(md5(col("text").cast("binary")).as("th"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val deduped = quality.join(reps, "doc_id")
+      val nearPairs = Dedup.jaccardShinglePairs(deduped, "doc_id", "text",
+        shingleSize = 3, minJaccard = 0.5)
+      val survivors = deduped
+        .join(nearPairs.select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      survivors
+        .withColumn("h",
+          conv(substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long"))
+        .filter(col("h") % 2 === 0)
+        .select(col("doc_id"), col("n_tokens"))
+    }),
+
     // quality scoring: lexical diversity, stopword ratio, length
     "text_quality" -> ((s, dir) =>
       docs(s, dir)
@@ -439,6 +469,43 @@ object TextQueries {
          |)
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
          |FROM reach GROUP BY a""".stripMargin,
+
+    "corpus_pipeline" ->
+      """WITH q1 AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), q2 AS (
+        |  SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+        |  FROM q1
+        |  WHERE len(toks) >= 20
+        |    AND len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) >= 0.3
+        |), reps AS (
+        |  SELECT min(doc_id) AS doc_id FROM q2 GROUP BY md5(text)
+        |), dd AS (
+        |  SELECT q2.* FROM q2 JOIN reps ON q2.doc_id = reps.doc_id
+        |), shl AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [] END) AS sh
+        |  FROM dd
+        |), ex AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
+        |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), dropped AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM (
+        |    SELECT doc_a, doc_b, inter / (x.n + y.n - inter) AS jac
+        |    FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+        |  ) WHERE jac >= 0.5
+        |)
+        |SELECT doc_id, n_tokens FROM dd
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |  AND CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 = 0""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (

@@ -53,6 +53,41 @@ object EventPipeline {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** STREAMING exact dedup — the continuous-ingestion form of
+    * [[graft.operators.Dedup.exactGroups]]: keyed by content hash, the
+    * first document to arrive with a given hash is emitted, every later
+    * duplicate is dropped, with the seen-set held in `GroupState` across
+    * micro-batches (flatMapGroupsWithState — the standard first-wins
+    * streaming dedup; state is one (hash → first id) entry per distinct
+    * content). Within one micro-batch, the smallest id wins, so batch
+    * mode degenerates to exactGroups' min-id representative choice and
+    * the MemoryStream run is asserted ≡ the batch twin in
+    * `EventPipelineSpec`. Input: (idCol, textCol); output
+    * (text_hash, doc_id). */
+  def streamingExactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(md5(col(textCol).cast("binary")).as("th"),
+        col(idCol).cast("long").as("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (hash, rows, state) =>
+          if (state.exists) {
+            // duplicates of an already-seen content hash: drop
+            Iterator.empty
+          } else {
+            var minId = Long.MaxValue
+            rows.foreach { r => if (r._2 < minId) minId = r._2 }
+            state.update(minId)
+            Iterator.single((hash, minId))
+          }
+      }
+      .toDF("text_hash", "doc_id")
+  }
+
   /** Stream-stream interval join: each purchase paired with every signup
     * of the same user in the preceding hour. Both sides carry watermarks
     * and the join condition is time-bounded — exactly what Spark requires

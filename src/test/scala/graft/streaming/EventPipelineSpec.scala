@@ -54,6 +54,29 @@ class EventPipelineSpec extends SparkSpec {
     assert(last(2L) == (2L, 1L, 5.0))
   }
 
+  test("streaming exact dedup: first occurrence kept, later duplicates dropped across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF.toDF("doc_id", "text")
+    val q = EventPipeline.streamingExactDedup(sdf, "doc_id", "text").writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    mem.addData((0L, "alpha"), (1L, "beta"), (2L, "alpha"))
+    q.processAllAvailable()
+    mem.addData((3L, "beta"), (4L, "gamma"), (5L, "alpha"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // one row per distinct content; the FIRST-arrived id wins (ascending
+    // arrival here, so it coincides with the batch min-id representative)
+    assert(got.size == 3)
+    val batch = graft.operators.Dedup.exactGroups(
+      Seq((0L, "alpha"), (1L, "beta"), (2L, "alpha"), (3L, "beta"),
+        (4L, "gamma"), (5L, "alpha")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == batch)
+  }
+
   test("stream-stream interval join equals its batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val MinNs = 60L * 1000 * 1000 * 1000
