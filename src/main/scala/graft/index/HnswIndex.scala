@@ -476,6 +476,10 @@ final class HnswIndex(
     res
   }
 
+  // per-node consecutive-disallowed-hop depth for the current walk
+  // (valid only for nodes whose visitedMark carries the current gen)
+  @transient private var hopDepth: Array[Byte] = _
+
   /** In-filter beam search at level 0 on codes: the frontier expands
     * over ALL nodes (disallowed nodes still route), the result pool
     * accepts only `allowed` nodes — the reference's in-filter walk shape
@@ -485,16 +489,26 @@ final class HnswIndex(
     * reached); `maxVisits` bounds the walk when the predicate matches
     * little (an un-fillable result pool would otherwise never trigger
     * the frontier-pruning early exit and the walk would visit the whole
-    * connected component). */
+    * connected component). With seeds present, disallowed frontier
+    * chains are additionally cut after 2 consecutive disallowed hops —
+    * the reference's rf_thr expansion budget (searcher.hpp:415-491):
+    * routing THROUGH a disallowed region is cheap for short gaps, and
+    * distant in-range islands are already reachable via the seeds. */
   private def searchLayerFilteredCoded(qc: Array[Short], start: Int, ef: Int,
       allowed: Int => Boolean, seeds: Array[Int], maxVisits: Int): BoundedMaxHeap = {
     val gen = nextVisitedGen()
     val seen = visitedMark
+    val useHops = seeds != null && seeds.length > 0
+    if (useHops && (hopDepth == null || hopDepth.length < vecs.length))
+      hopDepth = new Array[Byte](math.max(vecs.length * 2, 1024))
+    val hops = hopDepth
+    val maxHops: Byte = 2
     val cand = new MinDistHeap(ef + 1)
     val res = new BoundedMaxHeap(ef)
     val d0 = qdistTo(qc, start)
     cand.push(d0, start)
-    if (allowed(start)) res.offer(d0, start)
+    if (allowed(start)) { res.offer(d0, start); if (useHops) hops(start) = 0 }
+    else if (useHops) hops(start) = 1
     seen(start) = gen
     var visits = 1
     if (seeds != null) {
@@ -506,6 +520,7 @@ final class HnswIndex(
           val d = qdistTo(qc, sd)
           cand.push(d, sd)
           if (allowed(sd)) res.offer(d, sd)
+          if (useHops) hops(sd) = 0
           visits += 1
         }
         s += 1
@@ -518,6 +533,7 @@ final class HnswIndex(
         cand.clear()
       } else {
         cand.pop()
+        val cHops: Byte = if (useHops) hops(c) else 0
         val nbrs = links(c)(0)
         var i = 0
         while (i < nbrs.length) {
@@ -527,8 +543,17 @@ final class HnswIndex(
             val d = qdistTo(qc, nb)
             visits += 1
             if (!res.isFull || d < res.worstDist) {
-              cand.push(d, nb)
-              if (allowed(nb)) res.offer(d, nb)
+              val ok = allowed(nb)
+              val nbHops: Byte = if (ok) 0 else (cHops + 1).toByte
+              // cut chains that have wandered maxHops nodes deep into
+              // the disallowed region (they can still be reached again
+              // through a shorter chain only if unseen — the reference
+              // accepts the same first-touch approximation)
+              if (ok || nbHops <= maxHops) {
+                cand.push(d, nb)
+                if (useHops) hops(nb) = nbHops
+                if (ok) res.offer(d, nb)
+              }
             }
           }
           i += 1

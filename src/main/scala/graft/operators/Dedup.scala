@@ -128,6 +128,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
   }
 
+  /** Size-routed exact Jaccard pairs: the inverted-index join computes
+    * every co-occurring doc pair per shingle — a hot shingle shared by
+    * p docs contributes p² join rows, which is fine at survey-corpus
+    * sizes but quadratic in the worst posting at scale. Above
+    * `prefixAbove` rows this routes to [[jaccardPrefixPairs]] (AllPairs
+    * prefix filtering — indexes only each doc's rarest-first prefix, so
+    * hot shingles stop being join keys), proven row-identical in
+    * DedupSpec; below it the plain inverted-index join wins on constant
+    * factors. Lossless either way — only the physical plan changes. */
+  def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minJaccard: Double = 0.2,
+      prefixAbove: Long = 100000): DataFrame =
+    if (df.count() > prefixAbove)
+      jaccardPrefixPairs(df, idCol, textCol, shingleSize, minJaccard)
+    else
+      jaccardShinglePairs(df, idCol, textCol, shingleSize, minJaccard)
+
   /** Per-doc MinHash signature (array<long> of length numHashes); docs
     * with no shingles are dropped. One md5 per distinct shingle +
     * numHashes universal-hash mixes, computed JVM-side in a typed map

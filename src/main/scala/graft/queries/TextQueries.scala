@@ -48,11 +48,11 @@ object TextQueries {
 
     // end-to-end dedup outcome: the surviving document set after dropping
     // the higher-id member of every near-dup pair (jaccard >= 0.5).
-    // Runs the inverted-index join — at this corpus's posting sizes it
-    // beats the prefix-filtered AllPairs path (Dedup.jaccardPrefixPairs,
-    // proven row-identical in DedupSpec), which wins when postings grow.
+    // jaccardPairsAuto picks the physical pair miner by corpus size:
+    // inverted-index join here, prefix-filtered AllPairs (no hot-shingle
+    // quadratic postings) above 100k docs — row-identical either way.
     "dedup_survivors" -> ((s, dir) => {
-      val pairs = Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
+      val pairs = Dedup.jaccardPairsAuto(docs(s, dir), "doc_id", "text",
         shingleSize = 3, minJaccard = 0.5)
       docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
         .join(pairs.select(col("doc_b").as("doc_id")).distinct(),
@@ -63,7 +63,7 @@ object TextQueries {
     // pair graph via iterative min-label propagation (O(diameter)
     // rounds); oracle recomputes components with a recursive CTE
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
+      val pairs = Dedup.jaccardPairsAuto(docs(s, dir), "doc_id", "text",
         shingleSize = 3, minJaccard = 0.5)
       Dedup.nearDupComponents(
         docs(s, dir).select(col("doc_id")), "doc_id", pairs)
@@ -86,7 +86,7 @@ object TextQueries {
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
       val deduped = quality.join(reps, "doc_id")
-      val nearPairs = Dedup.jaccardShinglePairs(deduped, "doc_id", "text",
+      val nearPairs = Dedup.jaccardPairsAuto(deduped, "doc_id", "text",
         shingleSize = 3, minJaccard = 0.5)
       val survivors = deduped
         .join(nearPairs.select(col("doc_b").as("doc_id")).distinct(),

@@ -70,6 +70,24 @@ class FilteredWalkSpec extends AnyFunSuite {
     assert(hits.forall { case (i, _) => ts(i) >= l && ts(i) <= r })
   }
 
+  test("scattered sparse predicate: hop budget keeps recall (every 20th node allowed)") {
+    // 5% coverage but SCATTERED through the whole space — frontier
+    // chains constantly cross disallowed nodes, the case the 2-hop
+    // expansion budget must not break (short gaps still route)
+    val allowed: Int => Boolean = i => i % 20 == 0
+    val seedsArr = Array.tabulate(10)(i => i * 20 * (n / 200))
+    val q = qAt(0.5)
+    val got = index.search(q, 10, ef = 300, allowed, seeds = seedsArr).map(_._1).toSet
+    def d(a: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val x = a(i).toDouble - q(i).toDouble; s += x * x; i += 1 }
+      s
+    }
+    val want = (0 until n).filter(allowed).sortBy(i => (d(vecs(i)), i)).take(10).toSet
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("empty predicate terminates under the visited budget and returns nothing") {
     val t0 = System.nanoTime()
     val hits = index.search(qAt(0.5), 10, 200, (_: Int) => false)
