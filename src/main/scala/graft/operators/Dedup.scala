@@ -255,7 +255,37 @@ object Dedup {
     * Returns (doc_id, cluster_rep), cluster_rep = min id in component —
     * including singleton docs (their own rep). */
   def nearDupComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, driverPairsBelow: Long = 2000000): DataFrame = {
+    val p = tracked(pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // near-dup pair sets are tiny relative to the corpus (only dup-ish
+    // docs appear); below the threshold a driver-side union-find beats
+    // a multi-round distributed loop by the per-round job overhead.
+    // Above it, fall through to the distributed propagation.
+    if (p.count() <= driverPairsBelow) {
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      p.collect().foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val reps = parent.keys.map(k => (k, find(k))).toSeq
+      if (reps.isEmpty)
+        return nodes.select(col(idCol).cast("long").as("doc_id"))
+          .withColumn("cluster_rep", col("doc_id"))
+      val repDf = broadcast(reps.toDF("doc_id", "rep"))
+      return nodes.select(col(idCol).cast("long").as("doc_id"))
+        .join(repDf, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+    }
     val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
       .repartition(col("src"))

@@ -11,10 +11,15 @@ class DedupSpec extends SparkSpec {
     // {10,11}, and singletons {20}, {21}
     val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("doc_id")
     val pairs = Seq((3L, 4L), (2L, 3L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val got = Dedup.nearDupComponents(nodes, "doc_id", pairs)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L)
+    // driver union-find path (default) and distributed propagation path
+    // (forced with a zero threshold) must agree
+    val uf = Dedup.nearDupComponents(nodes, "doc_id", pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+    val dist = Dedup.nearDupComponents(nodes, "doc_id", pairs, driverPairsBelow = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf == want && dist == want)
     Dedup.releaseCaches()
   }
 
