@@ -36,6 +36,14 @@ class HybridKnnSpec extends SparkSpec {
     assert(routed == exact && routed.nonEmpty)
   }
 
+  test("chunked execution (forced tiny chunkRows) equals the single-collect result") {
+    val single = HybridKnn.execute(base, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val chunked = HybridKnn.execute(base, queries, 10, chunkRows = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(chunked == single && chunked.nonEmpty)
+  }
+
   test("executeWithStats: same result rows, one stats row per query with route timings") {
     val (res, stats) = QueryStats.executeWithStats(base, queries, 10)
     val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
