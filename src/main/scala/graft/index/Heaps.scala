@@ -108,4 +108,18 @@ private[index] final class BoundedMaxHeap(val cap: Int) {
     * as plain longs is (dist, id) order (dists non-negative). */
   def toPacked: Array[Long] = Array.tabulate(n)(i =>
     (java.lang.Float.floatToIntBits(d(i).toFloat).toLong << 32) | (id(i).toLong & 0xffffffffL))
+
+  /** [[toPacked]] into a reusable buffer (grown on demand); returns the
+    * element count. Removes the per-insert allocation in the build's
+    * hot loop. */
+  def toPackedInto(buf: Array[Long]): (Array[Long], Int) = {
+    val out = if (buf != null && buf.length >= n) buf else new Array[Long](math.max(n, 64))
+    var i = 0
+    while (i < n) {
+      out(i) = (java.lang.Float.floatToIntBits(d(i).toFloat).toLong << 32) |
+        (id(i).toLong & 0xffffffffL)
+      i += 1
+    }
+    (out, n)
+  }
 }

@@ -203,6 +203,7 @@ final class HnswIndex(
   // likewise reused across searches, pyglass/glass/neighbor.hpp:125-303)
   @transient private var scratchCand: MinDistHeap = _
   @transient private var scratchRes: BoundedMaxHeap = _
+  @transient private var scratchPacked: Array[Long] = _
 
   /** Beam search at one level; returns the ≤ ef best (dist, id) pairs.
     * NOTE the returned heap is scratch when ef == efConstruction —
@@ -253,9 +254,9 @@ final class HnswIndex(
     * The diversity loop only considers the closest `4·count` candidates
     * (the tail of a 200-wide beam almost never survives pruning but
     * would cost O(tail · kept) distance calls per insert). */
-  private def selectNeighbors(packed: Array[Long], count: Int): IntList = {
-    java.util.Arrays.sort(packed)
-    val window = math.min(packed.length, count * 4)
+  private def selectNeighbors(packed: Array[Long], len: Int, count: Int): IntList = {
+    java.util.Arrays.sort(packed, 0, len)
+    val window = math.min(len, count * 4)
     val kept = new IntList(count)
     var i = 0
     while (i < window && kept.length < count) {
@@ -274,7 +275,7 @@ final class HnswIndex(
     // backfill with closest pruned if underfull
     if (kept.length < count) {
       i = 0
-      while (i < packed.length && kept.length < count) {
+      while (i < len && kept.length < count) {
         val c = (packed(i) & 0xffffffffL).toInt
         if (!kept.contains(c)) kept += c
         i += 1
@@ -335,11 +336,13 @@ final class HnswIndex(
     // insert at each level from min(topLevel, level) down to 0
     l = math.min(topLevel, level)
     while (l >= 0) {
-      val found = searchLayer(vec, qc, cur, efConstruction, l).toPacked
+      val (found, foundLen) = searchLayer(vec, qc, cur, efConstruction, l)
+        .toPackedInto(scratchPacked)
+      scratchPacked = found
       val cap = if (l == 0) maxM0 else maxM
       // selectNeighbors sorts `found` in place — afterwards found(0) is
       // the closest candidate, reused as the next level's entry point
-      val nbrs = selectNeighbors(found, cap)
+      val nbrs = selectNeighbors(found, foundLen, cap)
       links(id)(l) = nbrs
       // bidirectional links with pruning — lists may overshoot `cap` by
       // a small slack before being pruned back, amortizing the O(deg²)
@@ -355,11 +358,11 @@ final class HnswIndex(
           while (t < nbLinks.length) {
             withD(t) = pack(nodeDist(nb, nbLinks(t)), nbLinks(t)); t += 1
           }
-          links(nb)(l) = selectNeighbors(withD, cap)
+          links(nb)(l) = selectNeighbors(withD, withD.length, cap)
         }
         i += 1
       }
-      if (found.nonEmpty) cur = (found(0) & 0xffffffffL).toInt
+      if (foundLen > 0) cur = (found(0) & 0xffffffffL).toInt
       l -= 1
     }
     if (level > topLevel) { topLevel = level; entry = id }
