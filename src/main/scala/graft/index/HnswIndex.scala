@@ -204,6 +204,8 @@ final class HnswIndex(
   @transient private var scratchCand: MinDistHeap = _
   @transient private var scratchRes: BoundedMaxHeap = _
   @transient private var scratchPacked: Array[Long] = _
+  @transient private var scratchPrune: Array[Long] = _
+  @transient private var scratchQc: Array[Short] = _
 
   /** Beam search at one level; returns the ≤ ef best (dist, id) pairs.
     * NOTE the returned heap is scratch when ef == efConstruction —
@@ -320,7 +322,8 @@ final class HnswIndex(
     val qc: Array[Short] =
       if (bAlpha == 0.0) null
       else {
-        val out = new Array[Short](dim)
+        if (scratchQc == null) scratchQc = new Array[Short](dim)
+        val out = scratchQc
         val off = id * dim
         var d = 0
         while (d < dim) { out(d) = bCodes(off + d).toShort; d += 1 }
@@ -353,12 +356,14 @@ final class HnswIndex(
         val nbLinks = links(nb)(l)
         nbLinks += id
         if (nbLinks.length > cap + pruneSlack) {
-          val withD = new Array[Long](nbLinks.length)
+          if (scratchPrune == null || scratchPrune.length < nbLinks.length)
+            scratchPrune = new Array[Long](math.max(nbLinks.length * 2, 64))
+          val withD = scratchPrune
           var t = 0
           while (t < nbLinks.length) {
             withD(t) = pack(nodeDist(nb, nbLinks(t)), nbLinks(t)); t += 1
           }
-          links(nb)(l) = selectNeighbors(withD, withD.length, cap)
+          links(nb)(l) = selectNeighbors(withD, nbLinks.length, cap)
         }
         i += 1
       }
