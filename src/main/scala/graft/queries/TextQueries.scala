@@ -231,6 +231,37 @@ object TextQueries {
     // content-independent md5 of the id — reproducible across engines
     // and runs (the pipeline-sampling primitive; rng-based sample()
     // is not cross-engine checkable)
+    // sequence packing for pretraining batches: docs stream in id order
+    // within their language shard and land in fixed-token-budget bins
+    // (bin = tokens-before-this-doc ÷ budget — the deterministic
+    // streaming-pack rule; shards pack independently, so the window
+    // never spans partitions at scale)
+    "pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 512
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      docs(s, dir)
+        .withColumn("n_tokens", size(TF.tokens(col("text"))).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("n_tokens"),
+          ((col("cum") - col("n_tokens")) / budget).cast("long").as("bin"))
+    }),
+
+    // stratified train/val/test split: md5-keyed assignment (80/10/10)
+    // summarized per (lang, split) — reproducible in any engine
+    "corpus_splits" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("n_tokens", size(TF.tokens(col("text"))).cast("long"))
+        .withColumn("h",
+          conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 100)
+        .withColumn("split",
+          when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))),
+
     "sample_hash_docs" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("h",
@@ -337,6 +368,29 @@ object TextQueries {
         |  CAST(length(text) AS BIGINT) AS len_chars
         |FROM documents
         |WHERE CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens) / 512.0) AS BIGINT) AS bin
+        |FROM t""".stripMargin,
+
+    "corpus_splits" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS h
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM t GROUP BY 1, 2""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       s"""WITH $shingleCte,
