@@ -153,6 +153,11 @@ final class HnswIndex(
     bCodes = new Array[Byte](1 << 14)
   }
 
+  /** Build-metric codes of one node (test hook for the quantized build). */
+  private[index] def buildCodeRow(i: Int): Array[Byte] =
+    if (bAlpha == 0.0) Array.emptyByteArray
+    else java.util.Arrays.copyOfRange(bCodes, i * dim, (i + 1) * dim)
+
   /** Node-to-node distance in the build's active metric. */
   @inline private def nodeDist(a: Int, b: Int): Double =
     if (bAlpha != 0.0) kernel.l2sqI8Both(bCodes, a * dim, b * dim, dim).toDouble
@@ -307,6 +312,10 @@ final class HnswIndex(
     links += Array.fill(level + 1)(new IntList(if (level == 0) maxM0 + 1 else maxM + 1))
     if (entry < 0) {
       entry = id; topLevel = level
+      // preTrain-mode builds (bAlpha already fixed) must encode the entry
+      // node too: every later insert measures nodeDist against node 0, and
+      // with an exact-max alpha no re-freeze would ever re-encode it.
+      if (bAlpha != 0.0) encodeInto(id)
       return id
     }
     // freeze the quantized build once enough data fixes an alpha; from

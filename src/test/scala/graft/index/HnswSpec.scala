@@ -43,6 +43,17 @@ class HnswSpec extends SparkSpec {
     assert(one.length == 1 && one.head._1 == 0)
   }
 
+  test("preTrain encodes the entry node (codes not left at origin)") {
+    val idx = new HnswIndex(dim, m = 8, efConstruction = 50)
+    idx.preTrain(1.0)
+    val first = Array.fill(dim)(0.9f)
+    idx.add(first)
+    idx.add(Array.fill(dim)(0.1f))
+    val expected = first.map(org.apache.spark.sql.graft.Sq8Encode.encodeOne(_, 1.0))
+    assert(idx.buildCodeRow(0).sameElements(expected),
+      "entry node's build codes must reflect its vector, not zeros")
+  }
+
   test("partitioned AnnJoin.hnswKnn recall@10 >= 0.9 vs exact join") {
     val base = Seq.tabulate(2000)(i => (i.toLong, vec())).toDF("id", "vec")
     val queries = Seq.tabulate(15)(i => (i.toLong, vec())).toDF("qid", "qvec")
