@@ -37,7 +37,13 @@ object Dedup {
 
   /** Unpersist every intermediate cached by prior pair-mining calls.
     * Call after materializing the returned DataFrames (results computed
-    * after release simply recompute the intermediates). */
+    * after release simply recompute the intermediates).
+    *
+    * The registry is process-wide: releasing while another thread's
+    * miner result is still un-materialized unpersists intermediates that
+    * call is counting on (correct, but it recomputes them). Only call
+    * from a coordination point where no miner results are pending —
+    * e.g. between queries in a single-threaded harness (Bench/Verify). */
   def releaseCaches(): Unit = synchronized {
     caches.foreach(_.unpersist(blocking = false))
     caches.clear()
@@ -301,9 +307,17 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster_rep")).as("nbr_rep"))
-      val next = labels.join(viaEdges, Seq("doc_id"), "left")
+      val stepped = labels.join(viaEdges, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_rep"), coalesce(col("nbr_rep"), col("cluster_rep"))).as("cluster_rep"))
+      // pointer-doubling: replace each label by its label's label, so a
+      // chain of length D resolves in O(log D) rounds instead of D —
+      // maxRounds then bounds diameter 2^maxRounds, not maxRounds.
+      val next = stepped.as("x")
+        .join(stepped.select(col("doc_id").as("cluster_rep"),
+          col("cluster_rep").as("rep2")).as("y"), Seq("cluster_rep"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_rep"), coalesce(col("rep2"), col("cluster_rep"))).as("cluster_rep"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       tracked(next)
       val changed = next.join(labels.withColumnRenamed("cluster_rep", "old_rep"), "doc_id")
@@ -312,23 +326,30 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupComponents did not converge in $maxRounds rounds " +
+          s"(component diameter exceeds 2^$maxRounds?) — raise maxRounds")
     labels
   }
 
   /** Embedding near-duplicate pairs with cosine ≥ minCosine:
     * (id_a, id_b, cos), id_a < id_b.
     *
-    * Up to `lshAbove` rows: brute-force all-pairs (exact). Above it, the
-    * all-pairs crossJoin is a cartesian product no cluster survives, so
-    * the operator switches to the SRP-banded miner
+    * Exact all-pairs by default. With `allowApprox` set and more than
+    * `lshAbove` rows, the all-pairs crossJoin is a cartesian product no
+    * cluster survives, so the operator switches to the SRP-banded miner
     * ([[SimilaritySearch.lshCosineCandidates]]) — band-bucket collisions
     * verified by the same exact cosine, approximate in recall only (every
-    * returned pair is exact and above the threshold). The switch costs
-    * one count() at plan-build time. */
+    * returned pair is exact and above the threshold). The trade-away of
+    * recall is opt-in: without `allowApprox` the result is always the
+    * exact pair set, however large the input. The switch costs one
+    * count() at plan-build time. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, lshAbove: Long = 200000,
-      numPlanes: Int = 16, bands: Int = 4): DataFrame = {
-    if (df.count() > lshAbove)
+      numPlanes: Int = 16, bands: Int = 4,
+      allowApprox: Boolean = false): DataFrame = {
+    if (allowApprox && df.count() > lshAbove)
       return SimilaritySearch.lshCosineCandidates(
         df, idCol, vecCol, minCosine, numPlanes, bands)
     // norms are computed once per ROW, not once per PAIR: the O(N²)

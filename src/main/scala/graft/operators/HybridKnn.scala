@@ -54,9 +54,13 @@ object HybridKnn {
       (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
         r.getDouble(4), r.getSeq[Float](5).toArray, r.getString(6))
 
-    if (queries.count() <= chunkRows) {
+    // size probe and common-case collect in ONE job: pull at most
+    // chunkRows+1 rows — if nothing overflows, those rows ARE the batch;
+    // only an overflow pays for the streaming path.
+    val probe = routedDf.limit(chunkRows + 1).collect()
+    if (probe.length <= chunkRows) {
       // common case: one driver job, every route fed from one array
-      executeBatch(base, routedDf.collect().map(rowOf), k,
+      executeBatch(base, probe.map(rowOf), k,
         categoryLayout, ann, annEf, annBuckets)
     } else {
       val it = routedDf.toLocalIterator()

@@ -44,13 +44,20 @@ class LshCosineSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
-  test("cosineNearDupPairs auto-switches to the banded path above the threshold") {
+  test("cosineNearDupPairs switches to the banded path only when opted in") {
     val lshDirect = SimilaritySearch.lshCosineCandidates(data, "id", "vec", minCosine = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val switched = Dedup.cosineNearDupPairs(data, "id", "vec", minCosine = 0.9,
-        lshAbove = 10)
+        lshAbove = 10, allowApprox = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(switched == lshDirect)
+    // without the opt-in the same call stays exact regardless of size
+    val exactAnyway = Dedup.cosineNearDupPairs(data, "id", "vec", minCosine = 0.9,
+        lshAbove = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.cosineNearDupPairs(data, "id", "vec", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exactAnyway == exact)
   }
 
   test("hash planes are deterministic and in [-1, 1)") {
