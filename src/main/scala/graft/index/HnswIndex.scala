@@ -45,14 +45,37 @@ final class HnswIndex(
 
   private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
   private val nodeLevel = mutable.ArrayBuffer.empty[Int]
-  // links(node)(level) = neighbor ids (primitive int lists, no boxing)
-  private val links = mutable.ArrayBuffer.empty[Array[IntList]]
+  // Level-0 adjacency is one flat fixed-stride int matrix: node i's row
+  // starts at i*adjStride, slot 0 = degree, slots 1.. = neighbor ids.
+  // Degree never exceeds maxM0 + pruneSlack (appends past that prune
+  // immediately back to maxM0), so rows never overflow. Flat beats
+  // per-node lists on both fronts that dominate the build: zero
+  // allocations on the 15/16 of nodes that never leave level 0, and the
+  // beam's neighbor expansions read one contiguous row instead of
+  // chasing buffer -> list -> elems per hop.
+  private val adjStride = maxM0 + pruneSlack + 2
+  private var adj0 = new Array[Int](adjStride * 1024)
+  // upperLinks(node)(l-1) = neighbors at level l >= 1 (only ~1/m of
+  // nodes have any); level-0-only nodes share one empty array.
+  private val upperLinks = mutable.ArrayBuffer.empty[Array[IntList]]
   private var entry = -1
   private var topLevel = -1
   // global max |component|, tracked on insert/restore — the SQ8 α
   private var maxAbs = 0.0
 
   def size: Int = vecs.length
+
+  @inline private def ensureAdjCapacity(id: Int): Unit = {
+    val need = (id + 1) * adjStride
+    if (adj0.length < need)
+      adj0 = java.util.Arrays.copyOf(adj0, math.max(adj0.length * 2, need))
+  }
+
+  @inline private def writeAdj0(node: Int, nbrs: IntList): Unit = {
+    val b = node * adjStride
+    adj0(b) = nbrs.length
+    System.arraycopy(nbrs.raw, 0, adj0, b + 1, nbrs.length)
+  }
 
   // SQ8 codes for the quantized walk, encoded lazily once the graph is
   // queried (one O(N·dim) pass; invalidated by subsequent add()s).
@@ -169,14 +192,14 @@ final class HnswIndex(
     if (qc != null) kernel.l2sqI8Pre(qc, bCodes, node * dim, dim).toDouble
     else distTo(q, node)
 
-  /** Greedy single-entry descent at one level (build metric). */
+  /** Greedy single-entry descent at one level >= 1 (build metric). */
   private def greedyStep(q: Array[Float], qc: Array[Short], start: Int, level: Int): Int = {
     var cur = start
     var curD = buildDistTo(q, qc, cur)
     var improved = true
     while (improved) {
       improved = false
-      val nbrs = links(cur)(level)
+      val nbrs = upperLinks(cur)(level - 1)
       var i = 0
       while (i < nbrs.length) {
         val c = nbrs(i)
@@ -235,10 +258,19 @@ final class HnswIndex(
         cand.clear()
       } else {
         cand.pop()
-        val nbrs = links(c)(level)
+        var arr: Array[Int] = null
+        var off = 0
+        var cnt = 0
+        if (level == 0) {
+          val b = c * adjStride
+          arr = adj0; off = b + 1; cnt = adj0(b)
+        } else {
+          val nl = upperLinks(c)(level - 1)
+          arr = nl.raw; off = 0; cnt = nl.length
+        }
         var i = 0
-        while (i < nbrs.length) {
-          val nb = nbrs(i)
+        while (i < cnt) {
+          val nb = arr(off + i)
           if (seen(nb) != gen) {
             seen(nb) = gen
             val d = buildDistTo(q, qc, nb)
@@ -309,7 +341,11 @@ final class HnswIndex(
     vecs += vec
     trackAlpha(vec)
     nodeLevel += level
-    links += Array.fill(level + 1)(new IntList(if (level == 0) maxM0 + 1 else maxM + 1))
+    ensureAdjCapacity(id)
+    adj0(id * adjStride) = 0
+    upperLinks +=
+      (if (level == 0) HnswIndex.NoUpper
+       else Array.fill(level)(new IntList(maxM + 1)))
     if (entry < 0) {
       entry = id; topLevel = level
       // preTrain-mode builds (bAlpha already fixed) must encode the entry
@@ -355,24 +391,42 @@ final class HnswIndex(
       // selectNeighbors sorts `found` in place — afterwards found(0) is
       // the closest candidate, reused as the next level's entry point
       val nbrs = selectNeighbors(found, foundLen, cap)
-      links(id)(l) = nbrs
+      if (l == 0) writeAdj0(id, nbrs) else upperLinks(id)(l - 1) = nbrs
       // bidirectional links with pruning — lists may overshoot `cap` by
       // a small slack before being pruned back, amortizing the O(deg²)
       // re-selection over several inserts (degree stays ≤ cap + slack)
       var i = 0
       while (i < nbrs.length) {
         val nb = nbrs(i)
-        val nbLinks = links(nb)(l)
-        nbLinks += id
-        if (nbLinks.length > cap + pruneSlack) {
-          if (scratchPrune == null || scratchPrune.length < nbLinks.length)
-            scratchPrune = new Array[Long](math.max(nbLinks.length * 2, 64))
-          val withD = scratchPrune
-          var t = 0
-          while (t < nbLinks.length) {
-            withD(t) = pack(nodeDist(nb, nbLinks(t)), nbLinks(t)); t += 1
+        if (l == 0) {
+          val b = nb * adjStride
+          val len = adj0(b) + 1
+          adj0(b + len) = id
+          adj0(b) = len
+          if (len > cap + pruneSlack) {
+            if (scratchPrune == null || scratchPrune.length < len)
+              scratchPrune = new Array[Long](math.max(len * 2, 64))
+            val withD = scratchPrune
+            var t = 0
+            while (t < len) {
+              val c = adj0(b + 1 + t)
+              withD(t) = pack(nodeDist(nb, c), c); t += 1
+            }
+            writeAdj0(nb, selectNeighbors(withD, len, cap))
           }
-          links(nb)(l) = selectNeighbors(withD, nbLinks.length, cap)
+        } else {
+          val nbLinks = upperLinks(nb)(l - 1)
+          nbLinks += id
+          if (nbLinks.length > cap + pruneSlack) {
+            if (scratchPrune == null || scratchPrune.length < nbLinks.length)
+              scratchPrune = new Array[Long](math.max(nbLinks.length * 2, 64))
+            val withD = scratchPrune
+            var t = 0
+            while (t < nbLinks.length) {
+              withD(t) = pack(nodeDist(nb, nbLinks(t)), nbLinks(t)); t += 1
+            }
+            upperLinks(nb)(l - 1) = selectNeighbors(withD, nbLinks.length, cap)
+          }
         }
         i += 1
       }
@@ -396,12 +450,17 @@ final class HnswIndex(
       val v = vecs(i)
       var d = 0
       while (d < v.length) { out.writeFloat(v(d)); d += 1 }
-      val ls = links(i)
+      val b = i * adjStride
+      val deg = adj0(b)
+      out.writeInt(deg)
+      var j = 0
+      while (j < deg) { out.writeInt(adj0(b + 1 + j)); j += 1 }
+      val ls = upperLinks(i)
       var l = 0
       while (l < ls.length) {
         out.writeInt(ls(l).length)
-        var j = 0
-        while (j < ls(l).length) { out.writeInt(ls(l)(j)); j += 1 }
+        var t = 0
+        while (t < ls(l).length) { out.writeInt(ls(l)(t)); t += 1 }
         l += 1
       }
       i += 1
@@ -422,15 +481,23 @@ final class HnswIndex(
       while (d < dim) { v(d) = in.readFloat(); d += 1 }
       vecs += v
       trackAlpha(v)
-      val ls = Array.fill(lvl + 1)(new IntList(4))
+      ensureAdjCapacity(i)
+      val b = i * adjStride
+      val deg = in.readInt()
+      require(deg < adjStride,
+        s"level-0 degree $deg exceeds the adjacency stride (corrupt bytes?)")
+      adj0(b) = deg
+      var j = 0
+      while (j < deg) { adj0(b + 1 + j) = in.readInt(); j += 1 }
+      val ls = if (lvl == 0) HnswIndex.NoUpper else Array.fill(lvl)(new IntList(4))
       var l = 0
-      while (l <= lvl) {
+      while (l < lvl) {
         val cnt = in.readInt()
-        var j = 0
-        while (j < cnt) { ls(l) += in.readInt(); j += 1 }
+        var t = 0
+        while (t < cnt) { ls(l) += in.readInt(); t += 1 }
         l += 1
       }
-      links += ls
+      upperLinks += ls
       i += 1
     }
   }
@@ -440,14 +507,14 @@ final class HnswIndex(
   @inline private def qdistTo(qc: Array[Short], node: Int): Double =
     kernel.l2sqI8Pre(qc, codes, node * dim, dim).toDouble
 
-  /** Greedy single-entry descent on codes (upper layers). */
+  /** Greedy single-entry descent on codes (upper layers, level >= 1). */
   private def greedyStepCoded(qc: Array[Short], start: Int, level: Int): Int = {
     var cur = start
     var curD = qdistTo(qc, cur)
     var improved = true
     while (improved) {
       improved = false
-      val nbrs = links(cur)(level)
+      val nbrs = upperLinks(cur)(level - 1)
       var i = 0
       while (i < nbrs.length) {
         val c = nbrs(i)
@@ -474,10 +541,11 @@ final class HnswIndex(
         cand.clear()
       } else {
         cand.pop()
-        val nbrs = links(c)(0)
+        val b = c * adjStride
+        val cnt = adj0(b)
         var i = 0
-        while (i < nbrs.length) {
-          val nb = nbrs(i)
+        while (i < cnt) {
+          val nb = adj0(b + 1 + i)
           if (seen(nb) != gen) {
             seen(nb) = gen
             val d = qdistTo(qc, nb)
@@ -551,10 +619,11 @@ final class HnswIndex(
       } else {
         cand.pop()
         val cHops: Byte = if (useHops) hops(c) else 0
-        val nbrs = links(c)(0)
+        val b = c * adjStride
+        val cnt = adj0(b)
         var i = 0
-        while (i < nbrs.length) {
-          val nb = nbrs(i)
+        while (i < cnt) {
+          val nb = adj0(b + 1 + i)
           if (seen(nb) != gen) {
             seen(nb) = gen
             val d = qdistTo(qc, nb)
@@ -642,6 +711,10 @@ final class HnswIndex(
 }
 
 object HnswIndex {
+
+  /** Shared empty upper-level slot for level-0-only nodes (~15/16 of
+    * all nodes at m=16) — avoids one array allocation per insert. */
+  private[index] val NoUpper = new Array[IntList](0)
 
   /** Max |component| over a vector batch — the [[HnswIndex.preTrain]]
     * input for batch builds (one pass, no allocation). */

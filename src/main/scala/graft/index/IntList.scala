@@ -9,6 +9,9 @@ private[index] final class IntList(initCap: Int) extends Serializable {
   def length: Int = n
   def apply(i: Int): Int = buf(i)
 
+  /** Backing array (valid through `length`) — zero-copy hot-loop reads. */
+  def raw: Array[Int] = buf
+
   def +=(x: Int): Unit = {
     if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n * 2)
     buf(n) = x
