@@ -277,7 +277,44 @@ object TextQueries {
         col("doc_id").cast("long").as("doc_id"),
         md5(col("text").cast("binary")).as("md5_hex"),
         conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("fp60")))
+          .cast("long").as("fp60"))),
+
+    // benchmark decontamination: corpus docs sharing word 4-grams with
+    // the held-out set (every 50th doc). Inverted-index join on the
+    // n-gram key — the bench side reduces to its distinct n-gram set
+    // (broadcast-sized) before the corpus ever joins.
+    "contamination_check" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Contamination.ngramOverlap(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 4)
+    }),
+
+    // vocabulary build: corpus-wide token frequency + doc frequency,
+    // top-100 by (tf desc, token). One map-side-combined groupBy and a
+    // TakeOrdered — no full sort of the token table.
+    "vocab_topk" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(100)),
+
+    // RAG chunking: overlapping token windows (size 32, stride 24) per
+    // doc. Pure per-row explode — no shuffle; chunk content is carried
+    // as an md5 so the output stays narrow at any scale.
+    "chunk_windows" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", TF.tokens(col("text")))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("toks")), lit(24)),
+            st => slice(col("toks"), st, lit(32)))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          size(col("col")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("col")).cast("binary")).as("chunk_md5")))
   )
 
   /** DuckDB 60-bit hash mirroring [[TF.hash60]]. */
@@ -630,6 +667,47 @@ object TextQueries {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  md5(text) AS md5_hex,
         |  CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)::BIGINT AS fp60
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "contamination_check" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 4
+        |    THEN list_transform(range(1, len(toks) - 2),
+        |           i -> array_to_string(toks[i : i + 3], ' '))
+        |    ELSE [] END)) AS ng
+        |  FROM t
+        |), bng AS (SELECT DISTINCT ng FROM g WHERE doc_id % 50 = 0)
+        |SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS shared_ngrams
+        |FROM g JOIN bng USING (ng)
+        |WHERE g.doc_id % 50 <> 0
+        |GROUP BY 1""".stripMargin,
+
+    "vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+        |  FROM documents
+        |)
+        |SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM tok GROUP BY 1
+        |ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    "chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 24)) AS st
+        |  FROM t WHERE len(toks) >= 1
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST((st - 1) // 24 AS BIGINT) AS chunk_id,
+        |  CAST(len(toks[st : st + 31]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(toks[st : st + 31], ' ')) AS chunk_md5
+        |FROM c""".stripMargin
   )
 }
