@@ -50,6 +50,26 @@ object ApproxQueries {
       SimilaritySearch.ivfKnn(base, q, k = 10, nlist = 16, nprobe = 4)
     }),
 
+    // measured-recall ef auto-tune (the reference's offline recall
+    // sweep, getquery.cpp/plot.py, as a deterministic function): the
+    // ladder of (ef, recall@10) rungs measured on a query sample, with
+    // the chosen ef flagged. Offline calibration over one sub-index —
+    // the collect is the calibration sample, not a data path.
+    "ann_ef_tune" -> ((s, dir) => {
+      val rows = emb(s, dir).select(col("vec_id").cast("long"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val dim = rows.head._2.length
+      val idx = graft.index.HnswIndex.buildOn(dim, 8, 100,
+        rows.iterator.map(_._2), graft.index.HnswIndex.maxAbsOf(rows.iterator.map(_._2)))
+      val sample = rows.filter(_._1 % 23 == 2).map(_._2)
+      val res = graft.index.EfTuner.tune(idx, sample, k = 10,
+        targetRecall = 0.95, ladder = Seq(16, 32, 64, 128, 256))
+      import s.implicits._
+      res.rungs.map(r => (r.ef.toLong, r.recall,
+          if (r.ef == res.chosenEf) 1L else 0L))
+        .toDF("ef", "recall", "chosen")
+    }),
+
     // SQL-level ANN auto-route (SURVEY §4's AnnJoinStrategy): the plain
     // `ORDER BY l2_sq(vec, :qvec) LIMIT k` shape over a registered
     // parquet path plans as an HNSW index search (AnnTopKExec) instead
