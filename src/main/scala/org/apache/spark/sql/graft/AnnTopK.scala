@@ -154,17 +154,33 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
   private case class PredInfo(eq: Option[(AttributeReference, Long)] = None,
       range: Option[(AttributeReference, Double, Double)] = None)
 
-  /** Strip attribute-only projections and at most one index-answerable
+  /** Strip pass-through projections and at most one index-answerable
     * filter (label equality and/or closed ts interval, plus the
-    * IsNotNull conjuncts the optimizer infers). Matches both the v1
+    * IsNotNull conjuncts the optimizer infers). Projections may rename
+    * attributes or compute literals / the distance expression (the DSL
+    * `select(..., l2_sq(...).as("d")).orderBy(...)` form computes the
+    * distance in a projection BELOW the sort); every such alias is
+    * recorded in the returned substitution so outer references resolve
+    * to what they compute. Matches both the v1
     * (LogicalRelation/HadoopFsRelation) and v2 (DataSourceV2ScanRelation
     * over a FileScan) parquet read paths; the v2 case only matches when
     * the scan consumed NO partition filters — a consumed filter is
     * invisible here and routing without it would answer the wrong
     * predicate. Returns the scan's root paths. */
-  private def unwrap(plan: LogicalPlan): Option[(Seq[org.apache.hadoop.fs.Path], PredInfo)] = plan match {
-    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      unwrap(child)
+  private def unwrap(plan: LogicalPlan)
+      : Option[(Seq[org.apache.hadoop.fs.Path], PredInfo,
+          Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])] = plan match {
+    case Project(pl, child) if pl.forall {
+          case _: AttributeReference => true
+          case Alias(_: AttributeReference, _) => true
+          case Alias(_: Literal, _) => true
+          case Alias(DistCall(_, _), _) => true
+          case _ => false
+        } =>
+      unwrap(child).map { case (paths, preds, subst) =>
+        val added = pl.collect { case a @ Alias(e, _) => a.exprId -> e }
+        (paths, preds, subst ++ added)
+      }
     case Filter(cond, child) =>
       val parts = conjuncts(cond)
       val eqs = parts.collect { case LongEquality(a, v) => (a, v) }
@@ -188,21 +204,21 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
       }
       range match {
         case Some(r) if eqs.length <= 1 && residue.isEmpty && (eqs.nonEmpty || r.nonEmpty) =>
-          unwrap(child).collect { case (paths, PredInfo(None, None)) =>
-            (paths, PredInfo(eqs.headOption, r))
+          unwrap(child).collect { case (paths, PredInfo(None, None), subst) =>
+            (paths, PredInfo(eqs.headOption, r), subst)
           }
         case _ => None
       }
     case lr: LogicalRelation =>
       lr.relation match {
-        case fs: HadoopFsRelation => Some((fs.location.rootPaths, PredInfo()))
+        case fs: HadoopFsRelation => Some((fs.location.rootPaths, PredInfo(), Map.empty))
         case _ => None
       }
     case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
       r.scan match {
         case fs: org.apache.spark.sql.execution.datasources.v2.FileScan
             if fs.partitionFilters.isEmpty =>
-          Some((fs.fileIndex.rootPaths, PredInfo()))
+          Some((fs.fileIndex.rootPaths, PredInfo(), Map.empty))
         case _ => None
       }
     case _ => None
@@ -216,24 +232,47 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
       // whole subtree — match through the wrapper first
       case ReturnAnswer(root) => apply(root)
       case Limit(IntegerLiteral(k), Project(pl, s: Sort)) if s.global =>
-        route(k, pl, s).toSeq
+        route(k, pl, s.order, s.child).toSeq
+      // ORDER BY an aliased select-list expression (`SELECT id,
+      // l2_sq(vec, :q) AS d ... ORDER BY d LIMIT k`): the sort sits
+      // directly above the computing project — unwrap's substitution
+      // resolves the sort keys through the aliases
+      case Limit(IntegerLiteral(k), Sort(order, true, p @ Project(pl, _), _)) =>
+        route(k, pl, order, p).toSeq
       case _ => Nil
     }
   }
 
   private def route(k: Int, outer: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
-      sort: Sort): Option[SparkPlan] = {
-    val keys = sort.order match {
-      case Seq(SortOrder(DistCall(v, q), Ascending, _, _)) =>
-        Some((v, q, None: Option[AttributeReference]))
-      case Seq(SortOrder(DistCall(v, q), Ascending, _, _),
-               SortOrder(tie: AttributeReference, Ascending, _, _)) =>
-        Some((v, q, Some(tie)))
-      case _ => None
-    }
+      order: Seq[SortOrder], planChild: LogicalPlan): Option[SparkPlan] = {
     for {
-      (vecAttr, qvec, tie) <- keys
-      (rootPaths, preds) <- unwrap(sort.child)
+      (rootPaths, preds, subst) <- unwrap(planChild)
+      // resolve references through any computing projections below the
+      // sort (rename chains, literal aliases, the distance alias)
+      deref = { (e: Expression) =>
+        var cur = e
+        var guard = 0
+        var continue = true
+        while (continue && guard < 16) {
+          cur match {
+            case ar: AttributeReference if subst.contains(ar.exprId) =>
+              cur = subst(ar.exprId); guard += 1
+            case _ => continue = false
+          }
+        }
+        cur
+      }
+      keys <- order.map(so => deref(so.child) -> so.direction) match {
+        case Seq((DistCall(v, q), Ascending)) =>
+          Some((v, q, None: Option[AttributeReference]))
+        // keys after the id tiebreak are redundant (the id is unique —
+        // the later `tie == idCol` guard makes ignoring them sound)
+        case (DistCall(v, q), Ascending) +:
+             (tie: AttributeReference, Ascending) +: _ =>
+          Some((v, q, Some(tie)))
+        case _ => None
+      }
+      (vecAttr, qvec, tie) = keys
       meta <- AnnCatalog.lookup(rootPaths)
       if vecAttr.name.equalsIgnoreCase(meta.vecCol)
       if tie.forall(_.name.equalsIgnoreCase(meta.idCol))
@@ -267,25 +306,32 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
             case _ => None
           }
       }
-      // the routed output: each slot is the id, a constant, or any other
-      // base column (wide outputs are answered by an id-keyed point
-      // fetch of the k result rows — `SELECT id, label, ts ... LIMIT k`
+      // the routed output: each slot is the id, a constant, the sort's
+      // own distance expression (answered from the search's exact fp32
+      // re-rank, no recomputation), or any other base column (wide
+      // outputs are answered by an id-keyed point fetch of the k result
+      // rows — `SELECT id, label, l2_sq(vec, :q) AS d ... LIMIT k`
       // routes too, not just bare-id projections)
       slots <- {
-        val classified = outer.map {
-          case a: AttributeReference
-              if a.name.equalsIgnoreCase(meta.idCol) && a.dataType == LongType =>
-            Some(AnnTopKExec.IdSlot: AnnTopKExec.Slot)
-          case Alias(a: AttributeReference, _)
-              if a.name.equalsIgnoreCase(meta.idCol) && a.dataType == LongType =>
-            Some(AnnTopKExec.IdSlot: AnnTopKExec.Slot)
-          case Alias(l: Literal, _) =>
-            Some(AnnTopKExec.ConstSlot(l.value): AnnTopKExec.Slot)
-          case a: AttributeReference =>
-            Some(AnnTopKExec.ColSlot(a.name): AnnTopKExec.Slot)
-          case Alias(a: AttributeReference, _) =>
-            Some(AnnTopKExec.ColSlot(a.name): AnnTopKExec.Slot)
-          case _ => None
+        val classified = outer.map { ne =>
+          val resolved = ne match {
+            case Alias(e, _) => deref(e)
+            case e => deref(e)
+          }
+          resolved match {
+            case a: AttributeReference
+                if a.name.equalsIgnoreCase(meta.idCol) && a.dataType == LongType =>
+              Some(AnnTopKExec.IdSlot: AnnTopKExec.Slot)
+            case l: Literal =>
+              Some(AnnTopKExec.ConstSlot(l.value): AnnTopKExec.Slot)
+            case DistCall(a, q2)
+                if a.name.equalsIgnoreCase(meta.vecCol) &&
+                  java.util.Arrays.equals(q2, qvec) =>
+              Some(AnnTopKExec.DistSlot: AnnTopKExec.Slot)
+            case a: AttributeReference =>
+              Some(AnnTopKExec.ColSlot(a.name): AnnTopKExec.Slot)
+            case _ => None
+          }
         }
         if (classified.contains(None)) None else Some(classified.map(_.get))
       }
@@ -315,7 +361,8 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
 
   override protected def doExecute(): RDD[InternalRow] = {
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
-    val ids = AnnTopKExec.searchIds(session, route, qvec, k, ef)
+    val hits = AnnTopKExec.searchHits(session, route, qvec, k, ef)
+    val ids = hits.map(_._1)
     val types = output.map(_.dataType).toArray
     val slotArr = slots.toArray
     // wide outputs: fetch the k result rows' columns by id (tiny scan,
@@ -342,13 +389,14 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
     }
     // a stale index could return an id no longer in the base — drop it
     // rather than fail the whole statement
-    val outIds = if (fetchCols.isEmpty) ids else ids.filter(fetched.contains)
-    val rows = outIds.map { id =>
+    val outHits = if (fetchCols.isEmpty) hits else hits.filter(h => fetched.contains(h._1))
+    val rows = outHits.map { case (id, dist) =>
       val row = new GenericInternalRow(slotArr.length)
       var i = 0
       while (i < slotArr.length) {
         slotArr(i) match {
           case AnnTopKExec.IdSlot => row.update(i, id)
+          case AnnTopKExec.DistSlot => row.update(i, dist)
           case AnnTopKExec.ConstSlot(v) => row.update(i, v)
           case AnnTopKExec.ColSlot(n) =>
             row.update(i, converters(i)(fetched(id).get(colIndex(n) + 1)))
@@ -369,10 +417,11 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
 
 object AnnTopKExec {
 
-  /** Output-slot source: the result id, a plan-time constant, or a
-    * fetched base column. */
+  /** Output-slot source: the result id, a plan-time constant, the
+    * search's exact distance, or a fetched base column. */
   sealed trait Slot
   case object IdSlot extends Slot
+  case object DistSlot extends Slot
   case class ConstSlot(value: Any) extends Slot
   case class ColSlot(name: String) extends Slot
 
@@ -397,9 +446,9 @@ object AnnTopKExec {
   /** Distributed bucket search + driver top-k merge, ascending (dist, id).
     * Bucketed routes read only the matching sub-index rows (parquet
     * min/max pruning); range routes run the in-filter walk on partially
-    * covered deciles. */
-  private[graft] def searchIds(spark: SparkSession, route: AnnRoute,
-      qvec: Array[Float], k: Int, ef: Int): Array[Long] = {
+    * covered deciles. Returns (id, exact fp32 dist) in rank order. */
+  private[graft] def searchHits(spark: SparkSession, route: AnnRoute,
+      qvec: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val effEf = math.max(ef, k)
@@ -470,6 +519,6 @@ object AnnTopKExec {
     }
     candidates.rdd
       .takeOrdered(k)(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
-      .map(_._2)
+      .map { case (d, id) => (id, d) }
   }
 }

@@ -249,4 +249,59 @@ class AnnTopKStrategySpec extends SparkSpec {
       assert(df.collect().length == 10)
     } finally AnnCatalog.unregister(dirs._1)
   }
+
+  test("projected distance answered from the search (DistSlot)") {
+    AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec", ef = 150)
+    try {
+      val qv = qvecOf(13L)
+      val df = spark.read.parquet(dirs._1)
+        .select(col("id"), VectorFunctions.l2Sq(col("vec"), typedLit(qv)).as("d"))
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .limit(10)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("AnnTopK"), s"expected AnnTopK in:\n$physical")
+      val rows = df.collect()
+      assert(rows.length == 10)
+      // returned distances are the exact fp32 values, ascending, and the
+      // self-query's own row has distance 0
+      val ds = rows.map(_.getDouble(1))
+      assert(ds.sameElements(ds.sorted))
+      assert(rows.exists(r => r.getLong(0) == 13L && r.getDouble(1) == 0.0))
+    } finally AnnCatalog.unregister(dirs._1)
+  }
+
+  test("ORDER BY select-list alias routes (sort above project)") {
+    AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec", ef = 150)
+    try {
+      spark.read.parquet(dirs._1).createOrReplaceTempView("ann_base")
+      val qv = qvecOf(17L)
+      val lit = qv.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      val df = spark.sql(
+        s"SELECT id, l2_sq(vec, $lit) AS d FROM ann_base ORDER BY d, id LIMIT 10")
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("AnnTopK"), s"expected AnnTopK in:\n$physical")
+      val rows = df.collect()
+      assert(rows.length == 10)
+      assert(rows.exists(r => r.getLong(0) == 17L && r.getDouble(1) == 0.0))
+    } finally AnnCatalog.unregister(dirs._1)
+  }
+
+  test("redundant sort keys after the id tiebreak still route") {
+    AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec", ef = 150)
+    try {
+      val qv = qvecOf(19L)
+      val df = spark.read.parquet(dirs._1)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"), col("vec"))
+        .select("id")
+        .limit(10)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("AnnTopK"), s"expected AnnTopK in:\n$physical")
+      // a non-id second key must NOT route (ties could reorder the cut)
+      val df2 = spark.read.parquet(dirs._1)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("vec"))
+        .select("id")
+        .limit(10)
+      assert(!df2.queryExecution.executedPlan.toString.contains("AnnTopK"))
+    } finally AnnCatalog.unregister(dirs._1)
+  }
 }
