@@ -279,6 +279,23 @@ object TextQueries {
         conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("fp60"))),
 
+    // unigram LM quality scoring: per-doc mean token log-likelihood
+    // under the corpus's own unigram distribution — the classic
+    // LM-perplexity quality filter with the corpus as its own model.
+    // The vocab aggregate is broadcast back against the token stream;
+    // the base token explode is shuffled once (the doc groupBy).
+    "unigram_logprob" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        explode(TF.tokens(col("text"))).as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("tot"))
+      toks.join(broadcast(vocab), "token").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          round(avg(log(col("cnt").cast("double") / col("tot").cast("double"))), 4)
+            .as("logp_mean"))
+    }),
+
     // benchmark decontamination: corpus docs sharing word 4-grams with
     // the held-out set (every 50th doc). Inverted-index join on the
     // n-gram key — the bench side reduces to its distinct n-gram set
@@ -668,6 +685,18 @@ object TextQueries {
         |  md5(text) AS md5_hex,
         |  CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)::BIGINT AS fp60
         |FROM documents""".stripMargin,
+
+    "unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+        |  FROM documents
+        |), v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS tot FROM tok)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(CAST(v.cnt AS DOUBLE) / CAST(tot.tot AS DOUBLE))), 4) AS logp_mean
+        |FROM tok t JOIN v USING (token) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
 
     "contamination_check" ->
       """WITH t AS (
