@@ -30,9 +30,14 @@ object Contamination {
       textCol: String, n: Int, minShared: Long = 1L,
       maxBenchDocFreq: Long = Long.MaxValue): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
+    // tokens are materialized in their own projection: inlining the
+    // split into the shingle lambda would re-split the full text on
+    // every element_at (4 splits per gram — a 10x+ slowdown)
     def grams(df: DataFrame): DataFrame =
       df.select(col(idCol).cast("long").as("doc_id"),
-        explode(array_distinct(TF.shingles(TF.tokens(col(textCol)), n))).as("ng"))
+          TF.tokens(col(textCol)).as("toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(TF.shingles(col("toks"), n))).as("ng"))
     val benchGrams =
       if (maxBenchDocFreq == Long.MaxValue) grams(bench).select("ng").distinct()
       else grams(bench).groupBy("ng").agg(count(lit(1)).as("bdf"))

@@ -16,9 +16,11 @@ object PlanAudit {
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val interesting = Seq(
-      "knn_hybrid", "knn_pruned", "q1_pricing_summary", "sort_limit_lineitem",
-      "ann_sql_topk", "dedup_jaccard_pairs", "event_pairs_range", "salted_join_revenue")
+    val interesting =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq(
+        "knn_hybrid", "knn_pruned", "q1_pricing_summary", "sort_limit_lineitem",
+        "ann_sql_topk", "dedup_jaccard_pairs", "event_pairs_range", "salted_join_revenue")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       try {
