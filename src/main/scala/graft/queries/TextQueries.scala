@@ -279,6 +279,24 @@ object TextQueries {
         conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("fp60"))),
 
+    // seeded deterministic training shuffle: md5-keyed global order,
+    // sharded so each shard orders independently (the shard is the
+    // parallel unit — no single-partition global window at scale; a
+    // reader consumes shards in (shard, pos) order for a reproducible
+    // epoch permutation).
+    "corpus_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .withColumn("skey",
+          conv(substring(md5(concat(lit("shuf:"), col("doc_id"))), 1, 15), 16, 10)
+            .cast("long"))
+        .withColumn("shard", pmod(col("skey"), lit(8)).cast("long"))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("shard").orderBy("skey", "doc_id"))
+            .cast("long"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("shard"), col("pos"))
+    }),
+
     // unigram LM quality scoring: per-doc mean token log-likelihood
     // under the corpus's own unigram distribution — the classic
     // LM-perplexity quality filter with the corpus as its own model.
@@ -685,6 +703,17 @@ object TextQueries {
         |  md5(text) AS md5_hex,
         |  CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)::BIGINT AS fp60
         |FROM documents""".stripMargin,
+
+    "corpus_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('shuf:' || doc_id), 1, 15)) AS UBIGINT)::BIGINT AS skey
+        |  FROM documents
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(skey % 8 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS BIGINT) AS pos
+        |FROM k""".stripMargin,
 
     "unigram_logprob" ->
       """WITH tok AS (
