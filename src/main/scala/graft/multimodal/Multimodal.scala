@@ -17,13 +17,20 @@ import org.apache.spark.sql.functions._
   * with a 5×5 luminance thumbnail + per-channel statistics + aspect —
   * see [[withImageFeatures]].
   *
-  * ==== STUB BOUNDARY (audio/video only) ====
-  * No audio/video codecs ship in a bare JVM, so [[decodeFeaturesStub]]
-  * and [[frameOffsetsStub]] remain clearly-marked deterministic fakes
-  * keyed on content bytes, used as the fallback for payloads imageio
-  * cannot decode. They honor the exact contract a real decoder would
-  * (fixed feature dim, n-frame sampling) — swap the kernel, keep the
-  * Spark plumbing (schema, batching, partitioning) unchanged.
+  * AUDIO is decoded for real via `javax.sound.sampled` (pure JVM —
+  * WAV, AIFF, AU per the JDK's built-in providers):
+  * [[decodeAudioFeatures]] produces (duration, sample rate, channels,
+  * features) with a 25-bin RMS envelope + RMS/ZCR/peak statistics —
+  * see [[withAudioFeatures]].
+  *
+  * ==== STUB BOUNDARY (video only) ====
+  * No video codec ships in a bare JVM, so [[decodeFeaturesStub]] and
+  * [[frameOffsetsStub]] remain clearly-marked deterministic fakes keyed
+  * on content bytes, used for frame sampling and as the fallback for
+  * payloads neither imageio nor the audio providers can decode. They
+  * honor the exact contract a real decoder would (fixed feature dim,
+  * n-frame sampling) — swap the kernel, keep the Spark plumbing
+  * (schema, batching, partitioning) unchanged.
   */
 object Multimodal {
 
@@ -128,11 +135,99 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode (javax.sound.sampled — WAV/AIFF/AU per the JDK's
+    * built-in providers): None when the payload is not decodable audio.
+    * The stream is converted to 16-bit signed PCM and mixed down to
+    * mono; one pass computes the features ([[FeatureDim]] = 32 floats,
+    * all in [-1, 1]):
+    *   [0..24]  25-bin RMS energy envelope over time (each bin's RMS of
+    *            the mono signal in [0,1], scaled)
+    *   [25]     global RMS
+    *   [26]     zero-crossing rate (sign flips / samples)
+    *   [27]     peak |amplitude|
+    *   [28]     mean |amplitude|
+    *   [29]     duration, min(seconds/60, 1)
+    *   [30]     sample rate, min(rate/48000, 1)
+    *   [31]     channels, min(n/2, 1)
+    * each scaled from its natural range into [-1, 1].
+    * Returns (durationMs, sampleRate, channels, features). */
+  def decodeAudioFeatures(bytes: Array[Byte]): Option[(Long, Int, Int, Array[Float])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val src = in.getFormat
+      val channels = src.getChannels
+      val rate = src.getSampleRate
+      if (channels <= 0 || rate <= 0) return None
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, channels, 2 * channels, rate, false)
+      val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+      val raw = pcm.readAllBytes()
+      pcm.close()
+      val frameBytes = 2 * channels
+      val nFrames = raw.length / frameBytes
+      if (nFrames == 0) return None
+      val grid = 25
+      val binSum2 = new Array[Double](grid)
+      val binCnt = new Array[Long](grid)
+      var s2 = 0.0
+      var sAbs = 0.0
+      var peak = 0.0
+      var flips = 0L
+      var lastSign = 0
+      var f = 0
+      while (f < nFrames) {
+        // mono mixdown: mean over channels, little-endian 16-bit
+        var acc = 0.0
+        var c = 0
+        while (c < channels) {
+          val o = f * frameBytes + 2 * c
+          val s = ((raw(o) & 0xff) | (raw(o + 1) << 8)).toShort
+          acc += s / 32768.0
+          c += 1
+        }
+        val v = acc / channels
+        val bin = math.min(f * grid / nFrames, grid - 1)
+        binSum2(bin) += v * v
+        binCnt(bin) += 1
+        s2 += v * v
+        sAbs += math.abs(v)
+        if (math.abs(v) > peak) peak = math.abs(v)
+        val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+        if (sign != 0) {
+          if (lastSign != 0 && sign != lastSign) flips += 1
+          lastSign = sign
+        }
+        f += 1
+      }
+      val out = new Array[Float](FeatureDim)
+      var b = 0
+      while (b < grid) {
+        val rms = if (binCnt(b) == 0) 0.0 else math.sqrt(binSum2(b) / binCnt(b))
+        out(b) = (math.min(rms, 1.0) * 2.0 - 1.0).toFloat
+        b += 1
+      }
+      val durSec = nFrames / rate.toDouble
+      out(25) = (math.min(math.sqrt(s2 / nFrames), 1.0) * 2.0 - 1.0).toFloat
+      out(26) = (flips.toDouble / nFrames * 2.0 - 1.0).toFloat
+      out(27) = (math.min(peak, 1.0) * 2.0 - 1.0).toFloat
+      out(28) = (math.min(sAbs / nFrames, 1.0) * 2.0 - 1.0).toFloat
+      out(29) = (math.min(durSec / 60.0, 1.0) * 2.0 - 1.0).toFloat
+      out(30) = (math.min(rate / 48000.0, 1.0) * 2.0 - 1.0).toFloat
+      out(31) = (math.min(channels / 2.0, 1.0) * 2.0 - 1.0).toFloat
+      Some(((durSec * 1000).toLong, rate.toInt, channels, out))
+    } catch {
+      case _: Throwable => None
+    }
+  }
+
   /** Attach decoded features to a media DataFrame.
     * df must have (idCol LONG-castable, bytesCol BINARY). Returns
     * (media_id, n_bytes, features ARRAY<FLOAT>). Batched per partition —
     * the expensive codec is initialized once per task, not per row.
-    * Decodable images get the REAL [[decodeImageFeatures]] features;
+    * Decodable images get the REAL [[decodeImageFeatures]] features,
+    * decodable audio the REAL [[decodeAudioFeatures]] features;
     * everything else falls back to the deterministic hash stub. */
   def withFeatures(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -143,6 +238,7 @@ object Multimodal {
         // per-partition init point (audio/video impl: load codec here)
         it.map { case (id, bytes) =>
           val feats = decodeImageFeatures(bytes).map(_._4)
+            .orElse(decodeAudioFeatures(bytes).map(_._4))
             .getOrElse(decodeFeaturesStub(bytes))
           (id, bytes.length.toLong, feats)
         }
@@ -169,6 +265,27 @@ object Multimodal {
         }
       }
       .toDF("media_id", "n_bytes", "width", "height", "channels", "features")
+  }
+
+  /** Attach REAL audio features: (media_id, n_bytes, duration_ms,
+    * sample_rate, channels, features). Payloads the JDK's audio
+    * providers cannot decode fall back to the deterministic hash
+    * features with duration_ms/sample_rate/channels = -1, so the
+    * pipeline is total over mixed corpora. Batched per partition. */
+  def withAudioFeatures(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeAudioFeatures(bytes) match {
+            case Some((ms, rate, ch, f)) => (id, bytes.length.toLong, ms, rate, ch, f)
+            case None => (id, bytes.length.toLong, -1L, -1, -1, decodeFeaturesStub(bytes))
+          }
+        }
+      }
+      .toDF("media_id", "n_bytes", "duration_ms", "sample_rate", "channels", "features")
   }
 
   /** Frame-sample a video-like payload: (media_id, frame_index, offset). */

@@ -80,6 +80,60 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1L) == Multimodal.decodeFeaturesStub("plain text".getBytes).toSeq)
   }
 
+  private def wav(seconds: Double, rate: Float, channels: Int,
+      freq: Double, amp: Double): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (seconds * rate).toInt
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+      channels, 2 * channels, rate, false)
+    val raw = new Array[Byte](n * 2 * channels)
+    for (f <- 0 until n; c <- 0 until channels) {
+      val v = (math.sin(2 * math.Pi * freq * f / rate) * amp * 32767).toInt
+      val o = (f * channels + c) * 2
+      raw(o) = (v & 0xff).toByte
+      raw(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val in = new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real audio decode: duration, rate, channels, RMS/ZCR from actual WAVs") {
+    val toneA = wav(0.5, 8000f, 1, freq = 440, amp = 0.5)
+    val toneStereo = wav(0.25, 16000f, 2, freq = 100, amp = 0.9)
+    val silent = wav(0.1, 8000f, 1, freq = 440, amp = 0.0)
+    val rows = Seq((0L, toneA), (1L, toneStereo), (2L, silent),
+      (3L, "not-audio".getBytes)).toDF("media_id", "bytes")
+    val out = Multimodal.withAudioFeatures(rows, "media_id", "bytes")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getInt(3), r.getInt(4), r.getSeq[Float](5))).toMap
+    val (ms0, rate0, ch0, f0) = out(0L)
+    assert(ms0 == 500L && rate0 == 8000 && ch0 == 1)
+    // 0.5-amp sine: RMS = 0.5/sqrt(2) ≈ 0.354 → scaled ≈ -0.293
+    assert(math.abs(f0(25) - (0.5 / math.sqrt(2) * 2 - 1)) < 0.01)
+    // 440 Hz at 8 kHz: ~2·440·0.5 s sign flips over 4000 samples ≈ 0.11
+    assert(f0(26) > -0.9f && f0(26) < -0.7f)
+    assert(f0(27) > -0.05f)  // peak ≈ 0.5 → ≈ 0
+    val (ms1, rate1, ch1, _) = out(1L)
+    assert(ms1 == 250L && rate1 == 16000 && ch1 == 2)
+    val (_, _, _, f2) = out(2L)
+    assert(f2(25) == -1.0f && f2(27) == -1.0f)  // silence: zero RMS/peak
+    // non-audio falls back: metadata -1, stub features
+    val (ms3, rate3, _, f3) = out(3L)
+    assert(ms3 == -1L && rate3 == -1)
+    assert(f3 == Multimodal.decodeFeaturesStub("not-audio".getBytes).toSeq)
+  }
+
+  test("withFeatures routes decodable audio through the real kernel") {
+    val tone = wav(0.2, 8000f, 1, freq = 220, amp = 0.3)
+    val rows = Seq((0L, tone), (1L, "plain text".getBytes)).toDF("media_id", "bytes")
+    val f = Multimodal.withFeatures(rows, "media_id", "bytes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(f(0L) == Multimodal.decodeAudioFeatures(tone).get._4.toSeq)
+    assert(f(1L) == Multimodal.decodeFeaturesStub("plain text".getBytes).toSeq)
+  }
+
   test("features survive a similarity-search round trip (pipeline plumbing)") {
     val feats = Multimodal.withFeatures(media, "media_id", "bytes")
       .select($"media_id".as("id"), $"features".as("vec"))
