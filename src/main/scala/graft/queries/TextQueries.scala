@@ -306,7 +306,9 @@ object TextQueries {
       val toks = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
         explode(TF.tokens(col("text"))).as("token"))
       val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-      val tot = toks.agg(count(lit(1)).as("tot"))
+      // total token count folds from the vocab aggregate — one fewer
+      // full explode scan than counting the token stream again
+      val tot = vocab.agg(sum(col("cnt")).as("tot"))
       toks.join(broadcast(vocab), "token").crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_tokens"),
@@ -720,7 +722,7 @@ object TextQueries {
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
         |  FROM documents
         |), v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
-        |tot AS (SELECT count(*) AS tot FROM tok)
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM v)
         |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
         |  CAST(count(*) AS BIGINT) AS n_tokens,
         |  round(avg(ln(CAST(v.cnt AS DOUBLE) / CAST(tot.tot AS DOUBLE))), 4) AS logp_mean
