@@ -134,6 +134,137 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1L) == Multimodal.decodeFeaturesStub("plain text".getBytes).toSeq)
   }
 
+  private def jpeg(w: Int, h: Int)(color: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, color(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Minimal but well-formed MJPEG-in-AVI container around JPEG frames. */
+  private def aviMjpeg(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(tpe: String, body: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ le32(body.length + 4) ++ cc(tpe) ++ body
+    val avih = le32(1000000L / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte)
+    val strh = cc("vids") ++ cc("MJPG") ++ Array.fill(48)(0.toByte)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ Array[Byte](1, 0, 24, 0) ++
+      cc("MJPG") ++ le32(w.toLong * h * 3) ++ Array.fill(16)(0.toByte)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def box(tpe: String, body: Array[Byte]): Array[Byte] =
+    be32(body.length + 8) ++ cc(tpe) ++ body
+
+  /** Minimal MP4: ftyp + moov(mvhd, trak(tkhd, mdia(minf(stbl(stsz))))). */
+  private def mp4(w: Int, h: Int, timescale: Int, duration: Int, samples: Int): Array[Byte] = {
+    val ftyp = box("ftyp", cc("isom") ++ be32(512) ++ cc("isom") ++ cc("avc1"))
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(duration) ++ Array.fill(76)(0.toByte))
+    // tkhd v0 payload: 76 bytes before the 16.16 fixed width/height
+    val tkhd = box("tkhd", Array.fill(76)(0.toByte) ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(samples))
+    val trak = box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stsz))))
+    ftyp ++ box("moov", mvhd ++ trak)
+  }
+
+  test("real AVI-MJPEG parse: dimensions, frame chunks, decodable frames") {
+    val dark = jpeg(16, 12)((_, _) => 0x000000)
+    val bright = jpeg(16, 12)((_, _) => 0xffffff)
+    val avi = aviMjpeg(Seq(dark, bright, dark), 16, 12, fps = 5)
+    val info = Multimodal.parseAvi(avi).get
+    assert(info.width == 16 && info.height == 12 && info.nFrames == 3)
+    assert(info.durationMs == 600L) // 3 frames at 200 ms
+    assert(info.frames.length == 3)
+    info.frames.foreach { case (off, len) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(avi, off, len))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 12)
+    }
+    assert(Multimodal.parseAvi("RIFFnope".getBytes).isEmpty)
+    assert(Multimodal.parseAvi(dark).isEmpty)
+  }
+
+  test("real video decode: content thumbnail and motion from AVI frames") {
+    val dark = jpeg(16, 12)((_, _) => 0x000000)
+    val bright = jpeg(16, 12)((_, _) => 0xffffff)
+    val still = aviMjpeg(Seq(dark, dark, dark, dark), 16, 12, fps = 4)
+    val moving = aviMjpeg(Seq(dark, bright, dark, bright), 16, 12, fps = 4)
+    val (w0, h0, n0, ms0, fStill) = Multimodal.decodeVideoFeatures(still).get
+    assert(w0 == 16 && h0 == 12 && n0 == 4 && ms0 == 1000L)
+    assert(fStill.take(25).forall(_ < -0.9f)) // all-black thumbnail
+    assert(fStill(25) == -1.0f)               // no motion
+    val (_, _, _, _, fMove) = Multimodal.decodeVideoFeatures(moving).get
+    assert(fMove(25) > 0.8f)                  // black↔white flips: max motion
+    assert(fMove.take(25).forall(c => c > -0.6f && c < 0.6f)) // mean ≈ mid-gray
+    assert(Multimodal.decodeVideoFeatures("plain text".getBytes).isEmpty)
+  }
+
+  test("real MP4 box parse: metadata without a codec") {
+    val m = mp4(w = 320, h = 240, timescale = 600, duration = 1200, samples = 30)
+    val info = Multimodal.parseMp4(m).get
+    assert(info.width == 320 && info.height == 240)
+    assert(info.nFrames == 30 && info.durationMs == 2000L)
+    assert(info.frames.isEmpty)
+    val (_, _, _, _, f) = Multimodal.decodeVideoFeatures(m).get
+    assert(f.take(26).forall(_ == -1.0f)) // content slots at documented zero
+    assert(math.abs(f(31) - (240.0 / 320 * 2 - 1)) < 1e-6)
+    assert(Multimodal.parseMp4("ftypnope".getBytes).isEmpty)
+  }
+
+  test("withVideoFeatures routes containers through the real kernel; text falls back") {
+    val avi = aviMjpeg(Seq(jpeg(8, 8)((_, _) => 0x808080)), 8, 8, fps = 10)
+    val m = mp4(640, 480, 1000, 5000, 120)
+    val rows = Seq((0L, avi), (1L, m), (2L, "plain text".getBytes))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.withVideoFeatures(rows, "media_id", "bytes")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5), r.getSeq[Float](6))).toMap
+    val (w0, h0, n0, _, f0) = out(0L)
+    assert(w0 == 8 && h0 == 8 && n0 == 1)
+    assert(f0 == Multimodal.decodeVideoFeatures(avi).get._5.toSeq)
+    val (w1, _, n1, ms1, _) = out(1L)
+    assert(w1 == 640 && n1 == 120 && ms1 == 5000L)
+    val (w2, _, _, ms2, f2) = out(2L)
+    assert(w2 == -1 && ms2 == -1L)
+    assert(f2 == Multimodal.decodeFeaturesStub("plain text".getBytes).toSeq)
+    // withFeatures unified route also picks the video kernel
+    val uni = Multimodal.withFeatures(rows, "media_id", "bytes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(uni(0L) == Multimodal.decodeVideoFeatures(avi).get._5.toSeq)
+  }
+
+  test("withFrameSamples emits REAL byte offsets for AVI payloads") {
+    val frames = Seq(jpeg(8, 8)((_, _) => 0x101010), jpeg(8, 8)((_, _) => 0xf0f0f0))
+    val avi = aviMjpeg(frames, 8, 8, fps = 2)
+    val out = Multimodal.withFrameSamples(
+        Seq((7L, avi)).toDF("media_id", "bytes"), "media_id", "bytes", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.length == 2)
+    out.foreach { case (_, off) =>
+      // every sampled offset starts a standalone JPEG (SOI marker)
+      assert((avi(off.toInt) & 0xff) == 0xff && (avi(off.toInt + 1) & 0xff) == 0xd8)
+    }
+    assert(out(0)._2 != out(1)._2)
+  }
+
   test("features survive a similarity-search round trip (pipeline plumbing)") {
     val feats = Multimodal.withFeatures(media, "media_id", "bytes")
       .select($"media_id".as("id"), $"features".as("vec"))
