@@ -61,6 +61,23 @@ object TextFunctions {
 
   val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  // ---- PII redaction. Patterns stay inside the RE2 ∩ java.util.regex
+  // common subset (char classes, bounded repeats, \b) so the DuckDB
+  // oracle can run the identical pattern text.
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** Redact e-mails, then IPv4 addresses, then phone numbers with typed
+    * placeholder tags. Order matters (earlier passes consume their
+    * digits) and is mirrored by the oracle. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<email>"),
+        Ipv4Re, "<ip>"),
+      PhoneRe, "<phone>")
+
   // ---- JVM-side twins of the SQL tokenization (used inside typed
   // flatMap/map where composed HOF expressions would re-evaluate
   // `split(text)` per lambda call — Catalyst does no CSE inside lambdas).

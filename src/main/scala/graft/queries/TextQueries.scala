@@ -339,6 +339,63 @@ object TextQueries {
         .orderBy(col("tf").desc, col("token"))
         .limit(100)),
 
+    // PII scrubbing: the corpus has no natural PII, so PII-shaped
+    // strings (email / IPv4 / phone) are synthesized deterministically
+    // FROM doc_id inside both engines — the oracle then genuinely
+    // verifies the detection counts and the redacted-output bytes.
+    "pii_scrub" -> ((s, dir) => {
+      val raw = concat(
+        col("text"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+            ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(lit("")),
+        concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      docs(s, dir)
+        .withColumn("raw", raw)
+        .withColumn("scrubbed", TF.redactPii(col("raw")))
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          size(regexp_extract_all(col("raw"), lit(TF.EmailRe), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(col("raw"), lit(TF.Ipv4Re), lit(0))).cast("long").as("n_ip"),
+          size(regexp_extract_all(col("raw"), lit(TF.PhoneRe), lit(0))).cast("long").as("n_phone"),
+          md5(col("scrubbed").cast("binary")).as("scrub_md5"),
+          (length(col("raw")) - length(col("scrubbed"))).cast("long").as("len_delta"))
+    }),
+
+    // CCNet-style boilerplate removal: width-6 token segments repeated
+    // across >= 3 docs are dropped; kept_md5 fingerprints the survivors
+    // in position order.
+    "boilerplate_lines" -> ((s, dir) =>
+      graft.operators.Boilerplate.removeBoilerplate(
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        "doc_id", "text", width = 6, minDocs = 3)),
+
+    // per-doc top-5 TF-IDF terms (tf · ln(N/df), ties by token). The
+    // score is rounded to 4 decimals BEFORE ranking: Java's log
+    // intrinsic and libm differ by 1 ulp on some inputs, so both the
+    // emitted score and the rank ordering must go through the same
+    // ulp-insensitive rounding on both engines.
+    "tfidf_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val tok = d.select(col("doc_id").cast("long").as("doc_id"),
+        explode(TF.tokens(col("text"))).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfq = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val tot = d.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      tf.join(broadcast(dfq), "token").crossJoin(broadcast(tot))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 4))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("score"))
+    }),
+
     // RAG chunking: overlapping token windows (size 32, stride 24) per
     // doc. Pure per-row explode — no shuffle; chunk content is carried
     // as an md5 so the output stays narrow at any scale.
@@ -755,6 +812,70 @@ object TextQueries {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |FROM tok GROUP BY 1
         |ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    "pii_scrub" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id * 7 % 256 AS VARCHAR) ELSE '' END
+        |    || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(regexp_replace(regexp_replace(raw,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<ip>', 'g'),
+        |      '\b[0-9]{3}-[0-9]{4}\b', '<phone>', 'g') AS scrubbed
+        |  FROM r
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(raw, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(raw, '\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+        |  md5(scrubbed) AS scrub_md5,
+        |  CAST(length(raw) - length(scrubbed) AS BIGINT) AS len_delta
+        |FROM sc""".stripMargin,
+
+    "boilerplate_lines" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), seg AS (
+        |  SELECT doc_id, (st - 1) // 6 AS pos, array_to_string(toks[st : st + 5], ' ') AS seg
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 6)) AS st
+        |        FROM t WHERE len(toks) >= 1)
+        |), hot AS (
+        |  SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1)
+        |  WHERE nd >= 3
+        |)
+        |SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN h.seg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN h.seg IS NULL THEN s.seg END, ' ' ORDER BY s.pos), '')) AS kept_md5
+        |FROM seg s LEFT JOIN hot h ON s.seg = h.seg
+        |GROUP BY 1""".stripMargin,
+
+    "tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1
+        |), tot AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        |    round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)), 4) AS score
+        |  FROM tf JOIN dfq USING (token) CROSS JOIN tot
+        |)
+        |SELECT doc_id, "rank", token, tf, df, score FROM (
+        |  SELECT doc_id, token, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS "rank"
+        |  FROM sc
+        |) WHERE "rank" <= 5""".stripMargin,
 
     "chunk_windows" ->
       """WITH t AS (
