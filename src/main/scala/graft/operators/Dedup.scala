@@ -56,10 +56,12 @@ object Dedup {
         min(col(idCol)).cast("long").as("rep_doc_id"),
         count(lit(1)).as("dup_count"))
 
-  /** Distinct (id, shingle) pairs — the inverted-index input. Typed
-    * flatMap, not composed HOF expressions: Catalyst performs no CSE
-    * inside lambda bodies, so the expression form re-splits the text
-    * once per element_at call (O(len²) per doc, measured 50× slower). */
+  /** Distinct (id, shingle, n = doc's distinct-shingle count) rows — the
+    * inverted-index input. Typed flatMap, not composed HOF expressions:
+    * Catalyst performs no CSE inside lambda bodies, so the expression
+    * form re-splits the text once per element_at call (O(len²) per doc,
+    * measured 50× slower). Carrying `n` on every row costs 8 bytes but
+    * lets the pair join skip a full size aggregate plus two join-backs. */
   private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame = {
     val spark = df.sparkSession
@@ -67,31 +69,30 @@ object Dedup {
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
-        TF.shinglesJvm(TF.tokenizeJvm(t), shingleSize).distinct.map((id, _))
+        val sh = TF.shinglesJvm(TF.tokenizeJvm(t), shingleSize).distinct
+        sh.map(s => (id, s, sh.length.toLong))
       }
-      .toDF("doc_id", "sh")
+      .toDF("doc_id", "sh", "n")
   }
 
   /** Exact n-gram Jaccard pairs ≥ minJaccard:
     * (doc_a, doc_b, inter, jac), doc_a < doc_b. */
   def jaccardShinglePairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, minJaccard: Double = 0.2): DataFrame = {
-    // The shingle explosion feeds three plan legs (both self-join sides
-    // + the size agg): hash-partition it by shingle once and cache, so
-    // the self-join reuses the partitioning with no further exchange
-    // and the explosion is computed once instead of three times.
+    // The shingle explosion feeds both self-join sides: hash-partition
+    // it by shingle once and cache, so the self-join reuses the
+    // partitioning with no further exchange and the explosion is
+    // computed once. Set sizes ride along on the exploded rows (max()
+    // folds the per-group constant), so the whole miner is one cached
+    // explode + one pair aggregation — no size agg, no join-backs.
     val ex = tracked(explodedShingles(df, idCol, textCol, shingleSize)
       .repartition(col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = ex.as("a").join(ex.as("b"),
+    ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
-      .withColumn("jac", col("inter") / (col("x.n") + col("y.n") - col("inter")))
+      .agg(count(lit(1)).as("inter"), max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
   }
