@@ -255,7 +255,10 @@ object Multimodal {
     if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return None
     var avih = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    def walk(start: Int, end: Int): Unit = {
+    // depth bound: legit AVI nests LISTs 2-3 deep; a crafted file could
+    // nest arbitrarily and blow the stack without the cap
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16) return
       var o = start
       var ok = true
       while (ok && o + 8 <= end) {
@@ -263,7 +266,7 @@ object Multimodal {
         val size = u32le(bytes, o + 4)
         if (o + 8L + size > end) ok = false // truncated/corrupt: stop this level
         else {
-          if (id == "LIST") { if (size >= 4) walk(o + 12, o + 8 + size.toInt) }
+          if (id == "LIST") { if (size >= 4) walk(o + 12, o + 8 + size.toInt, depth + 1) }
           else if (id == "avih") avih = o + 8
           else if (size > 0 && id.length == 4 && id(0).isDigit && id(1).isDigit &&
                    (id.endsWith("dc") || id.endsWith("db")))
@@ -272,7 +275,7 @@ object Multimodal {
         }
       }
     }
-    walk(12, bytes.length)
+    walk(12, bytes.length, 0)
     if (avih < 0 || avih + 40 > bytes.length) return None
     val usPerFrame = u32le(bytes, avih)
     val w = u32le(bytes, avih + 32).toInt
@@ -307,7 +310,7 @@ object Multimodal {
     def walkTrak(s: Int, e: Int): Unit = {
       var tw = 0; var th = 0; var ts = 0
       boxes(s, e) {
-        case ("tkhd", ps, pe) =>
+        case ("tkhd", ps, pe) if ps < pe =>
           val off = ps + (if ((bytes(ps) & 0xff) == 1) 88 else 76)
           if (off + 8 <= pe) {
             tw = (u32be(bytes, off) >> 16).toInt
@@ -329,9 +332,10 @@ object Multimodal {
     }
     boxes(0, bytes.length) {
       case ("moov", ms, me) => boxes(ms, me) {
-        case ("mvhd", ps, _) =>
-          if ((bytes(ps) & 0xff) == 1) { tsScale = u32be(bytes, ps + 20); durUnits = u64be(bytes, ps + 24) }
-          else { tsScale = u32be(bytes, ps + 12); durUnits = u32be(bytes, ps + 16) }
+        case ("mvhd", ps, pe) if ps < pe =>
+          if ((bytes(ps) & 0xff) == 1) {
+            if (ps + 32 <= pe) { tsScale = u32be(bytes, ps + 20); durUnits = u64be(bytes, ps + 24) }
+          } else if (ps + 20 <= pe) { tsScale = u32be(bytes, ps + 12); durUnits = u32be(bytes, ps + 16) }
         case ("trak", ts2, te) => walkTrak(ts2, te)
         case _ =>
       }
@@ -380,7 +384,13 @@ object Multimodal {
     *   [31]     aspect = min(w/h, h/w)
     * Returns (width, height, nFrames, durationMs, features). */
   def decodeVideoFeatures(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Array[Float])] = {
-    val info = parseAvi(bytes).orElse(parseMp4(bytes)).getOrElse(return None)
+    // container parse must be total over arbitrary bytes: any parser
+    // failure (truncated box, hostile nesting) falls back to the stub
+    // rather than failing the Spark task — same contract as audio
+    val parsed =
+      try parseAvi(bytes).orElse(parseMp4(bytes))
+      catch { case _: Throwable => None }
+    val info = parsed.getOrElse(return None)
     val sampled: Array[Array[Double]] =
       if (info.frames.isEmpty) Array.empty
       else {

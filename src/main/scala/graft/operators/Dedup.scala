@@ -30,7 +30,7 @@ object Dedup {
   // [[releaseCaches]] once the returned plans are materialized.
   private val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  private def tracked(df: DataFrame): DataFrame = synchronized {
+  private[graft] def tracked(df: DataFrame): DataFrame = synchronized {
     caches += df
     df
   }

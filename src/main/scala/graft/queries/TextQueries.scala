@@ -300,8 +300,9 @@ object TextQueries {
     // unigram LM quality scoring: per-doc mean token log-likelihood
     // under the corpus's own unigram distribution — the classic
     // LM-perplexity quality filter with the corpus as its own model.
-    // The vocab aggregate is broadcast back against the token stream;
-    // the base token explode is shuffled once (the doc groupBy).
+    // Vocabulary size grows with the corpus, so the vocab join carries
+    // no broadcast hint — AQE picks broadcast when it fits and falls
+    // back to shuffle when it doesn't (a forced broadcast OOMs at scale).
     "unigram_logprob" -> ((s, dir) => {
       val toks = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
         explode(TF.tokens(col("text"))).as("token"))
@@ -309,7 +310,7 @@ object TextQueries {
       // total token count folds from the vocab aggregate — one fewer
       // full explode scan than counting the token stream again
       val tot = vocab.agg(sum(col("cnt")).as("tot"))
-      toks.join(broadcast(vocab), "token").crossJoin(broadcast(tot))
+      toks.join(vocab, "token").crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_tokens"),
           round(avg(log(col("cnt").cast("double") / col("tot").cast("double"))), 4)
@@ -374,21 +375,29 @@ object TextQueries {
         docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text")),
         "doc_id", "text", width = 6, minDocs = 3)),
 
-    // per-doc top-5 TF-IDF terms (tf · ln(N/df), ties by token). The
-    // score is rounded to 4 decimals BEFORE ranking: Java's log
-    // intrinsic and libm differ by 1 ulp on some inputs, so both the
-    // emitted score and the rank ordering must go through the same
-    // ulp-insensitive rounding on both engines.
+    // per-doc top-5 terms ranked by (tf desc, df asc, token) — raw
+    // frequency first, rarity as the tiebreak. The integer rank key is
+    // bit-identical across engines by construction; the ln-based tf-idf
+    // score rides along as a rounded payload column only (a 1-ulp
+    // Java-vs-libm ln difference can flip a rounded 4th decimal but can
+    // no longer change the row set). df folds from the cached tf table
+    // (one row per (doc, token), so count(*) per token == distinct
+    // docs) — the token explode is computed exactly once.
     "tfidf_terms" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
       val tok = d.select(col("doc_id").cast("long").as("doc_id"),
         explode(TF.tokens(col("text"))).as("token"))
-      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfq = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val tf = graft.operators.Dedup.tracked(
+        tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val tot = d.agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
-      tf.join(broadcast(dfq), "token").crossJoin(broadcast(tot))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("token"))
+      // no broadcast hint on dfq: vocabulary grows with the corpus, so
+      // AQE decides (forced broadcast of an unbounded table OOMs at scale)
+      tf.join(dfq, "token").crossJoin(broadcast(tot))
         .withColumn("score",
           round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 4))
         .withColumn("rank", row_number().over(w).cast("long"))
@@ -864,7 +873,7 @@ object TextQueries {
         |), tf AS (
         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
         |), dfq AS (
-        |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
         |), tot AS (SELECT count(*) AS n_docs FROM documents),
         |sc AS (
         |  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
@@ -873,7 +882,7 @@ object TextQueries {
         |)
         |SELECT doc_id, "rank", token, tf, df, score FROM (
         |  SELECT doc_id, token, tf, df, score,
-        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS "rank"
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, token) AS BIGINT) AS "rank"
         |  FROM sc
         |) WHERE "rank" <= 5""".stripMargin,
 

@@ -307,8 +307,9 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
           }
       }
       // the routed output: each slot is the id, a constant, the sort's
-      // own distance expression (answered from the search's exact fp32
-      // re-rank, no recomputation), or any other base column (wide
+      // own distance expression (recomputed at emit time with the
+      // L2SquaredDistance double loop for cross-plan bit-equality), or
+      // any other base column (wide
       // outputs are answered by an id-keyed point fetch of the k result
       // rows — `SELECT id, label, l2_sq(vec, :q) AS d ... LIMIT k`
       // routes too, not just bare-id projections)
@@ -340,7 +341,7 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
         .map(_.toInt).getOrElse(meta.ef)
       val basePath = rootPaths.head.toString
       AnnTopKExec(outer.map(_.toAttribute), slots, annRoute, ef, qvec, k,
-        basePath, meta.idCol)
+        basePath, meta.idCol, meta.vecCol)
     }
   }
 }
@@ -356,7 +357,7 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
   * k rows, not a full scan). */
 case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
     route: AnnTopKExec.AnnRoute, ef: Int, qvec: Array[Float], k: Int,
-    basePath: String, idCol: String)
+    basePath: String, idCol: String, vecCol: String)
     extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -366,20 +367,42 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
     val types = output.map(_.dataType).toArray
     val slotArr = slots.toArray
     // wide outputs: fetch the k result rows' columns by id (tiny scan,
-    // id-isin pushed to parquet), keyed for rank-order assembly
+    // id-isin pushed to parquet), keyed for rank-order assembly.
+    // DistSlot rows additionally fetch the base vector: the projected
+    // distance is recomputed here with the same sequential double loop
+    // as L2SquaredDistance, NOT the kernel's float-accumulated walk
+    // value — routed and unrouted plans must emit identical bytes, and
+    // the Panama/scalar kernels reduce in different lane orders.
+    val needDist = slotArr.contains(AnnTopKExec.DistSlot)
     val fetchCols = slotArr.collect { case AnnTopKExec.ColSlot(n) => n }.distinct
+    val fetchAll =
+      (fetchCols ++ (if (needDist) Seq(vecCol) else Nil)).distinct
     val fetched: Map[Long, org.apache.spark.sql.Row] =
-      if (fetchCols.isEmpty || ids.isEmpty) Map.empty
+      if (fetchAll.isEmpty || ids.isEmpty) Map.empty
       else {
         import org.apache.spark.sql.functions.col
         session.read.parquet(basePath)
           .filter(col(idCol).isin(ids.toIndexedSeq: _*))
-          .select((col(idCol).cast("long").as("__id") +: fetchCols.toIndexedSeq.map(col)): _*)
+          .select((col(idCol).cast("long").as("__id") +: fetchAll.toIndexedSeq.map(col)): _*)
           .collect()
           .map(r => r.getLong(0) -> r)
           .toMap
       }
-    val colIndex = fetchCols.zipWithIndex.toMap
+    val colIndex = fetchAll.zipWithIndex.toMap
+    val exactDist: Long => Double =
+      if (!needDist) _ => 0.0
+      else { id =>
+        val v = fetched(id).getSeq[Float](colIndex(vecCol) + 1)
+        val n = math.min(v.length, qvec.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          val d = v(i).toDouble - qvec(i).toDouble
+          s += d * d
+          i += 1
+        }
+        s
+      }
     val converters = slotArr.zipWithIndex.map { case (s, i) =>
       s match {
         case AnnTopKExec.ColSlot(_) =>
@@ -389,14 +412,14 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
     }
     // a stale index could return an id no longer in the base — drop it
     // rather than fail the whole statement
-    val outHits = if (fetchCols.isEmpty) hits else hits.filter(h => fetched.contains(h._1))
-    val rows = outHits.map { case (id, dist) =>
+    val outHits = if (fetchAll.isEmpty) hits else hits.filter(h => fetched.contains(h._1))
+    val rows = outHits.map { case (id, _) =>
       val row = new GenericInternalRow(slotArr.length)
       var i = 0
       while (i < slotArr.length) {
         slotArr(i) match {
           case AnnTopKExec.IdSlot => row.update(i, id)
-          case AnnTopKExec.DistSlot => row.update(i, dist)
+          case AnnTopKExec.DistSlot => row.update(i, exactDist(id))
           case AnnTopKExec.ConstSlot(v) => row.update(i, v)
           case AnnTopKExec.ColSlot(n) =>
             row.update(i, converters(i)(fetched(id).get(colIndex(n) + 1)))
