@@ -23,31 +23,14 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 object Dedup {
 
   // The pair miners persist() intermediates (shingle explosions, banded
-  // keys) so both self-join sides reuse one exchange. Cached plans are
-  // keyed in Spark's CacheManager and survive until unpersisted, so a
-  // long-lived session calling miners repeatedly would accumulate cached
-  // partitions — every persist is tracked here and released with
-  // [[releaseCaches]] once the returned plans are materialized.
-  private val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  // keys) so both self-join sides reuse one exchange; every persist is
+  // registered in the shared [[CacheRegistry]] and released once the
+  // returned plans are materialized.
+  private[graft] def tracked(df: DataFrame): DataFrame = CacheRegistry.tracked(df)
 
-  private[graft] def tracked(df: DataFrame): DataFrame = synchronized {
-    caches += df
-    df
-  }
-
-  /** Unpersist every intermediate cached by prior pair-mining calls.
-    * Call after materializing the returned DataFrames (results computed
-    * after release simply recompute the intermediates).
-    *
-    * The registry is process-wide: releasing while another thread's
-    * miner result is still un-materialized unpersists intermediates that
-    * call is counting on (correct, but it recomputes them). Only call
-    * from a coordination point where no miner results are pending —
-    * e.g. between queries in a single-threaded harness (Bench/Verify). */
-  def releaseCaches(): Unit = synchronized {
-    caches.foreach(_.unpersist(blocking = false))
-    caches.clear()
-  }
+  /** Unpersist every registered intermediate (delegates to
+    * [[CacheRegistry.releaseAll]]; kept for source compatibility). */
+  def releaseCaches(): Unit = CacheRegistry.releaseAll()
 
   /** Exact duplicate groups: (text_hash, rep_doc_id = min id, dup_count). */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -146,8 +129,11 @@ object Dedup {
     * factors. Lossless either way — only the physical plan changes. */
   def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, minJaccard: Double = 0.2,
-      prefixAbove: Long = 100000): DataFrame =
-    if (df.count() > prefixAbove)
+      prefixAbove: Long = 100000, sizeHint: Option[Long] = None): DataFrame =
+    // sizeHint: caller-known row count of df — when set, routing costs
+    // zero jobs (otherwise one count()). An inaccurate hint only
+    // mis-routes the physical plan, never changes the rows.
+    if (sizeHint.getOrElse(df.count()) > prefixAbove)
       jaccardPrefixPairs(df, idCol, textCol, shingleSize, minJaccard)
     else
       jaccardShinglePairs(df, idCol, textCol, shingleSize, minJaccard)
@@ -262,14 +248,20 @@ object Dedup {
     * Returns (doc_id, cluster_rep), cluster_rep = min id in component —
     * including singleton docs (their own rep). */
   def nearDupComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-      maxRounds: Int = 20, driverPairsBelow: Long = 2000000): DataFrame = {
+      maxRounds: Int = 20, driverPairsBelow: Long = 2000000,
+      pairCountHint: Option[Long] = None): DataFrame = {
     val p = tracked(pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // near-dup pair sets are tiny relative to the corpus (only dup-ish
     // docs appear); below the threshold a driver-side union-find beats
     // a multi-round distributed loop by the per-round job overhead.
     // Above it, fall through to the distributed propagation.
-    if (p.count() <= driverPairsBelow) {
+    // pairCountHint skips the routing count() when the caller already
+    // knows the pair cardinality (e.g. it just materialized the miner);
+    // an inaccurate hint only changes the physical strategy. The
+    // driver-side collect stays bounded regardless: it materializes
+    // whatever the pair plan yields, hint or not.
+    if (pairCountHint.getOrElse(p.count()) <= driverPairsBelow) {
       val spark = nodes.sparkSession
       import spark.implicits._
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -349,8 +341,9 @@ object Dedup {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, lshAbove: Long = 200000,
       numPlanes: Int = 16, bands: Int = 4,
-      allowApprox: Boolean = false): DataFrame = {
-    if (allowApprox && df.count() > lshAbove)
+      allowApprox: Boolean = false, sizeHint: Option[Long] = None): DataFrame = {
+    // sizeHint skips the routing count() (see jaccardPairsAuto)
+    if (allowApprox && sizeHint.getOrElse(df.count()) > lshAbove)
       return SimilaritySearch.lshCosineCandidates(
         df, idCol, vecCol, minCosine, numPlanes, bands)
     // norms are computed once per ROW, not once per PAIR: the O(N²)

@@ -376,19 +376,21 @@ object TextQueries {
         "doc_id", "text", width = 6, minDocs = 3)),
 
     // per-doc top-5 terms ranked by (tf desc, df asc, token) — raw
-    // frequency first, rarity as the tiebreak. The integer rank key is
-    // bit-identical across engines by construction; the ln-based tf-idf
-    // score rides along as a rounded payload column only (a 1-ulp
-    // Java-vs-libm ln difference can flip a rounded 4th decimal but can
-    // no longer change the row set). df folds from the cached tf table
-    // (one row per (doc, token), so count(*) per token == distinct
-    // docs) — the token explode is computed exactly once.
+    // frequency first, rarity as the tiebreak. Every emitted column is
+    // an integer or string, bit-identical across engines by
+    // construction; the ln-based tf-idf score itself is NOT emitted
+    // (a 1-ulp Java-vs-libm ln difference makes any rounded float score
+    // engine-dependent at some boundary — consumers derive it as
+    // tf * ln(n_docs/df) from the emitted integers, and n_docs rides
+    // along so the row is self-contained). df folds from the cached tf
+    // table (one row per (doc, token), so count(*) per token ==
+    // distinct docs) — the token explode is computed exactly once.
     "tfidf_terms" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
       val tok = d.select(col("doc_id").cast("long").as("doc_id"),
         explode(TF.tokens(col("text"))).as("token"))
-      val tf = graft.operators.Dedup.tracked(
+      val tf = graft.operators.CacheRegistry.tracked(
         tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -398,11 +400,9 @@ object TextQueries {
       // no broadcast hint on dfq: vocabulary grows with the corpus, so
       // AQE decides (forced broadcast of an unbounded table OOMs at scale)
       tf.join(dfq, "token").crossJoin(broadcast(tot))
-        .withColumn("score",
-          round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 4))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
-        .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("score"))
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("n_docs"))
     }),
 
     // RAG chunking: overlapping token windows (size 32, stride 24) per

@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+
+/** Driver-side parquet metadata reads.
+  *
+  * A parquet footer records the exact row count of every row group, so a
+  * table's cardinality is available without running a Spark job — the
+  * same trick the reference's binary reader uses with its element-count
+  * header (`io.h:9-13` reads `num` before any data). Used to feed the
+  * size-routing hints in [[graft.operators.Dedup]] so composed dedup
+  * pipelines pay zero gating jobs: footer reads are one driver RPC per
+  * file, independent of data volume (at 100 TB the footers are a few MB
+  * while the data is not).
+  */
+object ParquetMeta {
+
+  /** Exact row count of a parquet file or directory of part files,
+    * summed from footer metadata on the driver. No Spark job. */
+  def rowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files: Seq[Path] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(s => s.isFile && s.getLen > 0)
+          .map(_.getPath)
+          .filter { f =>
+            val n = f.getName
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }
+      else Seq(p)
+    files.iterator.map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try reader.getRecordCount
+      finally reader.close()
+    }.sum
+  }
+}
