@@ -874,16 +874,11 @@ object TextQueries {
         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
         |), dfq AS (
         |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-        |), tot AS (SELECT count(*) AS n_docs FROM documents),
-        |sc AS (
-        |  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
-        |    round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)), 4) AS score
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT doc_id, "rank", token, tf, df, n_docs FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfq.df, tot.n_docs,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfq.df ASC, tf.token) AS BIGINT) AS "rank"
         |  FROM tf JOIN dfq USING (token) CROSS JOIN tot
-        |)
-        |SELECT doc_id, "rank", token, tf, df, score FROM (
-        |  SELECT doc_id, token, tf, df, score,
-        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, token) AS BIGINT) AS "rank"
-        |  FROM sc
         |) WHERE "rank" <= 5""".stripMargin,
 
     "chunk_windows" ->
