@@ -43,25 +43,35 @@ object Bench {
     }
     val buildSec = (System.nanoTime() - tB0) / 1e9
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      // Each rep builds the query fresh, so each rep persist()s NEW copies
+      // of any miner intermediates — release BETWEEN reps (blocking, so
+      // the executor-side free lands before the next timed run) or three
+      // cache copies stay resident and pressure the queries that follow
+      // (the r06 dedup_simhash/knn_ip/selectivity_route "regressions").
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch {
-          case NonFatal(e) =>
-            System.err.println(s"[bench] query failed: $name: ${e.getClass.getName}: ${e.getMessage}")
-            -1L
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case NonFatal(e) =>
+              System.err.println(s"[bench] query failed: $name: ${e.getClass.getName}: ${e.getMessage}")
+              false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.operators.CacheRegistry.releaseAll(blocking = true)
+        // A failed rep returns fast; letting it into the min would report
+        // a crashing query as a speedup. Min over successful reps only;
+        // zero successes → -1 marker in the JSON.
+        if (ok) Some(dt) else None
       }
-      // pair-miner caches are per-call; freeing them between queries
-      // keeps the shared bench JVM from accumulating cached partitions
-      // (the r02 relational "regressions" were exactly this contention)
-      graft.operators.CacheRegistry.releaseAll()
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     // ms precision is plenty for second-scale timings and keeps the
-    // stdout line short enough for the driver's bounded capture window
-    def fmt(v: Double): String = f"$v%.3f"
+    // stdout line short enough for the driver's bounded capture window.
+    // Locale pinned to ROOT: a comma-decimal default locale would emit
+    // invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

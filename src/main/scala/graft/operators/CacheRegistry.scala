@@ -25,9 +25,14 @@ object CacheRegistry {
     df
   }
 
-  /** Unpersist and forget every registered intermediate. */
-  def releaseAll(): Unit = synchronized {
-    caches.foreach(_.unpersist(blocking = false))
+  /** Unpersist and forget every registered intermediate.
+    *
+    * `blocking = true` waits for the executor-side free — use it from
+    * timing harnesses so a lagging async unpersist can't bleed memory
+    * pressure into the next measured query.
+    */
+  def releaseAll(blocking: Boolean = false): Unit = synchronized {
+    caches.foreach(_.unpersist(blocking))
     caches.clear()
   }
 }
