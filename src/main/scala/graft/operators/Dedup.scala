@@ -256,12 +256,21 @@ object Dedup {
     // docs appear); below the threshold a driver-side union-find beats
     // a multi-round distributed loop by the per-round job overhead.
     // Above it, fall through to the distributed propagation.
-    // pairCountHint skips the routing count() when the caller already
-    // knows the pair cardinality (e.g. it just materialized the miner);
-    // an inaccurate hint only changes the physical strategy. The
-    // driver-side collect stays bounded regardless: it materializes
-    // whatever the pair plan yields, hint or not.
-    if (pairCountHint.getOrElse(p.count()) <= driverPairsBelow) {
+    //
+    // The driver path is bounded BY CONSTRUCTION: it fetches at most
+    // driverPairsBelow + 1 rows via take(), never an open-ended
+    // collect() — so an under-estimating pairCountHint cannot OOM the
+    // driver; overflow falls through to the distributed loop (which
+    // reuses the persisted pair cache the probe just warmed).
+    // pairCountHint's only job is to skip the take() probe when the
+    // caller already knows the pair set is big.
+    val takeProbe: Option[Array[org.apache.spark.sql.Row]] =
+      if (pairCountHint.forall(_ <= driverPairsBelow)) {
+        val cap = math.min(driverPairsBelow, Int.MaxValue - 2L).toInt
+        val rows = p.take(cap + 1)
+        if (rows.length <= cap) Some(rows) else None
+      } else None
+    takeProbe.foreach { pairRows =>
       val spark = nodes.sparkSession
       import spark.implicits._
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -272,7 +281,7 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      p.collect().foreach { r =>
+      pairRows.foreach { r =>
         val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
       }

@@ -18,6 +18,11 @@ object TextQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Exact `documents` row count from parquet footers — one driver RPC,
+    * no Spark job; feeds the dedup size-routing hints. */
+  private def docCount(s: SparkSession, dir: String): Long =
+    graft.sources.ParquetMeta.rowCount(s, s"$dir/documents.parquet")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact 3-shingle Jaccard near-dup pairs (inverted-index join)
     "dedup_jaccard_pairs" -> ((s, dir) =>
@@ -53,7 +58,7 @@ object TextQueries {
     // quadratic postings) above 100k docs — row-identical either way.
     "dedup_survivors" -> ((s, dir) => {
       val pairs = Dedup.jaccardPairsAuto(docs(s, dir), "doc_id", "text",
-        shingleSize = 3, minJaccard = 0.5)
+        shingleSize = 3, minJaccard = 0.5, sizeHint = Some(docCount(s, dir)))
       docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
         .join(pairs.select(col("doc_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
@@ -64,7 +69,7 @@ object TextQueries {
     // rounds); oracle recomputes components with a recursive CTE
     "dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.jaccardPairsAuto(docs(s, dir), "doc_id", "text",
-        shingleSize = 3, minJaccard = 0.5)
+        shingleSize = 3, minJaccard = 0.5, sizeHint = Some(docCount(s, dir)))
       Dedup.nearDupComponents(
         docs(s, dir).select(col("doc_id")), "doc_id", pairs)
     }),
@@ -86,8 +91,11 @@ object TextQueries {
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
       val deduped = quality.join(reps, "doc_id")
+      // The hint is the PRE-filter corpus size — an upper bound on
+      // |deduped|, which is all size routing needs (plan choice only,
+      // never rows), and it comes free from the parquet footers.
       val nearPairs = Dedup.jaccardPairsAuto(deduped, "doc_id", "text",
-        shingleSize = 3, minJaccard = 0.5)
+        shingleSize = 3, minJaccard = 0.5, sizeHint = Some(docCount(s, dir)))
       val survivors = deduped
         .join(nearPairs.select(col("doc_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")

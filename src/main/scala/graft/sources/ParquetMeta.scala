@@ -25,15 +25,20 @@ object ParquetMeta {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val files: Seq[Path] =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq
-          .filter(s => s.isFile && s.getLen > 0)
-          .map(_.getPath)
-          .filter { f =>
-            val n = f.getName
-            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-          }
-      else Seq(p)
+      if (fs.getFileStatus(p).isDirectory) {
+        // Recursive: partitioned layouts nest part files under key=value
+        // subdirectories — a flat listStatus would silently undercount.
+        val it = fs.listFiles(p, true)
+        val acc = Seq.newBuilder[Path]
+        while (it.hasNext) {
+          val s = it.next()
+          val n = s.getPath.getName
+          if (s.isFile && s.getLen > 0 &&
+              n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+            acc += s.getPath
+        }
+        acc.result()
+      } else Seq(p)
     files.iterator.map { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try reader.getRecordCount

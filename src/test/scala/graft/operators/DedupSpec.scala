@@ -23,6 +23,29 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("nearDupComponents: an under-estimating pairCountHint cannot unbound the driver path") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((3L, 4L), (2L, 3L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L)
+    // hint says "1 pair" but there are 4 and the cap is 2: the bounded
+    // take() probe detects the overflow and falls through to the
+    // distributed loop instead of collecting past the cap
+    val lied = Dedup.nearDupComponents(nodes, "doc_id", pairs,
+      driverPairsBelow = 2, pairCountHint = Some(1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hint says "big": distributed directly, no probe
+    val big = Dedup.nearDupComponents(nodes, "doc_id", pairs,
+      driverPairsBelow = 2, pairCountHint = Some(1000000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // accurate hint within the cap: driver union-find
+    val small = Dedup.nearDupComponents(nodes, "doc_id", pairs,
+      pairCountHint = Some(4L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lied == want && big == want && small == want)
+    Dedup.releaseCaches()
+  }
+
   private val docs = Seq(
     (0L, "the quick brown fox jumps over the lazy dog today"),
     (1L, "the quick brown fox jumps over the lazy dog today"),           // exact dup of 0

@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ParquetMeta: footer row counts equal Spark's count, recurse into
+  * partitioned (key=value) layouts, and run zero Spark jobs. */
+class ParquetMetaSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def countJobs(body: => Unit): Int = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      // the listener bus is async (and private): give any submitted
+      // job's start event ample time to be delivered before reading
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(l)
+    jobs.get()
+  }
+
+  test("rowCount matches Spark count on a flat directory, with zero jobs") {
+    import spark.implicits._
+    val dir = tmpDir("pqmeta_flat")
+    (1L to 1234L).toDF("id").repartition(3).write.mode("overwrite").parquet(dir)
+    var n = -1L
+    val jobs = countJobs { n = ParquetMeta.rowCount(spark, dir) }
+    assert(n === 1234L)
+    assert(jobs === 0, "footer read must not launch a Spark job")
+  }
+
+  test("rowCount recurses into partitioned key=value layouts") {
+    import spark.implicits._
+    val dir = tmpDir("pqmeta_part")
+    (1L to 500L).toDF("id").withColumn("k", col("id") % 5)
+      .write.mode("overwrite").partitionBy("k").parquet(dir)
+    assert(ParquetMeta.rowCount(spark, dir) === 500L)
+  }
+
+  test("rowCount on a single file") {
+    import spark.implicits._
+    val dir = tmpDir("pqmeta_one")
+    (1L to 77L).toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
+    val part = new java.io.File(dir).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    assert(ParquetMeta.rowCount(spark, part.getAbsolutePath) === 77L)
+  }
+}
