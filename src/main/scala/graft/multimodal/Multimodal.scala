@@ -2,8 +2,21 @@ package graft.multimodal
 
 import java.security.MessageDigest
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+/** See object Multimodal; this file's decoders share one error contract:
+  * per-row decode failures on hostile bytes degrade to the stub feature
+  * path, but fatal JVM errors must kill the task, not be swallowed. */
+private object DecodeErrors {
+  /** NonFatal plus StackOverflowError (hostile container nesting can
+    * overflow the parse stack; that is a per-row condition, recoverable
+    * by skipping the row). OOM / other VirtualMachineErrors rethrow. */
+  def recoverable(e: Throwable): Boolean =
+    NonFatal(e) || e.isInstanceOf[StackOverflowError]
+}
 
 /** Multimodal (image/audio/video) column handling for training-data
   * pipelines: media as opaque `BINARY` columns + typed metadata, with
@@ -40,6 +53,8 @@ import org.apache.spark.sql.functions._
   * plumbing (schema, batching, partitioning) unchanged.
   */
 object Multimodal {
+
+  private def decodeRecoverable(e: Throwable): Boolean = DecodeErrors.recoverable(e)
 
   val FeatureDim = 32
 
@@ -138,7 +153,7 @@ object Multimodal {
       out(31) = (math.min(w.toDouble / h, h.toDouble / w) * 2.0 - 1.0).toFloat
       Some((w, h, channels, out))
     } catch {
-      case _: Throwable => None
+      case e if decodeRecoverable(e) => None
     }
   }
 
@@ -225,7 +240,7 @@ object Multimodal {
       out(31) = (math.min(channels / 2.0, 1.0) * 2.0 - 1.0).toFloat
       Some(((durSec * 1000).toLong, rate.toInt, channels, out))
     } catch {
-      case _: Throwable => None
+      case e if decodeRecoverable(e) => None
     }
   }
 
@@ -389,7 +404,7 @@ object Multimodal {
     // rather than failing the Spark task — same contract as audio
     val parsed =
       try parseAvi(bytes).orElse(parseMp4(bytes))
-      catch { case _: Throwable => None }
+      catch { case e if decodeRecoverable(e) => None }
     val info = parsed.getOrElse(return None)
     val sampled: Array[Array[Double]] =
       if (info.frames.isEmpty) Array.empty
@@ -400,7 +415,7 @@ object Multimodal {
           try {
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes, off, len))
             if (img == null || img.getWidth <= 0) None else Some(lumGrid(img))
-          } catch { case _: Throwable => None }
+          } catch { case e if decodeRecoverable(e) => None }
         }
       }
     val out = new Array[Float](FeatureDim)

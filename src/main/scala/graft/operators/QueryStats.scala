@@ -28,17 +28,27 @@ object QueryStats {
       ann: Boolean = false, annEf: Int = 200, annBuckets: Int = 8): (DataFrame, DataFrame) = {
     val spark = base.sparkSession
     import spark.implicits._
-    val routed = Selectivity.withRoutes(base, queries)
+    // ONE routing pass: collect the fully-routed query rows (vectors
+    // included — query batches are broadcast-sized by contract) and feed
+    // each route's slice straight into HybridKnn's batch executor. No
+    // isin re-filter, no second withRoutes — the stats grid is computed
+    // exactly once.
+    val collected = Selectivity.withRoutes(base, queries)
       .select(col("qid").cast("long"), col("qtype").cast("int"),
-        col("sel").cast("double"), col("route"))
+        col("v").cast("long"), col("l").cast("double"), col("r").cast("double"),
+        col("qvec"), col("route"), col("sel").cast("double"))
       .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3)))
-    val byRoute = routed.groupBy(_._4).toSeq.sortBy(_._1)
+      .map { r =>
+        val routedRow: HybridKnn.RoutedRow =
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+            r.getDouble(4), r.getSeq[Float](5).toArray, r.getString(6))
+        (routedRow, r.getDouble(7))
+      }
+    val byRoute = collected.groupBy(_._1._7).toSeq.sortBy(_._1)
     val timed = byRoute.map { case (route, rows) =>
-      val qids = rows.map(_._1).toIndexedSeq
-      val sub = queries.filter(col("qid").isin(qids: _*))
       val t0 = System.nanoTime()
-      val res = HybridKnn.execute(base, sub, k, categoryLayout, ann, annEf, annBuckets)
+      val res = HybridKnn.executeBatch(base, rows.map(_._1), k,
+          categoryLayout, ann, annEf, annBuckets)
         .localCheckpoint(eager = true)
       val dt = (System.nanoTime() - t0) / 1e9
       (route, res, rows.length.toLong, dt)
@@ -47,7 +57,7 @@ object QueryStats {
       if (timed.isEmpty) spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
       else timed.map(_._2).reduce(_.unionByName(_))
     val routeStats = timed.map(t => t._1 -> (t._3, t._4)).toMap
-    val stats = routed.toSeq.map { case (qid, qtype, sel, route) =>
+    val stats = collected.toSeq.map { case ((qid, qtype, _, _, _, _, route), sel) =>
       val (n, secs) = routeStats(route)
       (qid, qtype, sel, route, n, secs)
     }.toDF("qid", "qtype", "sel", "route", "route_queries", "route_seconds")
