@@ -85,8 +85,10 @@ object ApproxQueries {
       }
       org.apache.spark.sql.graft.AnnCatalog.register(
         basePath, idxPath, idCol = "vec_id", vecCol = "embedding", ef = 200)
+      // the 5 smallest matching ids — deterministic, so the DuckDB
+      // oracle can reproduce the query set exactly
       val qvs = emb(s, dir).filter(col("vec_id") % 97 === 1)
-        .select(col("vec_id"), col("embedding")).limit(5)
+        .select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(5)
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       qvs.map { case (qid, qv) =>
         s.read.parquet(basePath)
@@ -119,9 +121,11 @@ object ApproxQueries {
         idCol = "id", vecCol = "vec", ef = 200,
         labelIndex = Some(("label", s"$root/by_label")),
         rangeIndex = Some(("ts", s"$root/by_decile")))
+      // min qid per type — deterministic, reproducible by the oracle
       val qs4 = graft.SparkEntry.vecQueries(s, dir)
         .select("qid", "qtype", "v", "l", "r", "qvec").collect()
-        .groupBy(_.getInt(1)).flatMap(_._2.headOption).toSeq
+        .groupBy(_.getInt(1))
+        .flatMap { case (_, rows) => rows.sortBy(_.getLong(0)).headOption }.toSeq
       qs4.map { q =>
         val (qid, qtype, v) = (q.getLong(0), q.getInt(1), q.getLong(2))
         val (l, r, qv) = (q.getDouble(3), q.getDouble(4), q.getSeq[Float](5).toArray)
@@ -155,13 +159,19 @@ object ApproxQueries {
     }),
 
     // sketch aggregates: HyperLogLog++ approximate distinct per event
-    // type, alongside the exact count (rows-only: the sketch estimate is
-    // engine-specific; ApproxAggSpec bounds its relative error)
+    // type, checked against the exact count. The sketch VALUE is
+    // engine-specific (not SQL-reproducible), so the oracled output is
+    // the exact count plus a deterministic error-bound flag: |approx −
+    // exact| ≤ 3·rsd·exact + 1. Spark's HLL++ is deterministic, so the
+    // flag is stable; the DuckDB oracle emits the bound's truth (1).
     "approx_distinct_users" -> ((s, dir) =>
       evq(s, dir)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") <=
+            col("exact_users") * lit(0.06) + lit(1.0)).cast("long").as("within_bound"))),
 
     // streaming-capable hourly window agg (batch twin, exact oracle)
     "events_stream_hourly" -> ((s, dir) =>
@@ -177,6 +187,63 @@ object ApproxQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // HLL++ estimate is engine-specific; the oracled contract is the
+    // exact count + the 3-sigma error bound holding (within_bound = 1).
+    "approx_distinct_users" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // ANN SQL auto-route vs brute force: the routed plan re-sorts its
+    // top-k by the exact double-loop distance, and at sf0.01 scale the
+    // bucketed HNSW search is exhaustive enough for full recall — so
+    // the oracle IS the exact kNN, computed by DuckDB.
+    "ann_sql_topk" ->
+      """WITH q AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qvec
+        |  FROM embeddings WHERE vec_id % 97 = 1 ORDER BY vec_id LIMIT 5
+        |), j AS (
+        |  SELECT q.qid, CAST(b.vec_id AS BIGINT) AS nid,
+        |    list_sum(list_transform(list_zip(q.qvec, b.embedding),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+        |  FROM q, embeddings b
+        |), r AS (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rnk
+        |  FROM j
+        |)
+        |SELECT qid, nid FROM r WHERE rnk <= 10""".stripMargin,
+
+    "ann_sql_routed" ->
+      """WITH b AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS label,
+        |         (vec_id % 100) / 100.0 AS ts, embedding AS vec
+        |  FROM embeddings
+        |), qall AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS qid,
+        |         CAST((vec_id // 50) % 4 AS INT) AS qtype,
+        |         CAST(label AS BIGINT) AS v,
+        |         ((vec_id // 50) % 5) / 10.0 AS l,
+        |         ((vec_id // 50) % 5) / 10.0 + 0.45 AS r,
+        |         embedding AS qvec
+        |  FROM embeddings WHERE vec_id % 50 = 0
+        |), q AS (
+        |  SELECT * FROM qall QUALIFY row_number() OVER (PARTITION BY qtype ORDER BY qid) = 1
+        |), j AS (
+        |  SELECT q.qid, q.qtype, b.id,
+        |    list_sum(list_transform(list_zip(q.qvec, b.vec),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+        |  FROM q, b
+        |  WHERE (q.qtype = 0)
+        |     OR (q.qtype = 1 AND b.label = q.v)
+        |     OR (q.qtype = 2 AND b.ts BETWEEN q.l AND q.r)
+        |     OR (q.qtype = 3 AND b.label = q.v AND b.ts BETWEEN q.l AND q.r)
+        |), r AS (
+        |  SELECT qid, qtype, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+        |  FROM j
+        |)
+        |SELECT qid, CAST(qtype AS BIGINT) AS qtype, id AS nid FROM r WHERE rnk <= 10""".stripMargin,
+
     // Multimodal features: only the Spark-independent parts are SQL-checkable.
     // f0 = first md5 byte of the payload scaled to [-1,1) — reproducible.
     "multimodal_features" ->

@@ -367,18 +367,19 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
     val types = output.map(_.dataType).toArray
     val slotArr = slots.toArray
     // wide outputs: fetch the k result rows' columns by id (tiny scan,
-    // id-isin pushed to parquet), keyed for rank-order assembly.
-    // DistSlot rows additionally fetch the base vector: the projected
-    // distance is recomputed here with the same sequential double loop
-    // as L2SquaredDistance, NOT the kernel's float-accumulated walk
-    // value — routed and unrouted plans must emit identical bytes, and
-    // the Panama/scalar kernels reduce in different lane orders.
-    val needDist = slotArr.contains(AnnTopKExec.DistSlot)
+    // id-isin pushed to parquet), keyed for rank-order assembly. The
+    // base VECTOR is always fetched (k rows — negligible): the emitted
+    // row ORDER is a re-sort by the exact sequential-double-loop
+    // distance (the same arithmetic as L2SquaredDistance), NOT the
+    // kernel's float-accumulated walk value — the Panama/scalar kernels
+    // reduce in different lane orders, so near-ties could otherwise
+    // emit in a different order than the unrouted plan. With the
+    // re-sort, routed and unrouted plans emit identical bytes whenever
+    // the top-k membership matches.
     val fetchCols = slotArr.collect { case AnnTopKExec.ColSlot(n) => n }.distinct
-    val fetchAll =
-      (fetchCols ++ (if (needDist) Seq(vecCol) else Nil)).distinct
+    val fetchAll = (fetchCols :+ vecCol).distinct
     val fetched: Map[Long, org.apache.spark.sql.Row] =
-      if (fetchAll.isEmpty || ids.isEmpty) Map.empty
+      if (ids.isEmpty) Map.empty
       else {
         import org.apache.spark.sql.functions.col
         session.read.parquet(basePath)
@@ -389,20 +390,19 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
           .toMap
       }
     val colIndex = fetchAll.zipWithIndex.toMap
-    val exactDist: Long => Double =
-      if (!needDist) _ => 0.0
-      else { id =>
-        val v = fetched(id).getSeq[Float](colIndex(vecCol) + 1)
-        val n = math.min(v.length, qvec.length)
-        var s = 0.0
-        var i = 0
-        while (i < n) {
-          val d = v(i).toDouble - qvec(i).toDouble
-          s += d * d
-          i += 1
-        }
-        s
+    val vecAt = colIndex(vecCol) + 1
+    def exactDist(id: Long): Double = {
+      val v = fetched(id).getSeq[Float](vecAt)
+      val n = math.min(v.length, qvec.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = v(i).toDouble - qvec(i).toDouble
+        s += d * d
+        i += 1
       }
+      s
+    }
     val converters = slotArr.zipWithIndex.map { case (s, i) =>
       s match {
         case AnnTopKExec.ColSlot(_) =>
@@ -410,16 +410,21 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
         case _ => null
       }
     }
-    // a stale index could return an id no longer in the base — drop it
-    // rather than fail the whole statement
-    val outHits = if (fetchAll.isEmpty) hits else hits.filter(h => fetched.contains(h._1))
-    val rows = outHits.map { case (id, _) =>
+    // a stale index could return an id no longer in the base, or a base
+    // row with a NULL vector — drop such hits rather than fail the
+    // whole statement; then order by (exact dist, id)
+    val outHits = hits
+      .collect { case (id, _) if fetched.get(id).exists(r => !r.isNullAt(vecAt)) =>
+        (id, exactDist(id))
+      }
+      .sortBy { case (id, d) => (d, id) }
+    val rows = outHits.map { case (id, d) =>
       val row = new GenericInternalRow(slotArr.length)
       var i = 0
       while (i < slotArr.length) {
         slotArr(i) match {
           case AnnTopKExec.IdSlot => row.update(i, id)
-          case AnnTopKExec.DistSlot => row.update(i, exactDist(id))
+          case AnnTopKExec.DistSlot => row.update(i, d)
           case AnnTopKExec.ConstSlot(v) => row.update(i, v)
           case AnnTopKExec.ColSlot(n) =>
             row.update(i, converters(i)(fetched(id).get(colIndex(n) + 1)))

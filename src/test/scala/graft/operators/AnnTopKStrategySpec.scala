@@ -286,6 +286,86 @@ class AnnTopKStrategySpec extends SparkSpec {
     } finally AnnCatalog.unregister(dirs._1)
   }
 
+  test("routed plan emits byte-identical rows to the unrouted plan, near-ties included") {
+    val root = Files.createTempDirectory("graft_anntopk_tie").toFile
+    root.deleteOnExit()
+    val basePath = s"$root/base"
+    val indexPath = s"$root/index"
+    val qv = Array.fill(dim)(0.5f)
+    val rnd = new scala.util.Random(37)
+    // near-tie fixture: exact duplicate vectors (distance ties broken
+    // only by id) and permuted-coordinate triples (same multiset of
+    // per-coordinate diffs — kernel lane-order accumulation can tie or
+    // reorder them; the emit-time double loop must order them exactly
+    // like the unrouted plan's L2SquaredDistance)
+    val rows = Seq.newBuilder[(Long, Array[Float])]
+    var id = 0L
+    (0 until 12).foreach { g =>
+      val dup = Array.tabulate(dim)(i => qv(i) + (g + 1) * 0.01f * (if (i % 3 == 0) 1 else -1))
+      (0 until 3).foreach { _ => rows += ((id, dup.clone())); id += 1 }
+      val diffs = Array(0.013f + g * 0.001f, 0.027f + g * 0.002f, 0.041f + g * 0.003f)
+      (0 until 3).foreach { p =>
+        val v = qv.clone()
+        v(p) += diffs(p % 3); v((p + 1) % 3) += diffs((p + 1) % 3); v((p + 2) % 3) += diffs((p + 2) % 3)
+        rows += ((id, v)); id += 1
+      }
+    }
+    (0 until 80).foreach { _ =>
+      rows += ((id, Array.fill(dim)(qv(0) + (rnd.nextFloat() - 0.5f) * 0.3f))); id += 1
+    }
+    rows.result().toDF("id", "vec").write.mode("overwrite").parquet(basePath)
+    AnnIndexStore.build(spark.read.parquet(basePath), indexPath, numBuckets = 1)
+    AnnCatalog.register(basePath, indexPath, idCol = "id", vecCol = "vec", ef = 500)
+    try {
+      def q() = spark.read.parquet(basePath)
+        .select(col("id"), VectorFunctions.l2Sq(col("vec"), typedLit(qv)).as("d"))
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .limit(40)
+      val routedDf = q()
+      assert(routedDf.queryExecution.executedPlan.toString.contains("AnnTopK"))
+      val routed = routedDf.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      spark.conf.set("spark.graft.ann.autoRoute", "false")
+      val unrouted =
+        try {
+          val df = q()
+          assert(!df.queryExecution.executedPlan.toString.contains("AnnTopK"))
+          df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        } finally spark.conf.unset("spark.graft.ann.autoRoute")
+      assert(routed.map(_._1).toSet == unrouted.map(_._1).toSet,
+        "membership differs — raise ef (index recall) before comparing order")
+      assert(routed.sameElements(unrouted),
+        s"row order/bytes differ:\nrouted:   ${routed.take(12).mkString(", ")}\n" +
+          s"unrouted: ${unrouted.take(12).mkString(", ")}")
+    } finally AnnCatalog.unregister(basePath)
+  }
+
+  test("stale index ids and NULL base vectors are dropped, not NPEs") {
+    val root = Files.createTempDirectory("graft_anntopk_stale").toFile
+    root.deleteOnExit()
+    val basePath = s"$root/base"
+    val indexPath = s"$root/index"
+    val rnd = new scala.util.Random(41)
+    val mk = () => Array.fill(dim)(rnd.nextFloat())
+    val orig = Seq.tabulate(300)(i => (i.toLong, mk()))
+    orig.toDF("id", "vec").write.mode("overwrite").parquet(basePath)
+    AnnIndexStore.build(spark.read.parquet(basePath), indexPath, numBuckets = 1)
+    // staleness: id 5 deleted, id 7's vector nulled AFTER the index build
+    val amended = orig.collect {
+      case (i, _) if i == 7L => (i, null: Array[Float])
+      case (i, v) if i != 5L => (i, v)
+    }
+    amended.toDF("id", "vec").write.mode("overwrite").parquet(basePath)
+    AnnCatalog.register(basePath, indexPath, idCol = "id", vecCol = "vec", ef = 400)
+    try {
+      val qv = orig.find(_._1 == 5L).get._2
+      val got = spark.read.parquet(basePath)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id").limit(300).collect().map(_.getLong(0))
+      assert(!got.contains(5L) && !got.contains(7L))
+      assert(got.nonEmpty)
+    } finally AnnCatalog.unregister(basePath)
+  }
+
   test("redundant sort keys after the id tiebreak still route") {
     AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec", ef = 150)
     try {
