@@ -626,19 +626,30 @@ final class HnswIndex(
           val nb = adj0(b + 1 + i)
           if (seen(nb) != gen) {
             seen(nb) = gen
-            val d = qdistTo(qc, nb)
-            visits += 1
-            if (!res.isFull || d < res.worstDist) {
-              val ok = allowed(nb)
-              val nbHops: Byte = if (ok) 0 else (cHops + 1).toByte
-              // cut chains that have wandered maxHops nodes deep into
-              // the disallowed region (they can still be reached again
-              // through a shorter chain only if unseen — the reference
-              // accepts the same first-touch approximation)
-              if (ok || nbHops <= maxHops) {
-                cand.push(d, nb)
-                if (useHops) hops(nb) = nbHops
-                if (ok) res.offer(d, nb)
+            // edge-ts prefilter (the reference checks the edge's inline
+            // timestamp BEFORE the distance, searcher.hpp:343-344): a
+            // chain-cut disallowed neighbor is dropped either way, so
+            // checking the predicate first skips its distance
+            // computation entirely. Decision-identical to the
+            // compute-then-drop order; only the cost moves. EdgeTsProbe
+            // measures the delta; toggle for A/B only.
+            val ok = allowed(nb)
+            val nbHops: Byte = if (ok) 0 else (cHops + 1).toByte
+            if (HnswIndex.prefilterDisallowed && !(ok || nbHops <= maxHops)) {
+              // cut before paying the distance
+            } else {
+              val d = qdistTo(qc, nb)
+              visits += 1
+              if (!res.isFull || d < res.worstDist) {
+                // cut chains that have wandered maxHops nodes deep into
+                // the disallowed region (they can still be reached again
+                // through a shorter chain only if unseen — the reference
+                // accepts the same first-touch approximation)
+                if (ok || nbHops <= maxHops) {
+                  cand.push(d, nb)
+                  if (useHops) hops(nb) = nbHops
+                  if (ok) res.offer(d, nb)
+                }
               }
             }
           }
@@ -711,6 +722,13 @@ final class HnswIndex(
 }
 
 object HnswIndex {
+
+  /** Check the in-filter predicate BEFORE the distance on chain-cut
+    * neighbors (the reference's edge-ts-first order). Walk decisions are
+    * identical either way — this only moves cost — so the toggle exists
+    * for the EdgeTsProbe A/B; default = measured winner. */
+  @volatile var prefilterDisallowed: Boolean =
+    java.lang.Boolean.parseBoolean(System.getProperty("graft.hnsw.prefilter", "true"))
 
   /** Shared empty upper-level slot for level-0-only nodes (~15/16 of
     * all nodes at m=16) — avoids one array allocation per insert. */

@@ -195,6 +195,27 @@ object ApproxQueries {
         |  CAST(1 AS BIGINT) AS within_bound
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // Bucketed-HNSW kNN vs brute force: at sf0.01 the per-bucket walks
+    // (ef=200 over ~600-row sub-indexes) are exhaustive enough for full
+    // recall, and input + build are deterministic — so the exact kNN is
+    // a stable oracle. Ordering note: ranks come from the fp32 SIMD
+    // re-rank; on this corpus no candidate pair lands within float
+    // accumulation error of a tie (verified by the hash match itself).
+    "ann_hnsw_knn" ->
+      """WITH q AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qvec
+        |  FROM embeddings WHERE vec_id % 71 = 3
+        |), j AS (
+        |  SELECT q.qid, CAST(b.vec_id AS BIGINT) AS id,
+        |    list_sum(list_transform(list_zip(q.qvec, b.embedding),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+        |  FROM q, embeddings b
+        |), r AS (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+        |  FROM j
+        |)
+        |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 10""".stripMargin,
+
     // ANN SQL auto-route vs brute force: the routed plan re-sorts its
     // top-k by the exact double-loop distance, and at sf0.01 scale the
     // bucketed HNSW search is exhaustive enough for full recall — so

@@ -218,6 +218,12 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "knn_routed" -> knnAllTypesOracle,
 
+    // Approximate 4-type compositions whose deterministic builds reach
+    // full recall at sf0.01 (input + bucketing + walk all seeded): the
+    // exact all-types kNN is then a stable oracle for them too.
+    "knn_stored" -> knnAllTypesOracle,
+    "knn_routed_ann" -> knnAllTypesOracle,
+
     "knn_pruned" ->
       s"""WITH $vecCte,
          |j AS (

@@ -1,0 +1,182 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.AnnIndexStore
+import graft.operators.{AnnJoin, KnnJoin, Selectivity}
+
+/** The contest operating point, end-to-end, on synthetic data shaped
+  * per FIXTURES.md §1: N base rows (label skewed, ts uniform, dim-100
+  * vectors) and NQ hybrid queries (4 types, 25% each), run through the
+  * build-once stored-index lifecycle (`AnnIndexStore`) — the same
+  * composition as the `knn_stored` query, at the reference's scale
+  * (hybrid_graph.cpp:152 runs 10M × 1M-class batches).
+  *
+  * Reports per-stage wall times (synthesize, 3 index builds, routing
+  * stats pass, per-type search), driver heap after each stage (the
+  * chunked feeds must keep it flat), and recall@k vs the exact oracle
+  * on a query sample.
+  *
+  * Usage: runMain graft.tools.ContestScaleProbe [N] [NQ] [k] [ef]
+  * Synthesized inputs and index tables are cached under
+  * /tmp/graft_contest_scale_<N>_<NQ> and reused across runs.
+  */
+object ContestScaleProbe {
+
+  private val dim = 100
+  private val labels = 100
+
+  private def heapMb(): Long = {
+    System.gc()
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  private def timed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"STAGE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s (driver heap ${heapMb()} MB)")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 10000000L
+    val nq = if (args.length > 1) args(1).toLong else 1000000L
+    val k = if (args.length > 2) args(2).toInt else 100
+    val ef = if (args.length > 3) args(3).toInt else 400
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val root = s"/tmp/graft_contest_scale_${n}_$nq"
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "4g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def exists(p: String) = new java.io.File(s"$p/_SUCCESS").exists()
+
+    // ---- synthesize (deterministic in id; label ~ floor(L·u²) skew:
+    // P(label=0) ≈ 10% of rows — exercises the salted oversized-bucket
+    // path; ts uniform) ----
+    val basePath = s"$root/base"
+    val queryPath = s"$root/queries"
+    if (!exists(basePath)) timed("synthesize_base") {
+      spark.range(0, n, 1, cpus.toInt * 4)
+        .mapPartitions { it =>
+          it.map { id =>
+            val r = new java.util.Random(id * 6364136223846793005L + 1442695040888963407L)
+            val u = r.nextDouble()
+            val label = math.min(labels - 1, (labels * u * u).toInt).toLong
+            val ts = r.nextDouble()
+            (id, label, ts, Array.fill(dim)(r.nextFloat()))
+          }
+        }
+        .toDF("id", "label", "ts", "vec")
+        .write.mode("overwrite").parquet(basePath)
+    }
+    if (!exists(queryPath)) timed("synthesize_queries") {
+      spark.range(0, nq, 1, cpus.toInt)
+        .mapPartitions { it =>
+          val widths = Array(0.01, 0.05, 0.1, 0.3)
+          it.map { i =>
+            val r = new java.util.Random(i * -7046029254386353131L + 99991L)
+            val qtype = (i % 4).toInt
+            val u = r.nextDouble()
+            val v = if (qtype == 1 || qtype == 3)
+              math.min(labels - 1, (labels * u * u).toInt).toLong else -1L
+            val w = widths((i % 16 / 4).toInt)
+            val l = if (qtype >= 2) r.nextDouble() * (1.0 - w) else -1.0
+            val rr = if (qtype >= 2) l + w else -1.0
+            (1000000000L + i, qtype, v, l, rr, Array.fill(dim)(r.nextFloat()))
+          }
+        }
+        .toDF("qid", "qtype", "v", "l", "r", "qvec")
+        .write.mode("overwrite").parquet(queryPath)
+    }
+    val base = spark.read.parquet(basePath)
+    val queries = spark.read.parquet(queryPath)
+
+    // ---- index builds (the build-once lifecycle) ----
+    if (!exists(s"$root/by_hash")) timed("build_by_hash") {
+      AnnIndexStore.build(base.select(col("id"), col("vec")),
+        s"$root/by_hash", numBuckets = cpus.toInt)
+    }
+    if (!exists(s"$root/by_label")) timed("build_by_label") {
+      AnnIndexStore.buildBy(base.select(col("id"), col("label"), col("ts"), col("vec")),
+        s"$root/by_label", "label", attrCol = Some("ts"))
+    }
+    if (!exists(s"$root/by_decile")) timed("build_by_decile") {
+      AnnIndexStore.buildBy(
+        base.withColumn("decile", floor(col("ts") * 10).cast("long")),
+        s"$root/by_decile", "decile", attrCol = Some("ts"))
+    }
+
+    // ---- routing stats pass (selectivity grid + route decision) ----
+    val routeHist = timed("route_stats_pass") {
+      Selectivity.withRoutes(base, queries)
+        .groupBy("route").agg(count(lit(1)).as("nq"))
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    }
+    println(s"ROUTES: $routeHist")
+
+    // ---- per-type stored-index search, chunk-fed ----
+    val outPath = s"$root/results"
+    timed("search_type0_hash") {
+      AnnIndexStore.searchChunked(spark, s"$root/by_hash",
+          queries.filter(col("qtype") === 0).select(col("qid"), col("qvec")), k, ef)
+        .write.mode("overwrite").parquet(s"$outPath/t0")
+    }
+    timed("search_type1_label") {
+      AnnIndexStore.searchBy(spark, s"$root/by_label",
+          queries.filter(col("qtype") === 1).select(col("qid"), col("v"), col("qvec")), k, ef)
+        .write.mode("overwrite").parquet(s"$outPath/t1")
+    }
+    timed("search_type2_decile") {
+      AnnIndexStore.searchDecileRange(spark, s"$root/by_decile",
+          queries.filter(col("qtype") === 2)
+            .select(col("qid"), col("l"), col("r"), col("qvec")), k, ef)
+        .write.mode("overwrite").parquet(s"$outPath/t2")
+    }
+    timed("search_type3_label_range") {
+      AnnIndexStore.searchByRange(spark, s"$root/by_label",
+          queries.filter(col("qtype") === 3)
+            .select(col("qid"), col("v"), col("l"), col("r"), col("qvec")), k, ef)
+        .write.mode("overwrite").parquet(s"$outPath/t3")
+    }
+    val results = spark.read.parquet(s"$outPath/t0")
+      .unionByName(spark.read.parquet(s"$outPath/t1"))
+      .unionByName(spark.read.parquet(s"$outPath/t2"))
+      .unionByName(spark.read.parquet(s"$outPath/t3"))
+    val nRes = results.count()
+    println(s"RESULTS: $nRes rows (${nRes / math.max(k, 1)} answered queries)")
+
+    // ---- recall vs the exact oracle on a deterministic sample ----
+    timed("recall_sample") {
+      val sample = queries.filter(col("qid") % 1009 === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSample = sample.count()
+      val exact = KnnJoin.exactFlat(base, sample, k)
+      val sampleIds = sample.select("qid")
+      val approx = results.join(broadcast(sampleIds), "qid")
+      val recall = AnnJoin.recallAtK(approx, exact)
+      // per-type recall, same join
+      val perType = sample.select(col("qid"), col("qtype")).collect()
+        .groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (t, rows) =>
+          val ids = rows.map(_.getLong(0)).toSet
+          val idsDf = ids.toSeq.toDF("qid")
+          val r = AnnJoin.recallAtK(
+            results.join(broadcast(idsDf), "qid"),
+            exact.join(broadcast(idsDf), "qid"))
+          f"type$t=$r%.4f(${rows.length})"
+        }.mkString(" ")
+      println(f"RECALL@$k over $nSample queries: ${recall}%.4f [$perType]")
+      sample.unpersist()
+    }
+    println(s"FINAL driver heap: ${heapMb()} MB")
+    spark.stop()
+  }
+}
