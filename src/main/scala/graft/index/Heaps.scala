@@ -123,3 +123,82 @@ private[index] final class BoundedMaxHeap(val cap: Int) {
     (out, n)
   }
 }
+
+/** Bounded max-heap keeping the `cap` LEXICOGRAPHICALLY smallest
+  * (dist, id) pairs at full double precision — the selection the
+  * exact-slice scan needs: its contract is strict (dist, id) ascending
+  * order, so distance ties must evict by id, not by arrival order
+  * (BoundedMaxHeap) or by float-rounded dist (toPacked). O(n log k)
+  * with zero boxing, replacing the full-slice sortBy that TimSort'd
+  * tens of thousands of boxed tuples per query. */
+private[index] final class BoundedTieHeap(val cap: Int) {
+  private val d = new Array[Double](math.max(cap, 1))
+  private val id = new Array[Int](math.max(cap, 1))
+  private var n = 0
+
+  def size: Int = n
+
+  // (d1, i1) lexicographically worse (greater) than (d2, i2)?
+  @inline private def worse(d1: Double, i1: Int, d2: Double, i2: Int): Boolean =
+    d1 > d2 || (d1 == d2 && i1 > i2)
+
+  def offer(dist: Double, node: Int): Unit = {
+    if (n < cap) {
+      var i = n
+      d(i) = dist; id(i) = node
+      n += 1
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(d(i), id(i), d(p), id(p))) {
+          val td = d(i); d(i) = d(p); d(p) = td
+          val ti = id(i); id(i) = id(p); id(p) = ti
+          i = p
+        } else i = 0
+      }
+    } else if (worse(d(0), id(0), dist, node)) {
+      d(0) = dist; id(0) = node
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < n && worse(d(l), id(l), d(m), id(m))) m = l
+        if (r < n && worse(d(r), id(r), d(m), id(m))) m = r
+        if (m == i) done = true
+        else {
+          val td = d(i); d(i) = d(m); d(m) = td
+          val ti = id(i); id(i) = id(m); id(m) = ti
+          i = m
+        }
+      }
+    }
+  }
+
+  /** Drain destructively into (id, dist) pairs ascending by (dist, id). */
+  def drainSortedPairs(): Array[(Int, Double)] = {
+    val out = new Array[(Int, Double)](n)
+    var i = n - 1
+    while (i >= 0) {
+      out(i) = (id(0), d(0))
+      // remove the root (current worst kept)
+      n -= 1
+      d(0) = d(n); id(0) = id(n)
+      var j = 0
+      var done = false
+      while (!done) {
+        val l = 2 * j + 1; val r = l + 1
+        var m = j
+        if (l < n && worse(d(l), id(l), d(m), id(m))) m = l
+        if (r < n && worse(d(r), id(r), d(m), id(m))) m = r
+        if (m == j) done = true
+        else {
+          val td = d(j); d(j) = d(m); d(m) = td
+          val ti = id(j); id(j) = id(m); id(m) = ti
+          j = m
+        }
+      }
+      i -= 1
+    }
+    out
+  }
+}

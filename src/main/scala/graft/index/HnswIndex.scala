@@ -704,27 +704,33 @@ final class HnswIndex(
     * surviving candidate, (dist, id) ascending, top-k. */
   private def rerank(q: Array[Float], res: BoundedMaxHeap, k: Int): Array[(Int, Double)] = {
     val pairs = res.toPairs
-    val out = new Array[(Int, Double)](pairs.length)
+    // same bounded (dist, id) selection as exactOver — the pool is only
+    // ef elements, but this runs once per walk on every query
+    val heap = new BoundedTieHeap(math.min(k, math.max(pairs.length, 1)))
     var i = 0
     while (i < pairs.length) {
       val id = pairs(i)._2
-      out(i) = (id, dist(q, vecs(id)))
+      heap.offer(dist(q, vecs(id)), id)
       i += 1
     }
-    out.sortBy(t => (t._2, t._1)).take(k)
+    heap.drainSortedPairs()
   }
 
   /** Exact top-k over an explicit node subset — the SMALL-slice scan
     * route (hybrid_graph.cpp:356-364): when a range predicate keeps only
     * a sliver of a sub-index, scanning it exactly beats any walk. */
   def exactOver(q: Array[Float], nodes: Array[Int], k: Int): Array[(Int, Double)] = {
-    val out = new Array[(Int, Double)](nodes.length)
+    // bounded (dist, id)-lexicographic selection: O(n log k), no boxing.
+    // Equivalent to sorting the whole slice by (dist, id) and taking k
+    // (ids are unique, so the order is total) — the full-slice sortBy
+    // this replaces was the type-2 hot spot at the 10M probe scale.
+    val heap = new BoundedTieHeap(math.min(k, math.max(nodes.length, 1)))
     var i = 0
     while (i < nodes.length) {
-      out(i) = (nodes(i), dist(q, vecs(nodes(i))))
+      heap.offer(dist(q, vecs(nodes(i))), nodes(i))
       i += 1
     }
-    out.sortBy(t => (t._2, t._1)).take(k)
+    heap.drainSortedPairs()
   }
 }
 

@@ -123,25 +123,26 @@ object ContestScaleProbe {
     }
     println(s"ROUTES: $routeHist")
 
-    // ---- per-type stored-index search, chunk-fed ----
+    // ---- per-type stored-index search, chunk-fed (each stage resumable:
+    // a crash or code iteration only repays the unfinished stages) ----
     val outPath = s"$root/results"
-    timed("search_type0_hash") {
+    if (!exists(s"$outPath/t0")) timed("search_type0_hash") {
       AnnIndexStore.searchChunked(spark, s"$root/by_hash",
           queries.filter(col("qtype") === 0).select(col("qid"), col("qvec")), k, ef)
         .write.mode("overwrite").parquet(s"$outPath/t0")
     }
-    timed("search_type1_label") {
+    if (!exists(s"$outPath/t1")) timed("search_type1_label") {
       AnnIndexStore.searchBy(spark, s"$root/by_label",
           queries.filter(col("qtype") === 1).select(col("qid"), col("v"), col("qvec")), k, ef)
         .write.mode("overwrite").parquet(s"$outPath/t1")
     }
-    timed("search_type2_decile") {
+    if (!exists(s"$outPath/t2")) timed("search_type2_decile") {
       AnnIndexStore.searchDecileRange(spark, s"$root/by_decile",
           queries.filter(col("qtype") === 2)
             .select(col("qid"), col("l"), col("r"), col("qvec")), k, ef)
         .write.mode("overwrite").parquet(s"$outPath/t2")
     }
-    timed("search_type3_label_range") {
+    if (!exists(s"$outPath/t3")) timed("search_type3_label_range") {
       AnnIndexStore.searchByRange(spark, s"$root/by_label",
           queries.filter(col("qtype") === 3)
             .select(col("qid"), col("v"), col("l"), col("r"), col("qvec")), k, ef)
