@@ -1,6 +1,5 @@
 package graft.index
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,17 +24,20 @@ object AnnIndexStore {
       m: Int = 16, efConstruction: Int = 200): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
-    base.select(col("id").cast("long"), col("vec"))
-      .as[(Long, Array[Float])]
-      .repartition(numBuckets, pmod(hash(col("id")), lit(numBuckets)))
+    base.select(col("id").cast("long"), col("vec"),
+        pmod(hash(col("id")), lit(numBuckets)).cast("int").as("bucket"))
+      .as[(Long, Array[Float], Int)]
+      .repartition(numBuckets, col("bucket"))
+      // group by the bucket VALUE inside the partition: repartition
+      // re-hashes the value, so two values can collide into one
+      // partition — building per partition would then produce one
+      // double-size index and leave another partition empty (observed
+      // at the 10M probe: a 625k-row bucket next to 312k ones)
       .mapPartitions { it =>
-        val rows = it.toArray
-        if (rows.isEmpty) Iterator.empty
-        else {
+        it.toArray.groupBy(_._3).iterator.map { case (bucket, rows) =>
           val index = HnswIndex.buildOn(rows.head._2.length, m, efConstruction,
             rows.iterator.map(_._2), HnswIndex.maxAbsOf(rows.iterator.map(_._2)))
-          Iterator.single(
-            (TaskContext.getPartitionId(), rows.map(_._1), index.toBytes))
+          (bucket, rows.map(_._1), index.toBytes)
         }
       }
       .toDF("bucket", "ids", "graph")

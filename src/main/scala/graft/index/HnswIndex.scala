@@ -65,6 +65,11 @@ final class HnswIndex(
 
   def size: Int = vecs.length
 
+  /** The stored fp32 vector of a node (defensive copy not taken —
+    * callers must not mutate). Calibration probes sample these as
+    * in-distribution queries. */
+  def vectorOf(node: Int): Array[Float] = vecs(node)
+
   @inline private def ensureAdjCapacity(id: Int): Unit = {
     val need = (id + 1) * adjStride
     if (adj0.length < need)

@@ -46,7 +46,13 @@ object ContestScaleProbe {
     val k = if (args.length > 2) args(2).toInt else 100
     val ef = if (args.length > 3) args(3).toInt else 400
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val root = s"/tmp/graft_contest_scale_${n}_$nq"
+    // "c" = clustered corpus (see synthesize_base): uniform-random
+    // vectors are the known-adversarial regime for every ANN family
+    // (distance concentration — measured by RecallLadderProbe:
+    // recall@100 0.60 at ef=400 → 0.92 only at ef=3200 on 624k uniform
+    // rows), while real embedding corpora are clustered. The cache root
+    // is versioned so uniform-era tables are never silently reused.
+    val root = s"/tmp/graft_contest_scale_c_${n}_$nq"
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,7 +67,24 @@ object ContestScaleProbe {
 
     // ---- synthesize (deterministic in id; label ~ floor(L·u²) skew:
     // P(label=0) ≈ 10% of rows — exercises the salted oversized-bucket
-    // path; ts uniform) ----
+    // path; ts uniform). Vectors are a Gaussian-mixture corpus: 4096
+    // deterministic cluster centers in [0,1]^dim, point = center +
+    // N(0, 0.08²) per coordinate — inter-center distance² ≈ dim/3 ≈ 33
+    // vs intra-cluster ≈ 2·dim·0.08² ≈ 1.3, the separation shape of
+    // real embedding corpora (and of the contest's vectors), where
+    // graph-ANN recall/throughput numbers are meaningful. ----
+    val nClusters = 4096
+    def centerOf(c: Int, d: Int): Float = {
+      // splitmix64-style hash of (cluster, coord) → [0,1)
+      var z = c.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble).toFloat
+    }
+    def mixtureVec(r: java.util.Random): Array[Float] = {
+      val c = r.nextInt(nClusters)
+      Array.tabulate(dim)(d => centerOf(c, d) + 0.08f * r.nextGaussian().toFloat)
+    }
     val basePath = s"$root/base"
     val queryPath = s"$root/queries"
     if (!exists(basePath)) timed("synthesize_base") {
@@ -72,7 +95,7 @@ object ContestScaleProbe {
             val u = r.nextDouble()
             val label = math.min(labels - 1, (labels * u * u).toInt).toLong
             val ts = r.nextDouble()
-            (id, label, ts, Array.fill(dim)(r.nextFloat()))
+            (id, label, ts, mixtureVec(r))
           }
         }
         .toDF("id", "label", "ts", "vec")
@@ -91,7 +114,7 @@ object ContestScaleProbe {
             val w = widths((i % 16 / 4).toInt)
             val l = if (qtype >= 2) r.nextDouble() * (1.0 - w) else -1.0
             val rr = if (qtype >= 2) l + w else -1.0
-            (1000000000L + i, qtype, v, l, rr, Array.fill(dim)(r.nextFloat()))
+            (1000000000L + i, qtype, v, l, rr, mixtureVec(r))
           }
         }
         .toDF("qid", "qtype", "v", "l", "r", "qvec")
@@ -160,9 +183,14 @@ object ContestScaleProbe {
       val sample = queries.filter(col("qid") % 1009 === 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nSample = sample.count()
+      // persist the brute-force oracle: the overall + 4 per-type recall
+      // joins would otherwise recompute the 10M-row exact pass 5×
+      // (measured: 1506 s of the first probe run's recall stage)
       val exact = KnnJoin.exactFlat(base, sample, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sampleIds = sample.select("qid")
       val approx = results.join(broadcast(sampleIds), "qid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val recall = AnnJoin.recallAtK(approx, exact)
       // per-type recall, same join
       val perType = sample.select(col("qid"), col("qtype")).collect()
@@ -170,12 +198,12 @@ object ContestScaleProbe {
           val ids = rows.map(_.getLong(0)).toSet
           val idsDf = ids.toSeq.toDF("qid")
           val r = AnnJoin.recallAtK(
-            results.join(broadcast(idsDf), "qid"),
+            approx.join(broadcast(idsDf), "qid"),
             exact.join(broadcast(idsDf), "qid"))
           f"type$t=$r%.4f(${rows.length})"
         }.mkString(" ")
       println(f"RECALL@$k over $nSample queries: ${recall}%.4f [$perType]")
-      sample.unpersist()
+      sample.unpersist(); exact.unpersist(); approx.unpersist()
     }
     println(s"FINAL driver heap: ${heapMb()} MB")
     spark.stop()
