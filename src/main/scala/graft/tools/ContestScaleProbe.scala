@@ -74,16 +74,19 @@ object ContestScaleProbe {
     // real embedding corpora (and of the contest's vectors), where
     // graph-ANN recall/throughput numbers are meaningful. ----
     val nClusters = 4096
-    def centerOf(c: Int, d: Int): Float = {
-      // splitmix64-style hash of (cluster, coord) → [0,1)
-      var z = c.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      (((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble).toFloat
-    }
-    def mixtureVec(r: java.util.Random): Array[Float] = {
+    // a function VALUE capturing only locals — a nested def would pull
+    // the (non-serializable) enclosing object into the task closures
+    val dimV = dim
+    val mixtureVec: java.util.Random => Array[Float] = { r =>
       val c = r.nextInt(nClusters)
-      Array.tabulate(dim)(d => centerOf(c, d) + 0.08f * r.nextGaussian().toFloat)
+      Array.tabulate(dimV) { d =>
+        // splitmix64-style hash of (cluster, coord) → [0,1) center coord
+        var z = c.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        val center = (((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble).toFloat
+        center + 0.08f * r.nextGaussian().toFloat
+      }
     }
     val basePath = s"$root/base"
     val queryPath = s"$root/queries"
