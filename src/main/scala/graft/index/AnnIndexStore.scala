@@ -91,6 +91,54 @@ object AnnIndexStore {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** IVF-routed stored index: sampled k-means++ centroids as the coarse
+    * quantizer, one HNSW sub-index per centroid list (salted above
+    * `maxRowsPerIndex` like [[buildBy]]), centroids persisted alongside
+    * the list table. The scale path for UNFILTERED kNN over a stored
+    * index: a hash-bucketed [[build]] store must walk every bucket per
+    * query (B× walk amplification — 32 walks/query at the 10M contest
+    * probe), while centroid routing reads only `nprobe` lists.
+    * base: (id LONG, vec ARRAY<FLOAT>). */
+  def buildIvf(base: DataFrame, path: String, nlist: Int,
+      m: Int = 16, efConstruction: Int = 200,
+      sampleCap: Int = 16384, seed: Long = 7L,
+      maxRowsPerIndex: Int = 200000): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val sample = base.select(col("vec")).limit(sampleCap)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val centroids = graft.operators.SimilaritySearch.lloydKMeans(sample, nlist, 10, seed)
+    centroids.zipWithIndex.map { case (cv, i) => (i, cv) }.toSeq
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val centsFlat = typedLit(centroids.flatten)
+    buildBy(
+      base.withColumn("list",
+        element_at(graft.functions.VectorFunctions.nearestCentroids(
+          col("vec"), centsFlat, lit(1)), 1).cast("long")),
+      s"$path/lists", "list", m, efConstruction,
+      attrCol = None, maxRowsPerIndex = maxRowsPerIndex)
+  }
+
+  /** Search a [[buildIvf]] table: each query fans out to its `nprobe`
+    * nearest centroid lists and the per-list candidates merge through
+    * the bounded top-k ([[searchBy]] machinery — several rows per list
+    * when the build salted an oversized one). (qid, rank, nid). */
+  def searchIvf(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, ef: Int = 200, nprobe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("list").cast("int"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val centsFlat = typedLit(cents.flatMap(_._2))
+    val probed = queries.select(col("qid"),
+        explode(graft.functions.VectorFunctions.nearestCentroids(
+          col("qvec"), centsFlat, lit(math.min(nprobe, cents.length)))).as("probe"),
+        col("qvec"))
+      .select(col("qid"), col("probe").cast("long").as("v"), col("qvec"))
+    searchBy(spark, s"$path/lists", probed, k, ef)
+  }
+
   /** Type-3 search over a per-label [[buildBy]] table built with
     * `attrCol = ts`: each query walks ONLY its label's sub-index with
     * the ts in-filter — the stored-index form of the reference's

@@ -67,6 +67,31 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("buildIvf/searchIvf: centroid-routed lists, high recall at nprobe << nlist") {
+    // clustered corpus — the regime IVF routing is for (uniform-random
+    // vectors have no list structure to route by)
+    val centers = Array.fill(6)(vec())
+    val cr = new scala.util.Random(97)
+    def point(c: Int): Array[Float] =
+      centers(c).map(x => x + 0.05f * cr.nextGaussian().toFloat)
+    val base = Seq.tabulate(1800)(i => (i.toLong, point(i % 6))).toDF("id", "vec")
+    val queries = Seq.tabulate(10)(i => (i.toLong, point(i % 6))).toDF("qid", "qvec")
+    val dir = Files.createTempDirectory("graft-annstore-ivf").toString + "/ivf"
+    AnnIndexStore.buildIvf(base, dir, nlist = 8)
+    val res = AnnIndexStore.searchIvf(spark, dir, queries, k = 10, ef = 200, nprobe = 2)
+    assert(res.groupBy("qid").count().collect().forall(_.getLong(1) == 10))
+    val exact = KnnJoin.exactFlat(
+      base.withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
+      queries.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
+        .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)), 10)
+    val recall = AnnJoin.recallAtK(res, exact)
+    assert(recall >= 0.9, s"recall $recall")
+    // deterministic reuse of the persisted centroids + lists
+    val res2 = AnnIndexStore.searchIvf(spark, dir, queries, k = 10, ef = 200, nprobe = 2)
+    assert(res2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("stored type-3 search: label AND range predicates hold, recall >= 0.85") {
     val base = Seq.tabulate(1500)(i => (i.toLong, (i % 4).toLong, (i % 30) / 30.0, vec()))
       .toDF("id", "label", "ts", "vec")
