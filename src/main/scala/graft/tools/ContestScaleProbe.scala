@@ -153,8 +153,11 @@ object ContestScaleProbe {
     // a crash or code iteration only repays the unfinished stages) ----
     val outPath = s"$root/results"
     if (!exists(s"$outPath/t0")) timed("search_type0_hash") {
+      // 50k chunks: per-chunk agg state (one bounded top-k heap per qid
+      // per bucket task) is the heap high-water mark of the whole probe
       AnnIndexStore.searchChunked(spark, s"$root/by_hash",
-          queries.filter(col("qtype") === 0).select(col("qid"), col("qvec")), k, ef)
+          queries.filter(col("qtype") === 0).select(col("qid"), col("qvec")), k, ef,
+          chunkRows = 50000)
         .write.mode("overwrite").parquet(s"$outPath/t0")
     }
     if (!exists(s"$outPath/t1")) timed("search_type1_label") {
