@@ -105,7 +105,16 @@ object AnnIndexStore {
       maxRowsPerIndex: Int = 200000): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
-    val sample = base.select(col("vec")).limit(sampleCap)
+    // Hash-spread training sample: limit() would take the scan's FIRST
+    // sampleCap rows — one file's locality at warehouse scale, a biased
+    // quantizer (all centroids land in that file's data region). A
+    // deterministic id-hash stride samples uniformly across the corpus
+    // for one full scan of the id column (vec fetched only for matches).
+    val nRows = base.select(count(lit(1))).collect()(0).getLong(0)
+    val stride = math.max(1L, nRows / math.max(1, sampleCap))
+    val sample = base
+      .filter(pmod(hash(col("id")), lit(stride)) === 0)
+      .select(col("vec")).limit(sampleCap)
       .collect().map(_.getSeq[Float](0).toArray)
     val centroids = graft.operators.SimilaritySearch.lloydKMeans(sample, nlist, 10, seed)
     centroids.zipWithIndex.map { case (cv, i) => (i, cv) }.toSeq
@@ -137,6 +146,58 @@ object AnnIndexStore {
         col("qvec"))
       .select(col("qid"), col("probe").cast("long").as("v"), col("qvec"))
     searchBy(spark, s"$path/lists", probed, k, ef)
+  }
+
+  /** Chunked [[searchIvf]] for query batches too large to hold on the
+    * driver at once: streams `chunkRows`-sized slices through
+    * `toLocalIterator` (the [[searchChunked]] pattern), routes each
+    * slice to its `nprobe` nearest centroid lists driver-side (the
+    * centroid table is already driver-resident; nlist·dim flops per
+    * query ≈1 s per 100k chunk at nlist=128 dim=100), and unions the
+    * eagerly-materialized per-chunk results. Peak driver memory is one
+    * chunk, independent of total batch size. */
+  def searchIvfChunked(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, ef: Int = 200, nprobe: Int = 4, chunkRows: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("list").cast("int"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val np = math.min(nprobe, cents.length)
+    def nearestLists(q: Array[Float]): Array[Long] = {
+      // bounded max-heap of the np nearest (dist, list) pairs
+      val heap = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(Ordering.by(_._1))
+      var li = 0
+      while (li < cents.length) {
+        val c = cents(li)
+        var d = 0.0
+        var i = 0
+        while (i < c.length) { val t = q(i) - c(i); d += t * t; i += 1 }
+        if (heap.size < np) heap.enqueue((d, li))
+        else if (d < heap.head._1) { heap.dequeue(); heap.enqueue((d, li)) }
+        li += 1
+      }
+      // drain order is irrelevant: the per-list candidates merge
+      // through the bounded top-k downstream
+      heap.iterator.map((p: (Double, Int)) => p._2.toLong).toArray
+    }
+    val it = queries.select(col("qid").cast("long"), col("qvec")).toLocalIterator()
+    val chunks = Iterator.continually {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+      while (it.hasNext && buf.length < chunkRows) {
+        val r = it.next()
+        buf += ((r.getLong(0), r.getSeq[Float](1).toArray))
+      }
+      buf.toArray
+    }.takeWhile(_.nonEmpty)
+    val results = chunks.map { chunk =>
+      val qByBucket = chunk.iterator.flatMap { case (qid, qvec) =>
+        nearestLists(qvec).iterator.map(l => (l, (qid, qvec)))
+      }.toArray.groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2)) }
+      searchByBatch(spark, s"$path/lists", qByBucket, k, ef).localCheckpoint(eager = true)
+    }.toSeq
+    if (results.isEmpty) spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+    else results.reduce(_.unionByName(_))
   }
 
   /** Type-3 search over a per-label [[buildBy]] table built with
@@ -260,11 +321,17 @@ object AnnIndexStore {
     * buckets via parquet min/max stats. (qid, rank, nid). */
   def searchBy(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, ef: Int = 200): DataFrame = {
-    import spark.implicits._
     val qByBucket = queries.select(col("qid").cast("long"), col("v").cast("long"), col("qvec"))
       .collect()
       .map(r => (r.getLong(1), (r.getLong(0), r.getSeq[Float](2).toArray)))
       .groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2)) }
+    searchByBatch(spark, path, qByBucket, k, ef)
+  }
+
+  private def searchByBatch(spark: SparkSession, path: String,
+      qByBucket: Map[Long, Array[(Long, Array[Float])]],
+      k: Int, ef: Int): DataFrame = {
+    import spark.implicits._
     if (qByBucket.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     val bq = spark.sparkContext.broadcast(qByBucket)
     val wanted = qByBucket.keys.toSeq

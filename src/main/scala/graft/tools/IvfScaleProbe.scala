@@ -62,8 +62,10 @@ object IvfScaleProbe {
         s"$root/by_ivf", nlist = nlist)
     }
     if (!exists(s"$root/results_ivf/t0")) timed(s"search_type0_ivf_nprobe$nprobe") {
-      AnnIndexStore.searchIvf(spark, s"$root/by_ivf",
-          queries0.select(col("qid"), col("qvec")), k, ef, nprobe)
+      // chunked: driver-side centroid routing per 50k slice, flat heap
+      AnnIndexStore.searchIvfChunked(spark, s"$root/by_ivf",
+          queries0.select(col("qid"), col("qvec")), k, ef, nprobe,
+          chunkRows = 50000)
         .write.mode("overwrite").parquet(s"$root/results_ivf/t0")
     }
 

@@ -90,6 +90,12 @@ class AnnIndexStoreSpec extends SparkSpec {
     val res2 = AnnIndexStore.searchIvf(spark, dir, queries, k = 10, ef = 200, nprobe = 2)
     assert(res2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
       res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // chunked variant (driver-side centroid routing): same answers at a
+    // chunk size that forces several slices
+    val chunked = AnnIndexStore.searchIvfChunked(spark, dir, queries,
+      k = 10, ef = 200, nprobe = 2, chunkRows = 3)
+    assert(chunked.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
   test("stored type-3 search: label AND range predicates hold, recall >= 0.85") {
