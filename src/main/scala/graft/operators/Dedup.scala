@@ -208,17 +208,46 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
 
   /** SimHash near-pairs with Hamming distance ≤ maxHamming, found by the
-    * banded pigeonhole trick: split the fingerprint into maxHamming+1
-    * chunks — any pair within the radius collides on ≥1 exact chunk. */
+    * banded pigeonhole trick: split the fingerprint into `blocks`
+    * chunks — a pair within the radius differs in ≤ maxHamming blocks,
+    * so it matches exactly on some (blocks − maxHamming)-subset; keying
+    * on every such subset guarantees a collision (the multi-block
+    * scheme of Manku/Jain/Sarma, WWW'07 §3).
+    *
+    * `blocks` defaults to maxHamming + 1 (subsets are single blocks —
+    * the textbook pigeonhole). That key is only bits/(maxHamming+1)
+    * wide, which stops scaling once 2^width ≈ corpus size: at 48 bits /
+    * Hamming 3 the 12-bit key gives 4096 buckets, so a 10M-doc corpus
+    * averages ~2400 docs per bucket and the band self-join enumerates
+    * ~10^10 candidate pairs. Raising `blocks` widens the key to
+    * (blocks − maxHamming)·(bits/blocks) bits at C(blocks, maxHamming)×
+    * the banded-row count — e.g. bits=60, maxHamming=3, blocks=6 keys
+    * 30 bits (10^9 buckets) on 20 rows/doc, collapsing the candidate
+    * set to true near-dups + O(N²/2^30) random collisions. Choose
+    * blocks so the key width ≥ 2·log2(N). */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 48, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 48, maxHamming: Int = 3, blocks: Int = 0): DataFrame = {
+    val b = if (blocks > 0) blocks else maxHamming + 1
+    require(b > maxHamming, s"blocks ($b) must exceed maxHamming ($maxHamming)")
+    require(bits % b == 0, s"blocks ($b) must divide bits ($bits)")
     val fp = simhashFingerprints(df, idCol, textCol, bits)
-    val chunks = maxHamming + 1
-    val w = bits / chunks
+    val w = bits / b
+    val mask = (1L << w) - 1
+    // every (b − maxHamming)-subset of block indexes becomes one band:
+    // band id = subset index, band key = the subset's block values
+    // packed little-endian (same two-column shape as the single-block
+    // case, so the join below is unchanged)
+    val combos = (0 until b).combinations(b - maxHamming).toArray
+    val keyStructs = combos.zipWithIndex.map { case (combo, i) =>
+      val packed = combo.zipWithIndex.map { case (c, j) =>
+        s"shiftleft(shiftright(simhash, ${c * w}) & $mask, ${j * w})"
+      }.reduce((a, x) => s"($a | $x)")
+      struct(lit(i).as("chunk"), expr(packed).as("chunk_val"))
+    }
     val banded = tracked(fp.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
-      .withColumn("chunk_val",
-        expr(s"shiftright(simhash, chunk * $w) & ${(1L << w) - 1}"))
+        explode(array(keyStructs.toIndexedSeq: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.chunk").as("chunk"), col("band.chunk_val").as("chunk_val"))
       .repartition(col("chunk"), col("chunk_val"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     banded.as("a")

@@ -1,0 +1,163 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Corpus-dedup at training-pipeline scale, with PLANTED ground truth:
+  * N docs in groups of 20 — offset 0 is the group's source doc, 1-2 are
+  * exact copies, 3-5 are ~2.5%-token-mutated near-dups, 6-19 unique —
+  * so the probe measures recovery, not just wall time: every group
+  * should resolve to one {0..5} cluster (rep = the group's min id) plus
+  * 14 singletons.
+  *
+  * Stages (each resumable off its parquet cache): synthesize,
+  * exact-hash groups, MinHash-LSH candidate pairs, multi-block SimHash
+  * pairs (bits=60 blocks=6 — the single-block default's 12-bit key
+  * would put ~N/4096 docs in every band bucket and explode the
+  * self-join at this scale; see simhashNearPairs), connected
+  * components over the LSH pairs (the pair set exceeds the 2M driver
+  * union-find gate, so this exercises the DISTRIBUTED pointer-doubling
+  * path), and the planted-recovery metrics.
+  *
+  * Usage: runMain graft.tools.DedupScaleProbe [N]
+  * Caches under /tmp/graft_dedup_scale_<N>.
+  */
+object DedupScaleProbe {
+
+  private val vocab = 50000
+  private val groupSize = 20
+
+  private def heapMb(): Long = {
+    System.gc()
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  private def timed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"STAGE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s (driver heap ${heapMb()} MB)")
+    r
+  }
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 10000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val root = s"/tmp/graft_dedup_scale_$n"
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "4g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def exists(p: String) = new java.io.File(s"$p/_SUCCESS").exists()
+
+    // ---- synthesize (deterministic in id; no cross-row state) ----
+    val gs = groupSize
+    val voc = vocab
+    val docsPath = s"$root/docs"
+    if (!exists(docsPath)) timed("synthesize_docs") {
+      spark.range(0, n, 1, cpus.toInt * 4)
+        .mapPartitions { it =>
+          it.map { id =>
+            val group = id / gs
+            val offset = (id % gs).toInt
+            val len = 30 + (mix(group * 31 + 7) & 0x7fffffff).toInt % 90
+            val sb = new java.lang.StringBuilder(len * 7)
+            var pos = 0
+            while (pos < len) {
+              if (pos > 0) sb.append(' ')
+              // offsets 0-5 share the group's source token stream;
+              // 3-5 mutate ~1/40 of positions; 6-19 draw their own
+              val fromSource = offset <= 5
+              val mutated = offset >= 3 && offset <= 5 &&
+                (mix(id * 13 + pos) & 0x7fffffff) % 40 == 0
+              val tok =
+                if (!fromSource)
+                  "w" + ((mix(id * 1000003L + pos) & 0x7fffffff) % voc)
+                else if (mutated)
+                  "m" + ((mix(id * 65537L + pos) & 0x7fffffff) % voc)
+                else
+                  "w" + ((mix(group * 1000003L + pos) & 0x7fffffff) % voc)
+              sb.append(tok)
+              pos += 1
+            }
+            (id, sb.toString)
+          }
+        }
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(docsPath)
+    }
+    val docs = spark.read.parquet(docsPath)
+
+    // ---- exact dedup (hash groupBy) ----
+    timed("exact_groups") {
+      val g = Dedup.exactGroups(docs, "doc_id", "text")
+      val nGroups = g.count()
+      val nDups = n - nGroups
+      // each group plants exactly 2 exact copies
+      println(s"EXACT: $nGroups distinct texts, $nDups exact dups (expected ${2 * (n / gs)})")
+    }
+
+    // ---- MinHash-LSH candidate pairs ----
+    val pairsPath = s"$root/lsh_pairs"
+    if (!exists(pairsPath)) timed("minhash_lsh_pairs") {
+      Dedup.minhashLshCandidates(docs, "doc_id", "text")
+        .filter(col("est_sim") >= 0.5)
+        .write.mode("overwrite").parquet(pairsPath)
+      Dedup.releaseCaches()
+    }
+    val pairs = spark.read.parquet(pairsPath)
+    println(s"LSH PAIRS: ${pairs.count()} (est_sim >= 0.5)")
+
+    // ---- multi-block SimHash pairs ----
+    val shPath = s"$root/simhash_pairs"
+    if (!exists(shPath)) timed("simhash_pairs_multiblock") {
+      Dedup.simhashNearPairs(docs, "doc_id", "text",
+          bits = 60, maxHamming = 3, blocks = 6)
+        .write.mode("overwrite").parquet(shPath)
+      Dedup.releaseCaches()
+    }
+    println(s"SIMHASH PAIRS: ${spark.read.parquet(shPath).count()} (hamming <= 3)")
+
+    // ---- components over the LSH pairs (distributed path: the pair
+    // set is ~15 per group >> the 2M driver gate) ----
+    val compPath = s"$root/components"
+    if (!exists(compPath)) timed("components_distributed") {
+      Dedup.nearDupComponents(docs.select("doc_id"), "doc_id", pairs)
+        .write.mode("overwrite").parquet(compPath)
+      Dedup.releaseCaches()
+    }
+    val comp = spark.read.parquet(compPath)
+
+    // ---- planted-recovery metrics ----
+    timed("planted_metrics") {
+      val offset = pmod(col("doc_id"), lit(gs.toLong))
+      val groupMin = col("doc_id") - offset
+      // offsets 1-5 should land in their group-source's cluster
+      val recall = comp.filter(offset.between(1, 5))
+        .agg(avg(when(col("cluster_rep") === groupMin, 1.0).otherwise(0.0)))
+        .collect()(0).getDouble(0)
+      // offsets 6-19 are unique — must stay singletons
+      val purity = comp.filter(offset >= 6)
+        .agg(avg(when(col("cluster_rep") === col("doc_id"), 1.0).otherwise(0.0)))
+        .collect()(0).getDouble(0)
+      println(f"PLANTED recall=$recall%.4f (dup offsets clustered to source) purity=$purity%.4f (uniques singleton)")
+    }
+    println(s"FINAL driver heap: ${heapMb()} MB")
+    spark.stop()
+  }
+}

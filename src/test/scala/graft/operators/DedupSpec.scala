@@ -109,6 +109,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs((3L, 4L)) == 0L)
   }
 
+  test("multi-block simhash banding returns the same pairs as single-block") {
+    // the pigeonhole guarantee is exact for both schemes, so on any
+    // corpus the (bits=60, blocks=6) wide-key bands must find exactly
+    // the single-block (blocks=4) pair set at the same radius — the
+    // schemes differ only in candidate-set size, never in the result
+    val single = Dedup.simhashNearPairs(docs, "doc_id", "text", 60, 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
+    val multi = Dedup.simhashNearPairs(docs, "doc_id", "text", 60, 3, blocks = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
+    assert(multi == single, s"multi=$multi single=$single")
+    assert(single.nonEmpty)
+  }
+
   test("cosine near-dup pairs find identical vectors") {
     val vecs = Seq(
       (0L, Array(1f, 2f, 3f)),
