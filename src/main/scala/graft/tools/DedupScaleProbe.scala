@@ -81,17 +81,23 @@ object DedupScaleProbe {
             while (pos < len) {
               if (pos > 0) sb.append(' ')
               // offsets 0-5 share the group's source token stream;
-              // 3-5 mutate ~1/40 of positions; 6-19 draw their own
+              // 3-5 mutate ~1/40 of positions; 6-19 draw their own.
+              // The source and unique streams are keyed in DISJOINT
+              // domains (mix of a tagged key, not the raw id): keying
+              // both as mix(key*1000003+pos) made the unique doc with
+              // id == g emit group g's exact source stream — the first
+              // 10M run planted 350k accidental cross-group dups that
+              // dragged cluster reps below the group minimum.
               val fromSource = offset <= 5
               val mutated = offset >= 3 && offset <= 5 &&
                 (mix(id * 13 + pos) & 0x7fffffff) % 40 == 0
               val tok =
                 if (!fromSource)
-                  "w" + ((mix(id * 1000003L + pos) & 0x7fffffff) % voc)
+                  "w" + ((mix(mix(id ^ 0x55AA55AA55AA55AAL) + pos) & 0x7fffffff) % voc)
                 else if (mutated)
                   "m" + ((mix(id * 65537L + pos) & 0x7fffffff) % voc)
                 else
-                  "w" + ((mix(group * 1000003L + pos) & 0x7fffffff) % voc)
+                  "w" + ((mix(mix(group ^ 0x0F0F0F0F0F0F0F0FL) + pos) & 0x7fffffff) % voc)
               sb.append(tok)
               pos += 1
             }
@@ -108,8 +114,10 @@ object DedupScaleProbe {
       val g = Dedup.exactGroups(docs, "doc_id", "text")
       val nGroups = g.count()
       val nDups = n - nGroups
-      // each group plants exactly 2 exact copies
-      println(s"EXACT: $nGroups distinct texts, $nDups exact dups (expected ${2 * (n / gs)})")
+      // each group plants 2 exact copies, plus the ~e^(-len/40)
+      // fraction of "near-dup" docs whose 1/40-rate mutation draw hit
+      // zero positions — those are exact copies too, by construction
+      println(s"EXACT: $nGroups distinct texts, $nDups exact dups (>= ${2 * (n / gs)} planted)")
     }
 
     // ---- MinHash-LSH candidate pairs ----
@@ -151,9 +159,15 @@ object DedupScaleProbe {
       val recall = comp.filter(offset.between(1, 5))
         .agg(avg(when(col("cluster_rep") === groupMin, 1.0).otherwise(0.0)))
         .collect()(0).getDouble(0)
-      // offsets 6-19 are unique — must stay singletons
+      // offsets 6-19 are unique — must land in clusters of SIZE 1
+      // (rep == own id alone is blind to a unique doc being the
+      // minimum-id member of a wrongly-merged cluster — exactly how
+      // the first run's planting bug hid from this metric)
+      val sizes = comp.groupBy(col("cluster_rep")).agg(count(lit(1)).as("csize"))
       val purity = comp.filter(offset >= 6)
-        .agg(avg(when(col("cluster_rep") === col("doc_id"), 1.0).otherwise(0.0)))
+        .join(sizes, comp("cluster_rep") === sizes("cluster_rep"), "left")
+        .agg(avg(when(col("csize") === 1 && comp("cluster_rep") === col("doc_id"), 1.0)
+          .otherwise(0.0)))
         .collect()(0).getDouble(0)
       println(f"PLANTED recall=$recall%.4f (dup offsets clustered to source) purity=$purity%.4f (uniques singleton)")
     }
