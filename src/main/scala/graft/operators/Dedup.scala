@@ -244,22 +244,51 @@ object Dedup {
       }.reduce((a, x) => s"($a | $x)")
       struct(lit(i).as("chunk"), expr(packed).as("chunk_val"))
     }
-    val banded = tracked(fp.select(col("doc_id"), col("simhash"),
+    // Fingerprint collapse: docs with IDENTICAL fingerprints (exact
+    // duplicates and token-set-equal docs — 20-40% of a real training
+    // corpus) form hamming-0 cliques that would otherwise multiply
+    // through every band key and concentrate the self-join into hot
+    // buckets. Band one representative per DISTINCT fingerprint, emit
+    // within-clique pairs directly from the groupBy, and expand
+    // cross-fingerprint pairs back over the member lists at the end —
+    // result-identical, join input shrinks by the dup rate, worst
+    // bucket shrinks from (largest clique × collisions) to collisions.
+    val clusters = tracked(fp.groupBy(col("simhash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val within = clusters.filter(size(col("members")) >= 2)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+    // NOT persisted: the self-join below reuses the repartition
+    // exchange for both sides (ReusedExchange), so the banded rows hit
+    // disk once as shuffle files instead of occupying the block-manager
+    // memory pool — at 10M+ docs the cached copy is tens of GB and
+    // evicts everything else.
+    val banded = clusters.select(
+        element_at(col("members"), 1).as("rep"), col("simhash"), col("members"),
         explode(array(keyStructs.toIndexedSeq: _*)).as("band"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("rep"), col("simhash"), col("members"),
         col("band.chunk").as("chunk"), col("band.chunk_val").as("chunk_val"))
       .repartition(col("chunk"), col("chunk_val"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    banded.as("a")
+    val cross = banded.as("a")
       .join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .dropDuplicates("doc_a", "doc_b")
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"),
+        col("a.members").as("ma"), col("b.members").as("mb"))
+      .dropDuplicates("rep_a", "rep_b")
       .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      // expand representative pairs over both member lists; member sets
+      // are disjoint across fingerprints, so orient each pair by value
+      .select(explode(col("ma")).as("a0"), col("mb"), col("hamming"))
+      .select(col("a0"), explode(col("mb")).as("b0"), col("hamming"))
+      .select(least(col("a0"), col("b0")).as("doc_a"),
+        greatest(col("a0"), col("b0")).as("doc_b"), col("hamming"))
+    within.unionByName(cross)
   }
 
   /** Connected components over a near-dup pair graph — the cluster
