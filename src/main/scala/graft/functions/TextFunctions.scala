@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ExprBridge, Md5Hash60, SimHashFromHashes}
 
 /** Text-analysis building blocks for large-scale corpus pipelines:
   * tokenization, word shingles, deterministic 60-bit hashing, MinHash
@@ -28,8 +29,7 @@ object TextFunctions {
     * Cross-engine: DuckDB equivalent is
     * `CAST(('0x' || substr(md5(seed || ':' || s), 1, 15)) AS UBIGINT)::BIGINT`. */
   def hash60(s: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), s).cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    ExprBridge.column(Md5Hash60(ExprBridge.expression(s), seed))
 
   /** MinHash signature: array of `h` minima of per-seed shingle hashes.
     * Entirely per-row (no explode/shuffle). Null-free iff shingles non-empty. */
@@ -38,17 +38,9 @@ object TextFunctions {
 
   /** SimHash over a precomputed array<long> of token hashes (use
     * [[hash60]] with seed 97): for each bit, sign of Σ(±1); packs `bits`
-    * bits little-endian into a long. Pass the hash column's NAME (the
-    * bit loop needs SQL-text lambdas — the Scala shift API only takes
-    * literal shift amounts). */
-  def simhashFromHashes(hashesColName: String, bits: Int = 48): Column =
-    expr(
-      s"""aggregate(
-         |  transform(sequence(0, ${bits - 1}), b ->
-         |    if(aggregate($hashesColName, 0L,
-         |         (a, h) -> a + ((shiftright(h, b) & 1) * 2 - 1)) > 0,
-         |       shiftleft(1L, b), 0L)),
-         |  0L, (a, x) -> a + x)""".stripMargin)
+    * bits little-endian into a long. */
+  def simhashFromHashes(hashes: Column, bits: Int = 48): Column =
+    ExprBridge.column(SimHashFromHashes(ExprBridge.expression(hashes), bits))
 
   /** Ratio of tokens found in `words`. */
   def tokenSetRatio(toks: Column, words: Seq[String]): Column =

@@ -204,7 +204,7 @@ object Dedup {
         col(idCol).cast("long").as("doc_id"),
         transform(array_distinct(TF.tokens(col(textCol))), t => TF.hash60(t, 97)).as("hs"))
       .filter(size(col("hs")) > 0)
-      .withColumn("simhash", TF.simhashFromHashes("hs", bits))
+      .withColumn("simhash", TF.simhashFromHashes(col("hs"), bits))
       .select(col("doc_id"), col("simhash"))
 
   /** SimHash near-pairs with Hamming distance ≤ maxHamming, found by the

@@ -54,6 +54,35 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native hash60 / simhashFromHashes equal the SQL composition they replaced") {
+    val ss = Seq("abc", "", "the quick fox", "ünïcodé ✓", "a b c", "w123 w45 m9")
+    // original forms, verbatim from before the native-expression swap
+    def sqlHash60(c: org.apache.spark.sql.Column, seed: Int) =
+      conv(substring(md5(concat(lit(s"$seed:"), c).cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+    for (bits <- Seq(48, 60)) {
+      val rows = ss.toDF("s")
+        .select(col("s"),
+          TextFunctions.hash60(col("s"), 97).as("native_h"),
+          sqlHash60(col("s"), 97).as("sql_h"),
+          transform(array_distinct(TextFunctions.tokens(col("s"))),
+            t => TextFunctions.hash60(t, 97)).as("hs"))
+        .withColumn("native_sh", TextFunctions.simhashFromHashes(col("hs"), bits))
+        .withColumn("sql_sh", expr(
+          s"""aggregate(
+             |  transform(sequence(0, ${bits - 1}), b ->
+             |    if(aggregate(hs, 0L,
+             |         (a, h) -> a + ((shiftright(h, b) & 1) * 2 - 1)) > 0,
+             |       shiftleft(1L, b), 0L)),
+             |  0L, (a, x) -> a + x)""".stripMargin))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2), s"hash60 of '${r.getString(0)}'")
+        assert(r.getLong(4) == r.getLong(5), s"simhash($bits) of '${r.getString(0)}'")
+      }
+    }
+  }
+
   test("minhash universal-hash constants are in range and distinct") {
     val as = (0 until 16).map(TextFunctions.minhashA)
     val bs = (0 until 16).map(TextFunctions.minhashB)
