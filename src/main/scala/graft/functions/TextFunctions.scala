@@ -31,11 +31,6 @@ object TextFunctions {
   def hash60(s: Column, seed: Int): Column =
     ExprBridge.column(Md5Hash60(ExprBridge.expression(s), seed))
 
-  /** MinHash signature: array of `h` minima of per-seed shingle hashes.
-    * Entirely per-row (no explode/shuffle). Null-free iff shingles non-empty. */
-  def minhashSignature(shinglesCol: Column, h: Int): Column =
-    array((0 until h).map(j => array_min(transform(shinglesCol, s => hash60(s, j)))): _*)
-
   /** SimHash over a precomputed array<long> of token hashes (use
     * [[hash60]] with seed 97): for each bit, sign of Σ(±1); packs `bits`
     * bits little-endian into a long. */

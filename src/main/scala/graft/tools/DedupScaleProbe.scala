@@ -164,9 +164,10 @@ object DedupScaleProbe {
       // minimum-id member of a wrongly-merged cluster — exactly how
       // the first run's planting bug hid from this metric)
       val sizes = comp.groupBy(col("cluster_rep")).agg(count(lit(1)).as("csize"))
+        .withColumnRenamed("cluster_rep", "size_rep")
       val purity = comp.filter(offset >= 6)
-        .join(sizes, comp("cluster_rep") === sizes("cluster_rep"), "left")
-        .agg(avg(when(col("csize") === 1 && comp("cluster_rep") === col("doc_id"), 1.0)
+        .join(sizes, col("cluster_rep") === col("size_rep"), "left")
+        .agg(avg(when(col("csize") === 1 && col("cluster_rep") === col("doc_id"), 1.0)
           .otherwise(0.0)))
         .collect()(0).getDouble(0)
       println(f"PLANTED recall=$recall%.4f (dup offsets clustered to source) purity=$purity%.4f (uniques singleton)")
