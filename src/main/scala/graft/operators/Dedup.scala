@@ -261,11 +261,13 @@ object Dedup {
       .select(col("doc_a"), explode(col("members")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
-    // NOT persisted: the self-join below reuses the repartition
-    // exchange for both sides (ReusedExchange), so the banded rows hit
-    // disk once as shuffle files instead of occupying the block-manager
-    // memory pool — at 10M+ docs the cached copy is tens of GB and
-    // evicts everything else.
+    // NOT persisted: both join sides re-derive banding from the
+    // persisted `clusters` frame above (explode + shuffle only — the
+    // expensive fingerprint pass is what the cache guards), so the
+    // banded rows land in shuffle files instead of the block-manager
+    // memory pool. At 10M docs the cached banded copy was tens of GB:
+    // an 84g-heap probe run persisting it was OOM-killed by the kernel;
+    // the unpersisted rerun held 13.7 GB RSS at the same stage.
     val banded = clusters.select(
         element_at(col("members"), 1).as("rep"), col("simhash"), col("members"),
         explode(array(keyStructs.toIndexedSeq: _*)).as("band"))
