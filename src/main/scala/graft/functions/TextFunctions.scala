@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ExprBridge, Md5Hash60, SimHashFromHashes}
+import org.apache.spark.sql.graft.{ArrayEqCount, ExprBridge, Md5Hash60, SimHashFromHashes}
 
 /** Text-analysis building blocks for large-scale corpus pipelines:
   * tokenization, word shingles, deterministic 60-bit hashing, MinHash
@@ -30,6 +30,11 @@ object TextFunctions {
     * `CAST(('0x' || substr(md5(seed || ':' || s), 1, 15)) AS UBIGINT)::BIGINT`. */
   def hash60(s: Column, seed: Int): Column =
     ExprBridge.column(Md5Hash60(ExprBridge.expression(s), seed))
+
+  /** Count of positions where two array<long>s agree (MinHash
+    * signature-agreement kernel; see [[ArrayEqCount]]). */
+  def arrayEqCount(a: Column, b: Column): Column =
+    ExprBridge.column(ArrayEqCount(ExprBridge.expression(a), ExprBridge.expression(b)))
 
   /** SimHash over a precomputed array<long> of token hashes (use
     * [[hash60]] with seed 97): for each bit, sign of Σ(±1); packs `bits`

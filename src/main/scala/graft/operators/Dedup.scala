@@ -193,7 +193,8 @@ object Dedup {
         col("a.mh").as("mha"), col("b.mh").as("mhb"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("est_sim",
-        expr(s"aggregate(zip_with(mha, mhb, (x, y) -> if(x = y, 1, 0)), 0, (a, x) -> a + x) / cast($numHashes as double)"))
+        graft.functions.TextFunctions.arrayEqCount(col("mha"), col("mhb")) /
+          lit(numHashes).cast("double"))
       .select(col("doc_a"), col("doc_b"), col("est_sim"))
   }
 

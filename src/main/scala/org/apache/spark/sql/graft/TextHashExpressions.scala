@@ -67,6 +67,53 @@ object TextHashUtil {
   }
 }
 
+/** Count of positions where two `ARRAY<BIGINT>`s hold equal values
+  * (over the shorter length) — the MinHash signature-agreement kernel.
+  * Value-identical to `aggregate(zip_with(a, b, (x, y) -> if(x = y, 1,
+  * 0)), 0, (acc, x) -> acc + x)` for equal-length null-free arrays (the
+  * only shape the miner produces), without the per-pair interpreted
+  * lambda evals. */
+case class ArrayEqCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "array_eq_count"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayEqCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 60-bit seeded md5 hash of a string (see [[TextHashUtil.hash60]]). */
 case class Md5Hash60(child: Expression, seed: Int)
     extends UnaryExpression with ExpectsInputTypes {

@@ -83,6 +83,20 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native arrayEqCount equals the zip_with/aggregate composition") {
+    val pairs = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 4L)),
+      (Array(7L, 7L), Array(7L, 7L)),
+      (Array(-1L, Long.MaxValue, 0L), Array(-1L, Long.MinValue, 0L)),
+      (Array.empty[Long], Array.empty[Long]))
+    val rows = pairs.toDF("a", "b")
+      .select(
+        TextFunctions.arrayEqCount(col("a"), col("b")).as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> if(x = y, 1, 0)), 0, (acc, x) -> acc + x)").as("sql"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
   test("minhash universal-hash constants are in range and distinct") {
     val as = (0 until 16).map(TextFunctions.minhashA)
     val bs = (0 until 16).map(TextFunctions.minhashB)
