@@ -225,7 +225,13 @@ object Dedup {
     * the banded-row count — e.g. bits=60, maxHamming=3, blocks=6 keys
     * 30 bits (10^9 buckets) on 20 rows/doc, collapsing the candidate
     * set to true near-dups + O(N²/2^30) random collisions. Choose
-    * blocks so the key width ≥ 2·log2(N). */
+    * blocks so the key width ≥ 2·log2(N).
+    *
+    * Output size: the pair CONTRACT is every pair within the radius, so
+    * c identical-fingerprint docs contribute C(c, 2) rows no matter how
+    * they are found — on a corpus whose most-duplicated text has
+    * millions of copies, run [[exactGroups]] first and near-dup only
+    * the representatives (the composed queries do exactly this). */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 48, maxHamming: Int = 3, blocks: Int = 0): DataFrame = {
     val b = if (blocks > 0) blocks else maxHamming + 1
