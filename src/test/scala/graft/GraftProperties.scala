@@ -130,4 +130,24 @@ object GraftProperties extends Properties("graft") {
         a.forall(_.length == 5) &&
         a.zip(b).forall { case (x, y) => x.sameElements(y) }
     }
+
+  property("TextHashUtil.hash60 equals the hex-parse twin for any string") =
+    forAll(Gen.chooseNum(0, 997), Gen.asciiPrintableStr, Gen.alphaNumStr) { (seed, s, extra) =>
+      val str = s + extra
+      val prefix = (seed.toString + ":").getBytes("UTF-8")
+      org.apache.spark.sql.graft.TextHashUtil.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(str), prefix) ==
+        TextFunctions.hash60Jvm(s"$seed:$str")
+    }
+
+  property("TextHashUtil.simhash equals the per-bit-majority reference") =
+    forAll(Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+        Gen.oneOf(1, 13, 48, 60)) { (hs, bits) =>
+      val ref = (0 until bits).foldLeft(0L) { (acc, b) =>
+        val sum = hs.map(h => ((h >>> b) & 1L) * 2 - 1).sum
+        if (sum > 0) acc | (1L << b) else acc
+      }
+      org.apache.spark.sql.graft.TextHashUtil.simhash(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray), bits) == ref
+    }
 }
