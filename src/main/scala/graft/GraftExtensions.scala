@@ -20,6 +20,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def fn(name: String, usage: String, builder: Seq[Expression] => Expression) =
     (FunctionIdentifier(name), info(name, usage), builder)
 
+  private def foldableInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(s"$what must be integral, got $other")
+    }
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(fn("l2_sq", "squared L2 distance of two float arrays",
       es => L2SquaredDistance(es(0), es(1))))
@@ -39,6 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => Sq4AsymL2Sq(es(0), es(1), es(2), es(3))))
     e.injectFunction(fn("nearest_centroids", "k nearest centroid indices in a flat matrix",
       es => org.apache.spark.sql.graft.NearestCentroids(es(0), es(1), es(2))))
+    e.injectFunction(fn("md5_hash60", "60-bit seeded md5 hash of a string",
+      es => org.apache.spark.sql.graft.Md5Hash60(es(0), foldableInt(es(1), "seed"))))
+    e.injectFunction(fn("simhash_from_hashes", "per-bit-majority SimHash of a bigint array",
+      es => org.apache.spark.sql.graft.SimHashFromHashes(es(0), foldableInt(es(1), "bits"))))
+    e.injectFunction(fn("array_eq_count", "count of positions where two bigint arrays agree",
+      es => org.apache.spark.sql.graft.ArrayEqCount(es(0), es(1))))
     // `ORDER BY l2_sq(vec, :qvec) LIMIT k` over an AnnCatalog-registered
     // table auto-routes to the bucketed HNSW index (SURVEY §4's optional
     // AnnJoinStrategy). Opt-out: spark.graft.ann.autoRoute=false.

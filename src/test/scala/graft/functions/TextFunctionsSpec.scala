@@ -83,6 +83,18 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("text-hash kernels are SQL-callable through GraftExtensions") {
+    val r = spark.sql(
+      """SELECT md5_hash60('abc', 97) h,
+        |       simhash_from_hashes(array(md5_hash60('abc', 97)), 60) sh,
+        |       array_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) c""".stripMargin).head
+    val expected = Seq(("abc")).toDF("s")
+      .select(TextFunctions.hash60(col("s"), 97)).head.getLong(0)
+    assert(r.getLong(0) == expected)
+    assert(r.getLong(1) == expected) // majority of a single hash = the hash
+    assert(r.getInt(2) == 2)
+  }
+
   test("native arrayEqCount equals the zip_with/aggregate composition") {
     val pairs = Seq(
       (Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 4L)),
