@@ -21,8 +21,14 @@ import graft.operators.Dedup
   * union-find gate, so this exercises the DISTRIBUTED pointer-doubling
   * path), and the planted-recovery metrics.
   *
-  * Usage: runMain graft.tools.DedupScaleProbe [N]
-  * Caches under /tmp/graft_dedup_scale_<N>.
+  * Usage: runMain graft.tools.DedupScaleProbe [N] [uniform|zipf]
+  * Caches under /tmp/graft_dedup_scale_<N>[_zipf].
+  *
+  * The zipf regime draws tokens rank-weighted 1/(r+1)^1.07 (a real
+  * corpus's token law) instead of uniformly: most docs then share the
+  * head tokens, SimHash bits become correlated across unrelated docs,
+  * and band buckets heat up — the stress regime the fingerprint
+  * collapse and the multi-block key width exist for.
   */
 object DedupScaleProbe {
 
@@ -51,8 +57,9 @@ object DedupScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 10000000L
+    val zipf = args.length > 1 && args(1) == "zipf"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val root = s"/tmp/graft_dedup_scale_$n"
+    val root = s"/tmp/graft_dedup_scale_$n" + (if (zipf) "_zipf" else "")
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -70,8 +77,30 @@ object DedupScaleProbe {
     val voc = vocab
     val docsPath = s"$root/docs"
     if (!exists(docsPath)) timed("synthesize_docs") {
+      val useZipf = zipf
       spark.range(0, n, 1, cpus.toInt * 4)
         .mapPartitions { it =>
+          // rank-weighted inverse CDF, built once per partition: token
+          // index = first rank whose cumulative weight exceeds u
+          val cum: Array[Double] =
+            if (!useZipf) null
+            else {
+              val w = Array.tabulate(voc)(r => 1.0 / math.pow(r + 1.0, 1.07))
+              val c = new Array[Double](voc)
+              var s = 0.0
+              var i = 0
+              while (i < voc) { s += w(i); c(i) = s; i += 1 }
+              var j = 0
+              while (j < voc) { c(j) /= s; j += 1 }
+              c
+            }
+          def tokIdx(key: Long): Int =
+            if (!useZipf) ((key & 0x7fffffffL) % voc).toInt
+            else {
+              val u = (key & 0x7fffffffffffffffL).toDouble / 9.223372036854776e18
+              val p = java.util.Arrays.binarySearch(cum, u)
+              math.min(if (p >= 0) p else -p - 1, voc - 1)
+            }
           it.map { id =>
             val group = id / gs
             val offset = (id % gs).toInt
@@ -93,11 +122,11 @@ object DedupScaleProbe {
                 (mix(id * 13 + pos) & 0x7fffffff) % 40 == 0
               val tok =
                 if (!fromSource)
-                  "w" + ((mix(mix(id ^ 0x55AA55AA55AA55AAL) + pos) & 0x7fffffff) % voc)
+                  "w" + tokIdx(mix(mix(id ^ 0x55AA55AA55AA55AAL) + pos))
                 else if (mutated)
-                  "m" + ((mix(id * 65537L + pos) & 0x7fffffff) % voc)
+                  "m" + tokIdx(mix(id * 65537L + pos))
                 else
-                  "w" + ((mix(mix(group ^ 0x0F0F0F0F0F0F0F0FL) + pos) & 0x7fffffff) % voc)
+                  "w" + tokIdx(mix(mix(group ^ 0x0F0F0F0F0F0F0F0FL) + pos))
               sb.append(tok)
               pos += 1
             }
