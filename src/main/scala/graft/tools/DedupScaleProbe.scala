@@ -58,6 +58,11 @@ object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 10000000L
     val zipf = args.length > 1 && args(1) == "zipf"
+    // SimHash band-key sizing (see simhashNearPairs: key width =
+    // (blocks − maxHamming)·(bits/blocks), keep it ≥ 2·log2(N)):
+    // 60/6 → 30-bit keys (the 10M point); 56/8 → 35-bit keys for 20M+
+    val shBits = if (args.length > 2) args(2).toInt else 60
+    val shBlocks = if (args.length > 3) args(3).toInt else 6
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val root = s"/tmp/graft_dedup_scale_$n" + (if (zipf) "_zipf" else "")
 
@@ -161,10 +166,11 @@ object DedupScaleProbe {
     println(s"LSH PAIRS: ${pairs.count()} (est_sim >= 0.5)")
 
     // ---- multi-block SimHash pairs ----
-    val shPath = s"$root/simhash_pairs"
-    if (!exists(shPath)) timed("simhash_pairs_multiblock") {
+    val shPath = s"$root/simhash_pairs" +
+      (if (shBits != 60 || shBlocks != 6) s"_${shBits}_$shBlocks" else "")
+    if (!exists(shPath)) timed(s"simhash_pairs_multiblock_${shBits}_$shBlocks") {
       Dedup.simhashNearPairs(docs, "doc_id", "text",
-          bits = 60, maxHamming = 3, blocks = 6)
+          bits = shBits, maxHamming = 3, blocks = shBlocks)
         .write.mode("overwrite").parquet(shPath)
       Dedup.releaseCaches()
     }
