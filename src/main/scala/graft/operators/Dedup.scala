@@ -224,8 +224,13 @@ object Dedup {
     * (blocks − maxHamming)·(bits/blocks) bits at C(blocks, maxHamming)×
     * the banded-row count — e.g. bits=60, maxHamming=3, blocks=6 keys
     * 30 bits (10^9 buckets) on 20 rows/doc, collapsing the candidate
-    * set to true near-dups + O(N²/2^30) random collisions. Choose
-    * blocks so the key width ≥ 2·log2(N).
+    * set to true near-dups + O(N²/2^30) random collisions. The width
+    * is a floor against bucket explosion, NOT an optimization target:
+    * the band count C(blocks, maxHamming) multiplies shuffle volume on
+    * ALL rows while collisions only tax the colliding tail, so hold
+    * blocks at the minimum where 2^width ≥ ~N/100 (measured at 20M
+    * docs: 60/6 = 30-bit keys/20 bands beat 56/8 = 35-bit keys/56
+    * bands by 2×; BASELINE.md band-width A/B).
     *
     * Output size: the pair CONTRACT is every pair within the radius, so
     * c identical-fingerprint docs contribute C(c, 2) rows no matter how

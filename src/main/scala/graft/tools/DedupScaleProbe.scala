@@ -59,8 +59,10 @@ object DedupScaleProbe {
     val n = if (args.length > 0) args(0).toLong else 10000000L
     val zipf = args.length > 1 && args(1) == "zipf"
     // SimHash band-key sizing (see simhashNearPairs: key width =
-    // (blocks − maxHamming)·(bits/blocks), keep it ≥ 2·log2(N)):
-    // 60/6 → 30-bit keys (the 10M point); 56/8 → 35-bit keys for 20M+
+    // (blocks − maxHamming)·(bits/blocks)). Measured A/B at 20M zipf:
+    // 60/6 (30-bit keys, 20 bands) 342.6 s BEATS 56/8 (35-bit keys,
+    // 56 bands) 672.6 s — the C(blocks,h) band multiplier costs more
+    // than the per-band collisions it saves; keep blocks minimal.
     val shBits = if (args.length > 2) args(2).toInt else 60
     val shBlocks = if (args.length > 3) args(3).toInt else 6
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
