@@ -29,8 +29,13 @@ object Dedup {
   private[graft] def tracked(df: DataFrame): DataFrame = CacheRegistry.tracked(df)
 
   /** Unpersist every registered intermediate (delegates to
-    * [[CacheRegistry.releaseAll]]; kept for source compatibility). */
-  def releaseCaches(): Unit = CacheRegistry.releaseAll()
+    * [[CacheRegistry.releaseAll]]; kept for source compatibility).
+    * Pass `blocking = true` from timing harnesses: the async default
+    * leaves blocks resident into the next stage — the 20M dedup probe
+    * measured the SimHash stage at 342.6 s under the MinHash stage's
+    * ~14 GB of lagging unpersisted state vs 138.2 s isolated. */
+  def releaseCaches(blocking: Boolean = false): Unit =
+    CacheRegistry.releaseAll(blocking)
 
   /** Exact duplicate groups: (text_hash, rep_doc_id = min id, dup_count). */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -261,45 +266,60 @@ object Dedup {
     // corpus) form hamming-0 cliques that would otherwise multiply
     // through every band key and concentrate the self-join into hot
     // buckets. Band one representative per DISTINCT fingerprint, emit
-    // within-clique pairs directly from the groupBy, and expand
-    // cross-fingerprint pairs back over the member lists at the end —
-    // result-identical, join input shrinks by the dup rate, worst
-    // bucket shrinks from (largest clique × collisions) to collisions.
-    val clusters = tracked(fp.groupBy(col("simhash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+    // within-clique pairs from a self-join, and expand cross-fingerprint
+    // pairs back over the clique members at the end — result-identical,
+    // join input shrinks by the dup rate, worst bucket shrinks from
+    // (largest clique × collisions) to collisions.
+    //
+    // Every step below is a codegen hash aggregate or hash join over the
+    // persisted compact (doc_id, simhash) frame — two longs per row, the
+    // expensive full-text fingerprint pass is what the cache guards. The
+    // previous formulation collapsed via groupBy + collect_list(members):
+    // collect_list forces ObjectHashAggregate, whose sort-based fallback
+    // trips at 128 DISTINCT KEYS PER TASK (spark.sql.objectHashAggregate
+    // .sortBased.fallbackThreshold) — with ~0.9 distinct fingerprints
+    // per doc every task degraded to an external sort of its whole
+    // partition, the stage's dominant cost at probe scale (BASELINE.md
+    // 20M A/B: 138.2 s before, measured after this rework below).
+    val fpc = tracked(fp
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val within = clusters.filter(size(col("members")) >= 2)
-      .select(explode(col("members")).as("doc_a"), col("members"))
-      .select(col("doc_a"), explode(col("members")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
-    // NOT persisted: both join sides re-derive banding from the
-    // persisted `clusters` frame above (explode + shuffle only — the
-    // expensive fingerprint pass is what the cache guards), so the
-    // banded rows land in shuffle files instead of the block-manager
-    // memory pool. At 10M docs the cached banded copy was tens of GB:
-    // an 84g-heap probe run persisting it was OOM-killed by the kernel;
-    // the unpersisted rerun held 13.7 GB RSS at the same stage.
-    val banded = clusters.select(
-        element_at(col("members"), 1).as("rep"), col("simhash"), col("members"),
+    val reps = fpc.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("csize"))
+    // within-clique pairs: all C(c, 2) pairs of docs sharing a
+    // fingerprint — self-join the members of multi-doc cliques
+    val multi = fpc.join(
+      reps.filter(col("csize") >= 2).select(col("simhash")), Seq("simhash"))
+    val within = multi.as("x")
+      .join(multi.as("y"),
+        col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    // The banded frame is NOT persisted: both join sides re-derive it
+    // from `reps` (explode + shuffle only), so the banded rows land in
+    // shuffle files instead of the block-manager memory pool. At 10M
+    // docs the cached banded copy was tens of GB: an 84g-heap probe run
+    // persisting it was OOM-killed by the kernel; the unpersisted rerun
+    // held 13.7 GB RSS at the same stage.
+    val banded = reps.select(col("rep"), col("simhash"),
         explode(array(keyStructs.toIndexedSeq: _*)).as("band"))
-      .select(col("rep"), col("simhash"), col("members"),
+      .select(col("rep"), col("simhash"),
         col("band.chunk").as("chunk"), col("band.chunk_val").as("chunk_val"))
       .repartition(col("chunk"), col("chunk_val"))
-    val cross = banded.as("a")
+    val crossReps = banded.as("a")
       .join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
           col("a.rep") < col("b.rep"))
-      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"),
-        col("a.members").as("ma"), col("b.members").as("mb"))
-      .dropDuplicates("rep_a", "rep_b")
+      .select(col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      // rep ↔ fingerprint is 1:1, so (sa, sb) dedups the band multiplicity
+      .dropDuplicates("sa", "sb")
       .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
       .filter(col("hamming") <= maxHamming)
-      // expand representative pairs over both member lists; member sets
-      // are disjoint across fingerprints, so orient each pair by value
-      .select(explode(col("ma")).as("a0"), col("mb"), col("hamming"))
-      .select(col("a0"), explode(col("mb")).as("b0"), col("hamming"))
+    // expand representative pairs over both cliques' members (two hash
+    // joins against the cached fingerprint frame); member sets are
+    // disjoint across fingerprints, so orient each pair by value
+    val cross = crossReps
+      .join(fpc.select(col("simhash").as("sa"), col("doc_id").as("a0")), "sa")
+      .join(fpc.select(col("simhash").as("sb"), col("doc_id").as("b0")), "sb")
       .select(least(col("a0"), col("b0")).as("doc_a"),
         greatest(col("a0"), col("b0")).as("doc_b"), col("hamming"))
     within.unionByName(cross)

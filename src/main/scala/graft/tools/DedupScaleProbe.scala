@@ -59,10 +59,11 @@ object DedupScaleProbe {
     val n = if (args.length > 0) args(0).toLong else 10000000L
     val zipf = args.length > 1 && args(1) == "zipf"
     // SimHash band-key sizing (see simhashNearPairs: key width =
-    // (blocks − maxHamming)·(bits/blocks)). Measured A/B at 20M zipf:
-    // 60/6 (30-bit keys, 20 bands) 342.6 s BEATS 56/8 (35-bit keys,
-    // 56 bands) 672.6 s — the C(blocks,h) band multiplier costs more
-    // than the per-band collisions it saves; keep blocks minimal.
+    // (blocks − maxHamming)·(bits/blocks)). Measured A/B at 20M zipf,
+    // stage-isolated: 60/6 (30-bit keys, 20 bands) 138.2 s BEATS 56/8
+    // (35-bit keys, 56 bands) 672.6 s — the C(blocks,h) band multiplier
+    // costs more than the per-band collisions it saves; keep blocks
+    // minimal (the width rule is a floor against bucket explosion).
     val shBits = if (args.length > 2) args(2).toInt else 60
     val shBlocks = if (args.length > 3) args(3).toInt else 6
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -74,7 +75,9 @@ object DedupScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // INFO surfaces UnsafeExternalSorter spill lines — the diagnostic
+    // for the 20M SimHash-stage inflection (BASELINE.md)
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "ERROR"))
     import spark.implicits._
 
     def exists(p: String) = new java.io.File(s"$p/_SUCCESS").exists()
@@ -162,7 +165,7 @@ object DedupScaleProbe {
       Dedup.minhashLshCandidates(docs, "doc_id", "text")
         .filter(col("est_sim") >= 0.5)
         .write.mode("overwrite").parquet(pairsPath)
-      Dedup.releaseCaches()
+      Dedup.releaseCaches(blocking = true)
     }
     val pairs = spark.read.parquet(pairsPath)
     println(s"LSH PAIRS: ${pairs.count()} (est_sim >= 0.5)")
@@ -174,7 +177,7 @@ object DedupScaleProbe {
       Dedup.simhashNearPairs(docs, "doc_id", "text",
           bits = shBits, maxHamming = 3, blocks = shBlocks)
         .write.mode("overwrite").parquet(shPath)
-      Dedup.releaseCaches()
+      Dedup.releaseCaches(blocking = true)
     }
     println(s"SIMHASH PAIRS: ${spark.read.parquet(shPath).count()} (hamming <= 3)")
 
@@ -184,7 +187,7 @@ object DedupScaleProbe {
     if (!exists(compPath)) timed("components_distributed") {
       Dedup.nearDupComponents(docs.select("doc_id"), "doc_id", pairs)
         .write.mode("overwrite").parquet(compPath)
-      Dedup.releaseCaches()
+      Dedup.releaseCaches(blocking = true)
     }
     val comp = spark.read.parquet(compPath)
 
