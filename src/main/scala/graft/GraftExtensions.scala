@@ -54,6 +54,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => org.apache.spark.sql.graft.SimHashFromHashes(es(0), foldableInt(es(1), "bits"))))
     e.injectFunction(fn("array_eq_count", "count of positions where two bigint arrays agree",
       es => org.apache.spark.sql.graft.ArrayEqCount(es(0), es(1))))
+    e.injectFunction(fn("simhash_blocks", "wide SimHash of a bigint array as block values",
+      es => org.apache.spark.sql.graft.SimHashBlocks(es(0),
+        foldableInt(es(1), "bits"), foldableInt(es(2), "blocks"))))
+    e.injectFunction(fn("block_hamming", "Hamming distance of two block-value fingerprints",
+      es => org.apache.spark.sql.graft.BlockHamming(es(0), es(1))))
     // `ORDER BY l2_sq(vec, :qvec) LIMIT k` over an AnnCatalog-registered
     // table auto-routes to the bucketed HNSW index (SURVEY §4's optional
     // AnnJoinStrategy). Opt-out: spark.graft.ann.autoRoute=false.

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ArrayEqCount, ExprBridge, Md5Hash60, SimHashFromHashes}
+import org.apache.spark.sql.graft.{ArrayEqCount, BlockHamming, ExprBridge, Md5Hash60, SimHashBlocks, SimHashFromHashes}
 
 /** Text-analysis building blocks for large-scale corpus pipelines:
   * tokenization, word shingles, deterministic 60-bit hashing, MinHash
@@ -41,6 +41,18 @@ object TextFunctions {
     * bits little-endian into a long. */
   def simhashFromHashes(hashes: Column, bits: Int = 48): Column =
     ExprBridge.column(SimHashFromHashes(ExprBridge.expression(hashes), bits))
+
+  /** Wide (> 64-bit) SimHash as block values — `blocks` longs, element c
+    * holding fingerprint bits [c·width, (c+1)·width). For bits ≤ 60 the
+    * concatenated blocks equal [[simhashFromHashes]] exactly; wider
+    * fingerprints derive extra per-token words via splitmix64 without
+    * re-hashing the text (see [[SimHashBlocks]]). */
+  def simhashBlocks(hashes: Column, bits: Int, blocks: Int): Column =
+    ExprBridge.column(SimHashBlocks(ExprBridge.expression(hashes), bits, blocks))
+
+  /** Hamming distance between two block-value fingerprints. */
+  def blockHamming(a: Column, b: Column): Column =
+    ExprBridge.column(BlockHamming(ExprBridge.expression(a), ExprBridge.expression(b)))
 
   /** Ratio of tokens found in `words`. */
   def tokenSetRatio(toks: Column, words: Seq[String]): Column =

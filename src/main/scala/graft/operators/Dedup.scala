@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
@@ -241,26 +241,49 @@ object Dedup {
     * c identical-fingerprint docs contribute C(c, 2) rows no matter how
     * they are found — on a corpus whose most-duplicated text has
     * millions of copies, run [[exactGroups]] first and near-dup only
-    * the representatives (the composed queries do exactly this). */
+    * the representatives (the composed queries do exactly this).
+    *
+    * Above 64 bits the fingerprint is carried as BLOCK VALUES
+    * (array<long>, one element per block — [[TF.simhashBlocks]]); the
+    * banding, collapse, and expansion below are representation-agnostic.
+    * That is the >100M-doc scale path: the 20M A/B showed key width
+    * must grow with log2(N) while the band count must NOT — a wider
+    * fingerprint at the same `blocks` (e.g. bits=120, blocks=6 → 60-bit
+    * keys, 20 bands) is the only config move that does both. */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 48, maxHamming: Int = 3, blocks: Int = 0): DataFrame = {
     val b = if (blocks > 0) blocks else maxHamming + 1
     require(b > maxHamming, s"blocks ($b) must exceed maxHamming ($maxHamming)")
     require(bits % b == 0, s"blocks ($b) must divide bits ($bits)")
-    val fp = simhashFingerprints(df, idCol, textCol, bits)
     val w = bits / b
+    require(w <= 63, s"block width $w must fit a long")
+    val wide = bits > 60
+    val fp =
+      if (!wide) simhashFingerprints(df, idCol, textCol, bits)
+      else df.select(
+          col(idCol).cast("long").as("doc_id"),
+          transform(array_distinct(TF.tokens(col(textCol))), t => TF.hash60(t, 97)).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .withColumn("simhash", TF.simhashBlocks(col("hs"), bits, b))
+        .select(col("doc_id"), col("simhash"))
     val mask = (1L << w) - 1
     // every (b − maxHamming)-subset of block indexes becomes one band:
-    // band id = subset index, band key = the subset's block values
-    // packed little-endian (same two-column shape as the single-block
-    // case, so the join below is unchanged)
+    // band id = subset index, band key = the subset's block values —
+    // packed little-endian into one long for the ≤ 60-bit fingerprint,
+    // the subset's elements of the block array for the wide one (hash
+    // partitioning and join equality both support array<long> keys)
     val combos = (0 until b).combinations(b - maxHamming).toArray
     val keyStructs = combos.zipWithIndex.map { case (combo, i) =>
-      val packed = combo.zipWithIndex.map { case (c, j) =>
-        s"shiftleft(shiftright(simhash, ${c * w}) & $mask, ${j * w})"
-      }.reduce((a, x) => s"($a | $x)")
-      struct(lit(i).as("chunk"), expr(packed).as("chunk_val"))
+      val key =
+        if (wide) array(combo.map(c => col("simhash").getItem(c)).toIndexedSeq: _*)
+        else expr(combo.zipWithIndex.map { case (c, j) =>
+          s"shiftleft(shiftright(simhash, ${c * w}) & $mask, ${j * w})"
+        }.reduce((a, x) => s"($a | $x)"))
+      struct(lit(i).as("chunk"), key.as("chunk_val"))
     }
+    val hamming: (Column, Column) => Column =
+      if (wide) (sa, sb) => TF.blockHamming(sa, sb)
+      else (sa, sb) => bit_count(sa.bitwiseXOR(sb)).cast("long")
     // Fingerprint collapse: docs with IDENTICAL fingerprints (exact
     // duplicates and token-set-equal docs — 20-40% of a real training
     // corpus) form hamming-0 cliques that would otherwise multiply
@@ -272,7 +295,8 @@ object Dedup {
     // (largest clique × collisions) to collisions.
     //
     // Every step below is a codegen hash aggregate or hash join over the
-    // persisted compact (doc_id, simhash) frame — two longs per row, the
+    // persisted compact (doc_id, simhash) frame — a handful of longs per
+    // row, the
     // expensive full-text fingerprint pass is what the cache guards. The
     // previous formulation collapsed via groupBy + collect_list(members):
     // collect_list forces ObjectHashAggregate, whose sort-based fallback
@@ -312,7 +336,7 @@ object Dedup {
       .select(col("a.simhash").as("sa"), col("b.simhash").as("sb"))
       // rep ↔ fingerprint is 1:1, so (sa, sb) dedups the band multiplicity
       .dropDuplicates("sa", "sb")
-      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .withColumn("hamming", hamming(col("sa"), col("sb")))
       .filter(col("hamming") <= maxHamming)
     // expand representative pairs over both cliques' members (two hash
     // joins against the cached fingerprint frame); member sets are

@@ -65,6 +65,72 @@ object TextHashUtil {
     }
     out
   }
+
+  /** splitmix64 finalizer — derives the extra per-token hash words a
+    * > 60-bit fingerprint needs from the one stored 60-bit hash. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Wide SimHash as BLOCK VALUES: the bits-wide per-bit-majority
+    * fingerprint, returned as `blocks` longs where element c holds
+    * fingerprint bits [c·width, (c+1)·width), width = bits/blocks,
+    * little-endian within the block.
+    *
+    * Fingerprint bit b is the majority of bit (b mod 60) of token word
+    * ⌊b/60⌋, where word 0 is the stored 60-bit token hash itself and
+    * word w > 0 is mix64(hash + w) — so for bits ≤ 60 the concatenated
+    * blocks are EXACTLY [[simhash]]'s fingerprint (spec-asserted), and
+    * wider fingerprints extend it without re-hashing the text.
+    *
+    * The block-value representation is what the banded near-dup join
+    * consumes: band keys are subsets of elements (no shifting), and
+    * Hamming distance is Σ bitCount(a(i) ^ b(i)) ([[blockHamming]]). */
+  def simhashBlocks(hashes: ArrayData, bits: Int, blocks: Int): ArrayData = {
+    val n = hashes.numElements()
+    val cnt = new Array[Int](bits)
+    val nWords = (bits + 59) / 60
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var w = 0
+      while (w < nWords) {
+        val word = if (w == 0) h else mix64(h + w)
+        val base = w * 60
+        val hi = math.min(base + 60, bits)
+        var b = base
+        while (b < hi) {
+          cnt(b) += ((word >>> (b - base)) & 1L).toInt
+          b += 1
+        }
+        w += 1
+      }
+      i += 1
+    }
+    val width = bits / blocks
+    val out = new Array[Long](blocks)
+    var b = 0
+    while (b < bits) {
+      if (2 * cnt(b) - n > 0) out(b / width) |= 1L << (b % width)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Hamming distance between two equal-length block-value arrays. */
+  def blockHamming(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var d = 0L
+    var i = 0
+    while (i < n) {
+      d += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    d
+  }
 }
 
 /** Count of positions where two `ARRAY<BIGINT>`s hold equal values
@@ -156,4 +222,46 @@ case class SimHashFromHashes(child: Expression, bits: Int)
 
   override protected def withNewChildInternal(newChild: Expression): SimHashFromHashes =
     copy(child = newChild)
+}
+
+/** Wide SimHash block values from a precomputed `ARRAY<BIGINT>` of token
+  * hashes (see [[TextHashUtil.simhashBlocks]]). */
+case class SimHashBlocks(child: Expression, bits: Int, blocks: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "simhash_blocks"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(hs: Any): Any =
+    TextHashUtil.simhashBlocks(hs.asInstanceOf[ArrayData], bits, blocks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextHashUtil.simhashBlocks($hs, $bits, $blocks);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBlocks =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two equal-length block-value fingerprints
+  * (see [[TextHashUtil.blockHamming]]). */
+case class BlockHamming(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "block_hamming"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashUtil.blockHamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextHashUtil.blockHamming($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BlockHamming =
+    copy(left = newLeft, right = newRight)
 }

@@ -150,4 +150,43 @@ object GraftProperties extends Properties("graft") {
       org.apache.spark.sql.graft.TextHashUtil.simhash(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray), bits) == ref
     }
+
+  property("simhashBlocks at <= 60 bits concatenates to exactly simhash") =
+    forAll(Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+        Gen.oneOf((48, 4), (60, 6), (60, 4), (36, 3))) { (hs, cfg) =>
+      val (bits, blocks) = cfg
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray)
+      val blk = org.apache.spark.sql.graft.TextHashUtil.simhashBlocks(ad, bits, blocks)
+      val w = bits / blocks
+      val packed = (0 until blocks).foldLeft(0L) { (acc, c) =>
+        acc | (blk.getLong(c) << (c * w))
+      }
+      packed == org.apache.spark.sql.graft.TextHashUtil.simhash(ad, bits)
+    }
+
+  property("wide simhashBlocks matches the per-bit-majority reference over derived words") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+        Gen.oneOf((120, 6), (120, 8), (96, 4))) { (hs, cfg) =>
+      val (bits, blocks) = cfg
+      val u = org.apache.spark.sql.graft.TextHashUtil
+      def word(h: Long, wi: Int): Long = if (wi == 0) h else u.mix64(h + wi)
+      val w = bits / blocks
+      val ref = new Array[Long](blocks)
+      for (b <- 0 until bits) {
+        val sum = hs.map(h => ((word(h, b / 60) >>> (b % 60)) & 1L) * 2 - 1).sum
+        if (sum > 0) ref(b / w) |= 1L << (b % w)
+      }
+      val got = u.simhashBlocks(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray), bits, blocks)
+      (0 until blocks).forall(i => got.getLong(i) == ref(i))
+    }
+
+  property("blockHamming equals summed xor popcounts") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+        Gen.chooseNum(Long.MinValue, Long.MaxValue)))) { ps =>
+      val a = new org.apache.spark.sql.catalyst.util.GenericArrayData(ps.map(_._1).toArray)
+      val b = new org.apache.spark.sql.catalyst.util.GenericArrayData(ps.map(_._2).toArray)
+      org.apache.spark.sql.graft.TextHashUtil.blockHamming(a, b) ==
+        ps.map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    }
 }

@@ -93,6 +93,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getLong(0) == expected)
     assert(r.getLong(1) == expected) // majority of a single hash = the hash
     assert(r.getInt(2) == 2)
+    val r2 = spark.sql(
+      """SELECT simhash_blocks(array(md5_hash60('abc', 97)), 120, 6) blk,
+        |       block_hamming(array(0L, 15L), array(1L, 15L)) bh""".stripMargin).head
+    // majority of a single hash: low 60 fingerprint bits = the hash
+    // itself, so the first three 20-bit blocks re-pack to it
+    val blk = r2.getSeq[Long](0)
+    assert(blk.length == 6)
+    assert((blk(0) | (blk(1) << 20) | (blk(2) << 40)) == expected)
+    assert(r2.getLong(1) == 1L)
   }
 
   test("native arrayEqCount equals the zip_with/aggregate composition") {

@@ -122,6 +122,36 @@ class DedupSpec extends SparkSpec {
     assert(single.nonEmpty)
   }
 
+  test("wide (120-bit) simhash banding equals brute-force block hamming") {
+    import graft.functions.{TextFunctions => TF}
+    // 14 groups of (base, 1-token-mutated) 60-token docs: at 120 bits a
+    // 1-of-60 token change lands an expected hamming of ~2, so the
+    // fixture produces pairs at 0 < h <= 3 as well as pairs beyond the
+    // radius — brute force adjudicates both sides
+    val wdocs = (0 until 14).flatMap { g =>
+      val base = (0 until 60).map(t => s"tok${g}_$t")
+      Seq((g * 2L, base.mkString(" ")),
+        (g * 2L + 1, base.updated(7, s"mut$g").mkString(" ")))
+    }.toDF("doc_id", "text")
+    val fps = wdocs.select(col("doc_id"),
+        TF.simhashBlocks(
+          transform(array_distinct(TF.tokens(col("text"))), t => TF.hash60(t, 97)),
+          120, 6).as("fpb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def ham(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    val ids = fps.keys.toSeq.sorted
+    val want = (for {
+      i <- ids; j <- ids if i < j
+      h = ham(fps(i), fps(j)) if h <= 3
+    } yield ((i, j), h)).toMap
+    val got = Dedup.simhashNearPairs(wdocs, "doc_id", "text", bits = 120, maxHamming = 3, blocks = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == want, s"got=$got want=$want")
+    assert(want.exists { case (_, h) => h > 0 }, s"fixture too strict: $want")
+    Dedup.releaseCaches()
+  }
+
   test("cosine near-dup pairs find identical vectors") {
     val vecs = Seq(
       (0L, Array(1f, 2f, 3f)),
