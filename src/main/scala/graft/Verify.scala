@@ -26,7 +26,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      graft.operators.Dedup.releaseCaches()
+      // blocking: an async unpersist leaves the previous query's blocks
+      // resident into the next one (measured 2.5× on the 20M dedup probe)
+      graft.operators.Dedup.releaseCaches(blocking = true)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
