@@ -54,14 +54,27 @@ object ApproxQueries {
     // sweep, getquery.cpp/plot.py, as a deterministic function): the
     // ladder of (ef, recall@10) rungs measured on a query sample, with
     // the chosen ef flagged. Offline calibration over one sub-index —
-    // the collect is the calibration sample, not a data path.
+    // the collect is a BOUNDED calibration sample: a deterministic
+    // vec_id stride, sized from the parquet footer count (no job), caps
+    // the driver fetch at ~32k rows however large the base table is.
+    // The ef→recall curve is a property of the corpus's local geometry,
+    // which a uniform 32k sample preserves; tuning on the full table
+    // would make calibration cost scale with data volume for no
+    // precision gain (and OOM the driver at 100 TB).
     "ann_ef_tune" -> ((s, dir) => {
+      val maxSample = 32768L
+      val n = graft.sources.ParquetMeta.rowCount(s, s"$dir/embeddings.parquet")
+      val stride = math.max(1L, (n + maxSample - 1) / maxSample)
       val rows = emb(s, dir).select(col("vec_id").cast("long"), col("embedding"))
+        .filter(col("vec_id") % stride === 0)
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       val dim = rows.head._2.length
       val idx = graft.index.HnswIndex.buildOn(dim, 8, 100,
         rows.iterator.map(_._2), graft.index.HnswIndex.maxAbsOf(rows.iterator.map(_._2)))
-      val sample = rows.filter(_._1 % 23 == 2).map(_._2)
+      // query sample by POSITION in the strided set, not raw id — an id
+      // modulus would silently go empty whenever the stride shares a
+      // factor with it
+      val sample = rows.zipWithIndex.collect { case ((_, v), i) if i % 23 == 2 => v }
       val res = graft.index.EfTuner.tune(idx, sample, k = 10,
         targetRecall = 0.95, ladder = Seq(16, 32, 64, 128, 256))
       import s.implicits._
@@ -121,11 +134,14 @@ object ApproxQueries {
         idCol = "id", vecCol = "vec", ef = 200,
         labelIndex = Some(("label", s"$root/by_label")),
         rangeIndex = Some(("ts", s"$root/by_decile")))
-      // min qid per type — deterministic, reproducible by the oracle
-      val qs4 = graft.SparkEntry.vecQueries(s, dir)
-        .select("qid", "qtype", "v", "l", "r", "qvec").collect()
-        .groupBy(_.getInt(1))
-        .flatMap { case (_, rows) => rows.sortBy(_.getLong(0)).headOption }.toSeq
+      // min qid per type — deterministic, reproducible by the oracle.
+      // The min is computed distributively and joined back so the
+      // driver fetches exactly the 4 winning rows, not the query table
+      // (whose size scales with the corpus).
+      val qall = graft.SparkEntry.vecQueries(s, dir)
+      val qs4 = qall
+        .join(qall.groupBy("qtype").agg(min(col("qid")).as("qid")), Seq("qtype", "qid"))
+        .select("qid", "qtype", "v", "l", "r", "qvec").collect().toSeq
       qs4.map { q =>
         val (qid, qtype, v) = (q.getLong(0), q.getInt(1), q.getLong(2))
         val (l, r, qv) = (q.getDouble(3), q.getDouble(4), q.getSeq[Float](5).toArray)
