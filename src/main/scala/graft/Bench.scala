@@ -59,6 +59,13 @@ object Bench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.operators.CacheRegistry.releaseAll(blocking = true)
+        // Flatten cross-query interference: a single shared JVM means
+        // query N's timing inherits query N-1's heap garbage and the
+        // ContextCleaner backlog (weak-ref driven, so it only drains on
+        // GC). Collecting OUTSIDE the timed window costs untimed wall
+        // but stops heavy queries from inflating their neighbors —
+        // isolated vs full-suite runs differed up to 2.5× without this.
+        System.gc()
         // A failed rep returns fast; letting it into the min would report
         // a crashing query as a speedup. Min over successful reps only;
         // zero successes → -1 marker in the JSON.
@@ -72,17 +79,37 @@ object Bench {
     // invalid JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def queriesJson(rs: Iterable[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index_build_sec":${fmt(buildSec)},"queries":$qs,"sf":"$sfDir"}"""
-    // The driver captures a bounded tail of stdout; a full copy of the
-    // same JSON also goes to a file so all per-query timings survive
-    // even if the stdout line is clipped.
+    def wrap(qs: String, extra: String = ""): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index_build_sec":${fmt(buildSec)}$extra,"queries":$qs,"sf":"$sfDir"}"""
+    val fullJson = wrap(queriesJson(results))
+    // The driver captures only a bounded TAIL of stdout (~2000 chars),
+    // and sbt appends its own "[success] Total time" line after ours —
+    // with the full 80-query map the line head gets clipped and the
+    // driver records parsed:null (observed rounds 4-7). Keep the stdout
+    // line under budget: full map if it fits, else the slowest N
+    // queries plus an explicit truncation marker. The COMPLETE JSON
+    // always goes to bench_results.json.
+    val stdoutBudget = 1800
+    val stdoutJson =
+      if (fullJson.length <= stdoutBudget) fullJson
+      else {
+        val bySlowest = results.toSeq.sortBy(-_._2)
+        var n = bySlowest.length
+        var line = fullJson
+        while (line.length > stdoutBudget && n > 1) {
+          n -= 1
+          line = wrap(queriesJson(bySlowest.take(n)),
+            s""","n_queries":${results.size},"queries_truncated_to_slowest":$n,"full":"bench_results.json"""")
+        }
+        line
+      }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_results.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case NonFatal(e) => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
-    println(json)
+    println(stdoutJson)
     spark.stop()
   }
 }
