@@ -167,6 +167,25 @@ object SimilaritySearch {
       TF.hash60Jvm(s"plane_${j}_${d}").toDouble / 576460752303423488.0 - 1.0))
   }
 
+  /** SRP signature bits over [[hashPlanes]]: bit j = (v · plane_j) > 0,
+    * the dot accumulated SEQUENTIALLY in double — the exact op order the
+    * oracle's list_sum mirror reproduces, so signatures are bit-identical
+    * across engines. */
+  private[operators] def srpBits(planes: Array[Array[Double]], v: Array[Float]): Long = {
+    var s = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val n = math.min(v.length, p.length)
+      var dot = 0.0
+      var d = 0
+      while (d < n) { dot += v(d).toDouble * p(d); d += 1 }
+      if (dot > 0) s |= 1L << j
+      j += 1
+    }
+    s
+  }
+
   /** Banded SRP near-duplicate mining — the scale path for
     * embedding-cosine dedup (the exact pattern of
     * [[Dedup.minhashLshCandidates]]): every row gets a `numPlanes`-bit
@@ -196,21 +215,7 @@ object SimilaritySearch {
     // exact op order the oracle's list_sum mirror reproduces
     val sig = df.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val ps = planes.value
-        var s = 0L
-        var j = 0
-        while (j < ps.length) {
-          val p = ps(j)
-          val n = math.min(v.length, p.length)
-          var dot = 0.0
-          var d = 0
-          while (d < n) { dot += v(d).toDouble * p(d); d += 1 }
-          if (dot > 0) s |= 1L << j
-          j += 1
-        }
-        (id, s)
-      }
+      .map { case (id, v) => (id, srpBits(planes.value, v)) }
       .toDF("id", "sig")
     val banded = sig.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
@@ -232,19 +237,32 @@ object SimilaritySearch {
 
   /** LSH-bucketed approximate cosine top-k: (qid, rank, nid).
     * Candidates: rows whose signature matches the query's, or differs in
-    * exactly one of the probed bits; exact cosine re-rank. */
+    * exactly one of the probed bits (multi-probe over all 1-bit flips);
+    * exact cosine re-rank. Signatures use [[hashPlanes]] + [[srpBits]],
+    * so the WHOLE pipeline — planes, signatures, probe set, candidate
+    * join, re-rank order — is deterministic and reproducible by the
+    * DuckDB oracle (sim_lsh_topk is hash-checked, not rows-only). */
   def lshCosineTopK(base: DataFrame, queries: DataFrame, k: Int,
-      numPlanes: Int = 12, seed: Long = 7L): DataFrame = {
+      numPlanes: Int = 12): DataFrame = {
+    require(numPlanes <= 60, "signature must fit a long")
+    val spark = base.sparkSession
+    import spark.implicits._
     val dim = base.select(size(col("vec"))).head().getInt(0)
-    val planes = randomPlanes(numPlanes, dim, seed)
-    val b = base.withColumn("bucket", srpSignature(col("vec"), planes))
+    val planes = spark.sparkContext.broadcast(hashPlanes(numPlanes, dim))
+    val b = base.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, srpBits(planes.value, v)) }
+      .toDF("id", "vec", "sig")
     val probes = lit(0L) +: (0 until numPlanes).map(j => lit(1L << j))
     val q = broadcast(
-      queries.withColumn("sig", srpSignature(col("qvec"), planes))
+      queries.select(col("qid").cast("long"), col("qvec"))
+        .as[(Long, Array[Float])]
+        .map { case (qid, v) => (qid, v, srpBits(planes.value, v)) }
+        .toDF("qid", "qvec", "qsig")
         .withColumn("probe", explode(array(probes: _*)))
-        .withColumn("bucket", expr("sig ^ probe"))
+        .withColumn("bucket", expr("qsig ^ probe"))
         .select(col("qid"), col("qvec"), col("bucket")))
-    q.join(b, "bucket")
+    q.join(b, col("bucket") === col("sig"))
       .filter(col("id") =!= col("qid"))
       .withColumn("negcos", -VF.cosineSim(col("qvec"), col("vec")))
       .groupBy("qid")

@@ -219,6 +219,45 @@ object ApproxQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Full mirror of the SRP-LSH top-k pipeline: md5-derived planes →
+    // 8-bit signatures (sequential double dots, bit-identical across
+    // engines) → multi-probe buckets (signature plus every 1-bit flip)
+    // → exact cosine re-rank ordered by (negcos, id). Same plane
+    // formula as the neardup_lsh_pairs oracle; same cosine mirror as
+    // sim_cosine_topk.
+    "sim_lsh_topk" ->
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings),
+        |js AS (SELECT unnest(range(0, 8)) AS j),
+        |sg AS (
+        |  SELECT e.id,
+        |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1), d ->
+        |      CAST(e.embedding[d] AS DOUBLE) *
+        |      (CAST(CAST(('0x'||substr(md5('plane_'||CAST(js.j AS VARCHAR)||'_'||CAST(d-1 AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT)
+        |       / 576460752303423488.0 - 1.0))) > 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(js.j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+        |  FROM e, js GROUP BY e.id
+        |),
+        |probes AS (SELECT CAST(unnest([0,1,2,4,8,16,32,64,128]) AS BIGINT) AS probe),
+        |qb AS (
+        |  SELECT qs.id AS qid, xor(qs.sig, probes.probe) AS bucket
+        |  FROM sg qs, probes WHERE qs.id % 71 = 3
+        |),
+        |cand AS (
+        |  SELECT qb.qid, sg.id FROM qb JOIN sg ON sg.sig = qb.bucket
+        |  WHERE sg.id != qb.qid
+        |),
+        |j AS (
+        |  SELECT c.qid, c.id,
+        |    -(list_sum(list_transform(list_zip(eq.embedding, eb.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS negcos
+        |  FROM cand c JOIN e eq ON c.qid = eq.id JOIN e eb ON c.id = eb.id
+        |), r AS (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY negcos, id) AS rnk
+        |  FROM j
+        |)
+        |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 10""".stripMargin,
+
     // HLL++ estimate is engine-specific; the oracled contract is the
     // exact count + the 3-sigma error bound holding (within_bound = 1).
     "approx_distinct_users" ->
