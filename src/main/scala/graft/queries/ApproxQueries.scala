@@ -17,10 +17,8 @@ object ApproxQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  private def evq(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-  }
+  private def evq(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Events.read(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // partitioned-HNSW approximate kNN (per-bucket sub-index + merge)

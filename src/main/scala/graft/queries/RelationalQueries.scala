@@ -21,13 +21,10 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet INT64 TIMESTAMP(NANOS) — Spark 4 only reads it
-    * with the nanosAsLong legacy conf, which is what we want anyway:
-    * deterministic integer ns in both engines. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-  }
+  /** events.ts normalized to integer epoch ns whatever the parquet
+    * encoding generation — see [[graft.sources.Events]]. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Events.read(s, dir)
 
   private val HourUs = 3600L * 1000 * 1000
   private val SessionGapUs = 1800L * 1000 * 1000

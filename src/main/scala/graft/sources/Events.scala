@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Reader for the `events` table that normalizes `ts` to integer epoch
+  * NANOSECONDS regardless of how the corpus generation encoded it:
+  *
+  *  - parquet INT64 TIMESTAMP(NANOS) corpora arrive as long ns via the
+  *    `nanosAsLong` legacy conf (Spark 4 cannot represent ns timestamps
+  *    otherwise);
+  *  - parquet TIMESTAMP(MICROS) corpora arrive as TIMESTAMP_NTZ and are
+  *    scaled µs → ns with timezone-independent NTZ arithmetic
+  *    (`timestampdiff` over two NTZ operands never consults the session
+  *    zone — the exact semantics of DuckDB's `epoch_us` on a naive
+  *    TIMESTAMP, so the oracles' `epoch_us(ts)` sees the same instants).
+  *
+  * Downstream event-time arithmetic stays integer ns everywhere
+  * (`ts div 1000` = µs), so a corpus re-generation that flips the
+  * encoding cannot silently shift query semantics.
+  */
+object Events {
+  def read(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+    }
+  }
+}
