@@ -65,7 +65,41 @@ object SimilaritySearch {
     val sampleDf = if (sampleFraction < 1.0) base.sample(withReplacement = false, sampleFraction, seed) else base
     val sample = sampleDf.select(col("vec")).limit(sampleCap)
       .collect().map(_.getSeq[Float](0).toArray)
-    val centroids = lloydKMeans(sample, nlist, maxIter, seed)
+    ivfSearch(base, queries, k, lloydKMeans(sample, nlist, maxIter, seed), nprobe)
+  }
+
+  /** IVF with a hash-seeded coarse quantizer: the centroids are the
+    * vectors of the `nlist` base rows ranked first by the md5-derived
+    * key of "ivfseed:<id>" (a deterministic uniform sample — the
+    * classic random-seed IVF baseline), and the list index is the rank
+    * by id among the picked seeds. Unlike the k-means path (whose
+    * float-rounded Lloyd centroids no SQL engine can reproduce), every
+    * stage here — seed pick, list assignment, probe set, exact re-rank —
+    * is engine-reproducible, so the whole IVF pipeline can be
+    * hash-checked by the DuckDB oracle. Recall trails k-means at equal
+    * nlist (seeds aren't density-balanced) but the layout, probing and
+    * re-rank semantics are identical. */
+  def ivfKnnSeeded(base: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val picked = base
+      .select(col("id").cast("long").as("id"), col("vec"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("ivfseed:"), col("id").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+      .orderBy(col("h"), col("id")).limit(nlist)
+      .select(col("id"), col("vec"))
+      .collect()
+      .sortBy(_.getLong(0))
+    require(picked.nonEmpty, "ivfKnnSeeded: empty base table")
+    ivfSearch(base, queries, k, picked.map(_.getSeq[Float](1).toArray), nprobe)
+  }
+
+  /** Shared IVF-Flat search body: base rows are assigned to their
+    * nearest centroid ("list"), each query probes its `nprobe` nearest
+    * lists, candidates are exact-ranked. The only joins are the
+    * broadcast query→list probe and the bounded top-k merge. */
+  private def ivfSearch(base: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
     // one flat centroid-matrix literal + the native NearestCentroids
     // expression: O(nlist) codegen instead of an nlist-way struct tree
     val centsFlat = typedLit(centroids.flatten)

@@ -39,13 +39,19 @@ object ApproxQueries {
       SimilaritySearch.lshCosineTopK(base, q, k = 10, numPlanes = 8)
     }),
 
-    // IVF-Flat ANN: KMeans coarse quantizer, nprobe nearest lists
+    // IVF-Flat ANN with the hash-seeded coarse quantizer: seed pick,
+    // list assignment, nprobe probing and exact re-rank are all
+    // deterministic, so the WHOLE inverted-file pipeline is
+    // hash-checked by the DuckDB oracle (the k-means quantizer —
+    // SimilaritySearch.ivfKnn — stays the quality path, recall-floored
+    // in SimilaritySearchSpec; no SQL engine can replay its
+    // float-rounded Lloyd iterations)
     "ann_ivf_knn" -> ((s, dir) => {
       val base = emb(s, dir).select(col("vec_id").cast("long").as("id"),
         col("embedding").as("vec"))
       val q = emb(s, dir).filter(col("vec_id") % 71 === 3)
         .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
-      SimilaritySearch.ivfKnn(base, q, k = 10, nlist = 16, nprobe = 4)
+      SimilaritySearch.ivfKnnSeeded(base, q, k = 10, nlist = 16, nprobe = 4)
     }),
 
     // measured-recall ef auto-tune (the reference's offline recall
@@ -279,6 +285,53 @@ object ApproxQueries {
         |    list_sum(list_transform(list_zip(q.qvec, b.embedding),
         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
         |  FROM q, embeddings b
+        |), r AS (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+        |  FROM j
+        |)
+        |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 10""".stripMargin,
+
+    // Hash-seeded IVF, replayed stage by stage: seed pick (md5 rank),
+    // list index (id rank among seeds), nearest-list assignment
+    // (tie-break by list), nprobe probe set, exact re-rank by
+    // (dist, id). Distances mirror NearestCentroids/l2Sq: sequential
+    // double accumulation over the float components.
+    "ann_ivf_knn" ->
+      """WITH b AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS vec FROM embeddings
+        |), picked AS (
+        |  SELECT id, vec FROM b
+        |  ORDER BY CAST(('0x' || substr(md5('ivfseed:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT), id
+        |  LIMIT 16
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY id) - 1 AS list, vec AS cvec FROM picked
+        |), assign AS (
+        |  SELECT id, vec, list FROM (
+        |    SELECT b.id, b.vec, s.list,
+        |      row_number() OVER (PARTITION BY b.id ORDER BY
+        |        list_sum(list_transform(list_zip(b.vec, s.cvec),
+        |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |        s.list) AS rn
+        |    FROM b CROSS JOIN seeds s
+        |  ) WHERE rn = 1
+        |), q AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qvec
+        |  FROM embeddings WHERE vec_id % 71 = 3
+        |), probe AS (
+        |  SELECT qid, qvec, list FROM (
+        |    SELECT q.qid, q.qvec, s.list,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        list_sum(list_transform(list_zip(q.qvec, s.cvec),
+        |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |        s.list) AS rn
+        |    FROM q CROSS JOIN seeds s
+        |  ) WHERE rn <= 4
+        |), j AS (
+        |  SELECT p.qid, a.id,
+        |    list_sum(list_transform(list_zip(p.qvec, a.vec),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS dist
+        |  FROM probe p JOIN assign a USING (list)
+        |  WHERE a.id <> p.qid
         |), r AS (
         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
         |  FROM j

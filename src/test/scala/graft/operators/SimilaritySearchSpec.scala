@@ -43,6 +43,30 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("seeded IVF: deterministic across runs, k rows per query, decent recall") {
+    val l2queries = clustered.filter($"id" < 10)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val a = SimilaritySearch.ivfKnnSeeded(clustered, l2queries, k = 10,
+      nlist = 20, nprobe = 5)
+    val rows = a.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly k neighbors per query, ranks 1..k, no self-matches
+    assert(rows.groupBy(_._1).forall { case (_, g) =>
+      g.length == 10 && g.map(_._2).sorted.toSeq == (1L to 10L) })
+    assert(rows.forall { case (qid, _, nid) => qid != nid })
+    val b = SimilaritySearch.ivfKnnSeeded(clustered, l2queries, k = 10,
+      nlist = 20, nprobe = 5)
+    assert(rows.sorted.toSeq ==
+      b.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq)
+    val exact = KnnJoin.exactFlat(
+      clustered.withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
+      l2queries.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
+        .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)), 10)
+      .filter($"nid" =!= $"qid")
+    // random seeds trail k-means at equal nlist — assert a looser floor
+    val recall = AnnJoin.recallAtK(a, exact)
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("signatures are deterministic across invocations") {
     val planes = SimilaritySearch.randomPlanes(8, dim, seed = 7L)
     val planes2 = SimilaritySearch.randomPlanes(8, dim, seed = 7L)
