@@ -225,7 +225,7 @@ object AnnIndexStore {
       .mapPartitions { it =>
         it.flatMap { case (bucket, ids, ts, graphBytes) =>
           bq.value.get(bucket).iterator.flatMap { qs =>
-            val index = HnswIndex.fromBytes(graphBytes)
+            val index = HnswIndex.fromBytesCached(graphBytes)
             val tsIdx = new TsIndex(ts)
             qs.iterator.flatMap { case (qid, l, r, qvec) =>
               val cover = tsIdx.coverage(l, r)
@@ -284,7 +284,7 @@ object AnnIndexStore {
           val overlapping = bq.value.filter { case (_, l, r, _) => l <= bEnd && r >= bStart }
           if (overlapping.isEmpty) Iterator.empty
           else {
-            val index = HnswIndex.fromBytes(graphBytes)
+            val index = HnswIndex.fromBytesCached(graphBytes)
             val tsIdx = new TsIndex(ts)
             overlapping.iterator.flatMap { case (qid, l, r, qvec) =>
               val full = l <= bStart && r >= bEnd
@@ -342,7 +342,7 @@ object AnnIndexStore {
       .mapPartitions { it =>
         it.flatMap { case (bucket, ids, graphBytes) =>
           bq.value.get(bucket).iterator.flatMap { qs =>
-            val index = HnswIndex.fromBytes(graphBytes)
+            val index = HnswIndex.fromBytesCached(graphBytes)
             qs.iterator.flatMap { case (qid, qvec) =>
               index.search(qvec, k, ef).iterator.map { case (internal, d) =>
                 (qid, ids(internal), d)
@@ -410,7 +410,7 @@ object AnnIndexStore {
       .as[(Array[Long], Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (ids, graphBytes) =>
-          val index = HnswIndex.fromBytes(graphBytes)
+          val index = HnswIndex.fromBytesCached(graphBytes)
           bq.value.iterator.flatMap { case (qid, qvec) =>
             index.search(qvec, k, ef).iterator.map { case (internal, d) =>
               (qid, ids(internal), d)

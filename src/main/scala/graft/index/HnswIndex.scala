@@ -88,7 +88,11 @@ final class HnswIndex(
   // +dim bytes/node in every persisted index row, and keeps the on-disk
   // format unchanged. Flat layout (node i at offset i·dim): contiguous
   // for hardware prefetch, one pointer chase less per hop.
-  @transient private var codes: Array[Byte] = _
+  // volatile: searches from concurrent threads (the serving path shares
+  // one cached instance per stored graph) must see codeAlpha before the
+  // codes array is published; a racing double-encode is benign (both
+  // threads produce identical bytes).
+  @transient @volatile private var codes: Array[Byte] = _
   @transient private var codeAlpha = 1.0
 
   private def ensureCodes(): Unit = {
@@ -135,6 +139,25 @@ final class HnswIndex(
     kernel.l2sq(a, b)
 
   @inline private def distTo(q: Array[Float], node: Int): Double = dist(q, vecs(node))
+
+  /** L2² to a stored node in the engine-canonical arithmetic: a
+    * SEQUENTIAL double accumulation over the fp32 components — identical
+    * to the L2SquaredDistance expression and the oracles' list_sum
+    * mirror, independent of the SIMD kernel's lane order. The serving
+    * path re-distances its top-k through this so routed and unrouted
+    * plans emit identical bytes even on near-ties. */
+  def exactDistTo(q: Array[Float], node: Int): Double = {
+    val v = vecs(node)
+    val n = math.min(q.length, v.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = v(i).toDouble - q(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
 
   // ---- quantized BUILD path ------------------------------------------
   // The reference builds its graphs on quantized codes too (pyglass
@@ -217,17 +240,33 @@ final class HnswIndex(
   }
 
   // generation-stamped visited set — amortizes clearing across searches,
-  // the reference's lazy-clearing bitset (pyglass/glass/neighbor.hpp:41-102)
-  @transient private var visitedMark: Array[Int] = _
-  @transient private var visitedGen = 0
+  // the reference's lazy-clearing bitset (pyglass/glass/neighbor.hpp:41-102).
+  // Thread-confined: the serving path shares ONE cached instance per
+  // stored graph across concurrent search tasks, so walk scratch lives in
+  // a ThreadLocal (the reference pools per-search visited sets the same
+  // way). The build path is single-threaded and reuses its thread's slot.
+  private[index] final class WalkScratch {
+    var mark: Array[Int] = _
+    var gen = 0
+    var hops: Array[Byte] = _
+  }
+  @transient private var walkTL: ThreadLocal[WalkScratch] = _
 
-  private def nextVisitedGen(): Int = {
-    if (visitedMark == null || visitedMark.length < vecs.length) {
-      visitedMark = new Array[Int](math.max(vecs.length * 2, 1024))
-      visitedGen = 0
+  // a torn init race just makes a thread briefly use a private
+  // ThreadLocal instance — still thread-confined, still correct
+  private def walkScratch(): WalkScratch = {
+    var tl = walkTL
+    if (tl == null) {
+      tl = ThreadLocal.withInitial(() => new WalkScratch)
+      walkTL = tl
     }
-    visitedGen += 1
-    visitedGen
+    val ws = tl.get()
+    if (ws.mark == null || ws.mark.length < vecs.length) {
+      ws.mark = new Array[Int](math.max(vecs.length * 2, 1024))
+      ws.gen = 0
+    }
+    ws.gen += 1
+    ws
   }
 
   // build-path scratch heaps (single-threaded insert loop): searchLayer
@@ -245,8 +284,9 @@ final class HnswIndex(
     * consume it before the next searchLayer call (single-threaded). */
   private def searchLayer(q: Array[Float], qc: Array[Short], start: Int,
       ef: Int, level: Int): BoundedMaxHeap = {
-    val gen = nextVisitedGen()
-    val seen = visitedMark
+    val ws = walkScratch()
+    val gen = ws.gen
+    val seen = ws.mark
     val reuse = ef == efConstruction
     if (reuse && scratchRes == null) {
       scratchCand = new MinDistHeap(ef + 1)
@@ -540,8 +580,9 @@ final class HnswIndex(
 
   /** Level-0 beam search on codes. */
   private def searchLayerCoded(qc: Array[Short], start: Int, ef: Int): BoundedMaxHeap = {
-    val gen = nextVisitedGen()
-    val seen = visitedMark
+    val ws = walkScratch()
+    val gen = ws.gen
+    val seen = ws.mark
     val cand = new MinDistHeap(ef + 1)
     val res = new BoundedMaxHeap(ef)
     val d0 = qdistTo(qc, start)
@@ -573,9 +614,9 @@ final class HnswIndex(
     res
   }
 
-  // per-node consecutive-disallowed-hop depth for the current walk
-  // (valid only for nodes whose visitedMark carries the current gen)
-  @transient private var hopDepth: Array[Byte] = _
+  // per-node consecutive-disallowed-hop depth for the current walk lives
+  // in WalkScratch.hops (valid only for nodes whose mark carries the
+  // current gen) — thread-confined like the visited set
 
   /** In-filter beam search at level 0 on codes: the frontier expands
     * over ALL nodes (disallowed nodes still route), the result pool
@@ -593,12 +634,13 @@ final class HnswIndex(
     * distant in-range islands are already reachable via the seeds. */
   private def searchLayerFilteredCoded(qc: Array[Short], start: Int, ef: Int,
       allowed: Int => Boolean, seeds: Array[Int], maxVisits: Int): BoundedMaxHeap = {
-    val gen = nextVisitedGen()
-    val seen = visitedMark
+    val ws = walkScratch()
+    val gen = ws.gen
+    val seen = ws.mark
     val useHops = seeds != null && seeds.length > 0
-    if (useHops && (hopDepth == null || hopDepth.length < vecs.length))
-      hopDepth = new Array[Byte](math.max(vecs.length * 2, 1024))
-    val hops = hopDepth
+    if (useHops && (ws.hops == null || ws.hops.length < vecs.length))
+      ws.hops = new Array[Byte](math.max(vecs.length * 2, 1024))
+    val hops = ws.hops
     val maxHops: Byte = 2
     val cand = new MinDistHeap(ef + 1)
     val res = new BoundedMaxHeap(ef)
@@ -726,6 +768,12 @@ final class HnswIndex(
   /** Exact top-k over an explicit node subset — the SMALL-slice scan
     * route (hybrid_graph.cpp:356-364): when a range predicate keeps only
     * a sliver of a sub-index, scanning it exactly beats any walk. */
+  /** Rough resident footprint for the serving cache's byte budget:
+    * fp32 vectors + SQ8 codes + level-0 adjacency (upper levels are
+    * ~1/16 of level 0 — ignored). */
+  private[index] def approxRetainedBytes: Long =
+    vecs.length.toLong * dim * 5 + adj0.length.toLong * 4
+
   def exactOver(q: Array[Float], nodes: Array[Int], k: Int): Array[(Int, Double)] = {
     // bounded (dist, id)-lexicographic selection: O(n log k), no boxing.
     // Equivalent to sorting the whole slice by (dist, id) and taking k
@@ -796,4 +844,74 @@ object HnswIndex {
     in.close()
     idx
   }
+
+  // --- executor-resident deserialized-index cache -------------------------
+  // The serving path (AnnTopKExec / AnnIndexStore.search*) reads index
+  // blobs from parquet and deserializes per QUERY; the reference keeps its
+  // index resident across queries, and so should we. Cache is per-JVM
+  // (per-executor on a cluster — each executor only caches the buckets it
+  // reads, which is exactly the locality a bucketed scan gives it), keyed
+  // by a content fingerprint of the blob (length + first/middle/last
+  // samples), so a rebuilt store to the same path can never serve a stale
+  // graph. LRU bounded by RETAINED BYTES, not entry count: a contest-scale
+  // sub-index holds ~150 MB of vectors+codes+adjacency, and an executor
+  // heap has room for a handful of those, not 64.
+
+  private val MaxCachedBytes: Long =
+    java.lang.Long.getLong("graft.hnsw.cacheBytes", 1L << 30)
+  private var cachedBytes = 0L
+  private val cache =
+    new java.util.LinkedHashMap[(Long, Int), HnswIndex](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Long, Int), HnswIndex]): Boolean = {
+        // evict manually so cachedBytes stays consistent (may remove >1)
+        false
+      }
+    }
+  private def evictOver(): Unit = {
+    val it = cache.entrySet().iterator()
+    while (cachedBytes > MaxCachedBytes && cache.size() > 1 && it.hasNext) {
+      val e = it.next()
+      cachedBytes -= e.getValue.approxRetainedBytes
+      it.remove()
+    }
+  }
+
+  private def fingerprint(b: Array[Byte]): Long = {
+    var h = 1125899906842597L // large prime
+    def mix(i: Int): Unit = { h = 31 * h + b(i) }
+    val n = b.length
+    var i = 0
+    while (i < math.min(64, n)) { mix(i); i += 1 }
+    i = math.max(0, n / 2 - 32)
+    val mid = math.min(n, n / 2 + 32)
+    while (i < mid) { mix(i); i += 1 }
+    i = math.max(0, n - 64)
+    while (i < n) { mix(i); i += 1 }
+    h
+  }
+
+  /** [[fromBytes]] through the bounded per-JVM cache — use on serving
+    * paths where the same stored graph answers many queries. */
+  def fromBytesCached(bytes: Array[Byte]): HnswIndex = {
+    val key = (fingerprint(bytes), bytes.length)
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
+    val idx = fromBytes(bytes) // deserialize OUTSIDE the lock
+    cache.synchronized {
+      val race = cache.get(key)
+      if (race != null) race
+      else {
+        cache.put(key, idx)
+        cachedBytes += idx.approxRetainedBytes
+        evictOver()
+        idx
+      }
+    }
+  }
+
+  /** Test hook: drop all cached deserialized graphs. */
+  def clearCache(): Unit = cache.synchronized { cache.clear(); cachedBytes = 0L }
 }

@@ -118,6 +118,9 @@ object ApproxQueries {
       }
       org.apache.spark.sql.graft.AnnCatalog.register(
         basePath, idxPath, idCol = "vec_id", vecCol = "embedding", ef = 200)
+      // the store was built THIS run from THIS base — trusting it skips
+      // the per-query staleness-validation job (serving mode)
+      s.conf.set("spark.graft.ann.trustIndex", "true")
       // the 5 smallest matching ids — deterministic, so the DuckDB
       // oracle can reproduce the query set exactly
       val qvs = emb(s, dir).filter(col("vec_id") % 97 === 1)
@@ -154,6 +157,8 @@ object ApproxQueries {
         idCol = "id", vecCol = "vec", ef = 200,
         labelIndex = Some(("label", s"$root/by_label")),
         rangeIndex = Some(("ts", s"$root/by_decile")))
+      // stores built this run from this base — serving mode (see ann_sql_topk)
+      s.conf.set("spark.graft.ann.trustIndex", "true")
       // min qid per type — deterministic, reproducible by the oracle.
       // The min is computed distributively and joined back so the
       // driver fetches exactly the 4 winning rows, not the query table

@@ -27,5 +27,18 @@ object SearchBench {
     qs.foreach { q => sink += idx.search(q, 100, ef).length }
     val dt = (System.nanoTime() - t1) / 1e9
     println(f"search: $nq queries in $dt%.2f s = ${nq / dt}%.0f q/s (sink $sink)")
+    // per-query serving cost of re-deserializing the stored graph —
+    // what HnswIndex.fromBytesCached amortizes away across queries
+    val bytes = idx.toBytes
+    val t2 = System.nanoTime()
+    val r1 = HnswIndex.fromBytes(bytes)
+    val cold = (System.nanoTime() - t2) / 1e9
+    HnswIndex.clearCache()
+    val t3 = System.nanoTime()
+    var j = 0
+    while (j < 20) { HnswIndex.fromBytesCached(bytes); j += 1 }
+    val warm = (System.nanoTime() - t3) / 1e9 / 20
+    println(f"deserialize: cold ${cold}%.3f s/load, cached ${warm * 1000}%.3f ms/load " +
+      f"(blob ${bytes.length / 1e6}%.1f MB, sink ${r1.size})")
   }
 }

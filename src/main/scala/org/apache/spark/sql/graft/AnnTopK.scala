@@ -366,43 +366,40 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
     val ids = hits.map(_._1)
     val types = output.map(_.dataType).toArray
     val slotArr = slots.toArray
-    // wide outputs: fetch the k result rows' columns by id (tiny scan,
-    // id-isin pushed to parquet), keyed for rank-order assembly. The
-    // base VECTOR is always fetched (k rows — negligible): the emitted
-    // row ORDER is a re-sort by the exact sequential-double-loop
-    // distance (the same arithmetic as L2SquaredDistance), NOT the
-    // kernel's float-accumulated walk value — the Panama/scalar kernels
-    // reduce in different lane orders, so near-ties could otherwise
-    // emit in a different order than the unrouted plan. With the
-    // re-sort, routed and unrouted plans emit identical bytes whenever
-    // the top-k membership matches.
+    // searchHits distances are already the engine-canonical sequential-
+    // double arithmetic (HnswIndex.exactDistTo — identical to the
+    // L2SquaredDistance expression), NOT the kernel's float-accumulated
+    // walk value, and the merge ordered by (dist, id) — so routed and
+    // unrouted plans emit identical bytes whenever the top-k membership
+    // matches, with no re-distancing needed here.
+    //
+    // Wide outputs fetch the k result rows' columns by id (tiny scan,
+    // id-isin pushed to parquet). The same fetch doubles as the
+    // staleness guard: ids the base no longer holds and null-vec rows —
+    // which the exact plan would sort last — are dropped rather than
+    // emitted (or NPE'd). For id/dist/constant-only projections the
+    // fetch would carry no data, only the guard; a serving deployment
+    // whose store is fresh by contract can skip that validation job with
+    // spark.graft.ann.trustIndex=true and answer entirely from the
+    // index — zero base-table jobs, the reference's serving shape.
+    // Default is the safe guard.
+    val trustIndex =
+      session.conf.get("spark.graft.ann.trustIndex", "false").toBoolean
     val fetchCols = slotArr.collect { case AnnTopKExec.ColSlot(n) => n }.distinct
-    val fetchAll = (fetchCols :+ vecCol).distinct
+    val needFetch = fetchCols.nonEmpty || !trustIndex
     val fetched: Map[Long, org.apache.spark.sql.Row] =
-      if (ids.isEmpty) Map.empty
+      if (ids.isEmpty || !needFetch) Map.empty
       else {
         import org.apache.spark.sql.functions.col
         session.read.parquet(basePath)
           .filter(col(idCol).isin(ids.toIndexedSeq: _*))
-          .select((col(idCol).cast("long").as("__id") +: fetchAll.toIndexedSeq.map(col)): _*)
+          .filter(col(vecCol).isNotNull)
+          .select((col(idCol).cast("long").as("__id") +: fetchCols.toIndexedSeq.map(col)): _*)
           .collect()
           .map(r => r.getLong(0) -> r)
           .toMap
       }
-    val colIndex = fetchAll.zipWithIndex.toMap
-    val vecAt = colIndex(vecCol) + 1
-    def exactDist(id: Long): Double = {
-      val v = fetched(id).getSeq[Float](vecAt)
-      val n = math.min(v.length, qvec.length)
-      var s = 0.0
-      var i = 0
-      while (i < n) {
-        val d = v(i).toDouble - qvec(i).toDouble
-        s += d * d
-        i += 1
-      }
-      s
-    }
+    val colIndex = fetchCols.zipWithIndex.toMap
     val converters = slotArr.zipWithIndex.map { case (s, i) =>
       s match {
         case AnnTopKExec.ColSlot(_) =>
@@ -410,14 +407,9 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
         case _ => null
       }
     }
-    // a stale index could return an id no longer in the base, or a base
-    // row with a NULL vector — drop such hits rather than fail the
-    // whole statement; then order by (exact dist, id)
-    val outHits = hits
-      .collect { case (id, _) if fetched.get(id).exists(r => !r.isNullAt(vecAt)) =>
-        (id, exactDist(id))
-      }
-      .sortBy { case (id, d) => (d, id) }
+    val outHits =
+      if (!needFetch) hits
+      else hits.filter { case (id, _) => fetched.contains(id) }
     val rows = outHits.map { case (id, d) =>
       val row = new GenericInternalRow(slotArr.length)
       var i = 0
@@ -485,15 +477,17 @@ object AnnTopKExec {
         spark.read.parquet(path)
           .select("ids", "graph").as[(Array[Long], Array[Byte])]
           .flatMap { case (ids, bytes) =>
-            HnswIndex.fromBytes(bytes).search(qvec, k, effEf).iterator
-              .map { case (internal, d) => (d, ids(internal)) }
+            val index = HnswIndex.fromBytesCached(bytes)
+            index.search(qvec, k, effEf).iterator
+              .map { case (internal, _) =>
+                (index.exactDistTo(qvec, internal), ids(internal)) }
           }
       case LabelRoute(path, bucket, tsRange) =>
         spark.read.parquet(path)
           .filter(col("bucket") === bucket)
           .select("ids", "attrs", "graph").as[(Array[Long], Array[Double], Array[Byte])]
           .flatMap { case (ids, ts, bytes) =>
-            val index = HnswIndex.fromBytes(bytes)
+            val index = HnswIndex.fromBytesCached(bytes)
             val hits = tsRange match {
               case None => index.search(qvec, k, effEf)
               case Some((l, r)) =>
@@ -510,7 +504,8 @@ object AnnTopKExec {
                     (i: Int) => ts(i) >= l && ts(i) <= r,
                     seeds = tsIdx.seeds(l, r, graft.operators.SearchParams.FilterSeeds))
             }
-            hits.iterator.map { case (internal, d) => (d, ids(internal)) }
+            hits.iterator.map { case (internal, _) =>
+              (index.exactDistTo(qvec, internal), ids(internal)) }
           }
       case RangeRoute(path, lo, hi) =>
         // one bucket of slack low: floor(ts*10) float rounding can file a
@@ -526,7 +521,7 @@ object AnnTopKExec {
             val bEnd = (decile + 1) / 10.0
             if (lo > bEnd || hi < bStart) Iterator.empty
             else {
-              val index = HnswIndex.fromBytes(bytes)
+              val index = HnswIndex.fromBytesCached(bytes)
               val full = lo <= bStart && hi >= bEnd
               val hits =
                 if (full) index.search(qvec, k, effEf)
@@ -541,7 +536,8 @@ object AnnTopKExec {
                       (i: Int) => ts(i) >= lo && ts(i) <= hi,
                       seeds = tsIdx.seeds(lo, hi, graft.operators.SearchParams.FilterSeeds))
                 }
-              hits.iterator.map { case (internal, d) => (d, ids(internal)) }
+              hits.iterator.map { case (internal, _) =>
+              (index.exactDistTo(qvec, internal), ids(internal)) }
             }
           }
     }

@@ -35,6 +35,46 @@ class HnswSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._1 % 2 == 0))
   }
 
+  test("fromBytesCached: identical results, one deserialization, stale-proof key") {
+    val data = Array.fill(800)(vec())
+    val idx = new HnswIndex(dim, m = 8, efConstruction = 100)
+    data.foreach(idx.add)
+    val bytes = idx.toBytes
+    HnswIndex.clearCache()
+    val a = HnswIndex.fromBytesCached(bytes)
+    // same blob (even a distinct array copy) → same cached instance
+    assert(HnswIndex.fromBytesCached(bytes.clone()) eq a)
+    val q = vec()
+    assert(a.search(q, 10, 128).toSeq == HnswIndex.fromBytes(bytes).search(q, 10, 128).toSeq)
+    // a different graph serialized to the same "path" must not collide
+    val idx2 = new HnswIndex(dim, m = 8, efConstruction = 100)
+    data.reverse.foreach(idx2.add)
+    assert(!(HnswIndex.fromBytesCached(idx2.toBytes) eq a))
+  }
+
+  test("concurrent searches on one shared instance match sequential results") {
+    val data = Array.fill(1500)(vec())
+    val idx = new HnswIndex(dim, m = 8, efConstruction = 100)
+    data.foreach(idx.add)
+    val queries = Array.fill(64)(vec())
+    val sequential = queries.map(q => idx.search(q, 10, 96).toSeq)
+    // also exercise the filtered walk (hop-depth scratch) concurrently
+    val seqFiltered = queries.map(q =>
+      idx.search(q, 10, 96, allowed = _ % 3 == 0, seeds = Array(0, 3, 6)).toSeq)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val par = Await.result(
+      Future.sequence(queries.toSeq.map(q => Future(idx.search(q, 10, 96).toSeq))),
+      60.seconds)
+    val parFiltered = Await.result(
+      Future.sequence(queries.toSeq.map(q =>
+        Future(idx.search(q, 10, 96, allowed = _ % 3 == 0, seeds = Array(0, 3, 6)).toSeq))),
+      60.seconds)
+    assert(par == sequential.toSeq)
+    assert(parFiltered == seqFiltered.toSeq)
+  }
+
   test("empty and tiny indexes behave") {
     val idx = new HnswIndex(dim)
     assert(idx.search(vec(), 5, 10).isEmpty)

@@ -357,13 +357,28 @@ class AnnTopKStrategySpec extends SparkSpec {
     amended.toDF("id", "vec").write.mode("overwrite").parquet(basePath)
     AnnCatalog.register(basePath, indexPath, idCol = "id", vecCol = "vec", ef = 400)
     try {
+      // guard mode (the default) — pin it in case another suite flipped
+      // the session into trust-the-index serving mode
+      spark.conf.set("spark.graft.ann.trustIndex", "false")
       val qv = orig.find(_._1 == 5L).get._2
       val got = spark.read.parquet(basePath)
         .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
         .select("id").limit(300).collect().map(_.getLong(0))
       assert(!got.contains(5L) && !got.contains(7L))
       assert(got.nonEmpty)
-    } finally AnnCatalog.unregister(basePath)
+      // trustIndex serving mode skips the validation job and so emits
+      // whatever the index holds — stale id 5 included. That is the
+      // documented contract of the knob, asserted so a future change
+      // can't silently re-add a per-query base scan behind it.
+      spark.conf.set("spark.graft.ann.trustIndex", "true")
+      val trusted = spark.read.parquet(basePath)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id").limit(300).collect().map(_.getLong(0))
+      assert(trusted.contains(5L))
+    } finally {
+      spark.conf.unset("spark.graft.ann.trustIndex")
+      AnnCatalog.unregister(basePath)
+    }
   }
 
   test("redundant sort keys after the id tiebreak still route") {
