@@ -224,7 +224,15 @@ object ApproxQueries {
     // the preceding hour), run on its batch twin; EventPipelineSpec
     // proves MemoryStream output ≡ this plan
     "stream_join_attrib" -> ((s, dir) =>
-      EventPipeline.purchaseAttribution(evq(s, dir)))
+      EventPipeline.purchaseAttribution(evq(s, dir))),
+
+    // continuous-ingestion exact dedup (flatMapGroupsWithState keyed by
+    // content hash, first-wins across micro-batches), run on its batch
+    // twin over documents; EventPipelineSpec proves the MemoryStream
+    // run ≡ this plan's min-id-per-hash semantics
+    "dedup_stream" -> ((s, dir) =>
+      EventPipeline.streamingExactDedup(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -421,6 +429,12 @@ object ApproxQueries {
         |  CAST(s.signup_id AS BIGINT) AS signup_id,
         |  CAST(p.pus - s.sus AS BIGINT) AS latency_us
         |FROM p JOIN s ON p.user_id = s.user_id
-        |  AND s.sus <= p.pus AND s.sus >= p.pus - 3600000000""".stripMargin
+        |  AND s.sus <= p.pus AND s.sus >= p.pus - 3600000000""".stripMargin,
+
+    // batch twin of the first-wins streaming dedup: one row per distinct
+    // content hash, smallest doc_id as the representative
+    "dedup_stream" ->
+      """SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS doc_id
+        |FROM documents GROUP BY 1""".stripMargin
   )
 }
