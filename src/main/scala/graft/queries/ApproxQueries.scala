@@ -20,6 +20,14 @@ object ApproxQueries {
   private def evq(s: SparkSession, dir: String): DataFrame =
     graft.sources.Events.read(s, dir)
 
+  /** Derived-store path tag: sf dir + source-generation fingerprint, so
+    * a regenerated corpus can never hit a stale index store (see
+    * [[graft.sources.ParquetMeta.fingerprint]]) — the trustIndex
+    * serving mode relies on this. */
+  private def storeTag(s: SparkSession, dir: String): String =
+    dir.replaceAll("[^a-zA-Z0-9]", "_") + "-" +
+      graft.sources.ParquetMeta.fingerprint(s, s"$dir/embeddings.parquet")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // partitioned-HNSW approximate kNN (per-bucket sub-index + merge)
     "ann_hnsw_knn" -> ((s, dir) => {
@@ -109,7 +117,7 @@ object ApproxQueries {
     // of a full scan — the reference's core premise surfaced in Catalyst
     "ann_sql_topk" -> ((s, dir) => {
       val basePath = s"$dir/embeddings.parquet"
-      val idxPath = s"/tmp/graft_ann_sql/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val idxPath = s"/tmp/graft_ann_sql/${storeTag(s, dir)}"
       if (!new java.io.File(s"$idxPath/_SUCCESS").exists()) {
         graft.index.AnnIndexStore.build(
           emb(s, dir).select(col("vec_id").cast("long").as("id"),
@@ -140,7 +148,7 @@ object ApproxQueries {
     // injected planner strategy (AnnTopKStrategySpec proves the plans)
     "ann_sql_routed" -> ((s, dir) => {
       import graft.functions.{VectorFunctions => VF}
-      val root = s"/tmp/graft_sql_route/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val root = s"/tmp/graft_sql_route/${storeTag(s, dir)}"
       val basePath = s"$root/base"
       if (!new java.io.File(s"$basePath/_SUCCESS").exists())
         graft.SparkEntry.vecBase(s, dir).write.mode("overwrite").parquet(basePath)

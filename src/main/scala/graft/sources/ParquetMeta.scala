@@ -45,4 +45,39 @@ object ParquetMeta {
       finally reader.close()
     }.sum
   }
+
+  /** Cheap generation fingerprint of a source dataset: FNV hash of every
+    * data file's (name, length, mtime). Derived stores (index tables,
+    * clustered layouts) embed this in their path, so a REGENERATED
+    * source corpus can never be served from a stale derived store — the
+    * `_SUCCESS`-exists build guard alone would happily reuse an index
+    * built from the previous corpus generation (and the
+    * spark.graft.ann.trustIndex serving mode would then skip the
+    * staleness check that used to catch it). No Spark job, no footer
+    * read — one directory listing. */
+  def fingerprint(spark: SparkSession, path: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val stats: Seq[(String, Long, Long)] =
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, true)
+        val acc = Seq.newBuilder[(String, Long, Long)]
+        while (it.hasNext) {
+          val s = it.next()
+          val n = s.getPath.getName
+          if (s.isFile && !n.startsWith("_") && !n.startsWith("."))
+            acc += ((n, s.getLen, s.getModificationTime))
+        }
+        acc.result().sortBy(_._1)
+      } else {
+        val s = fs.getFileStatus(p)
+        Seq((s.getPath.getName, s.getLen, s.getModificationTime))
+      }
+    var h = 1469598103934665603L // FNV-1a offset basis
+    stats.foreach { case (n, len, mt) =>
+      s"$n:$len:$mt|".foreach { c => h = (h ^ c) * 1099511628211L }
+    }
+    java.lang.Long.toHexString(h)
+  }
 }

@@ -55,4 +55,16 @@ class ParquetMetaSpec extends SparkSpec {
       .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
     assert(ParquetMeta.rowCount(spark, part.getAbsolutePath) === 77L)
   }
+
+  test("fingerprint is stable for an unchanged dataset, changes on rewrite") {
+    import spark.implicits._
+    val dir = tmpDir("pqmeta_fp")
+    (1L to 100L).toDF("id").write.mode("overwrite").parquet(dir)
+    val a = ParquetMeta.fingerprint(spark, dir)
+    assert(a == ParquetMeta.fingerprint(spark, dir))
+    Thread.sleep(1100) // mtime granularity can be a full second
+    (1L to 100L).toDF("id").write.mode("overwrite").parquet(dir)
+    assert(a != ParquetMeta.fingerprint(spark, dir),
+      "regenerated dataset must fingerprint differently")
+  }
 }
