@@ -37,4 +37,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dev A/B knob for the executor-resident graph cache (bytes budget)
+  s"-Dgraft.hnsw.cacheBytes=${sys.env.getOrElse("GRAFT_HNSW_CACHE_BYTES", (1L << 30).toString)}",
 )

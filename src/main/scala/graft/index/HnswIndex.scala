@@ -857,23 +857,45 @@ object HnswIndex {
   // sub-index holds ~150 MB of vectors+codes+adjacency, and an executor
   // heap has room for a handful of those, not 64.
 
-  private val MaxCachedBytes: Long =
-    java.lang.Long.getLong("graft.hnsw.cacheBytes", 1L << 30)
-  private var cachedBytes = 0L
+  // The HIT path must be lock-free: 32 executor threads hammer the cache
+  // once per (list row × chunk), and an A/B at the 2M contest point showed
+  // a synchronized-LRU variant LOSING to no-cache from lock contention
+  // alone. ConcurrentHashMap get + a volatile access tick; eviction (rare:
+  // only when an insert crosses the byte budget) takes a lock and scans
+  // for the stalest ticks — O(entries), entries is at most a few hundred.
+  // Default budget adapts to the executor heap (1/8th, clamped to
+  // [64 MB, 1 GiB]): the cache is a SERVING-latency device — one big
+  // graph resident beats a 2.2 s reload per SQL statement — not a batch
+  // throughput device (an A/B at the 2M contest point measured chunked
+  // batch search indifferent to it; ~8 MB list graphs deserialize
+  // faster than the walks they serve), so it must never crowd a small
+  // executor heap to chase wins that aren't there.
+  private val MaxCachedBytes: Long = {
+    val dflt = math.max(64L << 20,
+      math.min(1L << 30, Runtime.getRuntime.maxMemory() / 8))
+    java.lang.Long.getLong("graft.hnsw.cacheBytes", dflt)
+  }
+  private final class Entry(val idx: HnswIndex, val bytes: Long) {
+    @volatile var tick: Long = 0L
+  }
   private val cache =
-    new java.util.LinkedHashMap[(Long, Int), HnswIndex](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Long, Int), HnswIndex]): Boolean = {
-        // evict manually so cachedBytes stays consistent (may remove >1)
-        false
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), Entry]
+  private val clock = new java.util.concurrent.atomic.AtomicLong()
+  private val cachedBytes = new java.util.concurrent.atomic.AtomicLong()
+
+  private def evictOver(): Unit = cache.synchronized {
+    while (cachedBytes.get() > MaxCachedBytes && cache.size() > 1) {
+      var worstK: (Long, Int) = null
+      var worst = Long.MaxValue
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        val t = en.getValue.tick
+        if (t < worst) { worst = t; worstK = en.getKey }
       }
-    }
-  private def evictOver(): Unit = {
-    val it = cache.entrySet().iterator()
-    while (cachedBytes > MaxCachedBytes && cache.size() > 1 && it.hasNext) {
-      val e = it.next()
-      cachedBytes -= e.getValue.approxRetainedBytes
-      it.remove()
+      if (worstK == null) return
+      val removed = cache.remove(worstK)
+      if (removed != null) cachedBytes.addAndGet(-removed.bytes)
     }
   }
 
@@ -892,26 +914,31 @@ object HnswIndex {
   }
 
   /** [[fromBytes]] through the bounded per-JVM cache — use on serving
-    * paths where the same stored graph answers many queries. */
+    * paths where the same stored graph answers many queries. A budget
+    * of 0 (or negative) bypasses the cache entirely. */
   def fromBytesCached(bytes: Array[Byte]): HnswIndex = {
+    if (MaxCachedBytes <= 0) return fromBytes(bytes)
     val key = (fingerprint(bytes), bytes.length)
-    cache.synchronized {
-      val hit = cache.get(key)
-      if (hit != null) return hit
+    val hit = cache.get(key)
+    if (hit != null) {
+      hit.tick = clock.incrementAndGet()
+      return hit.idx
     }
-    val idx = fromBytes(bytes) // deserialize OUTSIDE the lock
-    cache.synchronized {
-      val race = cache.get(key)
-      if (race != null) race
-      else {
-        cache.put(key, idx)
-        cachedBytes += idx.approxRetainedBytes
-        evictOver()
-        idx
-      }
+    val idx = fromBytes(bytes) // deserialize outside any lock
+    val e = new Entry(idx, idx.approxRetainedBytes)
+    val race = cache.putIfAbsent(key, e)
+    if (race != null) {
+      race.tick = clock.incrementAndGet()
+      race.idx
+    } else {
+      e.tick = clock.incrementAndGet()
+      if (cachedBytes.addAndGet(e.bytes) > MaxCachedBytes) evictOver()
+      idx
     }
   }
 
   /** Test hook: drop all cached deserialized graphs. */
-  def clearCache(): Unit = cache.synchronized { cache.clear(); cachedBytes = 0L }
+  def clearCache(): Unit = cache.synchronized {
+    cache.clear(); cachedBytes.set(0L)
+  }
 }

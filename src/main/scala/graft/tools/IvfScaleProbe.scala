@@ -16,8 +16,11 @@ import graft.operators.{AnnJoin, KnnJoin}
   * sample as the main probe, for a side-by-side with its
   * search_type0_hash stage.
   *
-  * Usage: runMain graft.tools.IvfScaleProbe [N] [NQ] [k] [ef] [nlist] [nprobe]
-  * (N, NQ address the ContestScaleProbe cache dir — run it first.)
+  * Usage: runMain graft.tools.IvfScaleProbe [N] [NQ] [k] [ef] [nlist] [nprobe] [chunkRows]
+  * (N, NQ address the ContestScaleProbe cache dir — run it first.
+  * chunkRows < |queries| makes the search multi-job, which is the A/B
+  * surface for the executor-resident graph cache: with the cache each
+  * touched list deserializes once per JVM, without it once per chunk.)
   */
 object IvfScaleProbe {
 
@@ -41,6 +44,7 @@ object IvfScaleProbe {
     val ef = if (args.length > 3) args(3).toInt else 400
     val nlist = if (args.length > 4) args(4).toInt else 128
     val nprobe = if (args.length > 5) args(5).toInt else 8
+    val chunkRows = if (args.length > 6) args(6).toInt else 50000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val root = s"/tmp/graft_contest_scale_c_${n}_$nq"
 
@@ -61,11 +65,11 @@ object IvfScaleProbe {
       AnnIndexStore.buildIvf(base.select(col("id"), col("vec")),
         s"$root/by_ivf", nlist = nlist)
     }
-    if (!exists(s"$root/results_ivf/t0")) timed(s"search_type0_ivf_nprobe$nprobe") {
-      // chunked: driver-side centroid routing per 50k slice, flat heap
+    if (!exists(s"$root/results_ivf/t0")) timed(s"search_type0_ivf_nprobe${nprobe}_chunk$chunkRows") {
+      // chunked: driver-side centroid routing per slice, flat heap
       AnnIndexStore.searchIvfChunked(spark, s"$root/by_ivf",
           queries0.select(col("qid"), col("qvec")), k, ef, nprobe,
-          chunkRows = 50000)
+          chunkRows = chunkRows)
         .write.mode("overwrite").parquet(s"$root/results_ivf/t0")
     }
 
