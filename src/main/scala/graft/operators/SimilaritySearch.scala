@@ -94,6 +94,46 @@ object SimilaritySearch {
     ivfSearch(base, queries, k, picked.map(_.getSeq[Float](1).toArray), nprobe)
   }
 
+  /** Embedding-space cluster assignment for corpus curation (semantic
+    * bucketing, domain mixing, per-cluster sampling): every row gets the
+    * index of its nearest centroid plus the exact squared-L2 to it.
+    * Centroids come from the same hash-seeded deterministic pick as
+    * [[ivfKnnSeeded]] — so the whole assignment (seed pick, tie-breaks,
+    * distance arithmetic) is engine-reproducible and oracle-checkable —
+    * or pass `centroids` trained elsewhere (e.g. [[lloydKMeans]]) for
+    * the quality path. One scan, no shuffle: the centroid matrix is a
+    * folded literal and the assignment is a per-row codegen expression.
+    * (id, vec) → (id, cluster, dist). */
+  def clusterAssign(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, centroids: Array[Array[Float]] = null): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val cents =
+      if (centroids != null) centroids
+      else {
+        val picked = base
+          .withColumn("h",
+            conv(substring(md5(concat(lit("ivfseed:"), col("id").cast("string"))), 1, 15), 16, 10)
+              .cast("long"))
+          .orderBy(col("h"), col("id")).limit(nClusters)
+          .select(col("id"), col("vec"))
+          .collect()
+          .sortBy(_.getLong(0))
+        require(picked.nonEmpty, "clusterAssign: empty input")
+        picked.map(_.getSeq[Float](1).toArray)
+      }
+    val dim = cents(0).length
+    val centsFlat = typedLit(cents.flatten)
+    base
+      .withColumn("cluster",
+        element_at(VF.nearestCentroids(col("vec"), centsFlat, lit(1)), 1).cast("long"))
+      // exact squared-L2 to the assigned centroid: slice the folded
+      // centroid matrix at the assigned row (1-based slice start)
+      .withColumn("dist",
+        VF.l2Sq(col("vec"),
+          slice(centsFlat, (col("cluster") * dim + 1).cast("int"), lit(dim))))
+      .select(col("id"), col("cluster"), col("dist"))
+  }
+
   /** Shared IVF-Flat search body: base rows are assigned to their
     * nearest centroid ("list"), each query probes its `nprobe` nearest
     * lists, candidates are exact-ranked. The only joins are the

@@ -240,7 +240,25 @@ object ApproxQueries {
     // run ≡ this plan's min-id-per-hash semantics
     "dedup_stream" -> ((s, dir) =>
       EventPipeline.streamingExactDedup(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    // embedding-space cluster assignment for corpus curation (semantic
+    // bucketing / domain mixing / per-cluster sampling): one scan, zero
+    // shuffles — the centroid matrix is a folded literal, assignment and
+    // distance are per-row codegen expressions. Deterministic hash-seeded
+    // centroids, so the oracle replays the whole assignment.
+    "cluster_assign" -> ((s, dir) =>
+      SimilaritySearch.clusterAssign(emb(s, dir), "vec_id", "embedding",
+        nClusters = 16)),
+
+    // per-cluster curation profile: sizes + inertia (sum of squared
+    // distance to the assigned centroid — the k-means objective)
+    "cluster_profile" -> ((s, dir) =>
+      SimilaritySearch.clusterAssign(emb(s, dir), "vec_id", "embedding",
+        nClusters = 16)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("dist")), 2).as("inertia")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -443,6 +461,51 @@ object ApproxQueries {
     // content hash, smallest doc_id as the representative
     "dedup_stream" ->
       """SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS doc_id
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // cluster assignment replayed: hash-seeded centroid pick (same seed
+    // formula as ann_ivf_knn), argmin assignment with (dist, cluster)
+    // tie-break, exact sequential-double squared-L2 emitted raw
+    "cluster_assign" ->
+      """WITH b AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS vec FROM embeddings
+        |), picked AS (
+        |  SELECT id, vec FROM b
+        |  ORDER BY CAST(('0x' || substr(md5('ivfseed:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT), id
+        |  LIMIT 16
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, vec AS cvec FROM picked
+        |), a AS (
+        |  SELECT id, cluster, dist, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+        |  FROM (
+        |    SELECT b.id, s.cluster,
+        |      list_sum(list_transform(list_zip(b.vec, s.cvec),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+        |    FROM b CROSS JOIN seeds s
+        |  )
+        |)
+        |SELECT id, CAST(cluster AS BIGINT) AS cluster, dist FROM a WHERE rn = 1""".stripMargin,
+
+    "cluster_profile" ->
+      """WITH b AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS vec FROM embeddings
+        |), picked AS (
+        |  SELECT id, vec FROM b
+        |  ORDER BY CAST(('0x' || substr(md5('ivfseed:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT), id
+        |  LIMIT 16
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, vec AS cvec FROM picked
+        |), a AS (
+        |  SELECT id, cluster, dist, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+        |  FROM (
+        |    SELECT b.id, s.cluster,
+        |      list_sum(list_transform(list_zip(b.vec, s.cvec),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+        |    FROM b CROSS JOIN seeds s
+        |  )
+        |)
+        |SELECT CAST(cluster AS BIGINT) AS cluster, count(*) AS n_vecs,
+        |  round(sum(dist), 2) AS inertia
+        |FROM a WHERE rn = 1 GROUP BY 1""".stripMargin
   )
 }

@@ -67,6 +67,44 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("clusterAssign: argmin assignment matches a driver-side recompute") {
+    val assigned = SimilaritySearch.clusterAssign(
+      clustered.select($"id", $"vec"), "id", "vec", nClusters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // recompute the hash-seeded centroids the same way and brute-force
+    // the argmin on the driver
+    val rows = clustered.select($"id", $"vec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def seedKey(id: Long): Long = {
+      val hex = md.digest(s"ivfseed:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val cents = rows.sortBy(r => (seedKey(r._1), r._1)).take(8)
+      .sortBy(_._1).map(_._2)
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      s
+    }
+    val expect = rows.map { case (id, v) =>
+      val ds = cents.map(l2(v, _))
+      val c = ds.zipWithIndex.minBy { case (d, i) => (d, i) }
+      (id, c._2.toLong, c._1)
+    }.toSeq
+    assert(assigned.sortBy(_._1) == expect.sortBy(_._1))
+    // trained-centroid path: k rows per cluster structure holds
+    val trained = SimilaritySearch.clusterAssign(
+      clustered.select($"id", $"vec"), "id", "vec",
+      centroids = SimilaritySearch.lloydKMeans(rows.map(_._2), 8, 5, seed = 7L))
+      .collect()
+    assert(trained.length == rows.length)
+    assert(trained.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
+  }
+
   test("signatures are deterministic across invocations") {
     val planes = SimilaritySearch.randomPlanes(8, dim, seed = 7L)
     val planes2 = SimilaritySearch.randomPlanes(8, dim, seed = 7L)
