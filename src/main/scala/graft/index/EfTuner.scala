@@ -17,6 +17,26 @@ package graft.index
   */
 object EfTuner {
 
+  /** Tune against a REAL stored sub-index (the reference sweeps the
+    * actual index it will serve from, getquery.cpp — a sub-sampled
+    * rebuild's recall-vs-ef curve can differ). Deterministically picks
+    * the LARGEST bucket of the store (worst-case walk depth; ties by
+    * bucket id), loads it through the serving cache, and runs the
+    * ladder on it. The blob collect is one sub-index — the same
+    * bounded unit every serving task holds in memory. */
+  def tuneStored(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      sample: Array[Array[Float]], k: Int, targetRecall: Double,
+      ladder: Seq[Int] = DefaultLadder): Result = {
+    import org.apache.spark.sql.functions._
+    val row = spark.read.parquet(indexPath)
+      .select(col("bucket"), size(col("ids")).as("n"), col("graph"))
+      .orderBy(desc("n"), col("bucket"))
+      .limit(1).collect()
+    require(row.nonEmpty, s"tuneStored: empty index store at $indexPath")
+    val idx = HnswIndex.fromBytesCached(row(0).getAs[Array[Byte]]("graph"))
+    tune(idx, sample, k, targetRecall, ladder)
+  }
+
   /** One measured rung: achieved mean recall@k at `ef`. */
   final case class Rung(ef: Int, recall: Double)
 

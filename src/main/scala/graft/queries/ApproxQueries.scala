@@ -64,46 +64,37 @@ object ApproxQueries {
 
     // measured-recall ef auto-tune (the reference's offline recall
     // sweep, getquery.cpp/plot.py, as a deterministic function): the
-    // ladder of (ef, recall@10) rungs measured on a query sample, with
-    // the chosen ef flagged. Offline calibration over one sub-index —
-    // the collect is a BOUNDED calibration sample: a deterministic
-    // vec_id stride, sized from the parquet footer count (no job), caps
-    // the driver fetch at ~32k rows however large the base table is.
-    // APPROXIMATION: the ladder is measured on an index built from the
-    // sub-sample with subset-relative ground truth; a sub-sampled
-    // index's recall-vs-ef curve can differ from the full index's (the
-    // reference sweeps the real index, getquery.cpp), so chosenEf is a
-    // calibration estimate, not a guarantee of full-corpus recall.
-    // Tuning on the full table would make calibration cost scale with
-    // data volume (and OOM the driver at 100 TB).
+    // ladder of (ef, recall@10) rungs, with the chosen ef flagged.
+    // Tunes against the REAL stored sub-index the SQL serving path
+    // answers from (largest bucket = worst-case walk) — the reference
+    // sweeps the index it will serve, not a rebuilt sample. The QUERY
+    // sample stays driver-bounded: a deterministic vec_id stride sized
+    // from the parquet footer count (no job), with an ordered-top-N
+    // fallback for sparse/offset id spaces.
     "ann_ef_tune" -> ((s, dir) => {
-      val maxSample = 32768L
+      val idxPath = s"/tmp/graft_ann_sql/${storeTag(s, dir)}"
+      if (!new java.io.File(s"$idxPath/_SUCCESS").exists()) {
+        graft.index.AnnIndexStore.build(
+          emb(s, dir).select(col("vec_id").cast("long").as("id"),
+            col("embedding").as("vec")),
+          idxPath, numBuckets = 4)
+      }
+      val maxSample = 2048L
       val n = graft.sources.ParquetMeta.rowCount(s, s"$dir/embeddings.parquet")
       val stride = math.max(1L, (n + maxSample - 1) / maxSample)
       val strided = emb(s, dir).select(col("vec_id").cast("long"), col("embedding"))
         .filter(col("vec_id") % stride === 0)
         .collect()
-      // sparse or offset id spaces can leave the stride filter far
-      // under target (or empty) — fall back to a deterministic ordered
-      // top-N, which is id-layout-independent and still driver-bounded
       val picked =
         if (strided.length >= 64) strided
         else emb(s, dir).select(col("vec_id").cast("long"), col("embedding"))
           .orderBy(col("vec_id")).limit(maxSample.toInt).collect()
       require(picked.nonEmpty, s"ann_ef_tune: embeddings table at $dir is empty")
-      // sort by vec_id so downstream position-based sampling does not
-      // depend on partition/file enumeration order
-      val rows = picked.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
-      val dim = rows.head._2.length
-      val idx = graft.index.HnswIndex.buildOn(dim, 8, 100,
-        rows.iterator.map(_._2), graft.index.HnswIndex.maxAbsOf(rows.iterator.map(_._2)))
-      // query sample by POSITION in the id-sorted set, not raw id — an
-      // id modulus would silently go empty whenever the stride shares a
-      // factor with it, and the sort above makes position deterministic
-      // across data layouts
-      val sample = rows.zipWithIndex.collect { case ((_, v), i) if i % 23 == 2 => v }
-      val res = graft.index.EfTuner.tune(idx, sample, k = 10,
+      // sort by vec_id so the sample does not depend on partition/file
+      // enumeration order
+      val sample = picked.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).map(_._2)
+      val res = graft.index.EfTuner.tuneStored(s, idxPath, sample, k = 10,
         targetRecall = 0.95, ladder = Seq(16, 32, 64, 128, 256))
       import s.implicits._
       res.rungs.map(r => (r.ef.toLong, r.recall,

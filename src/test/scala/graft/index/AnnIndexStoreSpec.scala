@@ -43,6 +43,16 @@ class AnnIndexStoreSpec extends SparkSpec {
     val rc = AnnIndexStore.searchChunked(spark, dir, queries, k = 10, ef = 128, chunkRows = 4)
     val sc = rc.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(sc == s1)
+    // ef tuning against the REAL stored sub-index (largest bucket):
+    // deterministic, monotone-measured, passes its target on this corpus
+    val qs = Seq.tabulate(25)(_ => vec()).toArray
+    val t1 = EfTuner.tuneStored(spark, dir, qs, k = 10, targetRecall = 0.9,
+      ladder = Seq(16, 48, 128, 256))
+    val t2 = EfTuner.tuneStored(spark, dir, qs, k = 10, targetRecall = 0.9,
+      ladder = Seq(16, 48, 128, 256))
+    assert(t1 == t2)
+    assert(t1.rungs.find(_.ef == t1.chosenEf).exists(_.recall >= 0.9) ||
+      t1.chosenEf == 256)
   }
 
   test("buildBy/searchBy: per-label persisted indexes, predicate by construction") {
