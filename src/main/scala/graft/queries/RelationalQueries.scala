@@ -301,15 +301,33 @@ object RelationalQueries {
     // replicated over 8 salt values, the probe side hashes into one —
     // the classic salted equi-join; the result is identical to the
     // plain join (the oracle runs the unsalted form)
+    // PARTIAL skew salting — the scale-correct form: detect heavy-hitter
+    // join keys (bounded: top-1024 by count over a threshold — at 100 TB
+    // the heavy list must be capped, never |keys|-sized), replicate the
+    // build side ONLY for those keys, plain-join everything else, union.
+    // Naive full-side ×salts explosion replicates the entire dimension
+    // for the benefit of a handful of hot keys. The threshold here is
+    // low enough that the corpus genuinely exercises both branches;
+    // exact semantics either way (oracle = plain join).
     "salted_join_revenue" -> ((s, dir) => {
       val salts = 8
-      val o = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority"))
-        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
       val l = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-        .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_extendedprice")), lit(salts)))
-      l.join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
+      val heavyKeys = l.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 5).orderBy(desc("n"), col("l_orderkey")).limit(1024)
+        .select(col("l_orderkey")).collect().map(_.getLong(0)).toSeq
+      val isHeavy = col("l_orderkey").isin(heavyKeys: _*)
+      val oIsHeavy = col("o_orderkey").isin(heavyKeys: _*)
+      val salted = l.filter(isHeavy)
+        .withColumn("lsalt", pmod(hash(col("l_orderkey"), col("l_extendedprice")), lit(salts)))
+        .join(o.filter(oIsHeavy)
+            .withColumn("osalt", explode(sequence(lit(0), lit(salts - 1)))),
+          col("l_orderkey") === col("o_orderkey") && col("lsalt") === col("osalt"))
+      val plain = l.filter(!isHeavy)
+        .join(o.filter(!oIsHeavy), col("l_orderkey") === col("o_orderkey"))
+      salted.select(col("o_orderpriority"), col("l_extendedprice"), col("l_discount"))
+        .unionByName(plain.select(col("o_orderpriority"), col("l_extendedprice"), col("l_discount")))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
