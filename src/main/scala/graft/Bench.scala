@@ -96,7 +96,12 @@ object Bench {
     val stdoutJson =
       if (fullJson.length <= stdoutBudget) fullJson
       else {
-        val bySlowest = results.toSeq.sortBy(-_._2)
+        // failed queries carry the -1 marker — keep them FIRST under
+        // truncation (a plain slowest-first sort would clip the crash
+        // signal before any healthy timing)
+        val bySlowest = results.toSeq.sortBy { case (_, v) =>
+          (if (v < 0) Double.NegativeInfinity else -v)
+        }
         var n = bySlowest.length
         var line = fullJson
         while (line.length > stdoutBudget && n > 1) {

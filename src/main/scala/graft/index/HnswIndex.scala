@@ -262,7 +262,15 @@ final class HnswIndex(
     }
     val ws = tl.get()
     if (ws.mark == null || ws.mark.length < vecs.length) {
-      ws.mark = new Array[Int](math.max(vecs.length * 2, 1024))
+      // 1.25× headroom for build-time growth (serving instances are
+      // frozen, so this is near-exact there). Footprint note: the mark
+      // array is 4·n bytes PER SEARCHING THREAD per instance and is not
+      // counted by the serving cache's byte budget — at 32 threads on a
+      // 300k-node graph that is ~37 MB of scratch per cached instance,
+      // an order below the graph itself (approxRetainedBytes) but worth
+      // knowing when sizing graft.hnsw.cacheBytes.
+      ws.mark = new Array[Int](
+        math.max(vecs.length + (vecs.length >> 2), 1024))
       ws.gen = 0
     }
     ws.gen += 1
@@ -639,7 +647,7 @@ final class HnswIndex(
     val seen = ws.mark
     val useHops = seeds != null && seeds.length > 0
     if (useHops && (ws.hops == null || ws.hops.length < vecs.length))
-      ws.hops = new Array[Byte](math.max(vecs.length * 2, 1024))
+      ws.hops = new Array[Byte](math.max(vecs.length + (vecs.length >> 2), 1024))
     val hops = ws.hops
     val maxHops: Byte = 2
     val cand = new MinDistHeap(ef + 1)
@@ -899,18 +907,31 @@ object HnswIndex {
     }
   }
 
+  // 16 sampled 64-byte windows spread across the blob + length, mixed
+  // FNV-1a-then-avalanched. Sampled (not full-array) because the HIT
+  // path recomputes the key per call — 1 KB hashed per hit vs scanning
+  // a 146 MB blob. The blob is DEFLATE output: any upstream difference
+  // perturbs the compressed stream from that point on, so 16 windows
+  // across the length + exact length make an accidental collision
+  // (equal length, 1 KB of agreeing samples) vanishingly unlikely;
+  // adversarial blobs are out of scope for a process-local cache.
   private def fingerprint(b: Array[Byte]): Long = {
-    var h = 1125899906842597L // large prime
-    def mix(i: Int): Unit = { h = 31 * h + b(i) }
+    var h = 0xcbf29ce484222325L
+    def mix(i: Int): Unit = { h ^= b(i); h *= 0x100000001b3L }
     val n = b.length
-    var i = 0
-    while (i < math.min(64, n)) { mix(i); i += 1 }
-    i = math.max(0, n / 2 - 32)
-    val mid = math.min(n, n / 2 + 32)
-    while (i < mid) { mix(i); i += 1 }
-    i = math.max(0, n - 64)
-    while (i < n) { mix(i); i += 1 }
-    h
+    val windows = 16
+    var w = 0
+    while (w < windows) {
+      val start = if (windows == 1) 0 else (n.toLong - 64) * w / (windows - 1)
+      var i = math.max(0, start.toInt)
+      val end = math.min(n, i + 64)
+      while (i < end) { mix(i); i += 1 }
+      w += 1
+    }
+    // avalanche (splitmix64 finalizer)
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
   }
 
   /** [[fromBytes]] through the bounded per-JVM cache — use on serving

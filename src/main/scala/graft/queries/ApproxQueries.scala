@@ -115,11 +115,12 @@ object ApproxQueries {
             col("embedding").as("vec")),
           idxPath, numBuckets = 4)
       }
+      // trusted: the store was built THIS run from THIS base
+      // (fingerprinted path), so serving skips the per-query
+      // staleness-validation job — scoped to this basePath only
       org.apache.spark.sql.graft.AnnCatalog.register(
-        basePath, idxPath, idCol = "vec_id", vecCol = "embedding", ef = 200)
-      // the store was built THIS run from THIS base — trusting it skips
-      // the per-query staleness-validation job (serving mode)
-      s.conf.set("spark.graft.ann.trustIndex", "true")
+        basePath, idxPath, idCol = "vec_id", vecCol = "embedding", ef = 200,
+        trusted = true)
       // the 5 smallest matching ids — deterministic, so the DuckDB
       // oracle can reproduce the query set exactly
       val qvs = emb(s, dir).filter(col("vec_id") % 97 === 1)
@@ -152,12 +153,12 @@ object ApproxQueries {
         graft.index.AnnIndexStore.buildBy(
           b.withColumn("decile", floor(col("ts") * 10).cast("long")),
           s"$root/by_decile", "decile", attrCol = Some("ts"))
+      // trusted: stores built this run from this base (see ann_sql_topk)
       org.apache.spark.sql.graft.AnnCatalog.register(basePath, s"$root/by_hash",
         idCol = "id", vecCol = "vec", ef = 200,
         labelIndex = Some(("label", s"$root/by_label")),
-        rangeIndex = Some(("ts", s"$root/by_decile")))
-      // stores built this run from this base — serving mode (see ann_sql_topk)
-      s.conf.set("spark.graft.ann.trustIndex", "true")
+        rangeIndex = Some(("ts", s"$root/by_decile")),
+        trusted = true)
       // min qid per type — deterministic, reproducible by the oracle.
       // The min is computed distributively and joined back so the
       // driver fetches exactly the 4 winning rows, not the query table

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Reader for the `events` table that normalizes `ts` to integer epoch
   * NANOSECONDS regardless of how the corpus generation encoded it:
@@ -26,8 +26,18 @@ object Events {
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => raw
-      case _ => raw.withColumn("ts",
+      case TimestampNTZType => raw.withColumn("ts",
         expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case TimestampType =>
+        // isAdjustedToUTC=true micros (what Spark itself writes for
+        // TimestampType): the value is an instant, so unix_micros is the
+        // epoch directly — session-zone-independent by construction.
+        // The NTZ timestampdiff form above would be WRONG here: the NTZ
+        // literal gets zone-coerced against a TZ operand.
+        raw.withColumn("ts", unix_micros(col("ts")) * 1000)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported encoding $other — extend Events.read")
     }
   }
 }

@@ -59,6 +59,12 @@ object ParquetMeta {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
+    // Key files by their FULL path under the root, not the bare name:
+    // partitioned layouts repeat names (label=0/part-00000, label=1/
+    // part-00000) — a name-only sort leaves equal names in enumeration
+    // order (unstable fingerprints) and makes two same-size files
+    // swapped between partitions indistinguishable.
+    val rootUri = p.toUri.getPath
     val stats: Seq[(String, Long, Long)] =
       if (fs.getFileStatus(p).isDirectory) {
         val it = fs.listFiles(p, true)
@@ -67,7 +73,8 @@ object ParquetMeta {
           val s = it.next()
           val n = s.getPath.getName
           if (s.isFile && !n.startsWith("_") && !n.startsWith("."))
-            acc += ((n, s.getLen, s.getModificationTime))
+            acc += ((s.getPath.toUri.getPath.stripPrefix(rootUri),
+              s.getLen, s.getModificationTime))
         }
         acc.result().sortBy(_._1)
       } else {

@@ -45,7 +45,8 @@ object AnnCatalog {
     * reference's type-1 route — from the matching sub-index alone. */
   case class IndexMeta(indexPath: String, idCol: String, vecCol: String, ef: Int,
       labelIndex: Option[(String, String)] = None,
-      rangeIndex: Option[(String, String)] = None)
+      rangeIndex: Option[(String, String)] = None,
+      trusted: Boolean = false)
 
   private val registry = TrieMap.empty[String, IndexMeta]
 
@@ -61,13 +62,21 @@ object AnnCatalog {
     * (tsCol → decile index path, `buildBy` over `floor(ts·10)` with
     * `attrCol = tsCol`) to also route predicated top-k statements —
     * all four of the reference's query types, from SQL text. */
+  /** `trusted = true` declares the store fresh by contract FOR THIS
+    * basePath only (e.g. it was just built from this exact base):
+    * id-only statements are then answered entirely from the index with
+    * no per-query staleness-validation scan. Scoped per registration —
+    * never a session-wide switch (the global
+    * `spark.graft.ann.trustIndex` conf remains as an operator
+    * override). */
   def register(basePath: String, indexPath: String,
       idCol: String = "id", vecCol: String = "vec", ef: Int = 200,
       labelIndex: Option[(String, String)] = None,
-      rangeIndex: Option[(String, String)] = None): Unit = {
+      rangeIndex: Option[(String, String)] = None,
+      trusted: Boolean = false): Unit = {
     (labelIndex.map(_._2) ++ rangeIndex.map(_._2)).foreach(attrCache.remove)
     registry.put(norm(basePath),
-      IndexMeta(indexPath, idCol, vecCol, ef, labelIndex, rangeIndex))
+      IndexMeta(indexPath, idCol, vecCol, ef, labelIndex, rangeIndex, trusted))
   }
 
   def unregister(basePath: String): Unit = registry.remove(norm(basePath))
@@ -341,7 +350,7 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
         .map(_.toInt).getOrElse(meta.ef)
       val basePath = rootPaths.head.toString
       AnnTopKExec(outer.map(_.toAttribute), slots, annRoute, ef, qvec, k,
-        basePath, meta.idCol, meta.vecCol)
+        basePath, meta.idCol, meta.vecCol, meta.trusted)
     }
   }
 }
@@ -357,7 +366,8 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
   * k rows, not a full scan). */
 case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
     route: AnnTopKExec.AnnRoute, ef: Int, qvec: Array[Float], k: Int,
-    basePath: String, idCol: String, vecCol: String)
+    basePath: String, idCol: String, vecCol: String,
+    trusted: Boolean = false)
     extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -373,20 +383,26 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
     // unrouted plans emit identical bytes whenever the top-k membership
     // matches, with no re-distancing needed here.
     //
-    // Wide outputs fetch the k result rows' columns by id (tiny scan,
-    // id-isin pushed to parquet). The same fetch doubles as the
-    // staleness guard: ids the base no longer holds and null-vec rows —
-    // which the exact plan would sort last — are dropped rather than
-    // emitted (or NPE'd). For id/dist/constant-only projections the
-    // fetch would carry no data, only the guard; a serving deployment
-    // whose store is fresh by contract can skip that validation job with
-    // spark.graft.ann.trustIndex=true and answer entirely from the
-    // index — zero base-table jobs, the reference's serving shape.
-    // Default is the safe guard.
-    val trustIndex =
+    // GUARD mode (the default): the base table is the source of truth.
+    // Fetch the k result rows by id (tiny scan, id-isin pushed to
+    // parquet) INCLUDING the vector, drop ids the base no longer holds
+    // and null-vec rows (which the exact plan would sort last), and
+    // re-distance/re-sort against the CURRENT base vectors — so even a
+    // base row whose vector changed since the index build emits the
+    // distance and rank the unrouted exact plan would.
+    //
+    // TRUST mode (per-registration `trusted=true`, or the session-wide
+    // spark.graft.ann.trustIndex operator override): the store is fresh
+    // by contract, so id/dist/constant-only statements are answered
+    // entirely from the index — zero base-table jobs, the reference's
+    // serving shape. Wide projections still fetch their columns (but
+    // trust the index's distances).
+    val trustIndex = trusted ||
       session.conf.get("spark.graft.ann.trustIndex", "false").toBoolean
     val fetchCols = slotArr.collect { case AnnTopKExec.ColSlot(n) => n }.distinct
     val needFetch = fetchCols.nonEmpty || !trustIndex
+    val fetchAll =
+      if (trustIndex) fetchCols else (fetchCols :+ vecCol).distinct
     val fetched: Map[Long, org.apache.spark.sql.Row] =
       if (ids.isEmpty || !needFetch) Map.empty
       else {
@@ -394,12 +410,12 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
         session.read.parquet(basePath)
           .filter(col(idCol).isin(ids.toIndexedSeq: _*))
           .filter(col(vecCol).isNotNull)
-          .select((col(idCol).cast("long").as("__id") +: fetchCols.toIndexedSeq.map(col)): _*)
+          .select((col(idCol).cast("long").as("__id") +: fetchAll.toIndexedSeq.map(col)): _*)
           .collect()
           .map(r => r.getLong(0) -> r)
           .toMap
       }
-    val colIndex = fetchCols.zipWithIndex.toMap
+    val colIndex = fetchAll.zipWithIndex.toMap
     val converters = slotArr.zipWithIndex.map { case (s, i) =>
       s match {
         case AnnTopKExec.ColSlot(_) =>
@@ -407,9 +423,24 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
         case _ => null
       }
     }
+    def baseDist(id: Long): Double = {
+      val v = fetched(id).getSeq[Float](colIndex(vecCol) + 1)
+      val n = math.min(v.length, qvec.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = v(i).toDouble - qvec(i).toDouble
+        s += d * d
+        i += 1
+      }
+      s
+    }
     val outHits =
       if (!needFetch) hits
-      else hits.filter { case (id, _) => fetched.contains(id) }
+      else if (trustIndex) hits.filter { case (id, _) => fetched.contains(id) }
+      else hits
+        .collect { case (id, _) if fetched.contains(id) => (id, baseDist(id)) }
+        .sortBy { case (id, d) => (d, id) }
     val rows = outHits.map { case (id, d) =>
       val row = new GenericInternalRow(slotArr.length)
       var i = 0

@@ -349,9 +349,12 @@ class AnnTopKStrategySpec extends SparkSpec {
     val orig = Seq.tabulate(300)(i => (i.toLong, mk()))
     orig.toDF("id", "vec").write.mode("overwrite").parquet(basePath)
     AnnIndexStore.build(spark.read.parquet(basePath), indexPath, numBuckets = 1)
-    // staleness: id 5 deleted, id 7's vector nulled AFTER the index build
+    // staleness: id 5 deleted, id 7's vector nulled, id 9's vector
+    // REPLACED (by the query vector itself) AFTER the index build
+    val qv = orig.find(_._1 == 5L).get._2
     val amended = orig.collect {
       case (i, _) if i == 7L => (i, null: Array[Float])
+      case (i, _) if i == 9L => (i, qv)
       case (i, v) if i != 5L => (i, v)
     }
     amended.toDF("id", "vec").write.mode("overwrite").parquet(basePath)
@@ -360,12 +363,16 @@ class AnnTopKStrategySpec extends SparkSpec {
       // guard mode (the default) — pin it in case another suite flipped
       // the session into trust-the-index serving mode
       spark.conf.set("spark.graft.ann.trustIndex", "false")
-      val qv = orig.find(_._1 == 5L).get._2
       val got = spark.read.parquet(basePath)
         .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
         .select("id").limit(300).collect().map(_.getLong(0))
       assert(!got.contains(5L) && !got.contains(7L))
       assert(got.nonEmpty)
+      // guard mode re-distances against the CURRENT base vectors: id 9
+      // now equals the query vector, so it must rank first even though
+      // the index's stored snapshot has its old vector
+      assert(got.head == 9L,
+        s"guard mode must rank by current base vectors, got head ${got.head}")
       // trustIndex serving mode skips the validation job and so emits
       // whatever the index holds — stale id 5 included. That is the
       // documented contract of the knob, asserted so a future change
