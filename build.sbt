@@ -37,6 +37,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // dev A/B knob for the executor-resident graph cache (bytes budget)
-  s"-Dgraft.hnsw.cacheBytes=${sys.env.getOrElse("GRAFT_HNSW_CACHE_BYTES", (1L << 30).toString)}",
-)
+) ++
+  // dev A/B knob for the executor-resident graph cache (bytes budget).
+  // Only forwarded when explicitly set: a hardcoded default here would
+  // override the code's heap-adaptive maxMemory/8 clamp and could claim
+  // up to half the heap under a small SPARK_DRIVER_MEM.
+  sys.env.get("GRAFT_HNSW_CACHE_BYTES").map(b => s"-Dgraft.hnsw.cacheBytes=$b").toSeq

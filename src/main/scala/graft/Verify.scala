@@ -23,6 +23,10 @@ object Verify {
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
+      // deliberately Throwable (audited): this is the correctness-harness
+      // isolation boundary — one query dying (even on an Error) must not
+      // zero the other 80+ queries' dumps; the absent parquet surfaces as
+      // that query's err in CORRECTNESS_r{N}.json, nothing is masked.
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, ExprBridge, InnerProduct, L2SquaredDistance, NearestCentroids, VectorNorm}
+import org.apache.spark.sql.graft.{CosineSimilarity, ExprBridge, InnerProduct, L2SquaredDistance, NearestCentroids, SrpBits, VectorNorm}
 
 /** Column-level API over the native Catalyst vector expressions in
   * [[org.apache.spark.sql.graft.VectorExpressions]]. */
@@ -24,11 +24,22 @@ object VectorFunctions {
     ExprBridge.column(NearestCentroids(ExprBridge.expression(vec),
       ExprBridge.expression(centroidsFlat), ExprBridge.expression(k)))
 
-  /** Make `l2_sq`, `vec_dot`, `cosine_sim`, `vec_norm` usable in SQL text. */
+  /** numPlanes-bit signed-random-projection signature of a float vector
+    * (native codegen kernel — see [[org.apache.spark.sql.graft.SrpUtil]]). */
+  def srpBits(vec: Column, numPlanes: Int): Column =
+    ExprBridge.column(SrpBits(ExprBridge.expression(vec), numPlanes))
+
+  /** Make `l2_sq`, `vec_dot`, `cosine_sim`, `vec_norm`, `srp_bits`
+    * usable in SQL text. */
   def register(spark: SparkSession): Unit = {
     ExprBridge.registerFunction(spark, "l2_sq", es => L2SquaredDistance(es(0), es(1)))
     ExprBridge.registerFunction(spark, "vec_dot", es => InnerProduct(es(0), es(1)))
     ExprBridge.registerFunction(spark, "cosine_sim", es => CosineSimilarity(es(0), es(1)))
     ExprBridge.registerFunction(spark, "vec_norm", es => VectorNorm(es(0)))
+    ExprBridge.registerFunction(spark, "srp_bits", es => SrpBits(es(0), es(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"srp_bits numPlanes must be an integer literal, got $other")
+    }))
   }
 }

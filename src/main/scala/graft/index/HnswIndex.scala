@@ -245,19 +245,21 @@ final class HnswIndex(
   // stored graph across concurrent search tasks, so walk scratch lives in
   // a ThreadLocal (the reference pools per-search visited sets the same
   // way). The build path is single-threaded and reuses its thread's slot.
-  private[index] final class WalkScratch {
-    var mark: Array[Int] = _
-    var gen = 0
-    var hops: Array[Byte] = _
-  }
-  @transient private var walkTL: ThreadLocal[WalkScratch] = _
+  // WalkScratch lives in the companion object (no $outer): an inner class
+  // here would make every thread's ThreadLocal value strongly reference
+  // this index, which references the ThreadLocal key — a value-to-key
+  // cycle that keeps ThreadLocalMap entries unexpungeable and pins every
+  // index a long-lived thread ever touched (cache-evicted graphs would
+  // never be freed). With the value outer-free, an unreachable index lets
+  // its key be weakly collected and stale entries expunge normally.
+  @transient private var walkTL: ThreadLocal[HnswIndex.WalkScratch] = _
 
   // a torn init race just makes a thread briefly use a private
   // ThreadLocal instance — still thread-confined, still correct
-  private def walkScratch(): WalkScratch = {
+  private def walkScratch(): HnswIndex.WalkScratch = {
     var tl = walkTL
     if (tl == null) {
-      tl = ThreadLocal.withInitial(() => new WalkScratch)
+      tl = ThreadLocal.withInitial(HnswIndex.newWalkScratch)
       walkTL = tl
     }
     val ws = tl.get()
@@ -799,6 +801,20 @@ final class HnswIndex(
 
 object HnswIndex {
 
+  // generation-stamped visited-set scratch; top-level (outer-free) so a
+  // ThreadLocal value never pins the index that allocated it — see the
+  // leak note at HnswIndex.walkTL.
+  private[index] final class WalkScratch {
+    var mark: Array[Int] = _
+    var gen = 0
+    var hops: Array[Byte] = _
+  }
+
+  // shared supplier: a per-call lambda would capture nothing either, but
+  // naming it makes the no-capture contract explicit and checkable
+  private[index] val newWalkScratch: java.util.function.Supplier[WalkScratch] =
+    () => new WalkScratch
+
   /** Check the in-filter predicate BEFORE the distance on chain-cut
     * neighbors (the reference's edge-ts-first order,
     * searcher.hpp:343-344). Not merely a cost move: dropped neighbors
@@ -883,7 +899,8 @@ object HnswIndex {
       math.min(1L << 30, Runtime.getRuntime.maxMemory() / 8))
     java.lang.Long.getLong("graft.hnsw.cacheBytes", dflt)
   }
-  private final class Entry(val idx: HnswIndex, val bytes: Long) {
+  private final class Entry(val idx: HnswIndex, val bytes: Long,
+      val fullHash: Long) {
     @volatile var tick: Long = 0L
   }
   private val cache =
@@ -907,28 +924,47 @@ object HnswIndex {
     }
   }
 
-  // 16 sampled 64-byte windows spread across the blob + length, mixed
+  // 32 sampled 128-byte windows spread across the blob + length, mixed
   // FNV-1a-then-avalanched. Sampled (not full-array) because the HIT
-  // path recomputes the key per call — 1 KB hashed per hit vs scanning
+  // path recomputes the key per call — 4 KB hashed per hit vs scanning
   // a 146 MB blob. The blob is DEFLATE output: any upstream difference
-  // perturbs the compressed stream from that point on, so 16 windows
+  // perturbs the compressed stream from that point on, so 32 windows
   // across the length + exact length make an accidental collision
-  // (equal length, 1 KB of agreeing samples) vanishingly unlikely;
-  // adversarial blobs are out of scope for a process-local cache.
+  // (equal length, 4 KB of agreeing samples) vanishingly unlikely;
+  // adversarial blobs are out of scope for a process-local cache. For
+  // belt-and-braces deployments, -Dgraft.hnsw.verifyCacheKey=true
+  // additionally checks a full-array hash (computed once per MISS,
+  // stored in the Entry) on every hit, trading ~ms of hashing per hit
+  // for a zero-false-hit guarantee.
   private def fingerprint(b: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     def mix(i: Int): Unit = { h ^= b(i); h *= 0x100000001b3L }
     val n = b.length
-    val windows = 16
+    val win = 128
+    val windows = 32
     var w = 0
     while (w < windows) {
-      val start = if (windows == 1) 0 else (n.toLong - 64) * w / (windows - 1)
+      val start = if (windows == 1) 0 else (n.toLong - win) * w / (windows - 1)
       var i = math.max(0, start.toInt)
-      val end = math.min(n, i + 64)
+      val end = math.min(n, i + win)
       while (i < end) { mix(i); i += 1 }
       w += 1
     }
     // avalanche (splitmix64 finalizer)
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  private val VerifyCacheKey: Boolean =
+    java.lang.Boolean.getBoolean("graft.hnsw.verifyCacheKey")
+
+  // full-pass FNV-1a + avalanche; only on the MISS path (and per-hit
+  // when verifyCacheKey is on)
+  private def fullHash(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= b(i); h *= 0x100000001b3L; i += 1 }
     h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
     h ^= h >>> 27; h *= 0x94d049bb133111ebL
     h ^ (h >>> 31)
@@ -941,12 +977,15 @@ object HnswIndex {
     if (MaxCachedBytes <= 0) return fromBytes(bytes)
     val key = (fingerprint(bytes), bytes.length)
     val hit = cache.get(key)
-    if (hit != null) {
+    if (hit != null && (!VerifyCacheKey || hit.fullHash == fullHash(bytes))) {
       hit.tick = clock.incrementAndGet()
       return hit.idx
     }
+    if (hit != null) { // verified mismatch: evict the colliding entry
+      if (cache.remove(key, hit)) cachedBytes.addAndGet(-hit.bytes)
+    }
     val idx = fromBytes(bytes) // deserialize outside any lock
-    val e = new Entry(idx, idx.approxRetainedBytes)
+    val e = new Entry(idx, idx.approxRetainedBytes, fullHash(bytes))
     val race = cache.putIfAbsent(key, e)
     if (race != null) {
       race.tick = clock.incrementAndGet()

@@ -279,18 +279,15 @@ object SimilaritySearch {
       minCosine: Double, numPlanes: Int = 16, bands: Int = 4): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     require(numPlanes <= 60, "signature must fit a long")
-    val spark = df.sparkSession
-    import spark.implicits._
     val rows = numPlanes / bands
     val mask = (1L << rows) - 1
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    val planes = spark.sparkContext.broadcast(hashPlanes(numPlanes, dim))
-    // signatures in a typed map: sequential double dot per plane — the
-    // exact op order the oracle's list_sum mirror reproduces
-    val sig = df.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, srpBits(planes.value, v)) }
-      .toDF("id", "sig")
+    // signatures via the native srp_bits expression (sequential double
+    // dot per plane — the exact op order the oracle's list_sum mirror
+    // reproduces): stays in whole-stage codegen, no whole-row typed-map
+    // deserialization, no driver-side dim-probe job, no plane broadcast
+    // (the executor derives the deterministic plane table per JVM)
+    val sig = df.select(col(idCol).cast("long").as("id"),
+      VF.srpBits(col(vecCol), numPlanes).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_val", expr(s"shiftright(sig, band * $rows) & $mask"))
@@ -319,20 +316,14 @@ object SimilaritySearch {
   def lshCosineTopK(base: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int = 12): DataFrame = {
     require(numPlanes <= 60, "signature must fit a long")
-    val spark = base.sparkSession
-    import spark.implicits._
-    val dim = base.select(size(col("vec"))).head().getInt(0)
-    val planes = spark.sparkContext.broadcast(hashPlanes(numPlanes, dim))
-    val b = base.select(col("id").cast("long"), col("vec"))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, srpBits(planes.value, v)) }
-      .toDF("id", "vec", "sig")
+    // native srp_bits on both sides: codegen signatures, no typed-map
+    // whole-row deserialization over the base, no dim-probe job
+    val b = base.select(col("id").cast("long").as("id"), col("vec"),
+      VF.srpBits(col("vec"), numPlanes).as("sig"))
     val probes = lit(0L) +: (0 until numPlanes).map(j => lit(1L << j))
     val q = broadcast(
-      queries.select(col("qid").cast("long"), col("qvec"))
-        .as[(Long, Array[Float])]
-        .map { case (qid, v) => (qid, v, srpBits(planes.value, v)) }
-        .toDF("qid", "qvec", "qsig")
+      queries.select(col("qid").cast("long").as("qid"), col("qvec"),
+        VF.srpBits(col("qvec"), numPlanes).as("qsig"))
         .withColumn("probe", explode(array(probes: _*)))
         .withColumn("bucket", expr("qsig ^ probe"))
         .select(col("qid"), col("qvec"), col("bucket")))

@@ -249,8 +249,14 @@ object ApproxQueries {
       SimilaritySearch.clusterAssign(emb(s, dir), "vec_id", "embedding",
         nClusters = 16)
         .groupBy(col("cluster"))
+        // Exact decimal sum of per-row-rounded distances: a double sum is
+        // partition-order dependent and could cross the display-rounding
+        // boundary at scale; per-row dist is bit-identical across engines
+        // (cluster_assign hash-matches it), so rounding each row to 6 dp
+        // and summing as DECIMAL is order-independent and engine-exact.
         .agg(count(lit(1)).as("n_vecs"),
-          round(sum(col("dist")), 2).as("inertia")))
+          round(sum(round(col("dist"), 6).cast("decimal(28,6)")), 2)
+            .cast("double").as("inertia")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -497,7 +503,7 @@ object ApproxQueries {
         |  )
         |)
         |SELECT CAST(cluster AS BIGINT) AS cluster, count(*) AS n_vecs,
-        |  round(sum(dist), 2) AS inertia
+        |  CAST(round(sum(CAST(round(dist, 6) AS DECIMAL(28,6))), 2) AS DOUBLE) AS inertia
         |FROM a WHERE rn = 1 GROUP BY 1""".stripMargin
   )
 }

@@ -26,7 +26,7 @@ object PlanAudit {
       try {
         val df = graft.SparkEntry.queries(name)(spark, dir)
         println(df.queryExecution.executedPlan.toString)
-      } catch { case e: Throwable => println(s"(failed: ${e.getMessage})") }
+      } catch { case scala.util.control.NonFatal(e) => println(s"(failed: ${e.getMessage})") }
     }
     spark.stop()
   }

@@ -96,7 +96,12 @@ object AnnCatalog {
         val df = spark.read.parquet(indexPath)
         if (!df.columns.contains("attr_col")) None
         else Option(df.select("attr_col").head.getString(0))
-      } catch { case _: Throwable => None }
+      } catch {
+        // NonFatal only: an unreadable/absent index table means "no attr
+        // column, use the exact plan", but an OOM/fatal error swallowed
+        // into that fallback would be silently wrong — let it propagate.
+        case scala.util.control.NonFatal(_) => None
+      }
     })
 
   private[graft] def lookup(paths: Seq[org.apache.hadoop.fs.Path]): Option[IndexMeta] =

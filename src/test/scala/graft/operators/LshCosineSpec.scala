@@ -60,6 +60,26 @@ class LshCosineSpec extends SparkSpec {
     assert(exactAnyway == exact)
   }
 
+  test("native srp_bits expression == JVM srpBits reference, both codegen and eval") {
+    val planes = SimilaritySearch.hashPlanes(16, 24)
+    val vecs = Array.fill(200)(Array.fill(24)(rnd.nextFloat() * 2 - 1)) ++
+      Array(Array.fill(24)(0f), Array.fill(24)(1e-30f), Array.fill(24)(-1f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val expected = vecs.zipWithIndex
+      .map { case (v, i) => i.toLong -> SimilaritySearch.srpBits(planes, v) }.toMap
+    // codegen path (expression inside a projection)
+    val got = df.select(col("id"),
+        graft.functions.VectorFunctions.srpBits(col("vec"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // SQL-registered form and interpreted eval agree too
+    graft.functions.VectorFunctions.register(spark)
+    df.createOrReplaceTempView("srp_in")
+    val viaSql = spark.sql("SELECT id, srp_bits(vec, 16) AS sig FROM srp_in")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == expected)
+  }
+
   test("hash planes are deterministic and in [-1, 1)") {
     val p1 = SimilaritySearch.hashPlanes(4, 8)
     val p2 = SimilaritySearch.hashPlanes(4, 8)
