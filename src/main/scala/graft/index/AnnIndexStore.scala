@@ -117,6 +117,42 @@ object AnnIndexStore {
       .select(col("vec")).limit(sampleCap)
       .collect().map(_.getSeq[Float](0).toArray)
     val centroids = graft.operators.SimilaritySearch.lloydKMeans(sample, nlist, 10, seed)
+    writeIvf(base, path, centroids, m, efConstruction, maxRowsPerIndex)
+  }
+
+  /** Seeded-IVF stored index: centroids are the deterministic
+    * md5-ordered row pick of
+    * [[graft.operators.SimilaritySearch.ivfKnnSeeded]] (no Lloyd
+    * iterations), so list membership — and therefore the nprobe-limited
+    * serving candidate set of an [[org.apache.spark.sql.graft.AnnCatalog]]
+    * `ivfIndex` registration — is replayable by a SQL oracle
+    * (`ann_sql_ivf`). [[buildIvf]] (k-means centroids) stays the quality
+    * path; this is the verifiability path with the same storage layout. */
+  def buildIvfSeeded(base: DataFrame, path: String, nlist: Int,
+      m: Int = 16, efConstruction: Int = 200,
+      maxRowsPerIndex: Int = 200000): Unit = {
+    val picked = base
+      .select(col("id").cast("long").as("id"), col("vec"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("ivfseed:"), col("id").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+      .orderBy(col("h"), col("id")).limit(nlist)
+      .select(col("id"), col("vec"))
+      .collect()
+      .sortBy(_.getLong(0))
+    require(picked.nonEmpty, "buildIvfSeeded: empty base table")
+    writeIvf(base, path, picked.map(_.getSeq[Float](1).toArray),
+      m, efConstruction, maxRowsPerIndex)
+  }
+
+  /** Shared IVF tail: persist the centroid table, assign every row to
+    * its nearest centroid (codegen argmin, ties by list index), build
+    * one HNSW per list. */
+  private def writeIvf(base: DataFrame, path: String,
+      centroids: Array[Array[Float]], m: Int, efConstruction: Int,
+      maxRowsPerIndex: Int): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
     centroids.zipWithIndex.map { case (cv, i) => (i, cv) }.toSeq
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")

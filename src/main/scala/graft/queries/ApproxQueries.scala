@@ -135,6 +135,52 @@ object ApproxQueries {
       }.reduce(_.unionByName(_))
     }),
 
+    // SQL ANN through the CENTROID-ROUTED IVF store: the same plain
+    // `ORDER BY l2_sq LIMIT k` statements as ann_sql_topk, but the
+    // registration carries a seeded-IVF index, so the planner's type-0
+    // route reads only the query's nprobe nearest lists instead of
+    // walking every hash bucket (the 100-TB serving shape; IvfScaleProbe
+    // measured 3.3× at the contest point). Seeded centroids make list
+    // membership — and therefore the nprobe-limited candidate set —
+    // exactly replayable by the DuckDB oracle: this is hash-checked
+    // APPROXIMATE serving, not recall-floored.
+    "ann_sql_ivf" -> ((s, dir) => {
+      val basePath = s"$dir/embeddings.parquet"
+      val ivfPath = s"/tmp/graft_ann_ivf_sql/${storeTag(s, dir)}"
+      if (!new java.io.File(s"$ivfPath/lists/_SUCCESS").exists()) {
+        graft.index.AnnIndexStore.buildIvfSeeded(
+          emb(s, dir).select(col("vec_id").cast("long").as("id"),
+            col("embedding").as("vec")),
+          ivfPath, nlist = 16)
+      }
+      // hash store stays the registered non-type-0 fallback path (same
+      // tag ann_sql_topk maintains); the type-0 route prefers the lists
+      val hashPath = s"/tmp/graft_ann_sql/${storeTag(s, dir)}"
+      if (!new java.io.File(s"$hashPath/_SUCCESS").exists()) {
+        graft.index.AnnIndexStore.build(
+          emb(s, dir).select(col("vec_id").cast("long").as("id"),
+            col("embedding").as("vec")),
+          hashPath, numBuckets = 4)
+      }
+      // ef 400: each probed list must be searched exhaustively-grade so
+      // the serving top-k equals the oracle's exact re-rank over the
+      // SAME candidate set (the approximation is WHICH lists, not the
+      // within-list walk)
+      org.apache.spark.sql.graft.AnnCatalog.register(
+        basePath, hashPath, idCol = "vec_id", vecCol = "embedding", ef = 400,
+        trusted = true, ivfIndex = Some(ivfPath), nprobe = 4)
+      val qvs = emb(s, dir).filter(col("vec_id") % 97 === 1)
+        .select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(5)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      qvs.map { case (qid, qv) =>
+        s.read.parquet(basePath)
+          .orderBy(graft.functions.VectorFunctions.l2Sq(col("embedding"), typedLit(qv)),
+            col("vec_id"))
+          .select("vec_id").limit(10)
+          .select(lit(qid).as("qid"), col("vec_id").as("nid"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // the reference's full 4-type query template from PLAIN SQL shapes,
     // every type auto-routed to its persisted index table by the
     // injected planner strategy (AnnTopKStrategySpec proves the plans)
@@ -374,6 +420,51 @@ object ApproxQueries {
         |  FROM j
         |)
         |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 10""".stripMargin,
+
+    // Full replay of the centroid-routed SQL serving path: seed pick →
+    // list assignment (argmin, (dist, list) ties) → the 5 statements'
+    // nprobe=4 probed lists → exact top-10 by (dist, id) over the
+    // probed candidates only. No self-exclusion (the SQL statement has
+    // none). Mirrors ann_ivf_knn's CTEs with ann_sql_topk's query set.
+    "ann_sql_ivf" ->
+      """WITH b AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS vec FROM embeddings
+        |), picked AS (
+        |  SELECT id, vec FROM b
+        |  ORDER BY CAST(('0x' || substr(md5('ivfseed:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT), id
+        |  LIMIT 16
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY id) - 1 AS list, vec AS cvec FROM picked
+        |), assign AS (
+        |  SELECT id, vec, list FROM (
+        |    SELECT b.id, b.vec, s.list,
+        |      row_number() OVER (PARTITION BY b.id ORDER BY
+        |        list_sum(list_transform(list_zip(b.vec, s.cvec),
+        |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |        s.list) AS rn
+        |    FROM b CROSS JOIN seeds s
+        |  ) WHERE rn = 1
+        |), q AS (
+        |  SELECT id AS qid, vec AS qvec FROM b WHERE id % 97 = 1 ORDER BY id LIMIT 5
+        |), probe AS (
+        |  SELECT qid, qvec, list FROM (
+        |    SELECT q.qid, q.qvec, s.list,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        list_sum(list_transform(list_zip(q.qvec, s.cvec),
+        |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |        s.list) AS rn
+        |    FROM q CROSS JOIN seeds s
+        |  ) WHERE rn <= 4
+        |), j AS (
+        |  SELECT p.qid, a.id,
+        |    list_sum(list_transform(list_zip(p.qvec, a.vec),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS dist
+        |  FROM probe p JOIN assign a USING (list)
+        |), r AS (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+        |  FROM j
+        |)
+        |SELECT qid, id AS nid FROM r WHERE rnk <= 10""".stripMargin,
 
     // ANN SQL auto-route vs brute force: the routed plan re-sorts its
     // top-k by the exact double-loop distance, and at sf0.01 scale the

@@ -106,6 +106,64 @@ class AnnTopKStrategySpec extends SparkSpec {
     } finally AnnCatalog.unregister(dirs._1)
   }
 
+  test("ivfIndex registration routes type-0 through centroid-probed lists") {
+    val root = Files.createTempDirectory("graft_anntopk_ivf").toFile
+    root.deleteOnExit()
+    val ivfPath = s"$root/ivf"
+    AnnIndexStore.buildIvfSeeded(spark.read.parquet(dirs._1), ivfPath, nlist = 8,
+      efConstruction = 100)
+    // nprobe = nlist: candidate set is the whole base, so the routed
+    // result must EQUAL the exact plan's (walks are exhaustive-grade)
+    AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec",
+      ef = 600, ivfIndex = Some(ivfPath), nprobe = 8)
+    try {
+      val qv = qvecOf(11L)
+      val df = planOf(qv, 10)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("ivf=") && physical.contains("nprobe=8"),
+        s"expected IvfRoute in:\n$physical")
+      val got = df.collect().map(_.getLong(0)).toSeq
+      val exact = spark.read.parquet(dirs._1)
+        .withColumn("d", VectorFunctions.l2Sq(col("vec"), typedLit(qv)))
+        .orderBy(col("d"), col("id")).select("id").limit(10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == exact, s"got $got vs exact $exact")
+
+      // nprobe < nlist: result must equal the exact top-k over ONLY the
+      // probed lists' members (the oracle's replay semantics)
+      AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec",
+        ef = 600, ivfIndex = Some(ivfPath), nprobe = 2)
+      val df2 = planOf(qv, 10)
+      assert(df2.queryExecution.executedPlan.toString.contains("nprobe=2"))
+      val got2 = df2.collect().map(_.getLong(0)).toSeq
+      val cents = spark.read.parquet(s"$ivfPath/centroids")
+        .select(col("list").cast("int"), col("centroid"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).map(_._2)
+      def nearest(v: Array[Float], np: Int): Seq[Int] =
+        cents.zipWithIndex.map { case (c, li) =>
+          var s = 0.0; var i = 0
+          while (i < dim) { val d = v(i).toDouble - c(i).toDouble; s += d * d; i += 1 }
+          (s, li)
+        }.sortBy(identity).take(np).map(_._2).toSeq
+      val probed = nearest(qv, 2).toSet
+      val expected2 = spark.read.parquet(dirs._1)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .filter { case (_, v) => probed.contains(nearest(v, 1).head) }
+        .map { case (id, v) =>
+          var s = 0.0; var i = 0
+          while (i < dim) { val d = v(i).toDouble - qv(i).toDouble; s += d * d; i += 1 }
+          (s, id)
+        }.sortBy(identity).take(10).map(_._2).toSeq
+      assert(got2 == expected2, s"got $got2 vs expected $expected2")
+
+      // session conf overrides the registered nprobe
+      spark.conf.set("spark.graft.ann.nprobe", "5")
+      try assert(planOf(qv, 10).queryExecution.executedPlan.toString.contains("nprobe=5"))
+      finally spark.conf.unset("spark.graft.ann.nprobe")
+    } finally AnnCatalog.unregister(dirs._1)
+  }
+
   test("label-equality predicate routes to the per-label index (type-1 dispatch)") {
     val root = Files.createTempDirectory("graft_anntopk_lbl").toFile
     root.deleteOnExit()
