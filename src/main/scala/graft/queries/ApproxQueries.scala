@@ -96,6 +96,13 @@ object ApproxQueries {
         .sortBy(_._1).map(_._2)
       val res = graft.index.EfTuner.tuneStored(s, idxPath, sample, k = 10,
         targetRecall = 0.95, ladder = Seq(16, 32, 64, 128, 256))
+      // gate teeth for the one rows-only entry: a tuning regression
+      // (no rung reaching the target — chosenEf falls back to the
+      // ladder max with recall below target) must fail Verify loudly,
+      // not ship a quietly-degraded serving ef
+      val chosenRung = res.rungs.find(_.ef == res.chosenEf).get
+      require(chosenRung.recall >= 0.95,
+        s"ef tune regression: chosen ef ${res.chosenEf} recall ${chosenRung.recall} < 0.95")
       import s.implicits._
       res.rungs.map(r => (r.ef.toLong, r.recall,
           if (r.ef == res.chosenEf) 1L else 0L))

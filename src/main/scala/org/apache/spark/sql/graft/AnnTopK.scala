@@ -93,6 +93,29 @@ object AnnCatalog {
         ivfIndex, nprobe))
   }
 
+  /** Tune-then-serve: measure the recall-optimal ef on the REAL stored
+    * sub-index ([[graft.index.EfTuner.tuneStored]] — the reference's
+    * sweep-then-serve lifecycle, hybrid_graph.h:14-34 consuming
+    * getquery.cpp's offline curves) and register the path with the
+    * chosen rung instead of a hand-picked constant. Returns the tune
+    * result so callers can record the ladder. The serving ef is
+    * `max(chosenEf, k)` — an ef below k cannot return k results. */
+  def registerTuned(spark: SparkSession, basePath: String, indexPath: String,
+      sample: Array[Array[Float]], k: Int, targetRecall: Double,
+      idCol: String = "id", vecCol: String = "vec",
+      ladder: Seq[Int] = graft.index.EfTuner.DefaultLadder,
+      labelIndex: Option[(String, String)] = None,
+      rangeIndex: Option[(String, String)] = None,
+      trusted: Boolean = false,
+      ivfIndex: Option[String] = None,
+      nprobe: Int = 4): graft.index.EfTuner.Result = {
+    val res = graft.index.EfTuner.tuneStored(spark, indexPath, sample, k,
+      targetRecall, ladder)
+    register(basePath, indexPath, idCol, vecCol, math.max(res.chosenEf, k),
+      labelIndex, rangeIndex, trusted, ivfIndex, nprobe)
+    res
+  }
+
   def unregister(basePath: String): Unit = registry.remove(norm(basePath))
 
   def clear(): Unit = { registry.clear(); attrCache.clear() }

@@ -164,6 +164,25 @@ class AnnTopKStrategySpec extends SparkSpec {
     } finally AnnCatalog.unregister(dirs._1)
   }
 
+  test("registerTuned serves with the measured ef, not a hand-picked constant") {
+    val sample = spark.read.parquet(dirs._1).orderBy("id").limit(40)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val res = AnnCatalog.registerTuned(spark, dirs._1, dirs._2,
+      sample, k = 10, targetRecall = 0.9, idCol = "id", vecCol = "vec",
+      ladder = Seq(16, 32, 64, 128))
+    try {
+      // the tune result is a real ladder measurement...
+      val chosenRung = res.rungs.find(_.ef == res.chosenEf).get
+      assert(chosenRung.recall >= 0.9 || res.chosenEf == 128)
+      // ...and the registration consumed it: the planned exec carries
+      // max(chosenEf, k) as its serving ef
+      val physical = planOf(qvecOf(7L), 10).queryExecution.executedPlan.toString
+      val wantEf = math.max(res.chosenEf, 10)
+      assert(physical.contains(s"ef=$wantEf"),
+        s"expected ef=$wantEf (tuned ${res.chosenEf}) in:\n$physical")
+    } finally AnnCatalog.unregister(dirs._1)
+  }
+
   test("label-equality predicate routes to the per-label index (type-1 dispatch)") {
     val root = Files.createTempDirectory("graft_anntopk_lbl").toFile
     root.deleteOnExit()
