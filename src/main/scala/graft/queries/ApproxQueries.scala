@@ -241,15 +241,23 @@ object ApproxQueries {
     "multimodal_features" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
-      // text payloads are never decodable images, so the imageio kernel
-      // deterministically falls back (width/channels = -1, hash stub
-      // features) — exactly what the oracle mirrors; real images take
-      // the javax.imageio path (MultimodalSpec covers it with PNGs)
-      Multimodal.withImageFeatures(media, "media_id", "bytes")
+      // text payloads are never decodable images OR audio, so both real
+      // kernels deterministically fall back (metadata = -1, hash stub
+      // features) — exactly what the oracle mirrors; real payloads take
+      // the javax.imageio / javax.sound.sampled paths (MultimodalSpec
+      // covers them with generated PNGs and WAVs)
+      val img = Multimodal.withImageFeatures(media, "media_id", "bytes")
         .select(col("media_id"), col("n_bytes"),
           col("width").cast("long").as("width"),
           col("channels").cast("long").as("channels"),
           element_at(col("features"), 1).cast("double").as("f0"))
+      val aud = Multimodal.withAudioFeatures(media, "media_id", "bytes")
+        .select(col("media_id"),
+          col("duration_ms").cast("long").as("duration_ms"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("audio_channels"),
+          element_at(col("features"), 2).cast("double").as("f1"))
+      img.join(aud, "media_id")
     }),
 
     // sketch aggregates: HyperLogLog++ approximate distinct per event
@@ -529,7 +537,11 @@ object ApproxQueries {
         |  CAST(length(text) AS BIGINT) AS n_bytes,
         |  CAST(-1 AS BIGINT) AS width,
         |  CAST(-1 AS BIGINT) AS channels,
-        |  CAST(('0x' || substr(md5(text), 1, 2)) AS INT) / 128.0 - 1.0 AS f0
+        |  CAST(('0x' || substr(md5(text), 1, 2)) AS INT) / 128.0 - 1.0 AS f0,
+        |  CAST(-1 AS BIGINT) AS duration_ms,
+        |  CAST(-1 AS BIGINT) AS sample_rate,
+        |  CAST(-1 AS BIGINT) AS audio_channels,
+        |  CAST(('0x' || substr(md5(text), 3, 2)) AS INT) / 128.0 - 1.0 AS f1
         |FROM documents""".stripMargin,
 
     "events_stream_hourly" ->
