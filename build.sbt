@@ -42,4 +42,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Only forwarded when explicitly set: a hardcoded default here would
   // override the code's heap-adaptive maxMemory/8 clamp and could claim
   // up to half the heap under a small SPARK_DRIVER_MEM.
-  sys.env.get("GRAFT_HNSW_CACHE_BYTES").map(b => s"-Dgraft.hnsw.cacheBytes=$b").toSeq
+  sys.env.get("GRAFT_HNSW_CACHE_BYTES").map(b => s"-Dgraft.hnsw.cacheBytes=$b").toSeq ++
+  // extra forked-JVM flags for the scale probes (e.g. the 10M contest
+  // runs need -XX:MaxDirectMemorySize=20g -Djdk.nio.maxCachedBufferSize=
+  // 262144 — BASELINE.md Run B notes); space-separated, optional.
+  sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -1,24 +1,300 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import java.io.{File, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.channels.FileChannel
+import java.nio.file.{Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{HybridKnn, KnnJoin}
+import graft.index.AnnIndexStore
+import graft.operators.{AnnJoin, HybridKnn, KnnJoin, Selectivity}
 import graft.sources.ContestBinaryIO
 
-/** The contest lifecycle end-to-end — the Spark equivalent of the
-  * reference's `hybrid_search` binary (baseline.cpp:27-171): read the
-  * contest binary base + query files, run the routed BatchSearch
-  * composition, write `output.bin`, and score recall against the exact
-  * oracle (the reference's generate_groundtruth + GetKNNRecall,
-  * utils.h:80-253).
+/** The contest lifecycle end-to-end over the contest's own BINARY
+  * formats — the Spark equivalent of the reference's `hybrid_search`
+  * binary (baseline.cpp:27-171): read the binary base + query files,
+  * run the routed BatchSearch, write `output.bin` (io.h:22-33), and
+  * score recall against the exact oracle (generate_groundtruth +
+  * GetKNNRecall, utils.h:80-253).
   *
-  *   sbt "runMain graft.tools.ContestRun [dataPath queryPath outPath k]"
+  * Three modes:
   *
-  * Defaults run the reference's checked-in dummy workload (10k × 100).
+  *   runMain graft.tools.ContestRun [dataPath queryPath outPath k]
+  *     In-process composition on small inputs (defaults: the
+  *     reference's checked-in dummy 10k × 100 workload) — indexes are
+  *     built on the fly inside [[HybridKnn]], like the reference's
+  *     single binary.
+  *
+  *   runMain graft.tools.ContestRun gen N NQ basePath queryPath
+  *     Synthesize contest-format binaries at scale from the shared
+  *     [[ContestCorpus]] (the same rows as ContestScaleProbe's parquet
+  *     corpus). Partitions write disjoint row ranges of the pre-sized
+  *     file via positioned channel writes — single-node parallel; on a
+  *     real cluster each range would be a part-object on shared storage
+  *     concatenated by manifest, same layout.
+  *
+  *   runMain graft.tools.ContestRun scale basePath queryPath outPath [k] [ef]
+  *     The full-scale lifecycle (10M × 1M = the reference's "large"
+  *     operating point, hybrid_graph.cpp:152): binary ingest →
+  *     build-once stored indexes (hash / label / decile, the same
+  *     build the reference does at baseline.cpp:66-96) → routed
+  *     per-type chunked search → `output.bin` in qid order → sampled
+  *     recall@k vs the exact oracle. Stages cache under
+  *     /tmp/graft_contest_bin_* and resume. At 10M run with
+  *     SPARK_DRIVER_MEM=84g GRAFT_JAVA_OPTS="-XX:MaxDirectMemorySize=20g
+  *     -Djdk.nio.maxCachedBufferSize=262144" (BASELINE.md Run B notes).
   */
 object ContestRun {
-  def main(args: Array[String]): Unit = {
+
+  private def heapMb(): Long = {
+    System.gc()
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  private def timed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"STAGE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s (driver heap ${heapMb()} MB)")
+    r
+  }
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("gen") =>
+      val n = args(1).toLong
+      val nq = args(2).toLong
+      genBinaries(n, nq, args(3), args(4))
+    case Some("scale") =>
+      val k = if (args.length > 4) args(4).toInt else 100
+      val ef = if (args.length > 5) args(5).toInt else 400
+      runScale(args(1), args(2), args(3), k, ef)
+    case _ => runSmall(args)
+  }
+
+  // ---------------------------------------------------------------- gen
+
+  /** Rows/flush buffer: 4096 rows ≈ 1.6 MB base / 1.7 MB query. */
+  private val flushRows = 4096
+
+  def genBinaries(n: Long, nq: Long, basePath: String, queryPath: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    timed("gen_base_bin") {
+      writeBinaryParallel(spark, basePath, n, (2 + ContestCorpus.dim) * 4, cpus * 4) {
+        (id, bb) =>
+          val (label, ts, vec) = ContestCorpus.baseRow(id)
+          bb.putFloat(label.toFloat); bb.putFloat(ts.toFloat)
+          var d = 0
+          while (d < vec.length) { bb.putFloat(vec(d)); d += 1 }
+      }
+    }
+    timed("gen_query_bin") {
+      writeBinaryParallel(spark, queryPath, nq, (4 + ContestCorpus.dim) * 4, cpus) {
+        (i, bb) =>
+          val (qtype, v, l, r, qvec) = ContestCorpus.queryRow(i)
+          bb.putFloat(qtype.toFloat); bb.putFloat(v.toFloat)
+          bb.putFloat(l.toFloat); bb.putFloat(r.toFloat)
+          var d = 0
+          while (d < qvec.length) { bb.putFloat(qvec(d)); d += 1 }
+      }
+    }
+    println(s"GEN: $basePath (${new File(basePath).length()} B), " +
+      s"$queryPath (${new File(queryPath).length()} B)")
+    spark.stop()
+  }
+
+  /** Each task fills a contiguous row range of the pre-sized file with
+    * positioned writes — no coordination, no shuffle; ids are ordinals. */
+  private[tools] def writeBinaryParallel(spark: SparkSession, path: String, n: Long,
+      rowBytes: Int, parts: Int)(fill: (Long, ByteBuffer) => Unit): Unit = {
+    require(n <= Int.MaxValue, s"contest header is uint32: n=$n")
+    val raf = new RandomAccessFile(path, "rw")
+    try {
+      raf.setLength(4L + n * rowBytes)
+      val hb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      hb.putInt(n.toInt)
+      raf.seek(0); raf.write(hb.array())
+    } finally raf.close()
+    val rows = spark.range(0, n, 1, parts).rdd.mapPartitions { it =>
+      val ch = FileChannel.open(Paths.get(path), StandardOpenOption.WRITE)
+      try {
+        val buf = ByteBuffer.allocate(rowBytes * flushRows).order(ByteOrder.LITTLE_ENDIAN)
+        var bufStart = -1L // first id currently buffered
+        var count = 0L
+        def flush(): Unit = if (buf.position() > 0) {
+          buf.flip()
+          var pos = 4L + bufStart * rowBytes
+          while (buf.hasRemaining) pos += ch.write(buf, pos)
+          buf.clear()
+          bufStart = -1L
+        }
+        it.foreach { id =>
+          if (bufStart < 0) bufStart = id
+          fill(id, buf)
+          count += 1
+          if (!buf.hasRemaining || buf.position() + rowBytes > buf.capacity()) flush()
+        }
+        flush()
+        Iterator.single(count)
+      } finally ch.close()
+    }.reduce(_ + _)
+    require(rows == n, s"wrote $rows of $n rows")
+  }
+
+  // -------------------------------------------------------------- scale
+
+  def runScale(basePath: String, queryPath: String, outPath: String,
+      k: Int, ef: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "4g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val root = "/tmp/graft_contest_bin_" +
+      s"${new File(basePath).getName.replace('.', '_')}_${new File(basePath).length()}"
+    def exists(p: String) = new File(s"$p/_SUCCESS").exists()
+
+    // ---- binary ingest: parse once, materialize columnar (the
+    // reference's load-to-RAM step, baseline.cpp:45-52; every build and
+    // the exact oracle then scan parquet instead of re-parsing rows) ----
+    if (!exists(s"$root/base")) timed("ingest_binary_base") {
+      ContestBinaryIO.readBase(spark, basePath, ContestCorpus.dim, cpus * 4)
+        .write.mode("overwrite").parquet(s"$root/base")
+    }
+    if (!exists(s"$root/queries")) timed("ingest_binary_queries") {
+      ContestBinaryIO.readQueries(spark, queryPath, ContestCorpus.dim, cpus)
+        .write.mode("overwrite").parquet(s"$root/queries")
+    }
+    val base = spark.read.parquet(s"$root/base")
+    val queries = spark.read.parquet(s"$root/queries")
+    println(s"INGESTED: base=${base.count()} queries=${queries.count()}")
+
+    // ---- build-once stored indexes (baseline.cpp:66-96) ----
+    if (!exists(s"$root/by_hash")) timed("build_by_hash") {
+      AnnIndexStore.build(base.select(col("id"), col("vec")),
+        s"$root/by_hash", numBuckets = cpus)
+    }
+    if (!exists(s"$root/by_label")) timed("build_by_label") {
+      AnnIndexStore.buildBy(base.select(col("id"), col("label"), col("ts"), col("vec")),
+        s"$root/by_label", "label", attrCol = Some("ts"))
+    }
+    if (!exists(s"$root/by_decile")) timed("build_by_decile") {
+      AnnIndexStore.buildBy(
+        base.withColumn("decile", floor(col("ts") * 10).cast("long")),
+        s"$root/by_decile", "decile", attrCol = Some("ts"))
+    }
+
+    // ---- routing stats pass (hybrid_graph.cpp:168-230) ----
+    val routeHist = timed("route_stats_pass") {
+      Selectivity.withRoutes(base, queries)
+        .groupBy("route").agg(count(lit(1)).as("nq"))
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    }
+    println(s"ROUTES: $routeHist")
+
+    // ---- per-type stored-index search, chunk-fed (each stage
+    // resumable; same composition as ContestScaleProbe) ----
+    val resPath = s"$root/results"
+    if (!exists(s"$resPath/t0")) timed("search_type0_hash") {
+      AnnIndexStore.searchChunked(spark, s"$root/by_hash",
+          queries.filter(col("qtype") === 0).select(col("qid"), col("qvec")), k, ef,
+          chunkRows = 50000)
+        .write.mode("overwrite").parquet(s"$resPath/t0")
+    }
+    if (!exists(s"$resPath/t1")) timed("search_type1_label") {
+      AnnIndexStore.searchBy(spark, s"$root/by_label",
+          queries.filter(col("qtype") === 1).select(col("qid"), col("v"), col("qvec")), k, ef)
+        .write.mode("overwrite").parquet(s"$resPath/t1")
+    }
+    if (!exists(s"$resPath/t2")) timed("search_type2_decile") {
+      AnnIndexStore.searchDecileRange(spark, s"$root/by_decile",
+          queries.filter(col("qtype") === 2)
+            .select(col("qid"), col("l"), col("r"), col("qvec")), k, ef)
+        .write.mode("overwrite").parquet(s"$resPath/t2")
+    }
+    if (!exists(s"$resPath/t3")) timed("search_type3_label_range") {
+      AnnIndexStore.searchByRange(spark, s"$root/by_label",
+          queries.filter(col("qtype") === 3)
+            .select(col("qid"), col("v"), col("l"), col("r"), col("qvec")), k, ef)
+        .write.mode("overwrite").parquet(s"$resPath/t3")
+    }
+    val results = spark.read.parquet(s"$resPath/t0")
+      .unionByName(spark.read.parquet(s"$resPath/t1"))
+      .unionByName(spark.read.parquet(s"$resPath/t2"))
+      .unionByName(spark.read.parquet(s"$resPath/t3"))
+
+    // ---- output.bin (io.h:22-33): one k-block of uint32 per query, in
+    // qid order. Neighbor lists are assembled by a partition-local sort
+    // + run grouping (collect_list's ObjectHashAggregate trips its
+    // 128-key/task sort fallback at 1M groups — the measured cliff in
+    // BASELINE.md's 20M dedup decomposition), and every qid is emitted
+    // even with zero matches (writeKnn pads with -1) — a dropped row
+    // would misalign every later block of the flat file. ----
+    timed("write_output_bin") {
+      val nested = results.select(col("qid"), col("rank"), col("nid"))
+        .repartition(cpus * 2, col("qid"))
+        .sortWithinPartitions("qid", "rank")
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          val rows = it.buffered
+          new Iterator[(Long, Seq[Long])] {
+            def hasNext: Boolean = rows.hasNext
+            def next(): (Long, Seq[Long]) = {
+              val qid = rows.head._1
+              val nb = scala.collection.mutable.ArrayBuffer.empty[Long]
+              while (rows.hasNext && rows.head._1 == qid) nb += rows.next()._3
+              (qid, nb.toSeq)
+            }
+          }
+        }
+        .toDF("qid", "neighbors")
+      val allQ = queries.select(col("qid")).join(nested, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("neighbors"), array().cast("array<long>")).as("neighbors"))
+      ContestBinaryIO.writeKnn(allQ, outPath, k)
+    }
+    println(s"OUTPUT: $outPath (${new File(outPath).length()} B)")
+
+    // ---- recall vs the exact oracle on a deterministic sample ----
+    timed("recall_sample") {
+      val sample = queries.filter(col("qid") % 1009 === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSample = sample.count()
+      val exact = KnnJoin.exactFlat(base, sample, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val approx = results.join(broadcast(sample.select("qid")), "qid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val recall = AnnJoin.recallAtK(approx, exact)
+      val perType = sample.select(col("qid"), col("qtype")).collect()
+        .groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (t, rows) =>
+          val idsDf = rows.map(_.getLong(0)).toSeq.toDF("qid")
+          val r = AnnJoin.recallAtK(
+            approx.join(broadcast(idsDf), "qid"),
+            exact.join(broadcast(idsDf), "qid"))
+          f"type$t=$r%.4f(${rows.length})"
+        }.mkString(" ")
+      println(f"RECALL@$k over $nSample queries: $recall%.4f [$perType]")
+      sample.unpersist(); exact.unpersist(); approx.unpersist()
+    }
+    println(s"FINAL driver heap: ${heapMb()} MB")
+    spark.stop()
+  }
+
+  // -------------------------------------------------------------- small
+
+  private def runSmall(args: Array[String]): Unit = {
     val dataPath = if (args.length > 0) args(0) else "/root/reference/dummy-data.bin"
     val queryPath = if (args.length > 1) args(1) else "/root/reference/dummy-queries.bin"
     val outPath = if (args.length > 2) args(2) else "/tmp/graft_contest_output.bin"
@@ -51,13 +327,16 @@ object ContestRun {
     val nested = ann.groupBy("qid").agg(
       expr("transform(array_sort(collect_list(struct(rank, nid))), x -> x.nid)")
         .as("neighbors"))
-    ContestBinaryIO.writeKnn(nested, outPath, k)
+    val allQ = queries.select(col("qid")).join(nested, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("neighbors"), array().cast("array<long>")).as("neighbors"))
+    ContestBinaryIO.writeKnn(allQ, outPath, k)
     println(f"WRITE: $outPath in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     // exact oracle + mean recall@k (GetKNNRecall)
     t0 = System.nanoTime()
     val exact = KnnJoin.exactFlat(base, queries, k)
-    val recall = graft.operators.AnnJoin.recallAtK(ann, exact)
+    val recall = AnnJoin.recallAtK(ann, exact)
     println(f"RECALL@$k vs exact oracle: $recall%.4f (in ${(System.nanoTime() - t0) / 1e9}%.1f s)")
     spark.stop()
   }

@@ -24,8 +24,7 @@ import graft.operators.{AnnJoin, KnnJoin, Selectivity}
   */
 object ContestScaleProbe {
 
-  private val dim = 100
-  private val labels = 100
+  private val labels = ContestCorpus.labels
 
   private def heapMb(): Long = {
     System.gc()
@@ -65,61 +64,26 @@ object ContestScaleProbe {
 
     def exists(p: String) = new java.io.File(s"$p/_SUCCESS").exists()
 
-    // ---- synthesize (deterministic in id; label ~ floor(L·u²) skew:
-    // P(label=0) ≈ 10% of rows — exercises the salted oversized-bucket
-    // path; ts uniform). Vectors are a Gaussian-mixture corpus: 4096
-    // deterministic cluster centers in [0,1]^dim, point = center +
-    // N(0, 0.08²) per coordinate — inter-center distance² ≈ dim/3 ≈ 33
-    // vs intra-cluster ≈ 2·dim·0.08² ≈ 1.3, the separation shape of
-    // real embedding corpora (and of the contest's vectors), where
-    // graph-ANN recall/throughput numbers are meaningful. ----
-    val nClusters = 4096
-    // a function VALUE capturing only locals — a nested def would pull
-    // the (non-serializable) enclosing object into the task closures
-    val dimV = dim
-    val mixtureVec: java.util.Random => Array[Float] = { r =>
-      val c = r.nextInt(nClusters)
-      Array.tabulate(dimV) { d =>
-        // splitmix64-style hash of (cluster, coord) → [0,1) center coord
-        var z = c.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        val center = (((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble).toFloat
-        center + 0.08f * r.nextGaussian().toFloat
-      }
-    }
+    // ---- synthesize (ContestCorpus: skewed labels, mixture vectors —
+    // the shared corpus definition keeps this probe and ContestRun's
+    // binary lifecycle row-for-row twins) ----
     val basePath = s"$root/base"
     val queryPath = s"$root/queries"
     if (!exists(basePath)) timed("synthesize_base") {
       spark.range(0, n, 1, cpus.toInt * 4)
-        .mapPartitions { it =>
-          it.map { id =>
-            val r = new java.util.Random(id * 6364136223846793005L + 1442695040888963407L)
-            val u = r.nextDouble()
-            val label = math.min(labels - 1, (labels * u * u).toInt).toLong
-            val ts = r.nextDouble()
-            (id, label, ts, mixtureVec(r))
-          }
-        }
+        .mapPartitions(_.map { id =>
+          val (label, ts, vec) = ContestCorpus.baseRow(id)
+          (id, label, ts, vec)
+        })
         .toDF("id", "label", "ts", "vec")
         .write.mode("overwrite").parquet(basePath)
     }
     if (!exists(queryPath)) timed("synthesize_queries") {
       spark.range(0, nq, 1, cpus.toInt)
-        .mapPartitions { it =>
-          val widths = Array(0.01, 0.05, 0.1, 0.3)
-          it.map { i =>
-            val r = new java.util.Random(i * -7046029254386353131L + 99991L)
-            val qtype = (i % 4).toInt
-            val u = r.nextDouble()
-            val v = if (qtype == 1 || qtype == 3)
-              math.min(labels - 1, (labels * u * u).toInt).toLong else -1L
-            val w = widths((i % 16 / 4).toInt)
-            val l = if (qtype >= 2) r.nextDouble() * (1.0 - w) else -1.0
-            val rr = if (qtype >= 2) l + w else -1.0
-            (1000000000L + i, qtype, v, l, rr, mixtureVec(r))
-          }
-        }
+        .mapPartitions(_.map { i =>
+          val (qtype, v, l, rr, qvec) = ContestCorpus.queryRow(i)
+          (1000000000L + i, qtype, v, l, rr, qvec)
+        })
         .toDF("qid", "qtype", "v", "l", "r", "qvec")
         .write.mode("overwrite").parquet(queryPath)
     }
