@@ -134,6 +134,92 @@ object SimilaritySearch {
       .select(col("id"), col("cluster"), col("dist"))
   }
 
+  /** Product-quantization ADC kNN with hash-seeded codebooks — the
+    * classic IVF-PQ memory-bandwidth play for embedding corpora at
+    * scale: the base is stored as `m` sub-codes (here `m` ints per row,
+    * m·8 bits) instead of `dim` floats, each query precomputes one
+    * m×ksub distance TABLE, and candidate distances are `m` table
+    * lookups — an asymmetric-distance-computation (ADC) scan that reads
+    * ~50× less per base row than a full-vector pass. Candidates are
+    * then exact-re-ranked from the full vectors, the same two-stage
+    * refine as [[Quantization.refineKnn]] (reference
+    * hybrid_graph.cpp:206-229, :465-494 — PQ replaces SQ8 as the
+    * stage-1 code).
+    *
+    * Every stage is engine-reproducible, so the WHOLE pipeline is
+    * DuckDB-oracle-checkable (like [[ivfKnnSeeded]], unlike a k-means
+    * codebook whose Lloyd rounding no SQL engine replays): codebook =
+    * the `ksub` rows ranked first by md5("pqseed:"++id) sliced into `m`
+    * subspaces; encode = per-subspace argmin (ties by centroid index);
+    * table/ADC arithmetic = sequential double accumulation in subspace
+    * order; both top-k stages ordered by (dist, id).
+    *
+    * Plan shape: one bounded seed collect; encode is a per-row codegen
+    * projection (native NearestCentroids per subspace over folded
+    * literals, no shuffle); stage 1 is broadcast(queries) × (id, codes)
+    * with per-pair cost m element_at lookups; stage 2 re-ranks only
+    * refineK candidates. base: (id, vec); queries: (qid, qvec) →
+    * (qid, rank, nid). */
+  def pqKnnSeeded(base: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, ksub: Int = 16, refineK: Int = 50): DataFrame = {
+    val b = base.select(col("id").cast("long").as("id"), col("vec"))
+    val picked = b
+      .withColumn("h",
+        conv(substring(md5(concat(lit("pqseed:"), col("id").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+      .orderBy(col("h"), col("id")).limit(ksub)
+      .select(col("id"), col("vec"))
+      .collect()
+      .sortBy(_.getLong(0))
+    require(picked.nonEmpty, "pqKnnSeeded: empty base table")
+    val cents = picked.map(_.getSeq[Float](1).toArray) // ksub × dim
+    val dim = cents(0).length
+    require(dim % m == 0, s"pqKnnSeeded: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // per-subspace codebooks as folded flat literals (ksub × sub each)
+    val subCents = Array.tabulate(m)(j =>
+      typedLit(cents.flatMap(_.slice(j * sub, (j + 1) * sub))))
+
+    // encode: codes[j] = argmin over the j-th sub-codebook of the j-th
+    // vector slice (NearestCentroids ties break toward the lower index,
+    // matching the oracle's (dist, c) row_number)
+    def codesOf(vec: Column): Column = array(Array.tabulate(m)(j =>
+      element_at(VF.nearestCentroids(
+        slice(vec, j * sub + 1, sub), subCents(j), lit(1)), 1)): _*)
+    val encoded = b.withColumn("codes", codesOf(col("vec")))
+      .select(col("id"), col("codes"))
+
+    // per-query ADC table: entry j·ksub + c = l2²(qvec_slice_j, cent_c_slice_j)
+    val tableExpr = array((for (j <- 0 until m; c <- 0 until ksub) yield
+      VF.l2Sq(slice(col("qvec"), j * sub + 1, sub),
+        typedLit(cents(c).slice(j * sub, (j + 1) * sub))).cast("double")): _*)
+    val q = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
+      .withColumn("adc_table", tableExpr)
+
+    // stage 1: ADC = m table lookups per (query, code-row) pair,
+    // summed in subspace order; top-refineK by (adc, id)
+    val adcExpr = (0 until m).map(j =>
+      element_at(col("adc_table"),
+        (element_at(col("codes"), j + 1) + lit(j * ksub) + 1).cast("int")))
+      .reduce(_ + _)
+    val cand = broadcast(q.select(col("qid"), col("adc_table"))).crossJoin(encoded)
+      .filter(col("id") =!= col("qid"))
+      .withColumn("adc", adcExpr)
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(refineK, col("adc"), col("id")).as("cands"))
+      .select(col("qid"), explode(col("cands")).as("id"))
+
+    // stage 2: exact re-rank of the candidate set from the full vectors
+    cand
+      .join(broadcast(q.select(col("qid"), col("qvec"))), "qid")
+      .join(b, "id")
+      .withColumn("dist", VF.l2Sq(col("qvec"), col("vec")))
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
+      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
+  }
+
   /** Shared IVF-Flat search body: base rows are assigned to their
     * nearest centroid ("list"), each query probes its `nprobe` nearest
     * lists, candidates are exact-ranked. The only joins are the

@@ -62,6 +62,23 @@ object ApproxQueries {
       SimilaritySearch.ivfKnnSeeded(base, q, k = 10, nlist = 16, nprobe = 4)
     }),
 
+    // product-quantization ADC kNN with hash-seeded codebooks: the base
+    // is scanned as m=4 sub-codes per row (not 64 floats), each query
+    // precomputes one m×ksub distance table, candidates are m table
+    // lookups, then exact re-rank — the IVF-PQ memory-bandwidth shape
+    // for 100-TB embedding stores. Seeded codebooks make every stage
+    // (seed pick, per-subspace argmin encode, table arithmetic, both
+    // top-k orders) DuckDB-replayable — hash-checked APPROXIMATE search,
+    // like ann_ivf_knn; the k-means-codebook quality path stays
+    // recall-floored in SimilaritySearchSpec.
+    "pq_adc_knn" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("vec"))
+      val q = emb(s, dir).filter(col("vec_id") % 71 === 3)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      SimilaritySearch.pqKnnSeeded(base, q, k = 10, m = 4, ksub = 16, refineK = 50)
+    }),
+
     // measured-recall ef auto-tune (the reference's offline recall
     // sweep, getquery.cpp/plot.py, as a deterministic function): the
     // ladder of (ef, recall@10) rungs, with the chosen ef flagged.
@@ -433,6 +450,64 @@ object ApproxQueries {
         |), r AS (
         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
         |  FROM j
+        |)
+        |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 10""".stripMargin,
+
+    // Full replay of the PQ-ADC pipeline, stage by stage: seed pick
+    // (md5 'pqseed:' rank), per-subspace argmin encode ((dist, c)
+    // ties), per-query m×ksub distance table, ADC = ordered list_sum of
+    // the m looked-up entries (mirrors Spark's left-assoc + chain),
+    // top-refineK by (adc, id), exact re-rank by (dist, id). Distances
+    // are sequential double accumulation over the float slices — the
+    // same l2Sq mirror as every kNN oracle.
+    "pq_adc_knn" ->
+      """WITH b AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS vec,
+        |         len(embedding) // 4 AS sub
+        |  FROM embeddings
+        |), picked AS (
+        |  SELECT id, vec FROM b
+        |  ORDER BY CAST(('0x' || substr(md5('pqseed:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT), id
+        |  LIMIT 16
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY id) - 1 AS c, vec AS cvec FROM picked
+        |), js AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS j),
+        |enc AS (
+        |  SELECT id, j, c AS code FROM (
+        |    SELECT b.id, js.j, s.c,
+        |      row_number() OVER (PARTITION BY b.id, js.j ORDER BY
+        |        list_sum(list_transform(
+        |          list_zip(b.vec[js.j*b.sub+1 : (js.j+1)*b.sub], s.cvec[js.j*b.sub+1 : (js.j+1)*b.sub]),
+        |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |        s.c) AS rn
+        |    FROM b CROSS JOIN js CROSS JOIN seeds s
+        |  ) WHERE rn = 1
+        |), q AS (
+        |  SELECT id AS qid, vec AS qvec, sub FROM b WHERE id % 71 = 3
+        |), tab AS (
+        |  SELECT q.qid, js.j, s.c,
+        |    list_sum(list_transform(
+        |      list_zip(q.qvec[js.j*q.sub+1 : (js.j+1)*q.sub], s.cvec[js.j*q.sub+1 : (js.j+1)*q.sub]),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS val
+        |  FROM q CROSS JOIN js CROSS JOIN seeds s
+        |), adc AS (
+        |  SELECT t.qid, e.id, list_sum(list(t.val ORDER BY t.j)) AS adist
+        |  FROM enc e JOIN tab t ON t.j = e.j AND t.c = e.code
+        |  WHERE e.id != t.qid
+        |  GROUP BY t.qid, e.id
+        |), cand AS (
+        |  SELECT qid, id FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rn
+        |    FROM adc
+        |  ) WHERE rn <= 50
+        |), j2 AS (
+        |  SELECT c.qid, c.id,
+        |    list_sum(list_transform(list_zip(q.qvec, b.vec),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+        |  FROM cand c JOIN q ON c.qid = q.qid JOIN b ON c.id = b.id
+        |), r AS (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+        |  FROM j2
         |)
         |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 10""".stripMargin,
 

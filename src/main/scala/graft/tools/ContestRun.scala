@@ -115,6 +115,7 @@ object ContestRun {
   private[tools] def writeBinaryParallel(spark: SparkSession, path: String, n: Long,
       rowBytes: Int, parts: Int)(fill: (Long, ByteBuffer) => Unit): Unit = {
     require(n <= Int.MaxValue, s"contest header is uint32: n=$n")
+    Option(new File(path).getParentFile).foreach(_.mkdirs())
     val raf = new RandomAccessFile(path, "rw")
     try {
       raf.setLength(4L + n * rowBytes)

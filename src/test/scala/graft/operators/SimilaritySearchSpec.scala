@@ -116,6 +116,42 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(sig1 == sig2)
   }
 
+  test("PQ-ADC kNN: deterministic, k rows per query, refine recall >= 0.85") {
+    val l2queries = clustered.filter($"id" < 10)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val a = SimilaritySearch.pqKnnSeeded(clustered, l2queries, k = 10,
+      m = 4, ksub = 16, refineK = 60)
+    val b = SimilaritySearch.pqKnnSeeded(clustered, l2queries, k = 10,
+      m = 4, ksub = 16, refineK = 60)
+    val rowsA = a.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val rowsB = b.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(rowsA.toSeq == rowsB.toSeq, "seeded PQ must be run-deterministic")
+    assert(rowsA.groupBy(_._1).forall(_._2.length == 10))
+    val exact = KnnJoin.exactFlat(
+      clustered.withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
+      l2queries.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
+        .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)), 10)
+      .filter($"nid" =!= $"qid")
+    val recall = AnnJoin.recallAtK(a, exact)
+    assert(recall >= 0.85, s"recall $recall")
+  }
+
+  test("PQ-ADC stage-1 candidates come from codes: wider refineK only improves recall") {
+    val l2queries = clustered.filter($"id" < 6)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val exact = KnnJoin.exactFlat(
+      clustered.withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
+      l2queries.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
+        .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)), 10)
+      .filter($"nid" =!= $"qid")
+    val narrow = AnnJoin.recallAtK(
+      SimilaritySearch.pqKnnSeeded(clustered, l2queries, 10, refineK = 15), exact)
+    val wide = AnnJoin.recallAtK(
+      SimilaritySearch.pqKnnSeeded(clustered, l2queries, 10, refineK = 200), exact)
+    assert(wide >= narrow, s"refine monotonicity: narrow=$narrow wide=$wide")
+    assert(wide >= 0.95, s"near-exhaustive refine should approach exact: $wide")
+  }
+
   test("brute force cosine excludes self and ranks by similarity") {
     val flat = SimilaritySearch.bruteForceCosineTopK(clustered, queries, 5).collect()
     assert(flat.forall(r => r.getLong(2) != r.getLong(0)))
