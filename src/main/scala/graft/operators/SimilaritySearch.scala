@@ -209,9 +209,10 @@ object SimilaritySearch {
       .agg(TopKAggregate.topkIds(refineK, col("adc"), col("id")).as("cands"))
       .select(col("qid"), explode(col("cands")).as("id"))
 
-    // stage 2: exact re-rank of the candidate set from the full vectors
-    cand
-      .join(broadcast(q.select(col("qid"), col("qvec"))), "qid")
+    // stage 2: exact re-rank of the candidate set from the full vectors.
+    // The candidate side (nq × refineK rows) is the broadcast build side
+    // by construction — never the base, whatever its size estimate.
+    broadcast(cand.join(broadcast(q.select(col("qid"), col("qvec"))), "qid"))
       .join(b, "id")
       .withColumn("dist", VF.l2Sq(col("qvec"), col("vec")))
       .groupBy("qid")

@@ -7,10 +7,15 @@ import graft.multimodal.Multimodal
 import graft.operators.{AnnJoin, SimilaritySearch}
 import graft.streaming.EventPipeline
 
-/** Approximate / streaming / multimodal coverage. The ANN, LSH and
-  * multimodal entries are not SQL-expressible — the driver records a
-  * rows-only check; their quality is asserted by recall floors in the
-  * test suite (HnswSpec, SimilaritySearchSpec).
+/** Approximate / streaming / multimodal coverage. Every entry except
+  * `ann_ef_tune` is hash-checked by a DuckDB oracle — including the
+  * approximate ones: deterministic seeding (hash-picked IVF lists and
+  * PQ codebooks, md5-derived LSH planes, exhaustive-grade walks at sf
+  * scale) makes the approximate pipelines exactly replayable in SQL.
+  * `ann_ef_tune` alone is rows-only (a measured-recall ladder no SQL
+  * engine can replay) and instead FAILS loudly if no rung reaches the
+  * recall target; quality floors for the non-seeded quality paths live
+  * in HnswSpec / SimilaritySearchSpec / CategoryAnnSpec.
   */
 object ApproxQueries {
 
