@@ -482,4 +482,89 @@ object Dedup {
       .filter(col("cos") >= minCosine)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
+
+  /** SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then drop every row that has a LOWER-id
+    * in-cluster neighbor with cosine ≥ `minCosine` — the same
+    * keep-the-earliest policy as `dedup_survivors`, restricted to cluster
+    * interiors. (id, cluster, kept ∈ {0,1}).
+    *
+    * Scale shape: the cluster assignment is one scan with a folded
+    * centroid literal (no shuffle — [[SimilaritySearch.clusterAssign]]);
+    * the pair stage self-joins ON the cluster key, so the quadratic is
+    * bounded by Σ sizeᵢ² instead of N² — at 100 TB `nClusters` grows with
+    * N to hold cluster interiors at ~10⁴-10⁵ rows (the paper runs ~100k
+    * clusters at billion-doc scale), and a cluster whose interior outgrows
+    * that bound can route its pair stage through the SRP-banded miner
+    * ([[SimilaritySearch.lshCosineCandidates]]) without changing the drop
+    * rule. Deterministic hash-seeded centroids keep the whole pipeline
+    * engine-reproducible (DuckDB-oracle-checkable). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, minCosine: Double = 0.4): DataFrame = {
+    val assign = SimilaritySearch.clusterAssign(df, idCol, vecCol, nClusters)
+      .select(col("id"), col("cluster"))
+    val v = tracked(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        .withColumn("nrm", VF.norm2(col("vec")))
+        .join(assign, "id")
+        .persist())
+    val drops = v.as("a").join(v.as("b"),
+        col("a.cluster") === col("b.cluster") && (col("a.id") < col("b.id")))
+      .filter(
+        VF.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))
+          >= minCosine)
+      .select(col("b.id").as("id"))
+      .distinct()
+    v.select(col("id"), col("cluster"))
+      .join(drops.withColumn("dropped", lit(1L)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        when(col("dropped").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
+  }
+
+  /** Cross-document duplicated-span statistics — the per-document signal
+    * behind exact-substring training-data dedup (Lee et al. 2022,
+    * arXiv:2107.06499: suffix-array repeated spans; here the
+    * fixed-window approximation of it): for each document, the fraction
+    * of its positional `window`-token shingles that also occur in at
+    * least one OTHER document. (doc_id, n_windows, n_dup, dup_frac).
+    *
+    * Scale shape: one typed flatMap produces per-doc (shingle, count)
+    * rows — multiplicity aggregated INSIDE the row loop, so the shuffle
+    * carries distinct-per-doc shingles only (same volume as the Jaccard
+    * inverted index); document frequency is one hash aggregate over that
+    * index keyed by shingle; the join back is shingle-keyed and AQE
+    * handles hot boilerplate shingles. Nothing is quadratic — at 100 TB
+    * this is two shuffles over the shingle index, each map-side combined. */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // (doc_id, shingle, in-doc multiplicity, total windows in doc)
+    val w = tracked(
+      df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val sh = TF.shinglesJvm(TF.tokenizeJvm(t), window)
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          sh.foreach(s => m.update(s, m.getOrElse(s, 0L) + 1L))
+          m.iterator.map { case (s, c) => (id, s, c, sh.length.toLong) }.toSeq
+        }
+        .toDF("doc_id", "sh", "c", "n")
+        .persist())
+    val dfreq = w.groupBy(col("sh")).agg(count(lit(1)).as("ndocs"))
+    val per = w.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n_windows"),
+        sum(when(col("ndocs") >= 2, col("c")).otherwise(lit(0L))).as("n_dup"))
+    // docs shorter than the window have zero shingles — surface them with
+    // zero counts rather than dropping them from the profile
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(when(coalesce(col("n_windows"), lit(0L)) > 0,
+            coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"))
+          .otherwise(lit(0.0)), 6).as("dup_frac"))
+  }
 }

@@ -64,6 +64,21 @@ object TextQueries {
           Seq("doc_id"), "left_anti")
     }),
 
+    // SemDeDup-style semantic pruning (arXiv:2303.09540): hash-seeded
+    // cluster assignment, then drop every row with a lower-id in-cluster
+    // neighbor at cosine >= 0.4. The oracle replays the full pipeline —
+    // seed pick, argmin assignment, within-cluster cosine, drop rule.
+    "semdedup_prune" -> ((s, dir) =>
+      Dedup.semanticDedup(emb(s, dir), "vec_id", "embedding",
+        nClusters = 16, minCosine = 0.4)),
+
+    // per-document duplicated-span profile (the fixed-window form of
+    // exact-substring dedup, arXiv:2107.06499): fraction of each doc's
+    // positional 3-token windows that occur in >= 2 distinct documents
+    "dup_span_docs" -> ((s, dir) =>
+      Dedup.duplicatedSpanStats(docs(s, dir), "doc_id", "text",
+        window = 3)),
+
     // cluster assignment: connected components over the jaccard >= 0.5
     // pair graph via iterative min-label propagation (O(diameter)
     // rounds); oracle recomputes components with a recursive CTE
@@ -629,6 +644,71 @@ object TextQueries {
         |     * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
         |  FROM cand JOIN e ea ON cand.id_a = ea.id JOIN e eb ON cand.id_b = eb.id
         |) WHERE cos >= 0.4""".stripMargin,
+
+    // Full replay of the SemDeDup pipeline: same seed pick + argmin
+    // assignment as the cluster_assign oracle, same sequential-double
+    // cosine as neardup_cosine, then the lower-id-wins drop rule.
+    "semdedup_prune" ->
+      """WITH b AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS vec FROM embeddings
+        |), picked AS (
+        |  SELECT id, vec FROM b
+        |  ORDER BY CAST(('0x' || substr(md5('ivfseed:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT), id
+        |  LIMIT 16
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, vec AS cvec FROM picked
+        |), a AS (
+        |  SELECT id, cluster, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+        |  FROM (
+        |    SELECT b.id, s.cluster,
+        |      list_sum(list_transform(list_zip(b.vec, s.cvec),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+        |    FROM b CROSS JOIN seeds s
+        |  )
+        |), asg AS (
+        |  SELECT id, cluster FROM a WHERE rn = 1
+        |), v AS (
+        |  SELECT b.id, b.vec, asg.cluster,
+        |    sqrt(list_sum(list_transform(b.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM b JOIN asg ON b.id = asg.id
+        |), drops AS (
+        |  SELECT DISTINCT y.id FROM v x JOIN v y
+        |  ON x.cluster = y.cluster AND x.id < y.id
+        |  WHERE list_sum(list_transform(list_zip(x.vec, y.vec),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (x.nrm * y.nrm) >= 0.4
+        |)
+        |SELECT asg.id, CAST(asg.cluster AS BIGINT) AS cluster,
+        |  CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM asg LEFT JOIN drops d ON asg.id = d.id""".stripMargin,
+
+    // Positional (non-distinct) windows of the shared 3-token shingle
+    // tokenization; cross-doc document frequency over the per-doc
+    // distinct index; dup mass joined back per document.
+    "dup_span_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END) AS sh
+        |  FROM t
+        |), c AS (
+        |  SELECT doc_id, sh, count(*) AS c FROM w GROUP BY 1, 2
+        |), d AS (
+        |  SELECT sh, count(*) AS ndocs FROM c GROUP BY 1
+        |), per AS (
+        |  SELECT c.doc_id, sum(c.c) AS n_windows,
+        |    sum(CASE WHEN d.ndocs >= 2 THEN c.c ELSE 0 END) AS n_dup
+        |  FROM c JOIN d ON c.sh = d.sh GROUP BY 1
+        |)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |  CAST(COALESCE(per.n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup,
+        |  round(CASE WHEN COALESCE(per.n_windows, 0) > 0
+        |    THEN CAST(per.n_dup AS DOUBLE) / per.n_windows ELSE 0.0 END, 6) AS dup_frac
+        |FROM t LEFT JOIN per ON t.doc_id = per.doc_id""".stripMargin,
 
     "dedup_survivors" ->
       s"""WITH $shingleCte,

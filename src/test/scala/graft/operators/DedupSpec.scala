@@ -163,4 +163,56 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
+
+  test("semanticDedup: lower-id in-cluster neighbor above threshold drops the row") {
+    val rnd = new scala.util.Random(7)
+    // 3 tight directional bundles + isolated points; duplicates within a
+    // bundle should collapse to the lowest id once they share a cluster
+    val base = Array(Array(10f, 0f, 0f), Array(0f, 10f, 0f), Array(0f, 0f, 10f))
+    val vecs = (0 until 30).map { i =>
+      val b = base(i % 3)
+      (i.toLong, b.map(x => x + rnd.nextFloat() * 0.1f))
+    }.toDF("id", "vec")
+    val tau = 0.95
+    val got = Dedup.semanticDedup(vecs, "id", "vec", nClusters = 4, minCosine = tau)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == 30 && got.values.forall(v => v._2 == 0L || v._2 == 1L))
+    // reconstruct the expected drop set from the same deterministic
+    // assignment + exact pairwise cosine
+    val asg = SimilaritySearch.clusterAssign(vecs, "id", "vec", nClusters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+             math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val wantDropped = raw.keys.filter(y =>
+      raw.keys.exists(x => x < y && asg(x) == asg(y) && cos(raw(x), raw(y)) >= tau)).toSet
+    assert(wantDropped.nonEmpty, "fixture produced no in-cluster near-dups")
+    val gotDropped = got.collect { case (id, (_, 0L)) => id }.toSet
+    assert(gotDropped == wantDropped, s"got=$gotDropped want=$wantDropped")
+    got.foreach { case (id, (c, _)) => assert(c == asg(id)) }
+    Dedup.releaseCaches()
+  }
+
+  test("duplicatedSpanStats: cross-doc windows count with multiplicity, within-doc repeats don't") {
+    val d = Seq(
+      (0L, "a b c d"),            // windows: "a b c", "b c d"
+      (1L, "a b c x"),            // shares "a b c" with 0 and 4
+      (2L, "z z z z z"),          // "z z z" x3 but single-doc -> no dup
+      (3L, "q w"),                // shorter than the window -> 0 windows
+      (4L, "a b c a b c a b c")   // "a b c" x3 all dup; "b c a"/"c a b" not
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanStats(d, "doc_id", "text", window = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(0L) == ((2L, 1L, 0.5)))
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((3L, 0L, 0.0)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+    assert(got(4L) == ((7L, 3L, 0.428571)))
+    Dedup.releaseCaches()
+  }
 }
