@@ -536,11 +536,16 @@ object Dedup {
     * handles hot boilerplate shingles. Nothing is quadratic — at 100 TB
     * this is two shuffles over the shingle index, each map-side combined. */
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 3): DataFrame = {
+      window: Int = 3, cacheIndex: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // (doc_id, shingle, in-doc multiplicity, total windows in doc)
-    val w = tracked(
+    // (doc_id, shingle, in-doc multiplicity, total windows in doc).
+    // cacheIndex = false recomputes the flatMap for the join probe side
+    // instead of persisting the index — at ≥ tens of millions of docs
+    // the cached index (~N·windows rows) outgrows memory AND local
+    // disk, and one extra tokenization pass is far cheaper than a
+    // multi-hundred-GB MEMORY_AND_DISK spill.
+    val wBase =
       df.select(col(idCol).cast("long"), col(textCol).cast("string"))
         .as[(Long, String)]
         .flatMap { case (id, t) =>
@@ -550,7 +555,7 @@ object Dedup {
           m.iterator.map { case (s, c) => (id, s, c, sh.length.toLong) }.toSeq
         }
         .toDF("doc_id", "sh", "c", "n")
-        .persist())
+    val w = if (cacheIndex) tracked(wBase.persist()) else wBase
     val dfreq = w.groupBy(col("sh")).agg(count(lit(1)).as("ndocs"))
     val per = w.join(dfreq, "sh")
       .groupBy(col("doc_id"))

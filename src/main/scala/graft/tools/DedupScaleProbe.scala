@@ -181,6 +181,29 @@ object DedupScaleProbe {
     }
     println(s"SIMHASH PAIRS: ${spark.read.parquet(shPath).count()} (hamming <= 3)")
 
+    // ---- duplicated-span profile (fixed-window exact-substring
+    // signal). The planted structure gives it ground truth for free:
+    // offsets 0-5 share the group's source token stream (high
+    // dup_frac), 6-19 draw from a disjoint key domain (near-zero).
+    // Above 10M docs the positional index is recomputed rather than
+    // cached (see duplicatedSpanStats.cacheIndex). ----
+    val spanPath = s"$root/span_stats"
+    if (!exists(spanPath)) timed("dup_span_stats") {
+      Dedup.duplicatedSpanStats(docs, "doc_id", "text", window = 3,
+          cacheIndex = n <= 10000000L)
+        .write.mode("overwrite").parquet(spanPath)
+      Dedup.releaseCaches(blocking = true)
+    }
+    timed("span_metrics") {
+      val sp = spark.read.parquet(spanPath)
+      val off = pmod(col("doc_id"), lit(gs.toLong))
+      val r = sp.agg(
+        avg(when(off <= 5, col("dup_frac"))).as("planted"),
+        avg(when(off >= 6, col("dup_frac"))).as("unique"))
+        .collect()(0)
+      println(f"SPAN dup_frac: planted=${r.getDouble(0)}%.4f unique=${r.getDouble(1)}%.4f")
+    }
+
     // ---- components over the LSH pairs (distributed path: the pair
     // set is ~15 per group >> the 2M driver gate) ----
     val compPath = s"$root/components"
