@@ -494,13 +494,16 @@ object Dedup {
     * the pair stage self-joins ON the cluster key, so the quadratic is
     * bounded by Σ sizeᵢ² instead of N² — at 100 TB `nClusters` grows with
     * N to hold cluster interiors at ~10⁴-10⁵ rows (the paper runs ~100k
-    * clusters at billion-doc scale), and a cluster whose interior outgrows
-    * that bound can route its pair stage through the SRP-banded miner
-    * ([[SimilaritySearch.lshCosineCandidates]]) without changing the drop
-    * rule. Deterministic hash-seeded centroids keep the whole pipeline
-    * engine-reproducible (DuckDB-oracle-checkable). */
+    * clusters at billion-doc scale); above `lshAbove` rows (opt-in via
+    * `allowApprox`, same contract as [[cosineNearDupPairs]]) the pair
+    * stage routes through the SRP-banded miner keyed inside clusters
+    * ([[SimilaritySearch.lshCosineCandidates]] `withinCol`) without
+    * changing the drop rule. Deterministic hash-seeded centroids keep the
+    * exact path engine-reproducible (DuckDB-oracle-checkable). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      nClusters: Int = 16, minCosine: Double = 0.4): DataFrame = {
+      nClusters: Int = 16, minCosine: Double = 0.4,
+      lshAbove: Long = 200000, allowApprox: Boolean = false,
+      sizeHint: Option[Long] = None): DataFrame = {
     val assign = SimilaritySearch.clusterAssign(df, idCol, vecCol, nClusters)
       .select(col("id"), col("cluster"))
     val v = tracked(
@@ -508,13 +511,25 @@ object Dedup {
         .withColumn("nrm", VF.norm2(col("vec")))
         .join(assign, "id")
         .persist())
-    val drops = v.as("a").join(v.as("b"),
-        col("a.cluster") === col("b.cluster") && (col("a.id") < col("b.id")))
-      .filter(
-        VF.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))
-          >= minCosine)
-      .select(col("b.id").as("id"))
-      .distinct()
+    // Above `lshAbove` rows (opt-in), cluster interiors are too big for
+    // the exact pair join even cluster-bounded; the SRP miner keyed by
+    // (cluster, band, band_val) mines candidates only inside clusters —
+    // the same exact-cosine verify, probabilistic candidate recall.
+    val approx = allowApprox && sizeHint.getOrElse(df.count()) > lshAbove
+    val drops =
+      if (approx)
+        SimilaritySearch.lshCosineCandidates(v, "id", "vec", minCosine,
+            withinCol = Some("cluster"))
+          .select(col("id_b").as("id"))
+          .distinct()
+      else
+        v.as("a").join(v.as("b"),
+            col("a.cluster") === col("b.cluster") && (col("a.id") < col("b.id")))
+          .filter(
+            VF.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))
+              >= minCosine)
+          .select(col("b.id").as("id"))
+          .distinct()
     v.select(col("id"), col("cluster"))
       .join(drops.withColumn("dropped", lit(1L)), Seq("id"), "left")
       .select(col("id"), col("cluster"),

@@ -361,9 +361,17 @@ object SimilaritySearch {
     * Output: (id_a, id_b, cos), id_a < id_b, distinct.
     * Recall is probabilistic in the band parameters (a pair at cos c
     * matches one band of b bits with (1 − θ(c)/π)^b); DedupSpec floors
-    * it at ≥ 0.9 for near-dup-grade pairs. */
+    * it at ≥ 0.9 for near-dup-grade pairs.
+    *
+    * `withinCol` (optional) adds a partition key to every band key:
+    * rows collide only when they agree on that column too — the miner
+    * for partition-scoped dedup (e.g. [[Dedup.semanticDedup]]'s
+    * in-cluster pair stage), where cross-partition pairs are excluded
+    * by definition and keying them out of the join is cheaper than
+    * mining then filtering. */
   def lshCosineCandidates(df: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, numPlanes: Int = 16, bands: Int = 4): DataFrame = {
+      minCosine: Double, numPlanes: Int = 16, bands: Int = 4,
+      withinCol: Option[String] = None): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     require(numPlanes <= 60, "signature must fit a long")
     val rows = numPlanes / bands
@@ -373,14 +381,16 @@ object SimilaritySearch {
     // reproduces): stays in whole-stage codegen, no whole-row typed-map
     // deserialization, no driver-side dim-probe job, no plane broadcast
     // (the executor derives the deterministic plane table per JVM)
-    val sig = df.select(col(idCol).cast("long").as("id"),
-      VF.srpBits(col(vecCol), numPlanes).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+    val keyCols = col(idCol).cast("long").as("id") +:
+      withinCol.map(c => col(c).as("wk")).toSeq
+    val sig = df.select(keyCols :+ VF.srpBits(col(vecCol), numPlanes).as("sig"): _*)
+    val banded = sig.select(col("*") +:
+        Seq(explode(sequence(lit(0), lit(bands - 1))).as("band")): _*)
       .withColumn("band_val", expr(s"shiftright(sig, band * $rows) & $mask"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
-          col("a.id") < col("b.id"))
+    val joinCond = col("a.band") === col("b.band") &&
+      col("a.band_val") === col("b.band_val") && col("a.id") < col("b.id") &&
+      withinCol.map(_ => col("a.wk") === col("b.wk")).getOrElse(lit(true))
+    val cand = banded.as("a").join(banded.as("b"), joinCond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))

@@ -196,6 +196,34 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("semanticDedup approx path: in-cluster SRP mining is sound and catches identical vectors") {
+    val rnd = new scala.util.Random(11)
+    val base = Array(Array(10f, 0f, 0f), Array(0f, 10f, 0f), Array(0f, 0f, 10f))
+    // pairs of EXACT duplicates (same vector twice) plus unique noise:
+    // identical vectors share every SRP band, so the miner must find them
+    val vecs = (0 until 40).map { i =>
+      val v =
+        if (i % 10 < 2) base((i / 10) % 3).map(x => x + (i / 10) * 0.01f) // identical pair per decade
+        else base(i % 3).map(x => x + rnd.nextFloat() * 3f)
+      (i.toLong, v)
+    }.toDF("id", "vec")
+    val tau = 0.9999
+    val exact = Dedup.semanticDedup(vecs, "id", "vec", nClusters = 4, minCosine = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val approx = Dedup.semanticDedup(vecs, "id", "vec", nClusters = 4, minCosine = tau,
+        lshAbove = 1, allowApprox = true, sizeHint = Some(40L))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val exactDropped = exact.collect { case (id, 0L) => id }.toSet
+    val approxDropped = approx.collect { case (id, 0L) => id }.toSet
+    // soundness: the miner verifies with exact cosine, so it can only
+    // MISS pairs, never invent them
+    assert(approxDropped.subsetOf(exactDropped), s"approx=$approxDropped exact=$exactDropped")
+    // identical-direction duplicates have identical signatures -> always mined
+    assert(exactDropped.nonEmpty && approxDropped == exactDropped,
+      s"identical-vector dups must be caught: approx=$approxDropped exact=$exactDropped")
+    Dedup.releaseCaches()
+  }
+
   test("duplicatedSpanStats: cross-doc windows count with multiplicity, within-doc repeats don't") {
     val d = Seq(
       (0L, "a b c d"),            // windows: "a b c", "b c d"
