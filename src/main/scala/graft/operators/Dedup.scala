@@ -504,12 +504,17 @@ object Dedup {
       nClusters: Int = 16, minCosine: Double = 0.4,
       lshAbove: Long = 200000, allowApprox: Boolean = false,
       sizeHint: Option[Long] = None): DataFrame = {
-    val assign = SimilaritySearch.clusterAssign(df, idCol, vecCol, nClusters)
-      .select(col("id"), col("cluster"))
+    // assignment computed INLINE on the base scan (folded centroid
+    // literal + codegen argmin), not joined back from clusterAssign —
+    // an id-keyed join here would shuffle the full vector column twice
+    // at scale for a value that is a pure per-row expression
+    val cents = SimilaritySearch.seededCentroids(df, idCol, vecCol, nClusters)
+    val centsFlat = typedLit(cents.flatten)
     val v = tracked(
       df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
         .withColumn("nrm", VF.norm2(col("vec")))
-        .join(assign, "id")
+        .withColumn("cluster",
+          element_at(VF.nearestCentroids(col("vec"), centsFlat, lit(1)), 1).cast("long"))
         .persist())
     // Above `lshAbove` rows (opt-in), cluster interiors are too big for
     // the exact pair join even cluster-bounded; the SRP miner keyed by

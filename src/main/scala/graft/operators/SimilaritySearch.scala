@@ -104,23 +104,31 @@ object SimilaritySearch {
     * the quality path. One scan, no shuffle: the centroid matrix is a
     * folded literal and the assignment is a per-row codegen expression.
     * (id, vec) → (id, cluster, dist). */
+  /** The deterministic hash-seeded centroid pick behind [[clusterAssign]]
+    * (and [[Dedup.semanticDedup]]): rows ordered by md5("ivfseed:" + id)
+    * take the first `nClusters` slots, re-sorted by id — a bounded
+    * top-k collect, reproducible by any engine with an md5 function. */
+  private[operators] def seededCentroids(df: DataFrame, idCol: String,
+      vecCol: String, nClusters: Int): Array[Array[Float]] = {
+    val picked = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("ivfseed:"), col("id").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+      .orderBy(col("h"), col("id")).limit(nClusters)
+      .select(col("id"), col("vec"))
+      .collect()
+      .sortBy(_.getLong(0))
+    require(picked.nonEmpty, "clusterAssign: empty input")
+    picked.map(_.getSeq[Float](1).toArray)
+  }
+
   def clusterAssign(df: DataFrame, idCol: String, vecCol: String,
       nClusters: Int = 16, centroids: Array[Array[Float]] = null): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val cents =
       if (centroids != null) centroids
-      else {
-        val picked = base
-          .withColumn("h",
-            conv(substring(md5(concat(lit("ivfseed:"), col("id").cast("string"))), 1, 15), 16, 10)
-              .cast("long"))
-          .orderBy(col("h"), col("id")).limit(nClusters)
-          .select(col("id"), col("vec"))
-          .collect()
-          .sortBy(_.getLong(0))
-        require(picked.nonEmpty, "clusterAssign: empty input")
-        picked.map(_.getSeq[Float](1).toArray)
-      }
+      else seededCentroids(df, idCol, vecCol, nClusters)
     val dim = cents(0).length
     val centsFlat = typedLit(cents.flatten)
     base
