@@ -108,7 +108,7 @@ object SimilaritySearch {
     * (and [[Dedup.semanticDedup]]): rows ordered by md5("ivfseed:" + id)
     * take the first `nClusters` slots, re-sorted by id — a bounded
     * top-k collect, reproducible by any engine with an md5 function. */
-  private[operators] def seededCentroids(df: DataFrame, idCol: String,
+  private[graft] def seededCentroids(df: DataFrame, idCol: String,
       vecCol: String, nClusters: Int): Array[Array[Float]] = {
     val picked = df
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))

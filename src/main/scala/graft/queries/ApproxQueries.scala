@@ -317,6 +317,18 @@ object ApproxQueries {
       EventPipeline.streamingExactDedup(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
 
+    // continuous-ingestion SEMANTIC dedup (flatMapGroupsWithState keyed
+    // by cluster, any-earlier-similar drops), run on its batch twin over
+    // embeddings: output = the kept rows of semdedup_prune, which the
+    // oracle replays; EventPipelineSpec proves MemoryStream ≡ this plan
+    "semdedup_stream" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = graft.operators.SimilaritySearch.seededCentroids(
+        e, "vec_id", "embedding", 16)
+      EventPipeline.streamingSemanticDedup(e, "vec_id", "embedding",
+        cents, minCosine = 0.4)
+    }),
+
     // embedding-space cluster assignment for corpus curation (semantic
     // bucketing / domain mixing / per-cluster sampling): one scan, zero
     // shuffles — the centroid matrix is a folded literal, assignment and
@@ -650,6 +662,41 @@ object ApproxQueries {
     "dedup_stream" ->
       """SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS doc_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the semdedup_prune pipeline replayed (seed pick → argmin
+    // assignment → in-cluster cosine → lower-id-wins drops), keeping
+    // only the survivors — the streaming twin's Append-mode output
+    "semdedup_stream" ->
+      """WITH b AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS vec FROM embeddings
+        |), picked AS (
+        |  SELECT id, vec FROM b
+        |  ORDER BY CAST(('0x' || substr(md5('ivfseed:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT), id
+        |  LIMIT 16
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, vec AS cvec FROM picked
+        |), a AS (
+        |  SELECT id, cluster, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+        |  FROM (
+        |    SELECT b.id, s.cluster,
+        |      list_sum(list_transform(list_zip(b.vec, s.cvec),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+        |    FROM b CROSS JOIN seeds s
+        |  )
+        |), asg AS (
+        |  SELECT id, cluster FROM a WHERE rn = 1
+        |), v AS (
+        |  SELECT b.id, b.vec, asg.cluster,
+        |    sqrt(list_sum(list_transform(b.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM b JOIN asg ON b.id = asg.id
+        |), drops AS (
+        |  SELECT DISTINCT y.id FROM v x JOIN v y
+        |  ON x.cluster = y.cluster AND x.id < y.id
+        |  WHERE list_sum(list_transform(list_zip(x.vec, y.vec),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (x.nrm * y.nrm) >= 0.4
+        |)
+        |SELECT asg.id, CAST(asg.cluster AS BIGINT) AS cluster
+        |FROM asg LEFT JOIN drops d ON asg.id = d.id WHERE d.id IS NULL""".stripMargin,
 
     // cluster assignment replayed: hash-seeded centroid pick (same seed
     // formula as ann_ivf_knn), argmin assignment with (dist, cluster)

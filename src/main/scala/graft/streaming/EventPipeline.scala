@@ -88,6 +88,77 @@ object EventPipeline {
       .toDF("text_hash", "doc_id")
   }
 
+  case class SeenVecs(vecs: Array[Array[Float]])
+
+  /** STREAMING semantic dedup — the continuous-ingestion form of
+    * [[graft.operators.Dedup.semanticDedup]]: rows are assigned to the
+    * given (offline-trained) centroids by the same folded-literal
+    * codegen argmin, grouped by cluster, and a row is dropped when its
+    * cosine to ANY earlier-arrived row of its cluster reaches
+    * `minCosine` — earlier rows count whether they were kept or
+    * dropped, the exact drop rule of the batch operator. Within one
+    * micro-batch rows are processed in id order, so with id-ordered
+    * arrival the output is precisely the batch survivor set (kept = 1
+    * rows of `semdedup_prune`; MemoryStream ≡ batch twin asserted in
+    * EventPipelineSpec, and the DuckDB oracle replays the batch run).
+    *
+    * State per cluster is every seen vector — the price of the exact
+    * any-earlier rule under continuous ingestion (the batch path bounds
+    * pair work by banding instead, which has no arrival-order
+    * contract); at dim d that is 4·d bytes per ingested row, so
+    * production deployments bound it upstream (per-cluster TTL or an
+    * SRP-signature state compaction). Centroids are trained offline
+    * ([[graft.operators.SimilaritySearch.seededCentroids]] or
+    * `lloydKMeans`) because a stream cannot run the seed-pick collect.
+    * (id, vec) → (id, cluster) survivors. */
+  def streamingSemanticDedup(rows: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], minCosine: Double): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.functions.{VectorFunctions => VF}
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val centsFlat = typedLit(centroids.flatten)
+    val tau = minCosine
+    rows.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        element_at(VF.nearestCentroids(col(vecCol), centsFlat, lit(1)), 1)
+          .cast("long").as("cluster"))
+      .as[(Long, Array[Float], Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[SeenVecs, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (cluster, it, state) =>
+          val seen = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+          state.getOption.foreach(s => seen ++= s.vecs)
+          val out = Seq.newBuilder[(Long, Long)]
+          it.toArray.sortBy(_._1).foreach { case (id, v, _) =>
+            val dup = seen.exists(b => cosine(v, b) >= tau)
+            seen += v
+            if (!dup) out += ((id, cluster))
+          }
+          state.update(SeenVecs(seen.toArray))
+          out.result().iterator
+      }
+      .toDF("id", "cluster")
+  }
+
+  /** Sequential-double cosine — op-for-op the `vec_dot / (nrm · nrm)`
+    * chain the batch operator filters on (dot over the common prefix,
+    * norms over each full array), so streaming and batch make identical
+    * keep/drop decisions at the threshold. */
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Stream-stream interval join: each purchase paired with every signup
     * of the same user in the preceding hour. Both sides carry watermarks
     * and the join condition is time-bounded — exactly what Spark requires

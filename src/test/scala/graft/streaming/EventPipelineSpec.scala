@@ -77,6 +77,52 @@ class EventPipelineSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming semantic dedup: any-earlier-similar drops match the batch operator across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(3)
+    val base = Array(Array(10f, 0f, 0f), Array(0f, 10f, 0f), Array(0f, 0f, 10f))
+    // identical pair per decade (ids 10d, 10d+1) + noisy uniques
+    val rows: Seq[(Long, Array[Float])] = (0 until 30).map { i =>
+      val v =
+        if (i % 10 < 2) base((i / 10) % 3).map(x => x + (i / 10) * 0.01f)
+        else base(i % 3).map(x => x + rnd.nextFloat() * 3f)
+      (i.toLong, v)
+    }
+    val batchDf = rows.toDF("id", "vec")
+    val cents = graft.operators.SimilaritySearch.seededCentroids(
+      batchDf, "id", "vec", 4)
+    val tau = 0.9999
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = EventPipeline.streamingSemanticDedup(
+        mem.toDF.toDF("id", "vec"), "id", "vec", cents, tau)
+      .writeStream.format("memory").queryName("semdedup_out")
+      .outputMode("append").start()
+    // id-ordered arrival split across micro-batches: the duplicate of a
+    // pair can arrive batches after its original and must still drop
+    mem.addData(rows.take(11): _*)
+    q.processAllAvailable()
+    mem.addData(rows.slice(11, 21): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(21): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("semdedup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // ≡ the batch twin (same function, batch mode)
+    val twin = EventPipeline.streamingSemanticDedup(batchDf, "id", "vec", cents, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // ≡ the batch operator's kept = 1 rows (same centroids by construction)
+    val kept = graft.operators.Dedup.semanticDedup(batchDf, "id", "vec",
+        nClusters = 4, minCosine = tau)
+      .filter($"kept" === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == twin, s"stream=$got batch-twin=$twin")
+    assert(got == kept, s"stream=$got semanticDedup-kept=$kept")
+    // the planted duplicates (higher id of each identical pair) dropped
+    assert(Seq(1L, 11L, 21L).forall(id => !got.contains(id)))
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("stream-stream interval join equals its batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val MinNs = 60L * 1000 * 1000 * 1000
