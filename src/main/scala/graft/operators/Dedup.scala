@@ -520,21 +520,24 @@ object Dedup {
     // the exact pair join even cluster-bounded; the SRP miner keyed by
     // (cluster, band, band_val) mines candidates only inside clusters —
     // the same exact-cosine verify, probabilistic candidate recall.
+    // Both paths are EXISTENTIAL (left-semi, verify folded into the join
+    // condition): the drop rule only asks "is there any lower-id
+    // neighbor ≥ τ", so each probe row early-exits at its first match
+    // and nothing pair-shaped is materialized — in the dense-duplicate
+    // regime this operator exists for, the pair-set form went quadratic
+    // (43 GB shuffle at 2M rows, BASELINE.md).
     val approx = allowApprox && sizeHint.getOrElse(df.count()) > lshAbove
     val drops =
       if (approx)
-        SimilaritySearch.lshCosineCandidates(v, "id", "vec", minCosine,
-            withinCol = Some("cluster"))
-          .select(col("id_b").as("id"))
-          .distinct()
+        SimilaritySearch.lshCosineDropIds(v, "id", "vec", minCosine,
+          withinCol = Some("cluster"))
       else
-        v.as("a").join(v.as("b"),
-            col("a.cluster") === col("b.cluster") && (col("a.id") < col("b.id")))
-          .filter(
-            VF.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))
-              >= minCosine)
-          .select(col("b.id").as("id"))
-          .distinct()
+        v.as("b").join(v.as("a"),
+            col("a.cluster") === col("b.cluster") && (col("a.id") < col("b.id")) &&
+              VF.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))
+                >= minCosine,
+            "left_semi")
+          .select(col("id"))
     v.select(col("id"), col("cluster"))
       .join(drops.withColumn("dropped", lit(1L)), Seq("id"), "left")
       .select(col("id"), col("cluster"),

@@ -382,33 +382,73 @@ object SimilaritySearch {
       withinCol: Option[String] = None): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     require(numPlanes <= 60, "signature must fit a long")
-    val rows = numPlanes / bands
-    val mask = (1L << rows) - 1
     // signatures via the native srp_bits expression (sequential double
     // dot per plane — the exact op order the oracle's list_sum mirror
     // reproduces): stays in whole-stage codegen, no whole-row typed-map
     // deserialization, no driver-side dim-probe job, no plane broadcast
     // (the executor derives the deterministic plane table per JVM)
+    val banded = bandedSig(df, idCol, vecCol, numPlanes, bands, withinCol)
+    val joinCond = bandJoinCond(withinCol)
+    // verify INLINE in the band join: colliding pairs stream through the
+    // cosine filter inside the join stage, and only VERIFIED pairs are
+    // shuffled (for the band-multiplicity distinct). The previous shape
+    // — distinct the raw candidate pair space, then two id-keyed joins
+    // to fetch vectors — shuffled the unverified pair set three times,
+    // which is degenerate whenever band values under-discriminate
+    // (measured: 43 GB of shuffle for 2M in-cluster rows, BASELINE.md
+    // semantic-dedup probe).
+    banded.as("a").join(banded.as("b"), joinCond)
+      .withColumn("cos",
+        VF.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= minCosine)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+      .distinct()
+  }
+
+  /** Banded SRP signature rows: (id[, wk], vec, nrm, band, band_val) —
+    * one row per (input row × band). Shared by the pair miner and the
+    * existential drop miner. */
+  private def bandedSig(df: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, bands: Int, withinCol: Option[String]): DataFrame = {
+    val rows = numPlanes / bands
+    val mask = (1L << rows) - 1
     val keyCols = col(idCol).cast("long").as("id") +:
       withinCol.map(c => col(c).as("wk")).toSeq
-    val sig = df.select(keyCols :+ VF.srpBits(col(vecCol), numPlanes).as("sig"): _*)
-    val banded = sig.select(col("*") +:
-        Seq(explode(sequence(lit(0), lit(bands - 1))).as("band")): _*)
+    df.select(keyCols ++ Seq(col(vecCol).as("vec")): _*)
+      .withColumn("nrm", VF.norm2(col("vec")))
+      .withColumn("sig", VF.srpBits(col("vec"), numPlanes))
+      .select(col("*"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_val", expr(s"shiftright(sig, band * $rows) & $mask"))
-    val joinCond = col("a.band") === col("b.band") &&
+  }
+
+  private def bandJoinCond(withinCol: Option[String]) =
+    col("a.band") === col("b.band") &&
       col("a.band_val") === col("b.band_val") && col("a.id") < col("b.id") &&
       withinCol.map(_ => col("a.wk") === col("b.wk")).getOrElse(lit(true))
-    val cand = banded.as("a").join(banded.as("b"), joinCond)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+
+  /** Existential form of [[lshCosineCandidates]] for drop-rule consumers
+    * ([[Dedup.semanticDedup]]): the ids that have ANY lower-id
+    * band-colliding neighbor (same `withinCol` partition) with exact
+    * cosine ≥ `minCosine`. LEFT SEMI join with the verify folded into
+    * the join condition — each banded probe row early-exits at its first
+    * qualifying match, and nothing pair-shaped is ever materialized or
+    * shuffled: the output is dropped ids only. This matters precisely in
+    * the regime semantic dedup creates (duplicates are DENSE inside
+    * band buckets, so first-match exits fire constantly and the pair
+    * miner's candidate space goes quadratic — BASELINE.md probe). */
+  def lshCosineDropIds(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, numPlanes: Int = 16, bands: Int = 4,
+      withinCol: Option[String] = None): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    require(numPlanes <= 60, "signature must fit a long")
+    val banded = bandedSig(df, idCol, vecCol, numPlanes, bands, withinCol)
+    val cond = bandJoinCond(withinCol) &&
+      VF.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")) >= minCosine
+    // left = the probe side (b: the row that gets dropped); ≤ `bands`
+    // surviving rows per dropped id → the distinct is over dropped ids
+    banded.as("b").join(banded.as("a"), cond, "left_semi")
+      .select(col("id"))
       .distinct()
-    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("nrm", VF.norm2(col("vec")))
-    cand
-      .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")), "id_b")
-      .withColumn("cos", VF.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= minCosine)
-      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** LSH-bucketed approximate cosine top-k: (qid, rank, nid).
