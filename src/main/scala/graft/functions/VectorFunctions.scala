@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, ExprBridge, InnerProduct, L2SquaredDistance, NearestCentroids, SrpBits, VectorNorm}
+import org.apache.spark.sql.graft.{CosineSimilarity, ExprBridge, InnerProduct, L2SquaredDistance, NearestCentroids, PqAdcSum, PqAdcTable, SrpBits, VectorNorm}
 
 /** Column-level API over the native Catalyst vector expressions in
   * [[org.apache.spark.sql.graft.VectorExpressions]]. */
@@ -24,18 +24,33 @@ object VectorFunctions {
     ExprBridge.column(NearestCentroids(ExprBridge.expression(vec),
       ExprBridge.expression(centroidsFlat), ExprBridge.expression(k)))
 
+  /** `m × ksub` PQ asymmetric-distance table for a query vector against
+    * a flattened `ksub × dim` codebook literal (one native loop — the
+    * composed `l2_sq(slice…)` tree blows the 64 KB codegen method limit
+    * at ksub=256). */
+  def pqAdcTable(qvec: Column, codebookFlat: Column, m: Column): Column =
+    ExprBridge.column(PqAdcTable(ExprBridge.expression(qvec),
+      ExprBridge.expression(codebookFlat), ExprBridge.expression(m)))
+
+  /** ADC distance: Σ_j table[j·ksub + codes[j]] in subspace order. */
+  def pqAdcSum(codes: Column, table: Column, ksub: Column): Column =
+    ExprBridge.column(PqAdcSum(ExprBridge.expression(codes),
+      ExprBridge.expression(table), ExprBridge.expression(ksub)))
+
   /** numPlanes-bit signed-random-projection signature of a float vector
     * (native codegen kernel — see [[org.apache.spark.sql.graft.SrpUtil]]). */
   def srpBits(vec: Column, numPlanes: Int): Column =
     ExprBridge.column(SrpBits(ExprBridge.expression(vec), numPlanes))
 
-  /** Make `l2_sq`, `vec_dot`, `cosine_sim`, `vec_norm`, `srp_bits`
-    * usable in SQL text. */
+  /** Make `l2_sq`, `vec_dot`, `cosine_sim`, `vec_norm`, `pq_adc_table`,
+    * `pq_adc_sum`, `srp_bits` usable in SQL text. */
   def register(spark: SparkSession): Unit = {
     ExprBridge.registerFunction(spark, "l2_sq", es => L2SquaredDistance(es(0), es(1)))
     ExprBridge.registerFunction(spark, "vec_dot", es => InnerProduct(es(0), es(1)))
     ExprBridge.registerFunction(spark, "cosine_sim", es => CosineSimilarity(es(0), es(1)))
     ExprBridge.registerFunction(spark, "vec_norm", es => VectorNorm(es(0)))
+    ExprBridge.registerFunction(spark, "pq_adc_table", es => PqAdcTable(es(0), es(1), es(2)))
+    ExprBridge.registerFunction(spark, "pq_adc_sum", es => PqAdcSum(es(0), es(1), es(2)))
     ExprBridge.registerFunction(spark, "srp_bits", es => SrpBits(es(0), es(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(

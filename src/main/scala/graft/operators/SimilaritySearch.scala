@@ -197,19 +197,20 @@ object SimilaritySearch {
     val encoded = b.withColumn("codes", codesOf(col("vec")))
       .select(col("id"), col("codes"))
 
-    // per-query ADC table: entry j·ksub + c = l2²(qvec_slice_j, cent_c_slice_j)
-    val tableExpr = array((for (j <- 0 until m; c <- 0 until ksub) yield
-      VF.l2Sq(slice(col("qvec"), j * sub + 1, sub),
-        typedLit(cents(c).slice(j * sub, (j + 1) * sub))).cast("double")): _*)
+    // per-query ADC table: entry j·ksub + c = l2²(qvec_slice_j,
+    // cent_c_slice_j). ONE native expression over the flat codebook —
+    // the composed form (an array() of m·ksub l2Sq-over-slice
+    // subexpressions) exceeds Janino's 64 KB method limit at ksub=256
+    // and silently drops the stage to interpreted eval; the native
+    // kernel's arithmetic is bit-identical (sequential double
+    // accumulation, ascending index), so the oracle hash is unchanged.
     val q = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
-      .withColumn("adc_table", tableExpr)
+      .withColumn("adc_table",
+        VF.pqAdcTable(col("qvec"), typedLit(cents.flatten), lit(m)))
 
     // stage 1: ADC = m table lookups per (query, code-row) pair,
     // summed in subspace order; top-refineK by (adc, id)
-    val adcExpr = (0 until m).map(j =>
-      element_at(col("adc_table"),
-        (element_at(col("codes"), j + 1) + lit(j * ksub) + 1).cast("int")))
-      .reduce(_ + _)
+    val adcExpr = VF.pqAdcSum(col("codes"), col("adc_table"), lit(ksub))
     val cand = broadcast(q.select(col("qid"), col("adc_table"))).crossJoin(encoded)
       .filter(col("id") =!= col("qid"))
       .withColumn("adc", adcExpr)

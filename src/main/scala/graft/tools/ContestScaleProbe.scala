@@ -53,7 +53,7 @@ object ContestScaleProbe {
     // is versioned so uniform-era tables are never silently reused.
     val root = s"/tmp/graft_contest_scale_c_${n}_$nq"
 
-    val spark = SparkSession.builder()
+    val spark = graft.GraftConf.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
       .config("spark.ui.enabled", "false")

@@ -48,7 +48,7 @@ object IvfScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val root = s"/tmp/graft_contest_scale_c_${n}_$nq"
 
-    val spark = SparkSession.builder()
+    val spark = graft.GraftConf.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
       .config("spark.ui.enabled", "false")

@@ -33,7 +33,7 @@ object PqScaleProbe {
     val refineK = if (args.length > 4) args(4).toInt else 100
     val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.GraftConf.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
       .config("spark.ui.enabled", "false")

@@ -19,7 +19,7 @@ object RecallLadderProbe {
     val k = if (args.length > 1) args(1).toInt else 100
     val nq = if (args.length > 2) args(2).toInt else 50
 
-    val spark = SparkSession.builder()
+    val spark = graft.GraftConf.tuned(SparkSession.builder())
       .master("local[8]")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "4g")

@@ -24,7 +24,7 @@ object ScaleProbe {
     val dim = 100
     val k = 100
 
-    val spark = SparkSession.builder()
+    val spark = graft.GraftConf.tuned(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")

@@ -33,7 +33,7 @@ object SqlServingProbe {
     require(new java.io.File(s"$root/by_hash/_SUCCESS").exists(),
       s"run ContestScaleProbe/IvfScaleProbe first to populate $root")
 
-    val spark = SparkSession.builder()
+    val spark = graft.GraftConf.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
       .config("spark.ui.enabled", "false")

@@ -218,6 +218,112 @@ case class NearestCentroids(first: Expression, second: Expression, third: Expres
     copy(first = f, second = s, third = t)
 }
 
+/** Per-query PQ asymmetric-distance table: entry `j·ksub + c` is the
+  * squared L2 between the j-th subspace slice of `qvec` and the j-th
+  * slice of centroid `c` in the flattened `ksub × dim` codebook.
+  *
+  * One expression replaces the `m·ksub`-way tree of
+  * `l2_sq(slice(qvec,…), literal)` subexpressions a composed table
+  * would need. That tree is not a style nit: at the PQ operating point
+  * (m=4, ksub=256) the composed form generates > 64 KB of Java in one
+  * method, Janino refuses it ("Code grows beyond 64 KB"), and the whole
+  * query-side stage silently drops out of whole-stage codegen into
+  * interpreted evaluation (measured: the 2M-row PQ probe crawled for
+  * 35 min before dying). The arithmetic here is bit-identical to the
+  * composed form — sequential double accumulation, ascending index —
+  * so the `pq_adc_knn` oracle hash is unchanged. */
+case class PqAdcTable(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_table"
+
+  override def nullSafeEval(qvec: Any, cents: Any, m: Any): Any =
+    PqAdc.table(qvec.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData],
+      m.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c, m) =>
+      s"${ev.value} = org.apache.spark.sql.graft.PqAdc.table($q, $c, $m);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** ADC distance of one code row against a query's PQ table:
+  * `Σ_j table[j·ksub + codes[j]]`, summed in ascending subspace order
+  * (the same left-associated order as the composed
+  * `element_at(...) + element_at(...)` chain it replaces — IEEE-double
+  * equal, so oracle hashes are stable). This is the hot inner loop of
+  * the ADC scan (runs once per query × base-code pair); one static call
+  * keeps the pair stage inside whole-stage codegen at any `m`. */
+case class PqAdcSum(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType), IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_sum"
+
+  override def nullSafeEval(codes: Any, table: Any, ksub: Any): Any =
+    PqAdc.sum(codes.asInstanceOf[ArrayData], table.asInstanceOf[ArrayData],
+      ksub.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cd, t, k) =>
+      s"${ev.value} = org.apache.spark.sql.graft.PqAdc.sum($cd, $t, $k);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object PqAdc {
+  /** `m × ksub` table, row-major by subspace. `cents` is the flattened
+    * `ksub × dim` codebook (row-major full vectors, the same layout the
+    * seed pick collects); `ksub` is derived as `cents.length / dim` and
+    * the subspace width as `dim / m`. */
+  def table(qvec: ArrayData, cents: ArrayData, m: Int): ArrayData = {
+    val dim = qvec.numElements()
+    val ksub = if (dim == 0) 0 else cents.numElements() / dim
+    val sub = if (m == 0) 0 else dim / m
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      val qoff = j * sub
+      var c = 0
+      while (c < ksub) {
+        val coff = c * dim + qoff
+        var s = 0.0
+        var i = 0
+        while (i < sub) {
+          val d = qvec.getFloat(qoff + i).toDouble - cents.getFloat(coff + i).toDouble
+          s += d * d
+          i += 1
+        }
+        out(j * ksub + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def sum(codes: ArrayData, table: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += table.getDouble(j * ksub + codes.getInt(j))
+      j += 1
+    }
+    s
+  }
+}
+
 object NearestCentroids {
   def topk(vec: ArrayData, cents: ArrayData, k: Int): ArrayData = {
     val dim = vec.numElements()

@@ -49,6 +49,33 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r == 4.0)
   }
 
+  test("pqAdcTable/pqAdcSum are bit-identical to the composed expression forms") {
+    // The native kernels replaced an array() of m·ksub l2Sq-over-slice
+    // subexpressions (which blows the 64 KB codegen limit at ksub=256)
+    // and an element_at sum chain. Oracle hashes depend on EXACT double
+    // equality with those forms, so assert ==, not tolerance.
+    val m = 4; val ksub = 8; val dim = 64; val sub = dim / m
+    val cents = Array.fill(ksub)(randVec(dim))
+    val centsFlat = cents.flatten
+    val df = Seq.fill(20)(randVec(dim)).toDF("qvec")
+      .select(
+        $"qvec",
+        VectorFunctions.pqAdcTable($"qvec", typedLit(centsFlat), lit(m)).as("t"),
+        array((for (j <- 0 until m; c <- 0 until ksub) yield
+          VectorFunctions.l2Sq(slice($"qvec", j * sub + 1, sub),
+            typedLit(cents(c).slice(j * sub, (j + 1) * sub))).cast("double")): _*)
+          .as("t_composed"))
+      .withColumn("codes", typedLit(Array(3, 0, 7, 5)))
+      .withColumn("s", VectorFunctions.pqAdcSum($"codes", $"t", lit(ksub)))
+      .withColumn("s_composed", (0 until m).map(j =>
+        element_at($"t", (element_at($"codes", j + 1) + lit(j * ksub) + 1).cast("int")))
+        .reduce(_ + _))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Double](1) == r.getSeq[Double](2))
+      assert(r.getDouble(4) == r.getDouble(5))
+    }
+  }
+
   test("null inputs propagate null") {
     val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]])).toDF("a", "b")
       .select(VectorFunctions.l2Sq($"a", $"b").as("d"))
