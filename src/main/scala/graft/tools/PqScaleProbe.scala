@@ -66,8 +66,13 @@ object PqScaleProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"QUERIES: ${queries.count()}")
 
-    val (pq, pqSec) = timed(s"pq_adc_m${m}_ksub$ksub") {
+    val (pq, pqSec) = timed(s"pq_adc_seeded_m${m}_ksub$ksub") {
       val r = SimilaritySearch.pqKnnSeeded(base, queries, k, m, ksub, refineK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count(); r
+    }
+    val (pqT, pqTSec) = timed(s"pq_adc_trained_m${m}_ksub$ksub") {
+      val r = SimilaritySearch.pqKnnTrained(base, queries, k, m, ksub, refineK)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count(); r
     }
@@ -80,8 +85,9 @@ object PqScaleProbe {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count(); r
     }
-    val recall = AnnJoin.recallAtK(pq, exact)
-    println(f"RECALL@$k: $recall%.4f  pq=$pqSec%.1f s exact=$exactSec%.1f s speedup=${exactSec / pqSec}%.2f×")
+    val recallS = AnnJoin.recallAtK(pq, exact)
+    val recallT = AnnJoin.recallAtK(pqT, exact)
+    println(f"RECALL@$k seeded: $recallS%.4f (${pqSec}%.1f s)  trained: $recallT%.4f (${pqTSec}%.1f s)  exact=${exactSec}%.1f s")
     spark.stop()
   }
 }

@@ -152,6 +152,29 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(wide >= 0.95, s"near-exhaustive refine should approach exact: $wide")
   }
 
+  test("PQ-ADC trained codebooks: deterministic, and at least as good as seeded") {
+    val l2queries = clustered.filter($"id" < 10)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val exact = KnnJoin.exactFlat(
+      clustered.withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
+      l2queries.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
+        .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)), 10)
+      .filter($"nid" =!= $"qid")
+    val t1 = SimilaritySearch.pqKnnTrained(clustered, l2queries, k = 10,
+      m = 4, ksub = 16, refineK = 60)
+    val t2 = SimilaritySearch.pqKnnTrained(clustered, l2queries, k = 10,
+      m = 4, ksub = 16, refineK = 60)
+    val rows1 = t1.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val rows2 = t2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(rows1.toSeq == rows2.toSeq, "trained PQ must be run-deterministic (fixed seed)")
+    val seeded = SimilaritySearch.pqKnnSeeded(clustered, l2queries, k = 10,
+      m = 4, ksub = 16, refineK = 60)
+    val rT = AnnJoin.recallAtK(t1, exact)
+    val rS = AnnJoin.recallAtK(seeded, exact)
+    assert(rT >= rS - 0.05, s"trained recall $rT should not lose to seeded $rS")
+    assert(rT >= 0.85, s"trained recall $rT")
+  }
+
   test("brute force cosine excludes self and ranks by similarity") {
     val flat = SimilaritySearch.bruteForceCosineTopK(clustered, queries, 5).collect()
     assert(flat.forall(r => r.getLong(2) != r.getLong(0)))
