@@ -290,6 +290,179 @@ object SimilaritySearch {
       .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
   }
 
+  /** IVF-PQ with residual encoding — the composition both probe reports
+    * called for (BASELINE.md "PQ-ADC at 2M": a brute ADC scan never
+    * beats a brute exact scan; PQ's levers are scan BYTES and IVF
+    * routing so the scan touches `nprobe` lists, not the corpus — the
+    * reference's own architecture, hybrid_graph.cpp:306-333 routes
+    * before it scans). The coarse quantizer routes exactly like
+    * [[ivfKnnSeeded]]; within the probed lists candidates are ranked by
+    * PQ-ADC over RESIDUALS (vec − assigned centroid — Jégou et al.'s
+    * IVFADC); then exact refine. Residual encoding is where IVF-PQ
+    * recall comes from at low bits/dim: the codebook only has to
+    * resolve the residual spread (≈ one list's width), not the whole
+    * domain, so the "cell edge vs cluster width" threshold the PQ probe
+    * measured moves down by the coarse quantizer's resolution.
+    *
+    * Seeded variant: coarse centroids are the md5("ivfseed:")-picked
+    * rows and the PQ codebook is the md5("pqseed:")-picked rows'
+    * RESIDUALS — every stage (both seed picks, assignment, float
+    * residual subtraction, per-subspace argmin encode, per-(query,list)
+    * ADC table over the query's residual, both top-k orders) is
+    * engine-reproducible, so the whole route is DuckDB-hash-checked
+    * (`ann_ivfpq_knn`). Residual subtraction stays in FLOAT (Spark's
+    * `zip_with` float arithmetic ≡ DuckDB's FLOAT − FLOAT — verified,
+    * not assumed); all distance accumulation is double, as everywhere.
+    *
+    * base: (id, vec); queries: (qid, qvec) → (qid, rank, nid). */
+  def ivfPqKnnSeeded(base: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
+      refineK: Int = 50): DataFrame = {
+    val b = base.select(col("id").cast("long").as("id"), col("vec"))
+    val coarse = seededCentroids(b, "id", "vec", nlist)
+    // PQ codebook = the pqseed-picked rows' residuals vs THEIR assigned
+    // coarse centroid (assignment twin of NearestCentroids k=1: double
+    // accumulation, (dist, index) ties)
+    val picked = b
+      .withColumn("h",
+        conv(substring(md5(concat(lit("pqseed:"), col("id").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+      .orderBy(col("h"), col("id")).limit(ksub)
+      .select(col("id"), col("vec"))
+      .collect()
+      .sortBy(_.getLong(0))
+    require(picked.nonEmpty, "ivfPqKnnSeeded: empty base table")
+    val book = picked.map { r =>
+      val v = r.getSeq[Float](1).toArray
+      val c = coarse(nearestIdx(v, coarse))
+      Array.tabulate(v.length)(i => v(i) - c(i)) // float subtraction
+    }
+    ivfPqSearch(b, queries, k, coarse, nprobe, m, refineK, book)
+  }
+
+  /** Trained IVF-PQ — the QUALITY path: Lloyd coarse quantizer plus
+    * per-subspace Lloyd codebooks over the sample's residuals (the
+    * standard IVFADC training recipe). Lloyd rounding is not
+    * SQL-replayable, so correctness is recall-floored in specs — the
+    * same seeded/trained split as [[ivfKnnSeeded]]/[[ivfKnn]] and
+    * [[pqKnnSeeded]]/[[pqKnnTrained]]. */
+  def ivfPqKnnTrained(base: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 256,
+      refineK: Int = 100, sampleCap: Int = 16384, maxIter: Int = 10,
+      seed: Long = 7L): DataFrame = {
+    val b = base.select(col("id").cast("long").as("id"), col("vec"))
+    val nRows = b.select(count(lit(1))).collect()(0).getLong(0)
+    require(nRows > 0, "ivfPqKnnTrained: empty base table")
+    val stride = math.max(1L, nRows / math.max(1, sampleCap))
+    val sample = b
+      .filter(pmod(hash(col("id")), lit(stride)) === 0)
+      .select(col("vec")).limit(sampleCap)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val dim = sample(0).length
+    require(dim % m == 0, s"ivfPqKnnTrained: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val coarse = lloydKMeans(sample, nlist, maxIter, seed)
+    val residuals = sample.map { v =>
+      val c = coarse(nearestIdx(v, coarse))
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val subBooks = Array.tabulate(m)(j =>
+      lloydKMeans(residuals.map(_.slice(j * sub, (j + 1) * sub)), ksub, maxIter, seed + j))
+    val kk = subBooks.map(_.length).min
+    val book = Array.tabulate(kk)(c =>
+      Array.tabulate(dim)(i => subBooks(i / sub)(c)(i % sub)))
+    ivfPqSearch(b, queries, k, coarse, nprobe, m, refineK, book)
+  }
+
+  /** Driver twin of [[org.apache.spark.sql.graft.NearestCentroids]] at
+    * k = 1: double accumulation over the float values, strict `<` so
+    * ties keep the lowest index. */
+  private def nearestIdx(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var s = 0.0; var i = 0
+      val cv = cents(c)
+      while (i < v.length) {
+        val d = v(i).toDouble - cv(i).toDouble; s += d * d; i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Shared IVF-PQ body: assign + residual-encode the base (persisted
+    * compact (id, list, codes) — codes ARE the stored representation,
+    * the m-byte-per-row scan the operator exists for), probe nprobe
+    * lists per query with a per-(query,list) ADC table over the QUERY's
+    * residual against that list's centroid, ADC-rank within the probed
+    * lists only, exact refine. Every join is broadcast-from-the-query
+    * side; the base is scanned once for the encode and once (codes
+    * only) per query batch. */
+  private def ivfPqSearch(b: DataFrame, queries: DataFrame, k: Int,
+      coarse: Array[Array[Float]], nprobe: Int, m: Int, refineK: Int,
+      book: Array[Array[Float]]): DataFrame = {
+    val dim = coarse(0).length
+    require(dim % m == 0, s"ivfPq codebook: dim $dim not divisible by m=$m")
+    val ksub = book.length
+    val sub = dim / m
+    val centsFlat = typedLit(coarse.flatten)
+    val bookFlat = typedLit(book.flatten)
+    val subBooks = Array.tabulate(m)(j =>
+      typedLit(book.flatMap(_.slice(j * sub, (j + 1) * sub))))
+
+    // residual vs an assigned/probed list: float subtraction (see the
+    // seeded variant's scaladoc for the oracle-mirroring argument)
+    def residual(vec: Column, list: Column): Column =
+      zip_with(vec, slice(centsFlat, (list * dim + 1).cast("int"), lit(dim)),
+        (a, bb) => a - bb)
+    def codesOf(res: Column): Column = array(Array.tabulate(m)(j =>
+      element_at(VF.nearestCentroids(
+        slice(res, j * sub + 1, sub), subBooks(j), lit(1)), 1)): _*)
+
+    // one-pass assign + encode, persisted compact (the PQ probe's
+    // deferred-projection lesson: left lazy, the encode re-runs inside
+    // the pair loop)
+    val encoded = CacheRegistry.tracked(
+      b.withColumn("list",
+          element_at(VF.nearestCentroids(col("vec"), centsFlat, lit(1)), 1))
+        .withColumn("codes", codesOf(residual(col("vec"), col("list"))))
+        .select(col("id"), col("list"), col("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    // nprobe lists per query; each (qid, list) row carries the ADC
+    // table of the query's residual against that list
+    val probed = queries
+      .select(col("qid").cast("long").as("qid"), col("qvec"))
+      .withColumn("list",
+        explode(VF.nearestCentroids(col("qvec"), centsFlat,
+          lit(math.min(nprobe, coarse.length)))))
+      .withColumn("adc_table",
+        VF.pqAdcTable(residual(col("qvec"), col("list")), bookFlat, lit(m)))
+
+    // stage 1: ADC within the probed lists only (each base row lives in
+    // exactly one list, so (qid, id) pairs are already unique)
+    val cand = broadcast(probed.select(col("qid"), col("list"), col("adc_table")))
+      .join(encoded, "list")
+      .filter(col("id") =!= col("qid"))
+      .withColumn("adc", VF.pqAdcSum(col("codes"), col("adc_table"), lit(ksub)))
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(refineK, col("adc"), col("id")).as("cands"))
+      .select(col("qid"), explode(col("cands")).as("id"))
+
+    // stage 2: exact re-rank from the full vectors; candidate side is
+    // the broadcast build side by construction
+    val q = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
+    broadcast(cand.join(broadcast(q), "qid"))
+      .join(b, "id")
+      .withColumn("dist", VF.l2Sq(col("qvec"), col("vec")))
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
+      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
+  }
+
   /** Shared IVF-Flat search body: base rows are assigned to their
     * nearest centroid ("list"), each query probes its `nprobe` nearest
     * lists, candidates are exact-ranked. The only joins are the

@@ -84,6 +84,26 @@ object ApproxQueries {
       SimilaritySearch.pqKnnSeeded(base, q, k = 10, m = 4, ksub = 16, refineK = 50)
     }),
 
+    // IVF-PQ with residual encoding (Jégou et al.'s IVFADC — the
+    // composition the PQ probe's findings call for: route with the
+    // coarse quantizer so the ADC scan touches nprobe lists instead of
+    // the corpus, and encode RESIDUALS so the codebook resolves one
+    // list's spread instead of the whole domain). Seeded coarse
+    // centroids + seeded residual codebook make every stage —
+    // both seed picks, assignment, float residual subtraction,
+    // per-subspace argmin encode, per-(query,list) ADC tables, both
+    // top-k orders — DuckDB-replayable; hash-checked APPROXIMATE
+    // search end to end. The Lloyd-trained quality path
+    // (ivfPqKnnTrained) is recall-floored in SimilaritySearchSpec.
+    "ann_ivfpq_knn" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("vec"))
+      val q = emb(s, dir).filter(col("vec_id") % 71 === 3)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      SimilaritySearch.ivfPqKnnSeeded(base, q, k = 10,
+        nlist = 16, nprobe = 4, m = 4, ksub = 16, refineK = 50)
+    }),
+
     // measured-recall ef auto-tune (the reference's offline recall
     // sweep, getquery.cpp/plot.py, as a deterministic function): the
     // ladder of (ef, recall@10) rungs, with the chosen ef flagged.
@@ -510,6 +530,94 @@ object ApproxQueries {
         |), adc AS (
         |  SELECT t.qid, e.id, list_sum(list(t.val ORDER BY t.j)) AS adist
         |  FROM enc e JOIN tab t ON t.j = e.j AND t.c = e.code
+        |  WHERE e.id != t.qid
+        |  GROUP BY t.qid, e.id
+        |), cand AS (
+        |  SELECT qid, id FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rn
+        |    FROM adc
+        |  ) WHERE rn <= 50
+        |), j2 AS (
+        |  SELECT c.qid, c.id,
+        |    list_sum(list_transform(list_zip(q.qvec, b.vec),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+        |  FROM cand c JOIN q ON c.qid = q.qid JOIN b ON c.id = b.id
+        |), r AS (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+        |  FROM j2
+        |)
+        |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 10""".stripMargin,
+
+    // Full replay of the residual-encoded IVF-PQ route, stage by stage:
+    // ivfseed pick → list assignment ((dist, list) ties) → FLOAT
+    // residual subtraction (DuckDB FLOAT − FLOAT ≡ Spark zip_with —
+    // the reason no CAST appears in the residual lambdas) → pqseed pick
+    // whose rows' residuals form the codebook → per-subspace argmin
+    // encode → per-(query,list) ADC table over the QUERY's residual →
+    // ADC within the probed lists only (a base row lives in exactly one
+    // list) → top-refineK by (adc, id) → exact re-rank by (dist, id).
+    "ann_ivfpq_knn" ->
+      """WITH b AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS vec,
+        |         len(embedding) AS dim, len(embedding) // 4 AS sub
+        |  FROM embeddings
+        |), ipicked AS (
+        |  SELECT id, vec FROM b
+        |  ORDER BY CAST(('0x' || substr(md5('ivfseed:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT), id
+        |  LIMIT 16
+        |), iseeds AS (
+        |  SELECT row_number() OVER (ORDER BY id) - 1 AS list, vec AS cvec FROM ipicked
+        |), assign AS (
+        |  SELECT id, vec, dim, sub, list,
+        |    list_transform(list_zip(vec, cvec), p -> p[1] - p[2]) AS res
+        |  FROM (
+        |    SELECT b.id, b.vec, b.dim, b.sub, s.list, s.cvec,
+        |      row_number() OVER (PARTITION BY b.id ORDER BY
+        |        list_sum(list_transform(list_zip(b.vec, s.cvec),
+        |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |        s.list) AS rn
+        |    FROM b CROSS JOIN iseeds s
+        |  ) WHERE rn = 1
+        |), ppicked AS (
+        |  SELECT id FROM b
+        |  ORDER BY CAST(('0x' || substr(md5('pqseed:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT), id
+        |  LIMIT 16
+        |), book AS (
+        |  SELECT row_number() OVER (ORDER BY a.id) - 1 AS c, a.res AS bvec
+        |  FROM assign a JOIN ppicked p ON a.id = p.id
+        |), js AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS j),
+        |enc AS (
+        |  SELECT id, list, j, c AS code FROM (
+        |    SELECT a.id, a.list, js.j, k.c,
+        |      row_number() OVER (PARTITION BY a.id, js.j ORDER BY
+        |        list_sum(list_transform(
+        |          list_zip(a.res[js.j*a.sub+1 : (js.j+1)*a.sub], k.bvec[js.j*a.sub+1 : (js.j+1)*a.sub]),
+        |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |        k.c) AS rn
+        |    FROM assign a CROSS JOIN js CROSS JOIN book k
+        |  ) WHERE rn = 1
+        |), q AS (
+        |  SELECT id AS qid, vec AS qvec, dim, sub FROM b WHERE id % 71 = 3
+        |), probe AS (
+        |  SELECT qid, sub, list,
+        |    list_transform(list_zip(qvec, cvec), p -> p[1] - p[2]) AS qres
+        |  FROM (
+        |    SELECT q.qid, q.sub, q.qvec, s.list, s.cvec,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        list_sum(list_transform(list_zip(q.qvec, s.cvec),
+        |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |        s.list) AS rn
+        |    FROM q CROSS JOIN iseeds s
+        |  ) WHERE rn <= 4
+        |), tab AS (
+        |  SELECT p.qid, p.list, js.j, k.c,
+        |    list_sum(list_transform(
+        |      list_zip(p.qres[js.j*p.sub+1 : (js.j+1)*p.sub], k.bvec[js.j*p.sub+1 : (js.j+1)*p.sub]),
+        |      p2 -> (CAST(p2[1] AS DOUBLE) - CAST(p2[2] AS DOUBLE)) * (CAST(p2[1] AS DOUBLE) - CAST(p2[2] AS DOUBLE)))) AS val
+        |  FROM probe p CROSS JOIN js CROSS JOIN book k
+        |), adc AS (
+        |  SELECT t.qid, e.id, list_sum(list(t.val ORDER BY t.j)) AS adist
+        |  FROM enc e JOIN tab t ON t.list = e.list AND t.j = e.j AND t.c = e.code
         |  WHERE e.id != t.qid
         |  GROUP BY t.qid, e.id
         |), cand AS (

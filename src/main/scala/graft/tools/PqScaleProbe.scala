@@ -11,7 +11,15 @@ import graft.operators.{AnnJoin, KnnJoin, SimilaritySearch}
   * exact scan) and recall@k of the ADC path vs the exact — the
   * evidence for when the m-int code scan beats the dim-float scan.
   *
-  * Usage: runMain graft.tools.PqScaleProbe [N] [NQ] [m] [ksub] [refineK]
+  * Round-9 extension: IVF-PQ arms (seeded + residual-trained) at the
+  * same operating point — the composition the flat-PQ findings call
+  * for. Measures whether (a) routing turns the never-wins brute ADC
+  * scan into a sub-exact-wall scan (it touches nprobe/nlist of the
+  * corpus), and (b) residual encoding moves the bits/dim recall
+  * threshold down (the codebook only resolves one list's spread).
+  *
+  * Usage: runMain graft.tools.PqScaleProbe [N] [NQ] [m] [ksub] [refineK] [nlist] [nprobe]
+  * (nlist = 0 skips the IVF-PQ arms.)
   */
 object PqScaleProbe {
 
@@ -31,6 +39,8 @@ object PqScaleProbe {
     val m = if (args.length > 2) args(2).toInt else 4
     val ksub = if (args.length > 3) args(3).toInt else 256
     val refineK = if (args.length > 4) args(4).toInt else 100
+    val nlist = if (args.length > 5) args(5).toInt else 256
+    val nprobe = if (args.length > 6) args(6).toInt else 8
     val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftConf.tuned(SparkSession.builder())
@@ -76,6 +86,23 @@ object PqScaleProbe {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count(); r
     }
+    val ivfArms: Seq[(String, org.apache.spark.sql.DataFrame, Double)] =
+      if (nlist <= 0) Seq.empty
+      else {
+        val (is, isSec) = timed(s"ivfpq_seeded_nlist${nlist}_nprobe$nprobe") {
+          val r = SimilaritySearch.ivfPqKnnSeeded(base, queries, k,
+            nlist, nprobe, m, ksub, refineK)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r.count(); r
+        }
+        val (it, itSec) = timed(s"ivfpq_trained_nlist${nlist}_nprobe$nprobe") {
+          val r = SimilaritySearch.ivfPqKnnTrained(base, queries, k,
+            nlist, nprobe, m, ksub, refineK)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r.count(); r
+        }
+        Seq(("ivfpq_seeded", is, isSec), ("ivfpq_trained", it, itSec))
+      }
     val (exact, exactSec) = timed("exact_bruteforce") {
       val r = KnnJoin.exactFlat(
         base.withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
@@ -88,6 +115,10 @@ object PqScaleProbe {
     val recallS = AnnJoin.recallAtK(pq, exact)
     val recallT = AnnJoin.recallAtK(pqT, exact)
     println(f"RECALL@$k seeded: $recallS%.4f (${pqSec}%.1f s)  trained: $recallT%.4f (${pqTSec}%.1f s)  exact=${exactSec}%.1f s")
+    ivfArms.foreach { case (name, df, sec) =>
+      val r = AnnJoin.recallAtK(df, exact)
+      println(f"RECALL@$k $name: $r%.4f ($sec%.1f s, scan fraction ${nprobe.toDouble / nlist}%.4f)")
+    }
     spark.stop()
   }
 }

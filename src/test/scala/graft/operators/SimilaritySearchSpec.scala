@@ -175,6 +175,48 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(rT >= 0.85, s"trained recall $rT")
   }
 
+  test("IVF-PQ: deterministic, probed-lists-only candidates, recall floor; residual trained path wins") {
+    val l2queries = clustered.filter($"id" < 10)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val exact = KnnJoin.exactFlat(
+      clustered.withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
+      l2queries.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
+        .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)), 10)
+      .filter($"nid" =!= $"qid")
+    val a = SimilaritySearch.ivfPqKnnSeeded(clustered, l2queries, k = 10,
+      nlist = 20, nprobe = 6, m = 4, ksub = 16, refineK = 60)
+    val b = SimilaritySearch.ivfPqKnnSeeded(clustered, l2queries, k = 10,
+      nlist = 20, nprobe = 6, m = 4, ksub = 16, refineK = 60)
+    val rowsA = a.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val rowsB = b.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(rowsA.toSeq == rowsB.toSeq, "seeded IVF-PQ must be run-deterministic")
+    assert(rowsA.groupBy(_._1).forall { case (_, g) =>
+      g.length == 10 && g.map(_._2).sorted.toSeq == (1L to 10L) })
+    assert(rowsA.forall { case (qid, _, nid) => qid != nid })
+    // routing really prunes: with nprobe == nlist the candidate space is
+    // the whole corpus, so recall can only improve (or hold)
+    val rSeeded = AnnJoin.recallAtK(a, exact)
+    val rAllLists = AnnJoin.recallAtK(
+      SimilaritySearch.ivfPqKnnSeeded(clustered, l2queries, k = 10,
+        nlist = 20, nprobe = 20, m = 4, ksub = 16, refineK = 60), exact)
+    assert(rAllLists >= rSeeded,
+      s"probe monotonicity: nprobe=6 $rSeeded vs nprobe=20 $rAllLists")
+    assert(rSeeded >= 0.8, s"seeded IVF-PQ recall $rSeeded")
+    // trained residual codebooks (the quality path): deterministic and
+    // at least as good as seeded at the same operating point
+    val t1 = SimilaritySearch.ivfPqKnnTrained(clustered, l2queries, k = 10,
+      nlist = 20, nprobe = 6, m = 4, ksub = 16, refineK = 60)
+    val t2 = SimilaritySearch.ivfPqKnnTrained(clustered, l2queries, k = 10,
+      nlist = 20, nprobe = 6, m = 4, ksub = 16, refineK = 60)
+    assert(t1.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+      t2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq,
+      "trained IVF-PQ must be run-deterministic (fixed seed)")
+    val rTrained = AnnJoin.recallAtK(t1, exact)
+    assert(rTrained >= rSeeded - 0.05,
+      s"trained recall $rTrained should not lose to seeded $rSeeded")
+    assert(rTrained >= 0.85, s"trained IVF-PQ recall $rTrained")
+  }
+
   test("brute force cosine excludes self and ranks by similarity") {
     val flat = SimilaritySearch.bruteForceCosineTopK(clustered, queries, 5).collect()
     assert(flat.forall(r => r.getLong(2) != r.getLong(0)))
