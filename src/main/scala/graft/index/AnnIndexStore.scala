@@ -165,6 +165,136 @@ object AnnIndexStore {
       attrCol = None, maxRowsPerIndex = maxRowsPerIndex)
   }
 
+  /** Residual IVF-PQ stored index — the persisted form of
+    * [[graft.operators.SimilaritySearch.ivfPqKnnSeeded]]'s in-memory
+    * encode, and the layout the 100-TB argument rests on: the codes
+    * table is written `partitionBy("list")`, so a query batch's
+    * `nprobe` probed lists become STATIC partition filters on the scan
+    * — the engine reads nprobe/nlist of an m-ints-per-row table and
+    * never touches the other lists' files (the reference's
+    * "route before you scan", hybrid_graph.cpp:306-333, as a storage
+    * property). Sidecars: `centroids` (list, centroid) and `codebook`
+    * (c, bvec — residual rows). Refine reads full vectors from the
+    * caller's base table, not the store — codes stay the only derived
+    * artifact.
+    *
+    * Seeded variant (md5 row picks, engine-replayable routing). */
+  def buildIvfPqSeeded(base: DataFrame, path: String, nlist: Int,
+      m: Int = 8, ksub: Int = 256): Unit = {
+    val b = base.select(col("id").cast("long").as("id"), col("vec"))
+    val coarse = graft.operators.SimilaritySearch.seededCentroids(b, "id", "vec", nlist)
+    val book = graft.operators.SimilaritySearch.seededResidualBook(b, ksub, coarse)
+    writeIvfPq(b, path, coarse, book, m)
+  }
+
+  /** Trained IVF-PQ stored index: Lloyd coarse + per-subspace Lloyd
+    * residual codebooks (the quality path; see
+    * [[graft.operators.SimilaritySearch.ivfPqKnnTrained]]). */
+  def buildIvfPq(base: DataFrame, path: String, nlist: Int,
+      m: Int = 8, ksub: Int = 256, sampleCap: Int = 16384,
+      maxIter: Int = 10, seed: Long = 7L): Unit = {
+    val b = base.select(col("id").cast("long").as("id"), col("vec"))
+    val (coarse, book) = graft.operators.SimilaritySearch.trainedIvfPqBooks(
+      b, nlist, m, ksub, sampleCap, maxIter, seed)
+    writeIvfPq(b, path, coarse, book, m)
+  }
+
+  private def writeIvfPq(b: DataFrame, path: String,
+      coarse: Array[Array[Float]], book: Array[Array[Float]], m: Int): Unit = {
+    val spark = b.sparkSession
+    import spark.implicits._
+    val dim = coarse(0).length
+    require(dim % m == 0, s"writeIvfPq: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    coarse.zipWithIndex.map { case (cv, i) => (i, cv) }.toSeq
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    book.zipWithIndex.map { case (bv, c) => (c, bv) }.toSeq
+      .toDF("c", "bvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    val centsFlat = typedLit(coarse.flatten)
+    val subBooks = graft.operators.SimilaritySearch.pqSubBooks(book, m, sub)
+    b.withColumn("list",
+        element_at(graft.functions.VectorFunctions.nearestCentroids(
+          col("vec"), centsFlat, lit(1)), 1))
+      .withColumn("codes",
+        graft.operators.SimilaritySearch.pqCodesCol(
+          graft.operators.SimilaritySearch.pqResidualCol(col("vec"), col("list"), centsFlat, dim),
+          subBooks, m, sub))
+      .select(col("id"), col("codes"), col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$path/codes")
+  }
+
+  /** Search a [[buildIvfPq]]/[[buildIvfPqSeeded]] store: per query,
+    * route to the `nprobe` nearest stored centroids, prune the codes
+    * scan to those list partitions (STATIC `isin` filter — the probed
+    * set is collected once, bounded by nlist), ADC-rank with
+    * per-(query,list) tables over the query's residual, then exact
+    * refine against the caller's `base` (id, vec). Matches the
+    * in-memory [[graft.operators.SimilaritySearch.ivfPqKnnSeeded]]
+    * semantics bit-for-bit at equal parameters (self-excluding,
+    * (dist, id) orders). (qid, rank, nid). */
+  def searchIvfPq(spark: SparkSession, path: String, base: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 8,
+      refineK: Int = 100): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    import graft.operators.{SimilaritySearch => SS, TopKAggregate}
+    val coarse = spark.read.parquet(s"$path/centroids")
+      .select(col("list").cast("int"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val book = spark.read.parquet(s"$path/codebook")
+      .select(col("c").cast("int"), col("bvec"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val dim = coarse(0).length
+    val ksub = book.length
+    val centsFlat = typedLit(coarse.flatten)
+    val bookFlat = typedLit(book.flatten)
+    val m = {
+      // m is a build-time property of the codes; recover it from one
+      // footer-cheap row rather than a sidecar (codes are ints, dim/m each)
+      val probeRow = spark.read.parquet(s"$path/codes").select(col("codes")).limit(1).collect()
+      require(probeRow.nonEmpty, s"searchIvfPq: empty codes table at $path")
+      probeRow(0).getSeq[Int](0).length
+    }
+
+    // tracked persist: used by the bounded list collect AND the cand
+    // join; released through the shared CacheRegistry lifecycle (an
+    // inline unpersist here would race the caller's lazy execution)
+    val probed = graft.operators.CacheRegistry.tracked(queries
+      .select(col("qid").cast("long").as("qid"), col("qvec"))
+      .withColumn("list",
+        explode(VF.nearestCentroids(col("qvec"), centsFlat,
+          lit(math.min(nprobe, coarse.length)))))
+      .withColumn("adc_table",
+        VF.pqAdcTable(SS.pqResidualCol(col("qvec"), col("list"), centsFlat, dim), bookFlat, lit(m)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the probed-list set is ≤ nlist values: one bounded collect turns
+    // routing into a STATIC partition filter on the codes scan
+    val lists = probed.select(col("list")).distinct().collect().map(_.getInt(0)).sorted
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("list").isin(lists.map(Integer.valueOf): _*))
+      .select(col("id"), col("list").cast("int").as("list"), col("codes"))
+
+    val cand = broadcast(probed.select(col("qid"), col("list"), col("adc_table")))
+      .join(codes, "list")
+      .filter(col("id") =!= col("qid"))
+      .withColumn("adc", VF.pqAdcSum(col("codes"), col("adc_table"), lit(ksub)))
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(refineK, col("adc"), col("id")).as("cands"))
+      .select(col("qid"), explode(col("cands")).as("id"))
+
+    val q = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
+    broadcast(cand.join(broadcast(q), "qid"))
+      .join(base.select(col("id").cast("long").as("id"), col("vec")), "id")
+      .withColumn("dist", VF.l2Sq(col("qvec"), col("vec")))
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
+      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
+  }
+
   /** Search a [[buildIvf]] table: each query fans out to its `nprobe`
     * nearest centroid lists and the per-list candidates merge through
     * the bounded top-k ([[searchBy]] machinery — several rows per list

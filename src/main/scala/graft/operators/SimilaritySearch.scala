@@ -323,6 +323,16 @@ object SimilaritySearch {
     // PQ codebook = the pqseed-picked rows' residuals vs THEIR assigned
     // coarse centroid (assignment twin of NearestCentroids k=1: double
     // accumulation, (dist, index) ties)
+    val book = seededResidualBook(b, ksub, coarse)
+    ivfPqSearch(b, queries, k, coarse, nprobe, m, refineK, book)
+  }
+
+  /** The seeded residual codebook shared by [[ivfPqKnnSeeded]] and
+    * [[graft.index.AnnIndexStore.buildIvfPqSeeded]]: the `ksub`
+    * md5("pqseed:")-picked rows' residuals vs THEIR assigned coarse
+    * centroid, in id order. */
+  private[graft] def seededResidualBook(b: DataFrame, ksub: Int,
+      coarse: Array[Array[Float]]): Array[Array[Float]] = {
     val picked = b
       .withColumn("h",
         conv(substring(md5(concat(lit("pqseed:"), col("id").cast("string"))), 1, 15), 16, 10)
@@ -331,13 +341,12 @@ object SimilaritySearch {
       .select(col("id"), col("vec"))
       .collect()
       .sortBy(_.getLong(0))
-    require(picked.nonEmpty, "ivfPqKnnSeeded: empty base table")
-    val book = picked.map { r =>
+    require(picked.nonEmpty, "seededResidualBook: empty base table")
+    picked.map { r =>
       val v = r.getSeq[Float](1).toArray
       val c = coarse(nearestIdx(v, coarse))
       Array.tabulate(v.length)(i => v(i) - c(i)) // float subtraction
     }
-    ivfPqSearch(b, queries, k, coarse, nprobe, m, refineK, book)
   }
 
   /** Trained IVF-PQ — the QUALITY path: Lloyd coarse quantizer plus
@@ -351,15 +360,26 @@ object SimilaritySearch {
       refineK: Int = 100, sampleCap: Int = 16384, maxIter: Int = 10,
       seed: Long = 7L): DataFrame = {
     val b = base.select(col("id").cast("long").as("id"), col("vec"))
+    val (coarse, book) = trainedIvfPqBooks(b, nlist, m, ksub, sampleCap, maxIter, seed)
+    ivfPqSearch(b, queries, k, coarse, nprobe, m, refineK, book)
+  }
+
+  /** The trained (coarse, residual-codebook) pair shared by
+    * [[ivfPqKnnTrained]] and [[graft.index.AnnIndexStore.buildIvfPq]]:
+    * Lloyd coarse quantizer on a hash-spread bounded sample, then `m`
+    * per-subspace Lloyd runs over the sample's residuals. */
+  private[graft] def trainedIvfPqBooks(b: DataFrame, nlist: Int, m: Int,
+      ksub: Int, sampleCap: Int, maxIter: Int,
+      seed: Long): (Array[Array[Float]], Array[Array[Float]]) = {
     val nRows = b.select(count(lit(1))).collect()(0).getLong(0)
-    require(nRows > 0, "ivfPqKnnTrained: empty base table")
+    require(nRows > 0, "trainedIvfPqBooks: empty base table")
     val stride = math.max(1L, nRows / math.max(1, sampleCap))
     val sample = b
       .filter(pmod(hash(col("id")), lit(stride)) === 0)
       .select(col("vec")).limit(sampleCap)
       .collect().map(_.getSeq[Float](0).toArray)
     val dim = sample(0).length
-    require(dim % m == 0, s"ivfPqKnnTrained: dim $dim not divisible by m=$m")
+    require(dim % m == 0, s"trainedIvfPqBooks: dim $dim not divisible by m=$m")
     val sub = dim / m
     val coarse = lloydKMeans(sample, nlist, maxIter, seed)
     val residuals = sample.map { v =>
@@ -371,13 +391,38 @@ object SimilaritySearch {
     val kk = subBooks.map(_.length).min
     val book = Array.tabulate(kk)(c =>
       Array.tabulate(dim)(i => subBooks(i / sub)(c)(i % sub)))
-    ivfPqSearch(b, queries, k, coarse, nprobe, m, refineK, book)
+    (coarse, book)
   }
+
+  /** Residual of `vec` against the `list`-th centroid of the folded
+    * flat centroid literal: FLOAT subtraction (Spark `zip_with` float
+    * arithmetic ≡ DuckDB FLOAT − FLOAT — the oracle-mirroring
+    * invariant every IVF-PQ consumer relies on). */
+  private[graft] def pqResidualCol(vec: Column, list: Column,
+      centsFlat: Column, dim: Int): Column =
+    zip_with(vec, slice(centsFlat, (list * dim + 1).cast("int"), lit(dim)),
+      (a, bb) => a - bb)
+
+  /** Per-subspace argmin PQ encode of a residual column over the
+    * per-subspace folded codebook literals (NearestCentroids ties break
+    * toward the lower index, matching the oracle's (dist, c)
+    * row_number). */
+  private[graft] def pqCodesCol(res: Column, subBooks: Array[Column],
+      m: Int, sub: Int): Column =
+    array(Array.tabulate(m)(j =>
+      element_at(VF.nearestCentroids(
+        slice(res, j * sub + 1, sub), subBooks(j), lit(1)), 1)): _*)
+
+  /** The per-subspace folded codebook literals of an assembled
+    * `ksub × dim` codebook. */
+  private[graft] def pqSubBooks(book: Array[Array[Float]], m: Int,
+      sub: Int): Array[Column] =
+    Array.tabulate(m)(j => typedLit(book.flatMap(_.slice(j * sub, (j + 1) * sub))))
 
   /** Driver twin of [[org.apache.spark.sql.graft.NearestCentroids]] at
     * k = 1: double accumulation over the float values, strict `<` so
     * ties keep the lowest index. */
-  private def nearestIdx(v: Array[Float], cents: Array[Array[Float]]): Int = {
+  private[graft] def nearestIdx(v: Array[Float], cents: Array[Array[Float]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cents.length) {
@@ -409,17 +454,7 @@ object SimilaritySearch {
     val sub = dim / m
     val centsFlat = typedLit(coarse.flatten)
     val bookFlat = typedLit(book.flatten)
-    val subBooks = Array.tabulate(m)(j =>
-      typedLit(book.flatMap(_.slice(j * sub, (j + 1) * sub))))
-
-    // residual vs an assigned/probed list: float subtraction (see the
-    // seeded variant's scaladoc for the oracle-mirroring argument)
-    def residual(vec: Column, list: Column): Column =
-      zip_with(vec, slice(centsFlat, (list * dim + 1).cast("int"), lit(dim)),
-        (a, bb) => a - bb)
-    def codesOf(res: Column): Column = array(Array.tabulate(m)(j =>
-      element_at(VF.nearestCentroids(
-        slice(res, j * sub + 1, sub), subBooks(j), lit(1)), 1)): _*)
+    val subBooks = pqSubBooks(book, m, sub)
 
     // one-pass assign + encode, persisted compact (the PQ probe's
     // deferred-projection lesson: left lazy, the encode re-runs inside
@@ -427,7 +462,8 @@ object SimilaritySearch {
     val encoded = CacheRegistry.tracked(
       b.withColumn("list",
           element_at(VF.nearestCentroids(col("vec"), centsFlat, lit(1)), 1))
-        .withColumn("codes", codesOf(residual(col("vec"), col("list"))))
+        .withColumn("codes",
+          pqCodesCol(pqResidualCol(col("vec"), col("list"), centsFlat, dim), subBooks, m, sub))
         .select(col("id"), col("list"), col("codes"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -439,7 +475,7 @@ object SimilaritySearch {
         explode(VF.nearestCentroids(col("qvec"), centsFlat,
           lit(math.min(nprobe, coarse.length)))))
       .withColumn("adc_table",
-        VF.pqAdcTable(residual(col("qvec"), col("list")), bookFlat, lit(m)))
+        VF.pqAdcTable(pqResidualCol(col("qvec"), col("list"), centsFlat, dim), bookFlat, lit(m)))
 
     // stage 1: ADC within the probed lists only (each base row lives in
     // exactly one list, so (qid, id) pairs are already unique)

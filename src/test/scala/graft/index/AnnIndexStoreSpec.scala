@@ -108,6 +108,38 @@ class AnnIndexStoreSpec extends SparkSpec {
       res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("buildIvfPqSeeded/searchIvfPq: stored route ≡ in-memory IVF-PQ; codes scan prunes to probed lists") {
+    import graft.operators.SimilaritySearch
+    // clustered corpus so routing has structure to exploit
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextFloat() * 8 - 4))
+    val base = Seq.tabulate(1600) { i =>
+      (i.toLong, centers(i % 16).map(x => x + rnd.nextFloat() * 0.4f))
+    }.toDF("id", "vec")
+    val queries = base.filter($"id" < 8)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val dir = Files.createTempDirectory("graft-ivfpq").toString + "/index"
+    AnnIndexStore.buildIvfPqSeeded(base, dir, nlist = 12, m = 4, ksub = 16)
+    // sidecars + partitioned codes on disk
+    assert(new java.io.File(s"$dir/centroids").exists())
+    assert(new java.io.File(s"$dir/codebook").exists())
+    val listDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list="))
+    assert(listDirs.length == 12, s"expected 12 list partitions, got ${listDirs.length}")
+    val stored = AnnIndexStore.searchIvfPq(spark, dir, base, queries,
+      k = 10, nprobe = 4, refineK = 60)
+    val mem = SimilaritySearch.ivfPqKnnSeeded(base, queries, k = 10,
+      nlist = 12, nprobe = 4, m = 4, ksub = 16, refineK = 60)
+    val sStored = stored.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val sMem = mem.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(sStored.toSeq == sMem.toSeq,
+      "stored IVF-PQ route must reproduce the in-memory operator exactly")
+    // routing is a PLAN property: the codes scan carries a static
+    // partition filter on the probed list set (nprobe << nlist)
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list"),
+      s"codes scan should prune list partitions statically:\n$plan")
+  }
+
   test("stored type-3 search: label AND range predicates hold, recall >= 0.85") {
     val base = Seq.tabulate(1500)(i => (i.toLong, (i % 4).toLong, (i % 30) / 30.0, vec()))
       .toDF("id", "label", "ts", "vec")
