@@ -209,8 +209,11 @@ object AnnIndexStore {
     coarse.zipWithIndex.map { case (cv, i) => (i, cv) }.toSeq
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    book.zipWithIndex.map { case (bv, c) => (c, bv) }.toSeq
-      .toDF("c", "bvec")
+    // m rides in the sidecar: readers must not pay a codes-scan probe
+    // job per search call just to recover a build-time constant (the
+    // same per-call-probe smell as the r8 dim-probe finding)
+    book.zipWithIndex.map { case (bv, c) => (c, bv, m) }.toSeq
+      .toDF("c", "bvec", "m")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     val centsFlat = typedLit(coarse.flatten)
     val subBooks = graft.operators.SimilaritySearch.pqSubBooks(book, m, sub)
@@ -243,21 +246,17 @@ object AnnIndexStore {
       .select(col("list").cast("int"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).map(_._2)
-    val book = spark.read.parquet(s"$path/codebook")
-      .select(col("c").cast("int"), col("bvec"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val bookRows = spark.read.parquet(s"$path/codebook")
+      .select(col("c").cast("int"), col("bvec"), col("m").cast("int"))
+      .collect()
+    require(bookRows.nonEmpty, s"searchIvfPq: empty codebook at $path")
+    val book = bookRows.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).map(_._2)
+    val m = bookRows(0).getInt(2) // build-time constant, from the sidecar
     val dim = coarse(0).length
     val ksub = book.length
     val centsFlat = typedLit(coarse.flatten)
     val bookFlat = typedLit(book.flatten)
-    val m = {
-      // m is a build-time property of the codes; recover it from one
-      // footer-cheap row rather than a sidecar (codes are ints, dim/m each)
-      val probeRow = spark.read.parquet(s"$path/codes").select(col("codes")).limit(1).collect()
-      require(probeRow.nonEmpty, s"searchIvfPq: empty codes table at $path")
-      probeRow(0).getSeq[Int](0).length
-    }
 
     // tracked persist: used by the bounded list collect AND the cand
     // join; released through the shared CacheRegistry lifecycle (an
