@@ -307,8 +307,12 @@ object Dedup {
     // 20M A/B: 138.2 s before, measured after this rework below).
     val fpc = tracked(fp
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val reps = fpc.groupBy(col("simhash"))
+    // persisted: feeds the banded derivation AND the two post-band
+    // rep→fingerprint joins below (compact — 3 longs-ish per DISTINCT
+    // fingerprint)
+    val reps = tracked(fpc.groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("csize"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // within-clique pairs: all C(c, 2) pairs of docs sharing a
     // fingerprint — self-join the members of multi-doc cliques
     val multi = fpc.join(
@@ -324,18 +328,31 @@ object Dedup {
     // docs the cached banded copy was tens of GB: an 84g-heap probe run
     // persisting it was OOM-killed by the kernel; the unpersisted rerun
     // held 13.7 GB RSS at the same stage.
-    val banded = reps.select(col("rep"), col("simhash"),
+    //
+    // The banded rows carry ONLY (rep, band key) — not the fingerprint.
+    // The fingerprint is not needed until hamming verification, and
+    // rep ↔ fingerprint is 1:1, so it joins back from the persisted
+    // `reps` AFTER the band join + pair dedup. Carrying it through the
+    // banding exchange multiplies its bytes by the band count over
+    // every distinct fingerprint: at 50M docs / 120-bit block-array
+    // fingerprints the banded exchange is ~1B rows and the fingerprint
+    // payload alone is ~25 GB of shuffle — the delta that overflowed an
+    // 80 GB scratch disk (the two post-join hash joins against `reps`
+    // touch only the collided PAIR set, orders of magnitude smaller).
+    val banded = reps.select(col("rep"),
         explode(array(keyStructs.toIndexedSeq: _*)).as("band"))
-      .select(col("rep"), col("simhash"),
+      .select(col("rep"),
         col("band.chunk").as("chunk"), col("band.chunk_val").as("chunk_val"))
       .repartition(col("chunk"), col("chunk_val"))
     val crossReps = banded.as("a")
       .join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
           col("a.rep") < col("b.rep"))
-      .select(col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      // rep ↔ fingerprint is 1:1, so (sa, sb) dedups the band multiplicity
-      .dropDuplicates("sa", "sb")
+      .select(col("a.rep").as("ra"), col("b.rep").as("rb"))
+      // rep ↔ fingerprint is 1:1, so (ra, rb) dedups the band multiplicity
+      .dropDuplicates("ra", "rb")
+      .join(reps.select(col("rep").as("ra"), col("simhash").as("sa")), "ra")
+      .join(reps.select(col("rep").as("rb"), col("simhash").as("sb")), "rb")
       .withColumn("hamming", hamming(col("sa"), col("sb")))
       .filter(col("hamming") <= maxHamming)
     // expand representative pairs over both cliques' members (two hash
