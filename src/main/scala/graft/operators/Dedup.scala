@@ -448,18 +448,31 @@ object Dedup {
       // pointer-doubling: replace each label by its label's label, so a
       // chain of length D resolves in O(log D) rounds instead of D —
       // maxRounds then bounds diameter 2^maxRounds, not maxRounds.
+      //
+      // localCheckpoint, not persist: a persisted `next` keeps its FULL
+      // lineage, so round N's cached frame pins every earlier round's
+      // shuffle files (they can never be cleaned while recompute might
+      // need them) — ~15-20 GB of dead scratch per round at the 50M
+      // probe point, which overflowed an 80 GB disk on round ~4. The
+      // eager local checkpoint truncates lineage each round: round N+1
+      // references only round N's materialized blocks, so everything
+      // older becomes unreachable and the ContextCleaner reclaims its
+      // blocks AND shuffle files mid-loop (the System.gc() nudge
+      // processes the weak references promptly — the cleaner's own
+      // periodic GC defaults to 30-minute intervals, longer than the
+      // whole loop).
       val next = stepped.as("x")
         .join(stepped.select(col("doc_id").as("cluster_rep"),
           col("cluster_rep").as("rep2")).as("y"), Seq("cluster_rep"), "left")
         .select(col("doc_id"),
           least(col("cluster_rep"), coalesce(col("rep2"), col("cluster_rep"))).as("cluster_rep"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      tracked(next)
+        .localCheckpoint(eager = true)
       val changed = next.join(labels.withColumnRenamed("cluster_rep", "old_rep"), "doc_id")
         .filter(col("cluster_rep") < col("old_rep")).count()
       labels = next
       converged = changed == 0
       round += 1
+      System.gc()
     }
     if (!converged)
       throw new IllegalStateException(
