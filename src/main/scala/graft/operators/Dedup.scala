@@ -427,13 +427,29 @@ object Dedup {
         .join(repDf, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
     }
+    // Partitioned by dst — the JOIN key: the cached frame's hash
+    // partitioning is then reused by every round's edge join, so the
+    // 2|pairs|-row edge list never re-shuffles inside the loop (only
+    // the labels side moves). Partitioning by src (the old layout)
+    // bought nothing: the join is on dst, and the groupBy(src) shuffles
+    // the join OUTPUT regardless.
     val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
-      .repartition(col("src"))
+      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tracked(edges)
     var labels = nodes.select(col(idCol).cast("long").as("doc_id"))
       .withColumn("cluster_rep", col("doc_id"))
+    // Convergence detection rides on monotonicity, not a join: every
+    // round takes per-doc least(...), so labels are non-increasing and
+    // the doc set is fixed — the label SUM is strictly decreasing until
+    // the fixpoint, then constant. One exact decimal aggregate over the
+    // checkpointed frame replaces the old changed-count join (two more
+    // 50M-row shuffles per round at the probe point).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_rep").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -442,35 +458,35 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster_rep")).as("nbr_rep"))
+      // Eager local checkpoints, not persists, for both per-round
+      // frames: (a) `stepped` feeds BOTH sides of the pointer-doubling
+      // self-join — unmaterialized, its whole chain (edge join + agg)
+      // would execute twice per round; (b) a persisted frame keeps its
+      // FULL lineage, so round N would pin every earlier round's
+      // shuffle files (recompute might need them) — ~30 GB of dead
+      // scratch per round at the 50M probe point, which overflowed an
+      // 80 GB disk twice. Truncated lineage bounds live state to two
+      // rounds' blocks; the System.gc() nudge lets the ContextCleaner
+      // reclaim older rounds' blocks and shuffle files mid-loop (its
+      // own periodic GC defaults to 30-minute intervals, longer than
+      // the whole loop).
       val stepped = labels.join(viaEdges, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_rep"), coalesce(col("nbr_rep"), col("cluster_rep"))).as("cluster_rep"))
+        .localCheckpoint(eager = true)
       // pointer-doubling: replace each label by its label's label, so a
       // chain of length D resolves in O(log D) rounds instead of D —
       // maxRounds then bounds diameter 2^maxRounds, not maxRounds.
-      //
-      // localCheckpoint, not persist: a persisted `next` keeps its FULL
-      // lineage, so round N's cached frame pins every earlier round's
-      // shuffle files (they can never be cleaned while recompute might
-      // need them) — ~15-20 GB of dead scratch per round at the 50M
-      // probe point, which overflowed an 80 GB disk on round ~4. The
-      // eager local checkpoint truncates lineage each round: round N+1
-      // references only round N's materialized blocks, so everything
-      // older becomes unreachable and the ContextCleaner reclaims its
-      // blocks AND shuffle files mid-loop (the System.gc() nudge
-      // processes the weak references promptly — the cleaner's own
-      // periodic GC defaults to 30-minute intervals, longer than the
-      // whole loop).
       val next = stepped.as("x")
         .join(stepped.select(col("doc_id").as("cluster_rep"),
           col("cluster_rep").as("rep2")).as("y"), Seq("cluster_rep"), "left")
         .select(col("doc_id"),
           least(col("cluster_rep"), coalesce(col("rep2"), col("cluster_rep"))).as("cluster_rep"))
         .localCheckpoint(eager = true)
-      val changed = next.join(labels.withColumnRenamed("cluster_rep", "old_rep"), "doc_id")
-        .filter(col("cluster_rep") < col("old_rep")).count()
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       round += 1
       System.gc()
     }
