@@ -597,13 +597,23 @@ object Dedup {
     * of its positional `window`-token shingles that also occur in at
     * least one OTHER document. (doc_id, n_windows, n_dup, dup_frac).
     *
-    * Scale shape: one typed flatMap produces per-doc (shingle, count)
-    * rows — multiplicity aggregated INSIDE the row loop, so the shuffle
-    * carries distinct-per-doc shingles only (same volume as the Jaccard
-    * inverted index); document frequency is one hash aggregate over that
-    * index keyed by shingle; the join back is shingle-keyed and AQE
-    * handles hot boilerplate shingles. Nothing is quadratic — at 100 TB
-    * this is two shuffles over the shingle index, each map-side combined. */
+    * Scale shape: one typed flatMap produces per-doc (window-hash,
+    * count) rows — multiplicity aggregated INSIDE the row loop, so the
+    * shuffle carries distinct-per-doc windows only (same volume as the
+    * Jaccard inverted index); document frequency is one hash aggregate
+    * over that index; the join back is window-keyed and AQE handles hot
+    * boilerplate windows. Nothing is quadratic — at 100 TB this is two
+    * shuffles over the window index, each map-side combined.
+    *
+    * Windows shuffle as their md5-derived 60-bit hash ([[TF.hash60Jvm]]
+    * — engine-reproducible, so the oracle mirrors it), NOT the window
+    * text: the raw 3-token strings are ~30 B against the hash's 8, and
+    * at the 50M-doc probe point (≈4.9B index rows) the string-keyed
+    * exchanges were 200+ GB — the stage overflowed an 80 GB scratch
+    * disk twice before any aggregate ran. Distinct windows colliding in
+    * the 60-bit space would slightly overcount dup mass (birthday term
+    * ≈ n²/2⁶¹ — order 1 event at ~1.5B DISTINCT windows); both engines
+    * hash identically, so the driver gate is unaffected even then. */
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
       window: Int = 3, cacheIndex: Boolean = true): DataFrame = {
     val spark = df.sparkSession
@@ -619,9 +629,12 @@ object Dedup {
         .as[(Long, String)]
         .flatMap { case (id, t) =>
           val sh = TF.shinglesJvm(TF.tokenizeJvm(t), window)
-          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-          sh.foreach(s => m.update(s, m.getOrElse(s, 0L) + 1L))
-          m.iterator.map { case (s, c) => (id, s, c, sh.length.toLong) }.toSeq
+          val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+          sh.foreach { s =>
+            val h = TF.hash60Jvm(s)
+            m.update(h, m.getOrElse(h, 0L) + 1L)
+          }
+          m.iterator.map { case (h, c) => (id, h, c, sh.length.toLong) }.toSeq
         }
         .toDF("doc_id", "sh", "c", "n")
     val w = if (cacheIndex) tracked(wBase.persist()) else wBase

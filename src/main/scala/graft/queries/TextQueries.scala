@@ -683,7 +683,10 @@ object TextQueries {
 
     // Positional (non-distinct) windows of the shared 3-token shingle
     // tokenization; cross-doc document frequency over the per-doc
-    // distinct index; dup mass joined back per document.
+    // distinct index; dup mass joined back per document. Windows are
+    // keyed by the md5-derived 60-bit hash — the operator shuffles
+    // hashes, not window text (Dedup.duplicatedSpanStats), and the
+    // oracle mirrors the same hash, so the gate is key-exact.
     "dup_span_docs" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
@@ -691,7 +694,7 @@ object TextQueries {
         |), w AS (
         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
         |    THEN list_transform(range(1, len(toks) - 1),
-        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |           i -> CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT))
         |    ELSE [] END) AS sh
         |  FROM t
         |), c AS (
