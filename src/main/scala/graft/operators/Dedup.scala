@@ -654,4 +654,67 @@ object Dedup {
             coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"))
           .otherwise(lit(0.0)), 6).as("dup_frac"))
   }
+
+  /** Span-level exact-substring dedup REMOVAL — the ACTION form of
+    * [[duplicatedSpanStats]]'s signal (Lee et al. 2022,
+    * arXiv:2107.06499 remove all-but-one occurrence of duplicated
+    * substrings; here the fixed-`window`-token approximation of the
+    * suffix-array spans): for every `window`-token shingle that occurs
+    * in ≥ 2 distinct documents, the occurrence in the LOWEST doc_id
+    * survives; every token position covered by a non-surviving
+    * occurrence is stripped, and the document is rebuilt from its
+    * remaining tokens (whitespace normalized to single spaces — the
+    * tokenizer's contract). Deterministic: the keep rule is min
+    * doc_id, so the output is a pure function of the corpus.
+    *
+    * Output: (doc_id, n_tokens, n_removed, new_text).
+    *
+    * Scale shape: the positional window index (doc_id, pos, hash60) is
+    * the only corpus-sized intermediate — windows shuffle as 60-bit
+    * hashes like [[duplicatedSpanStats]] (never the window text);
+    * per-hash doc-frequency + canonical doc is one distinct + one hash
+    * aggregate; marked occurrences come back through one hash join
+    * (AQE absorbs hot boilerplate windows); per-doc covered positions
+    * are collected as a bounded int list (≤ doc length — collect_list's
+    * sort fallback is harmless at that width) and the interval
+    * expansion/rebuild runs row-local. Nothing is quadratic.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = window
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("string").as("text"))
+    // one row per window OCCURRENCE (position retained — removal needs it,
+    // unlike the stats profile's per-doc multiplicity collapse)
+    val occ = base.as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val sh = TF.shinglesJvm(TF.tokenizeJvm(t), w)
+        Iterator.tabulate(sh.length)(p => (id, p, TF.hash60Jvm(sh(p))))
+      }
+      .toDF("doc_id", "pos", "sh")
+    val stats = occ.select(col("sh"), col("doc_id")).distinct()
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("ndocs"), min(col("doc_id")).as("keep_doc"))
+    val marked = occ.join(stats.filter(col("ndocs") >= 2), "sh")
+      .filter(col("doc_id") =!= col("keep_doc"))
+      .select(col("doc_id"), col("pos"))
+    val perDoc = marked.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("toks", TF.tokens(col("text")))
+      // covered position set = union of [p, p+w-1] over marked starts,
+      // expanded/deduped row-local (no exploded shuffle)
+      .withColumn("drops",
+        when(col("starts").isNull, array().cast("array<integer>"))
+          .otherwise(array_sort(array_distinct(flatten(
+            transform(col("starts"), p => sequence(p, p + lit(w - 1))))))))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("drops")).cast("long").as("n_removed"),
+        array_join(expr("filter(toks, (x, i) -> NOT array_contains(drops, i))"), " ")
+          .as("new_text"))
+  }
 }

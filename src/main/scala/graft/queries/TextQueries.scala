@@ -79,6 +79,15 @@ object TextQueries {
       Dedup.duplicatedSpanStats(docs(s, dir), "doc_id", "text",
         window = 3)),
 
+    // span-level dedup REMOVAL (the action form of dup_span_docs):
+    // each cross-document duplicated 3-token window survives only in
+    // its minimal doc_id; covered tokens elsewhere are stripped and the
+    // doc rebuilt. Oracle replays the full pipeline: positional window
+    // index, df + canonical doc, coverage expansion, token filter.
+    "dedup_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(docs(s, dir), "doc_id", "text",
+        window = 3)),
+
     // cluster assignment: connected components over the jaccard >= 0.5
     // pair graph via iterative min-label propagation (O(diameter)
     // rounds); oracle recomputes components with a recursive CTE
@@ -712,6 +721,42 @@ object TextQueries {
         |  round(CASE WHEN COALESCE(per.n_windows, 0) > 0
         |    THEN CAST(per.n_dup AS DOUBLE) / per.n_windows ELSE 0.0 END, 6) AS dup_frac
         |FROM t LEFT JOIN per ON t.doc_id = per.doc_id""".stripMargin,
+
+    // full replay of removeDuplicatedSpans: positional window index →
+    // per-hash (ndocs, min doc) → marked occurrences → covered-position
+    // expansion → indexed token filter + rebuild (DuckDB list lambdas
+    // are 1-indexed; Spark's are 0-indexed — hence the i-1 shifts)
+    "dedup_span_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), wi AS (
+        |  SELECT doc_id, toks,
+        |    unnest(CASE WHEN len(toks) >= 3 THEN range(1, len(toks) - 1) ELSE [] END) AS i
+        |  FROM t
+        |), w AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |    CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT) AS sh
+        |  FROM wi
+        |), s AS (
+        |  SELECT sh, count(DISTINCT doc_id) AS ndocs, min(doc_id) AS keep_doc
+        |  FROM w GROUP BY 1
+        |), m AS (
+        |  SELECT w.doc_id, w.pos FROM w JOIN s ON w.sh = s.sh
+        |  WHERE s.ndocs >= 2 AND w.doc_id <> s.keep_doc
+        |), cov AS (
+        |  SELECT DISTINCT m.doc_id, m.pos + u.o AS tp
+        |  FROM m, unnest([0, 1, 2]) AS u(o)
+        |), d AS (
+        |  SELECT doc_id, list_sort(list(tp)) AS drops FROM cov GROUP BY 1
+        |)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(len(d.drops), 0) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(CASE WHEN d.drops IS NULL THEN t.toks
+        |    ELSE list_filter(t.toks, (x, i) -> NOT list_contains(d.drops, i - 1)) END,
+        |    ' '), '') AS new_text
+        |FROM t LEFT JOIN d ON t.doc_id = d.doc_id""".stripMargin,
 
     "dedup_survivors" ->
       s"""WITH $shingleCte,

@@ -243,4 +243,24 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((7L, 3L, 0.428571)))
     Dedup.releaseCaches()
   }
+
+  test("removeDuplicatedSpans: min-doc occurrence survives, covered tokens stripped elsewhere") {
+    val d = Seq(
+      (0L, "a b c d"),            // canonical doc for "a b c" -> untouched
+      (1L, "a b c x"),            // "a b c" at pos 0 covers tokens 0-2
+      (2L, "z z z z z"),          // within-doc repeats only -> untouched
+      (3L, "q w"),                // shorter than the window -> untouched
+      (4L, "a b c a b c a b c")   // three "a b c" occurrences cover all 9
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(d, "doc_id", "text", window = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(0L) == ((4L, 0L, "a b c d")))
+    assert(got(1L) == ((4L, 3L, "x")))
+    assert(got(2L) == ((5L, 0L, "z z z z z")))
+    assert(got(3L) == ((2L, 0L, "q w")))
+    assert(got(4L) == ((9L, 9L, "")))
+    Dedup.releaseCaches()
+  }
 }
