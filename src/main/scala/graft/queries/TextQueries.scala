@@ -88,6 +88,22 @@ object TextQueries {
       Dedup.removeDuplicatedSpans(docs(s, dir), "doc_id", "text",
         window = 3)),
 
+    // incremental (continuous-ingestion) dedup: history docs
+    // (doc_id % 3 < 2) stand in for the persisted fingerprint store; the
+    // remaining third is the new batch, graded exact-vs-store /
+    // exact-within-batch / near(hamming<=3)-vs-store / near-within-batch
+    // with first-wins precedence — the batch twin of dedup_stream that a
+    // daily crawl drop runs against the archive's store, never its text.
+    // Oracle replays fingerprints, band-free hamming (banding is
+    // pigeonhole-complete, so a direct filter is equivalent), precedence.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val store = Dedup.fingerprintStore(
+        d.filter(col("doc_id") % 3 < 2), "doc_id", "text", bits = 48)
+      Dedup.incrementalVerdicts(store, d.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", bits = 48, maxHamming = 3, blocks = 4)
+    }),
+
     // cluster assignment: connected components over the jaccard >= 0.5
     // pair graph via iterative min-label propagation (O(diameter)
     // rounds); oracle recomputes components with a recursive CTE
@@ -615,6 +631,50 @@ object TextQueries {
          |    CASE WHEN CAST(list_sum(list_transform(hs, hv -> ((hv >> b) & 1) * 2 - 1)) AS BIGINT) > 0
          |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
          |FROM h WHERE len(hs) > 0""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH t AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         |         list_filter(string_split(text, ' '), x -> x != '') AS toks
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, md5(text) AS text_hash,
+         |         list_transform(list_distinct(toks), tk -> ${dh(97, "tk")}) AS hs
+         |  FROM t
+         |), fp AS (
+         |  SELECT doc_id, text_hash,
+         |    CASE WHEN len(hs) > 0 THEN
+         |      CAST(list_sum(list_transform(range(0, 48), bi ->
+         |        CASE WHEN CAST(list_sum(list_transform(hs, hv -> ((hv >> bi) & 1) * 2 - 1)) AS BIGINT) > 0
+         |             THEN (CAST(1 AS BIGINT) << bi) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+         |    ELSE NULL END AS simhash
+         |  FROM h
+         |), store AS (SELECT * FROM fp WHERE doc_id % 3 < 2),
+         |   batch AS (SELECT * FROM fp WHERE doc_id % 3 = 2),
+         |es AS (SELECT b.doc_id, min(s.doc_id) AS v FROM batch b
+         |       JOIN store s ON s.text_hash = b.text_hash GROUP BY b.doc_id),
+         |eb AS (SELECT b.doc_id, min(b2.doc_id) AS v FROM batch b
+         |       JOIN batch b2 ON b2.text_hash = b.text_hash AND b2.doc_id < b.doc_id
+         |       GROUP BY b.doc_id),
+         |ns AS (SELECT b.doc_id, min(s.doc_id) AS v FROM batch b
+         |       JOIN store s ON b.simhash IS NOT NULL AND s.simhash IS NOT NULL
+         |        AND bit_count(xor(b.simhash, s.simhash)) <= 3 GROUP BY b.doc_id),
+         |nb AS (SELECT b.doc_id, min(b2.doc_id) AS v FROM batch b
+         |       JOIN batch b2 ON b.simhash IS NOT NULL AND b2.simhash IS NOT NULL
+         |        AND b2.doc_id < b.doc_id AND bit_count(xor(b.simhash, b2.simhash)) <= 3
+         |       GROUP BY b.doc_id)
+         |SELECT b.doc_id,
+         |  CASE WHEN es.v IS NOT NULL THEN 'exact_store'
+         |       WHEN eb.v IS NOT NULL THEN 'exact_batch'
+         |       WHEN ns.v IS NOT NULL THEN 'near_store'
+         |       WHEN nb.v IS NOT NULL THEN 'near_batch'
+         |       ELSE 'unique' END AS verdict,
+         |  COALESCE(es.v, eb.v, ns.v, nb.v) AS dup_of
+         |FROM batch b
+         |LEFT JOIN es ON es.doc_id = b.doc_id
+         |LEFT JOIN eb ON eb.doc_id = b.doc_id
+         |LEFT JOIN ns ON ns.doc_id = b.doc_id
+         |LEFT JOIN nb ON nb.doc_id = b.doc_id""".stripMargin,
 
     "neardup_cosine" ->
       """SELECT id_a, id_b, cos FROM (

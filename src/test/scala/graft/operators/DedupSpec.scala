@@ -263,4 +263,73 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((9L, 9L, "")))
     Dedup.releaseCaches()
   }
+
+  test("incrementalVerdicts: every verdict kind matches a brute-force JVM replay") {
+    import graft.functions.{TextFunctions => TF}
+    // JVM twin of fingerprintStore's 48-bit SimHash (seed-97 hash60
+    // over the distinct token set)
+    def sim48(text: String): Option[Long] = {
+      val hs = TF.tokenizeJvm(text).distinct.map(t => TF.hash60Jvm("97:" + t))
+      if (hs.isEmpty) None
+      else Some((0 until 48).foldLeft(0L) { (acc, b) =>
+        if (hs.map(h => ((h >> b) & 1L) * 2 - 1).sum > 0) acc | (1L << b) else acc
+      })
+    }
+    def hamming(a: Long, bb: Long): Int = java.lang.Long.bitCount(a ^ bb)
+    // a candidate mutation within SimHash radius 1..3 of `base`,
+    // deterministic (md5 arithmetic): try appended rare tokens until
+    // one lands inside the radius
+    def nearOf(base: String): String = {
+      val s0 = sim48(base).get
+      (0 until 64).iterator.map(i => s"$base zq$i")
+        .find(t => { val h = hamming(s0, sim48(t).get); h >= 1 && h <= 3 })
+        .getOrElse(fail(s"no in-radius mutation found for: $base"))
+    }
+    val sA = (0 until 40).map(i => s"a$i").mkString(" ")
+    val sB = (0 until 40).map(i => s"b$i").mkString(" ")
+    val x = (0 until 40).map(i => s"x$i").mkString(" ")
+    val uniq = (0 until 40).map(i => s"u$i").mkString(" ")
+    val storeRows = Seq((0L, sA), (1L, sB), (3L, ""))
+    val batchRows = Seq(
+      (10L, sA),        // exact_store (dup_of 0)
+      (11L, x),         // unique
+      (12L, x),         // exact_batch (dup_of 11)
+      (13L, nearOf(sB)),// near_store (dup_of 1)
+      (14L, nearOf(x)), // near_batch (dup_of 11 — 11 and 12 share the fp)
+      (15L, uniq),      // unique
+      (16L, ""))        // exact_store of the empty store doc (null simhash path)
+    // brute-force replay of the contract over raw texts
+    val expected = batchRows.map { case (id, t) =>
+      val h = TF.md5Hex(t)
+      val s = sim48(t)
+      def minBy(c: Seq[(Long, String)], p: ((Long, String)) => Boolean) =
+        c.filter(p).map(_._1).sorted.headOption
+      val es = minBy(storeRows, r => TF.md5Hex(r._2) == h)
+      val eb = minBy(batchRows, r => r._1 < id && TF.md5Hex(r._2) == h)
+      val ns = minBy(storeRows,
+        r => s.isDefined && sim48(r._2).isDefined && hamming(s.get, sim48(r._2).get) <= 3)
+      val nb = minBy(batchRows,
+        r => r._1 < id && s.isDefined && sim48(r._2).isDefined && hamming(s.get, sim48(r._2).get) <= 3)
+      val (verdict, dupOf) =
+        if (es.isDefined) ("exact_store", es)
+        else if (eb.isDefined) ("exact_batch", eb)
+        else if (ns.isDefined) ("near_store", ns)
+        else if (nb.isDefined) ("near_batch", nb)
+        else ("unique", None)
+      id -> ((verdict, dupOf))
+    }.toMap
+    assert(expected.values.map(_._1).toSet ==
+      Set("exact_store", "exact_batch", "near_store", "near_batch", "unique"),
+      "test corpus must exercise every verdict kind")
+    val store = Dedup.fingerprintStore(
+      storeRows.toDF("doc_id", "text"), "doc_id", "text", bits = 48)
+    val got = Dedup.incrementalVerdicts(store, batchRows.toDF("doc_id", "text"),
+        "doc_id", "text", bits = 48, maxHamming = 3, blocks = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(got == expected)
+    Dedup.releaseCaches()
+  }
 }
