@@ -567,8 +567,18 @@ object AnnIndexStore {
 
   private def searchBatch(spark: SparkSession, path: String,
       qBatch: Array[(Long, Array[Float])], k: Int, ef: Int): DataFrame = {
+    if (qBatch.isEmpty) {
+      import spark.implicits._
+      return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+    }
+    rankTopK(rawSearchBatch(spark, path, qBatch, k, ef), k)
+  }
+
+  /** Per-candidate (qid, id, dist) rows before the top-k merge — shared
+    * by the plain search and the delta-union path. */
+  private def rawSearchBatch(spark: SparkSession, path: String,
+      qBatch: Array[(Long, Array[Float])], k: Int, ef: Int): DataFrame = {
     import spark.implicits._
-    if (qBatch.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     val bq = spark.sparkContext.broadcast(qBatch)
     spark.read.parquet(path)
       .select(col("ids"), col("graph"))
@@ -584,9 +594,122 @@ object AnnIndexStore {
         }
       }
       .toDF("qid", "id", "dist")
-      .groupBy("qid")
+  }
+
+  private def rankTopK(raw: DataFrame, k: Int): DataFrame =
+    raw.groupBy("qid")
       .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
       .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
       .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
+
+  // ---- delta appends: LSM-style incremental index maintenance ----
+
+  /** Sibling dataset holding not-yet-indexed rows (plain (id, vec)
+    * parquet) — `<path>.delta`, NOT a subdirectory, so reading the main
+    * store never mixes schemas. */
+  def deltaPath(path: String): String = path.stripSuffix("/") + ".delta"
+
+  private def deltaExists(path: String): Boolean =
+    new java.io.File(deltaPath(path), "_SUCCESS").exists() ||
+      new java.io.File(deltaPath(path)).isDirectory
+
+  /** Append new vectors to a stored index WITHOUT rebuilding its
+    * graphs — the LSM pattern for continuously-ingested corpora
+    * (Fresh-DiskANN's immutable main + mutable delta): graph builds
+    * are the expensive operation (minutes per million rows), so
+    * between-batch inserts accumulate as plain parquet rows that
+    * [[searchWithDelta]] scans EXACTLY, and [[compactDelta]] folds
+    * into rebuilt graphs once [[deltaFraction]] crosses a threshold —
+    * amortized-O(1) index maintenance with zero recall loss from
+    * staleness (the delta side is brute-force, recall 1.0 by
+    * construction). */
+  def appendDelta(delta: DataFrame, path: String): Unit =
+    delta.select(col("id").cast("long"), col("vec"))
+      .write.mode("append").parquet(deltaPath(path))
+
+  /** Idempotent form for build scripts that may retry: REPLACE the
+    * delta instead of appending (a crashed-and-rerun `appendDelta`
+    * would double its rows). */
+  def replaceDelta(delta: DataFrame, path: String): Unit =
+    delta.select(col("id").cast("long"), col("vec"))
+      .write.mode("overwrite").parquet(deltaPath(path))
+
+  /** delta rows ÷ indexed rows — the compaction trigger. Delta count
+    * comes from parquet footers (no job); the indexed count is one
+    * aggregate over the B bucket rows (sums `size(ids)` — B is tens of
+    * rows by construction, so this is a driver-trivial job). */
+  def deltaFraction(spark: SparkSession, path: String): Double = {
+    if (!deltaExists(path)) return 0.0
+    val indexed = spark.read.parquet(path)
+      .agg(sum(size(col("ids")))).head().getLong(0)
+    val delta = graft.sources.ParquetMeta.rowCount(spark, deltaPath(path))
+    if (indexed == 0) Double.PositiveInfinity else delta.toDouble / indexed
+  }
+
+  /** Search the main graphs AND the delta in one plan: graph walks over
+    * the stored sub-indexes union an exact broadcast-scan of the delta
+    * rows ([[graft.functions.VectorFunctions.l2Sq]] codegen — the same
+    * arithmetic as the exact kNN join), merged by a single bounded
+    * top-k. Newly appended rows are searchable immediately, at exact
+    * recall, without touching a graph. */
+  def searchWithDelta(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, ef: Int = 200): DataFrame = {
+    import spark.implicits._
+    val qBatch = queries.select(col("qid").cast("long"), col("qvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    if (qBatch.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+    val main = rawSearchBatch(spark, path, qBatch, k, ef)
+    val all =
+      if (!deltaExists(path)) main
+      else {
+        val qDf = broadcast(qBatch.toIndexedSeq.toDF("qid", "qvec"))
+        val deltaRaw = qDf.crossJoin(
+            spark.read.parquet(deltaPath(path))
+              .select(col("id").cast("long"), col("vec")))
+          .select(col("qid"), col("id"),
+            graft.functions.VectorFunctions.l2Sq(col("qvec"), col("vec")).as("dist"))
+        main.unionByName(deltaRaw)
+      }
+    rankTopK(all, k)
+  }
+
+  /** Fold the delta into rebuilt graphs and clear it. Self-contained:
+    * the stored graphs carry their vectors, so compaction reads them
+    * back out ([[HnswIndex.vectorOf]]) and never needs the original
+    * base table — at 100 TB the archived corpus is not re-scanned to
+    * maintain its index. The rebuilt store lands beside the live one
+    * and swaps in with directory renames (object-store equivalent: a
+    * manifest pointer flip), so a concurrent reader sees either the
+    * old store + delta or the new store — never a half-built one. */
+  def compactDelta(spark: SparkSession, path: String, numBuckets: Int,
+      m: Int = 16, efConstruction: Int = 200): Unit = {
+    import spark.implicits._
+    val fromGraphs = spark.read.parquet(path)
+      .select(col("ids"), col("graph"))
+      .as[(Array[Long], Array[Byte])]
+      .flatMap { case (ids, g) =>
+        val idx = HnswIndex.fromBytes(g)
+        ids.indices.iterator.map(i => (ids(i), idx.vectorOf(i)))
+      }
+      .toDF("id", "vec")
+    val all =
+      if (!deltaExists(path)) fromGraphs
+      else fromGraphs.unionByName(
+        spark.read.parquet(deltaPath(path)).select(col("id").cast("long"), col("vec")))
+    val tmp = path.stripSuffix("/") + ".compact"
+    build(all, tmp, numBuckets, m, efConstruction)
+    val old = new java.io.File(path.stripSuffix("/") + ".old")
+    deleteRecursively(old)
+    require(new java.io.File(path).renameTo(old), s"swap: cannot move $path aside")
+    require(new java.io.File(tmp).renameTo(new java.io.File(path)),
+      s"swap: cannot promote $tmp")
+    deleteRecursively(old)
+    deleteRecursively(new java.io.File(deltaPath(path)))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.exists()) f.delete()
   }
 }

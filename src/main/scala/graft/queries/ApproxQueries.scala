@@ -43,6 +43,26 @@ object ApproxQueries {
       AnnJoin.hnswKnn(base, q, k = 10, ef = 200, numBuckets = 4)
     }),
 
+    // LSM delta-append serving: main graphs hold 4/5 of the corpus, the
+    // last fifth arrives as an un-indexed delta appended WITHOUT a graph
+    // rebuild; search = graph walks ∪ exact delta scan under one bounded
+    // top-k. Oracle = exact kNN over the WHOLE corpus (delta recall is
+    // 1.0 by construction; main walks are exhaustive-grade at sf scale).
+    "ann_delta_knn" -> ((s, dir) => {
+      val idxPath = s"/tmp/graft_ann_delta/${storeTag(s, dir)}"
+      val e = emb(s, dir).select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("vec"))
+      if (!new java.io.File(s"$idxPath/_SUCCESS").exists() ||
+          !new java.io.File(graft.index.AnnIndexStore.deltaPath(idxPath), "_SUCCESS").exists()) {
+        graft.index.AnnIndexStore.build(e.filter(col("id") % 5 =!= 0), idxPath,
+          numBuckets = 4)
+        graft.index.AnnIndexStore.replaceDelta(e.filter(col("id") % 5 === 0), idxPath)
+      }
+      val q = emb(s, dir).filter(col("vec_id") % 71 === 3)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      graft.index.AnnIndexStore.searchWithDelta(s, idxPath, q, k = 10, ef = 200)
+    }),
+
     // signed-random-projection LSH cosine top-k
     "sim_lsh_topk" -> ((s, dir) => {
       val base = emb(s, dir).select(col("vec_id").cast("long").as("id"),
@@ -429,6 +449,25 @@ object ApproxQueries {
     // re-rank; on this corpus no candidate pair lands within float
     // accumulation error of a tie (verified by the hash match itself).
     "ann_hnsw_knn" ->
+      """WITH q AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qvec
+        |  FROM embeddings WHERE vec_id % 71 = 3
+        |), j AS (
+        |  SELECT q.qid, CAST(b.vec_id AS BIGINT) AS id,
+        |    list_sum(list_transform(list_zip(q.qvec, b.embedding),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+        |  FROM q, embeddings b
+        |), r AS (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+        |  FROM j
+        |)
+        |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 10""".stripMargin,
+
+    // Delta-append serving vs the same whole-corpus exact kNN: the main
+    // graphs walk 4/5 of the rows exhaustively at this scale and the
+    // delta fifth is scanned exactly, so the union's top-k equals the
+    // full brute force.
+    "ann_delta_knn" ->
       """WITH q AS (
         |  SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qvec
         |  FROM embeddings WHERE vec_id % 71 = 3

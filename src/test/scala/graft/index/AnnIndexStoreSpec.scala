@@ -55,6 +55,43 @@ class AnnIndexStoreSpec extends SparkSpec {
       t1.chosenEf == 256)
   }
 
+  test("delta append: exact-recall serving of un-indexed rows; compaction folds and clears") {
+    val all = Seq.tabulate(900)(i => (i.toLong, vec()))
+    val (indexed, delta) = all.partition(_._1 % 5 != 0)
+    val queries = Seq.tabulate(8)(i => (i.toLong, vec())).toDF("qid", "qvec")
+    val dir = Files.createTempDirectory("graft-anndelta").toString + "/index"
+    AnnIndexStore.build(indexed.toDF("id", "vec"), dir, numBuckets = 3)
+    AnnIndexStore.appendDelta(delta.toDF("id", "vec"), dir)
+    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 0.25) < 0.01)
+    // searchWithDelta must see delta rows at recall 1.0: ground truth
+    // over the FULL set, checked against a generous walk
+    val got = AnnIndexStore.searchWithDelta(spark, dir, queries, k = 10, ef = 600)
+    val exact = KnnJoin.exactFlat(
+      all.toDF("id", "vec").withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
+      queries.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
+        .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)), 10)
+    val recall = AnnJoin.recallAtK(got, exact)
+    assert(recall >= 0.95, s"recall with delta $recall")
+    // every delta id that exact kNN surfaces must be served (delta side
+    // is brute force — it cannot miss)
+    val exactDelta = exact.filter(col("nid") % 5 === 0)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = got.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactDelta.subsetOf(gotPairs),
+      s"missing delta results: ${exactDelta.diff(gotPairs)}")
+    // compaction: same result set from plain search; delta cleared
+    AnnIndexStore.compactDelta(spark, dir, numBuckets = 3)
+    assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0)
+    val afterCompact = AnnIndexStore.search(spark, dir, queries, k = 10, ef = 600)
+    assert(AnnJoin.recallAtK(afterCompact, exact) >= 0.95)
+    // compacted store indexes the full id set (vectors were recovered
+    // from the stored graphs, not the original base)
+    val nIndexed = spark.read.parquet(dir)
+      .agg(sum(size(col("ids")))).head().getLong(0)
+    assert(nIndexed == 900L)
+  }
+
   test("buildBy/searchBy: per-label persisted indexes, predicate by construction") {
     val base = Seq.tabulate(1200)(i => (i.toLong, (i % 4).toLong, vec()))
       .toDF("id", "label", "vec")
