@@ -31,7 +31,7 @@ object Bench {
     // the stored-index queries builds /tmp/graft_* tables; running them
     // once up front moves that one-time cost out of the per-query
     // numbers and reports it as index_build_sec.
-    val storeBuilders = Seq("knn_stored", "ann_sql_topk", "ann_sql_routed")
+    val storeBuilders = Seq("knn_stored", "ann_sql_topk", "ann_sql_routed", "ann_delta_knn")
       .filter(selected.contains)
     val tB0 = System.nanoTime()
     storeBuilders.foreach { name =>
