@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => Sq4Encode(es(0), es(1), es(2))))
     e.injectFunction(fn("sq4_asym_l2_sq", "dequantizing squared L2 over packed SQ4 codes",
       es => Sq4AsymL2Sq(es(0), es(1), es(2), es(3))))
+    e.injectFunction(fn("bq_encode", "packed sign-bit (1-bit) encoding of a float array",
+      es => org.apache.spark.sql.graft.BqEncode(es(0))))
+    e.injectFunction(fn("bq_hamming", "XOR-popcount Hamming distance of two sign-bit codes",
+      es => org.apache.spark.sql.graft.BqHamming(es(0), es(1))))
     e.injectFunction(fn("nearest_centroids", "k nearest centroid indices in a flat matrix",
       es => org.apache.spark.sql.graft.NearestCentroids(es(0), es(1), es(2))))
     e.injectFunction(fn("md5_hash60", "60-bit seeded md5 hash of a string",

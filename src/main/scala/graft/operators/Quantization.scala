@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ExprBridge, Sq4AsymL2Sq, Sq4Encode, Sq8AsymL2Sq, Sq8Encode, Sq8L2Squared}
+import org.apache.spark.sql.graft.{BqEncode, BqHamming, ExprBridge, Sq4AsymL2Sq, Sq4Encode, Sq8AsymL2Sq, Sq8Encode, Sq8L2Squared}
 
 /** SQ8 symmetric quantization + the two-stage refine pattern
   * (reference: hybrid_graph.cpp:206-229 quantized candidates,
@@ -86,6 +86,44 @@ object Quantization {
     ExprBridge.column(Sq4AsymL2Sq(ExprBridge.expression(qvec),
       ExprBridge.expression(code),
       ExprBridge.expression(typedLit(mins)), ExprBridge.expression(typedLit(difs))))
+
+  /** Packed sign-bit (1-bit) code of a float vector — 32× compression;
+    * bit d = x_d > 0 (see [[org.apache.spark.sql.graft.BqEncode]]). */
+  def bqEncode(vec: Column): Column =
+    ExprBridge.column(BqEncode(ExprBridge.expression(vec)))
+
+  /** XOR-popcount Hamming distance over packed sign-bit codes. */
+  def bqHamming(a: Column, b: Column): Column =
+    ExprBridge.column(BqHamming(ExprBridge.expression(a), ExprBridge.expression(b)))
+
+  /** Two-stage 1-bit kNN: top-`refineK` candidates by integer Hamming
+    * distance over sign-bit codes (no training, no floating point in
+    * stage 1 — ranking is engine-exact), then exact fp32 re-rank to
+    * top-`k`. The binary-quantization retrieval pattern modern embedding
+    * stores use for the first-pass scan; structurally the reference's
+    * SQ8 refine path with a 32×-smaller code domain. Codes travel
+    * through the shuffle instead of vectors: at 100 TB the candidate
+    * stage scans/exchanges 1/32nd of the fp32 bytes. Output:
+    * (qid, rank, nid). */
+  def bqKnn(base: DataFrame, queries: DataFrame, k: Int, refineK: Int): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val b = base.withColumn("code", bqEncode(col("vec")))
+    val q = queries.withColumn("qcode", bqEncode(col("qvec")))
+    val cand = broadcast(q.select(col("qid"), col("qcode")))
+      .crossJoin(b.select(col("id"), col("code")))
+      .withColumn("hdist", bqHamming(col("qcode"), col("code")).cast("double"))
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(refineK, col("hdist"), col("id")).as("cands"))
+      .select(col("qid"), explode(col("cands")).as("id"))
+    cand
+      .join(q.select(col("qid"), col("qvec")), "qid")
+      .join(b.select(col("id"), col("vec")), "id")
+      .withColumn("dist", VF.l2Sq(col("qvec"), col("vec")))
+      .groupBy("qid")
+      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
+      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
+  }
 
   /** Two-stage kNN: top-`refineK` candidates by integer code distance,
     * exact fp32 re-rank to top-`k`. Exactly the reference's quantized

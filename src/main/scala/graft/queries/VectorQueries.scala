@@ -168,6 +168,17 @@ object VectorQueries {
         .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
     }),
 
+    // 1-bit binary quantization kNN: sign-bit codes (32× compression),
+    // integer Hamming candidate scan, exact fp32 re-rank — the extreme
+    // end of the quantizer ladder (SQ8 sym/asym → SQ4 → PQ → 1-bit)
+    "bq_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val b = e.select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      Quantization.bqKnn(b, q, k = 5, refineK = 20)
+    }),
+
     // recall aggregation (reference GetKNNRecall, utils.h:224-253):
     // mean |approx ∩ exact| / k of the SQ8 refine path vs the exact oracle
     "recall_eval" -> ((s, dir) => {
@@ -340,6 +351,27 @@ object VectorQueries {
         |), r AS (
         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
         |  FROM j
+        |)
+        |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 5""".stripMargin,
+
+    "bq_knn" ->
+      """WITH cb AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS vec FROM embeddings
+        |), q AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qvec
+        |  FROM embeddings WHERE vec_id % 50 = 0
+        |), c AS (
+        |  SELECT q.qid, cb.id, cb.vec, q.qvec,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      CAST(list_sum(list_transform(list_zip(q.qvec, cb.vec),
+        |        p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END)) AS BIGINT), cb.id) AS crnk
+        |  FROM q, cb
+        |), r AS (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      list_sum(list_transform(list_zip(qvec, vec),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), id) AS rnk
+        |  FROM c WHERE crnk <= 20
         |)
         |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 5""".stripMargin,
 

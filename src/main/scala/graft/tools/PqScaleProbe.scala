@@ -103,6 +103,15 @@ object PqScaleProbe {
         }
         Seq(("ivfpq_seeded", is, isSec), ("ivfpq_trained", it, itSec))
       }
+    // 1-bit binary quantization at the same operating point: no
+    // training, Hamming candidate scan (dim/8 bytes/row vs 4·dim fp32),
+    // exact re-rank — where the 32× code shrink lands on the same
+    // recall/wall axes as the PQ arms.
+    val (bq, bqSec) = timed(s"bq_hamming_refine$refineK") {
+      val r = graft.operators.Quantization.bqKnn(base, queries, k, refineK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count(); r
+    }
     val (exact, exactSec) = timed("exact_bruteforce") {
       val r = KnnJoin.exactFlat(
         base.withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
@@ -112,6 +121,8 @@ object PqScaleProbe {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count(); r
     }
+    val recallB = AnnJoin.recallAtK(bq, exact)
+    println(f"RECALL@$k bq_1bit: $recallB%.4f ($bqSec%.1f s)")
     val recallS = AnnJoin.recallAtK(pq, exact)
     val recallT = AnnJoin.recallAtK(pqT, exact)
     println(f"RECALL@$k seeded: $recallS%.4f (${pqSec}%.1f s)  trained: $recallT%.4f (${pqTSec}%.1f s)  exact=${exactSec}%.1f s")

@@ -115,6 +115,58 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("BQ: packed sign bits, Hamming ≡ per-dim sign disagreement count") {
+    val coded = data
+      .withColumn("code", Quantization.bqEncode($"vec"))
+      .select($"vec", $"code").collect()
+    coded.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      val code = r.getAs[Array[Byte]](1)
+      assert(code.length == (v.length + 7) / 8)
+      v.indices.foreach { d =>
+        val bit = (code(d >> 3) >> (d & 7)) & 1
+        assert((bit == 1) == (v(d) > 0f), s"dim $d x=${v(d)} bit=$bit")
+      }
+    }
+    // hamming over codes == direct sign-disagreement count over floats
+    val a = data.withColumn("ca", Quantization.bqEncode($"vec"))
+      .select($"id".as("ia"), $"vec".as("va"), $"ca")
+    val b = data.withColumn("cb", Quantization.bqEncode($"vec"))
+      .select($"id".as("ib"), $"vec".as("vb"), $"cb")
+    val cmp = a.crossJoin(b).filter($"ia" < $"ib").limit(500)
+      .select($"va", $"vb", Quantization.bqHamming($"ca", $"cb").as("h")).collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      val va = r.getSeq[Float](0)
+      val vb = r.getSeq[Float](1)
+      val want = va.zip(vb).count { case (x, y) => (x > 0f) != (y > 0f) }
+      assert(r.getInt(2) == want)
+    }
+  }
+
+  test("BQ: unequal-length codes count unpaired bytes against the pad") {
+    val df = Seq(
+      (Array(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f, 1f, 1f, 1f), // 11 dims → 2 bytes
+       Array(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f))             // 8 dims → 1 byte
+    ).toDF("a", "b")
+    val h = df.select(Quantization.bqHamming(
+      Quantization.bqEncode($"a"), Quantization.bqEncode($"b"))).head().getInt(0)
+    // first 8 dims agree; dims 8-10 are positive bits with no pair → 3
+    assert(h == 3)
+  }
+
+  test("bqKnn with refineK = N equals exact kNN") {
+    val qs = data.filter($"id" % 40 === 0).select($"id".as("qid"), $"vec".as("qvec"))
+    val approx = Quantization.bqKnn(data, qs, k = 5, refineK = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = KnnJoin.exactFlat(
+      data.withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
+      qs.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
+        .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)),
+      5).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(approx == exact)
+  }
+
   test("refineKnn recall@5 with narrow refineK stays high") {
     val alpha = Quantization.trainAlpha(data, "vec")
     val qs = data.filter($"id" % 20 === 0).select($"id".as("qid"), $"vec".as("qvec"))
