@@ -497,6 +497,39 @@ object Dedup {
     labels
   }
 
+  /** Leakage-safe train/val/test split: assigns every near-dup CLUSTER —
+    * not every doc — to one split, so no duplicate pair ever straddles
+    * train and eval. A doc-keyed hash split leaves that contamination
+    * channel open: of an exact or near-dup pair, one side can land in
+    * train and the other in test, and the model is then evaluated on
+    * (a copy of) its own training data. Keying the same deterministic
+    * md5 split hash by the cluster REPRESENTATIVE instead closes it by
+    * construction — all members inherit the rep's draw.
+    *
+    * Composition of two existing operators: components over the
+    * dup-pair graph ([[nearDupComponents]] — driver union-find small,
+    * distributed pointer-doubling large), then the md5 split used for
+    * doc-level splits applied to `cluster_rep`. Output:
+    * (doc_id, cluster_rep, split). Cut points are percents of the
+    * 32-bit hash space: [0, trainPct) train, [trainPct, trainPct +
+    * valPct) val, rest test. Singleton docs (no dup pair) are their own
+    * rep, so they split exactly as the doc-keyed hash would. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10,
+      pairCountHint: Option[Long] = None): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"cut points must partition [0,100): train=$trainPct val=$valPct")
+    nearDupComponents(docs.select(col(idCol)), idCol, pairs,
+        pairCountHint = pairCountHint)
+      .withColumn("h",
+        conv(substring(md5(concat(lit("split:"), col("cluster_rep").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("h") < trainPct, "train")
+          .when(col("h") < trainPct + valPct, "val").otherwise("test"))
+      .select(col("doc_id"), col("cluster_rep"), col("split"))
+  }
+
   /** Embedding near-duplicate pairs with cosine ≥ minCosine:
     * (id_a, id_b, cos), id_a < id_b.
     *

@@ -114,6 +114,15 @@ object TextQueries {
         docs(s, dir).select(col("doc_id")), "doc_id", pairs)
     }),
 
+    // leakage-safe split: near-dup CLUSTERS (jaccard >= 0.5 components,
+    // same pair graph as dedup_clusters) are split atomically by an md5
+    // hash of the cluster rep — no dup pair straddles train/eval
+    "split_leakage_safe" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsAuto(docs(s, dir), "doc_id", "text",
+        shingleSize = 3, minJaccard = 0.5, sizeHint = Some(docCount(s, dir)))
+      Dedup.leakageSafeSplit(docs(s, dir), "doc_id", pairs)
+    }),
+
     // END-TO-END training-corpus pipeline: quality floor → exact dedup
     // (keep min id per content hash) → near-dup drop (jaccard ≥ 0.5,
     // higher id loses) → deterministic hash sample. Every stage is an
@@ -859,6 +868,39 @@ object TextQueries {
          |)
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
          |FROM reach GROUP BY a""".stripMargin,
+
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |ex AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(sh) AS sh FROM shl),
+         |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), pe AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, inter / (x.n + y.n - inter) AS jac
+         |    FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+         |  ) WHERE jac >= 0.5
+         |), ed AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pe
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pe
+         |), reach(a, b) AS (
+         |  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN ed e ON e.src = r.b
+         |), comp AS (
+         |  SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
+         |  FROM reach GROUP BY a
+         |)
+         |SELECT doc_id, cluster_rep,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, cluster_rep,
+         |    CAST(('0x' || substr(md5('split:' || CAST(cluster_rep AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS h
+         |  FROM comp
+         |)""".stripMargin,
 
     "corpus_pipeline" ->
       """WITH q1 AS (
