@@ -114,6 +114,14 @@ object TextQueries {
         docs(s, dir).select(col("doc_id")), "doc_id", pairs)
     }),
 
+    // exact heavy-hitter tokens via one-pass Misra-Gries sketch (each
+    // partition ships <= 32 counters, never the token domain) + exact
+    // broadcast recount; the MG undercount bound makes the
+    // "cnt*(capacity+1) > N" cut exact, so SQL replays it verbatim
+    "heavy_ngrams" -> ((s, dir) =>
+      graft.operators.HeavyHitters.heavyNgrams(
+        docs(s, dir), "text", n = 1, capacity = 32)),
+
     // leakage-safe split: near-dup CLUSTERS (jaccard >= 0.5 components,
     // same pair graph as dedup_clusters) are split atomically by an md5
     // hash of the cluster rep — no dup pair straddles train/eval
@@ -868,6 +876,15 @@ object TextQueries {
          |)
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
          |FROM reach GROUP BY a""".stripMargin,
+
+    "heavy_ngrams" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS gram
+        |  FROM documents
+        |), tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM toks GROUP BY gram
+        |HAVING count(*) * 33 > (SELECT n FROM tot)""".stripMargin,
 
     "split_leakage_safe" ->
       s"""WITH RECURSIVE $shingleCte,
