@@ -377,7 +377,15 @@ object RelationalQueries {
         .intersectAll(
           o.filter(col("o_orderstatus") === "F").select(col("o_custkey").cast("long").as("k")))
         .groupBy(col("k")).agg(count(lit(1)).as("n"))
-    })
+    }),
+
+    // bucketed co-located join: both sides stored hash-bucketed on the
+    // join key (one-time shuffle at write), so the join AND the
+    // key-rooted aggregation plan with zero Exchange — the storage-level
+    // answer to the repeated fact⋈fact shuffle at 100 TB. Result is
+    // identical to the plain join; the physical plan is asserted
+    // exchange-free in BucketingSpec.
+    "bucketed_join_revenue" -> ((s, dir) => graft.operators.Bucketing.revenuePerOrder(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -618,6 +626,13 @@ object RelationalQueries {
         |  SELECT CAST(o_custkey AS BIGINT) AS k FROM orders WHERE o_orderstatus = 'O'
         |  INTERSECT ALL
         |  SELECT CAST(o_custkey AS BIGINT) AS k FROM orders WHERE o_orderstatus = 'F'
-        |) GROUP BY k""".stripMargin
+        |) GROUP BY k""".stripMargin,
+
+    "bucketed_join_revenue" ->
+      """SELECT l_orderkey, o_orderpriority, count(*) AS n_items,
+        |  CAST(round(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 6)
+        |    AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey, o_orderpriority""".stripMargin
   )
 }
