@@ -382,6 +382,43 @@ object TextQueries {
             .as("logp_mean"))
     }),
 
+    // interpolated bigram LM perplexity (the CCNet-style quality
+    // filter): p(w2|w1) = 0.7·c(w1,w2)/c(w1) + 0.3·c(w2)/T, trained on
+    // the corpus itself; per-doc mean bigram log-likelihood and the
+    // resulting perplexity. Bigrams come straight off the token ARRAY
+    // (transform over an index sequence) — no window, no per-token
+    // shuffle to pair neighbors; the count joins are unhinted for the
+    // same reason as the unigram entry (vocab grows with the corpus,
+    // AQE decides broadcast vs shuffle). Interpolation weights are
+    // written as literal doubles in BOTH engines — deriving 0.3 as
+    // 1−0.7 yields 0.30000000000000004 and a cross-engine hash split.
+    "bigram_logprob" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        TF.tokens(col("text")).as("toks"))
+      val toks = t.select(col("doc_id"), explode(col("toks")).as("token"))
+      val uni = toks.groupBy("token").agg(count(lit(1)).as("cnt1"))
+      val tot = uni.agg(sum(col("cnt1")).as("tot"))
+      // size >= 2 guard is load-bearing: sequence(2, 1) steps DOWN
+      val bi = t.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(2), size(col("toks"))),
+          i => struct(element_at(col("toks"), i - 1).as("w1"),
+            element_at(col("toks"), i).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bcnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+      val scored = bi.join(bcnt, Seq("w1", "w2"))
+        .join(uni.select(col("token").as("w1"), col("cnt1").as("c_w1")), "w1")
+        .join(uni.select(col("token").as("w2"), col("cnt1").as("c_w2")), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("logp", log(
+          lit(0.7) * col("cnt2").cast("double") / col("c_w1").cast("double") +
+            lit(0.3) * col("c_w2").cast("double") / col("tot").cast("double")))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          round(avg(col("logp")), 4).as("logp_mean"),
+          round(exp(-avg(col("logp"))), 2).as("ppl"))
+    }),
+
     // benchmark decontamination: corpus docs sharing word 4-grams with
     // the held-out set (every 50th doc). Inverted-index join on the
     // n-gram key — the bench side reduces to its distinct n-gram set
@@ -1048,6 +1085,32 @@ object TextQueries {
         |  CAST(count(*) AS BIGINT) AS n_tokens,
         |  round(avg(ln(CAST(v.cnt AS DOUBLE) / CAST(tot.tot AS DOUBLE))), 4) AS logp_mean
         |FROM tok t JOIN v USING (token) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
+
+    "bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |uni AS (SELECT token, count(*) AS cnt1 FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt1) AS BIGINT) AS tot FROM uni),
+        |bi0 AS (
+        |  SELECT doc_id, toks, unnest(range(2, len(toks) + 1)) AS i
+        |  FROM t WHERE len(toks) >= 2
+        |), bi AS (SELECT doc_id, toks[i - 1] AS w1, toks[i] AS w2 FROM bi0),
+        |bc AS (SELECT w1, w2, count(*) AS cnt2 FROM bi GROUP BY 1, 2)
+        |SELECT CAST(bi.doc_id AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(CAST(0.7 AS DOUBLE) * CAST(bc.cnt2 AS DOUBLE) / CAST(u1.cnt1 AS DOUBLE)
+        |    + CAST(0.3 AS DOUBLE) * CAST(u2.cnt1 AS DOUBLE) / CAST(tot.tot AS DOUBLE))), 4)
+        |    AS logp_mean,
+        |  round(exp(-avg(ln(CAST(0.7 AS DOUBLE) * CAST(bc.cnt2 AS DOUBLE) / CAST(u1.cnt1 AS DOUBLE)
+        |    + CAST(0.3 AS DOUBLE) * CAST(u2.cnt1 AS DOUBLE) / CAST(tot.tot AS DOUBLE)))), 2)
+        |    AS ppl
+        |FROM bi JOIN bc USING (w1, w2)
+        |  JOIN uni u1 ON bi.w1 = u1.token
+        |  JOIN uni u2 ON bi.w2 = u2.token
+        |  CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
 
     "contamination_check" ->
