@@ -310,9 +310,14 @@ object ContestRun {
     spark.sparkContext.setLogLevel("WARN")
 
     var t0 = System.nanoTime()
-    val base = ContestBinaryIO.readBase(spark, dataPath, 100, cpus.toInt)
+    // ingest through the DSv2 source (ContestBinarySource) — the scan
+    // plans its own row-range partitions and prunes columns; parity with
+    // the V1 reader is spec-asserted (ContestBinarySourceSpec)
+    val base = spark.read.format("contest-bin").option("kind", "base")
+      .option("partitions", cpus).load(dataPath)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queries = ContestBinaryIO.readQueries(spark, queryPath, 100, 2)
+    val queries = spark.read.format("contest-bin").option("kind", "query")
+      .option("partitions", "2").load(queryPath)
     val nb = base.count(); val nq = queries.count()
     println(f"READ: base=$nb queries=$nq in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
