@@ -279,6 +279,45 @@ object TextQueries {
           col("share"), col("uniform_weight"))
     }),
 
+    // temperature-flattened mixture resampling (the p_i ∝ n_i^α rule
+    // used to rebalance training mixtures, α = 0.5): per-source keep
+    // rate r_i = n_i^(α−1) / max_j n_j^(α−1) — the smallest source
+    // keeps everything, big sources are downsampled toward the
+    // flattened share. Membership is deterministic md5 keying (same
+    // idiom as sample_hash_docs), so the kept set is engine-
+    // reproducible, resumable, and independent of partitioning. The
+    // rate table is #sources rows — broadcast by construction.
+    "mixture_resample_temp" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bySrc = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", pow(col("n_docs").cast("double"), lit(-0.5)))
+      val maxW = bySrc.agg(max(col("w")).as("wmax"))
+      val rates = bySrc.crossJoin(broadcast(maxW))
+        .select(col("source"), col("n_docs"), (col("w") / col("wmax")).as("rate"))
+      val u = conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0)
+      val kept = d.join(broadcast(rates), "source")
+        .filter(u < col("rate"))
+        .groupBy(col("source")).agg(count(lit(1)).as("kept"))
+      rates.join(kept, "source")
+        .select(col("source"), col("n_docs"),
+          round(col("rate"), 6).as("rate"), col("kept"))
+    }),
+
+    // exact interpolated length quantiles per source (corpus length
+    // profile — the stats that drive truncation/packing choices).
+    // Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    // interpolation definition, so the values are engine-exact; at
+    // 100 TB swap in percentile_approx and a tolerance — the exact form
+    // sorts each group, which is the right trade only while groups fit
+    // a task (documented boundary, same policy as dup_span_stats).
+    "len_quantiles_by_source" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+        round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))),
+
     // canonicalization for dedup/training: lowercase, trim, collapse
     // runs of spaces, mask digit runs — emitted as a stable fingerprint
     "text_normalize" -> ((s, dir) =>
@@ -610,6 +649,28 @@ object TextQueries {
         |  CAST(length(text) AS BIGINT) AS len_chars
         |FROM documents
         |WHERE CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0""".stripMargin,
+
+    "len_quantiles_by_source" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 4) AS p99
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "mixture_resample_temp" ->
+      """WITH b AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), -0.5) AS w FROM b),
+        |m AS (SELECT max(w) AS wmax FROM w),
+        |r AS (SELECT source, n_docs, w / wmax AS rate FROM w CROSS JOIN m),
+        |kept AS (
+        |  SELECT d.source, count(*) AS kept
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 < rate
+        |  GROUP BY 1)
+        |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+        |  round(rate, 6) AS rate, CAST(kept AS BIGINT) AS kept
+        |FROM r JOIN kept USING (source)""".stripMargin,
 
     "pack_sequences" ->
       """WITH t AS (
