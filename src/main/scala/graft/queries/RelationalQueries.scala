@@ -379,6 +379,29 @@ object RelationalQueries {
         .groupBy(col("k")).agg(count(lit(1)).as("n"))
     }),
 
+    // z-order clustered scan: ONE Morton-interleaved layout of orders on
+    // (o_custkey, o_totalprice) serves selective predicates on EITHER
+    // column — the reference needs a sorted replica per dimension
+    // (utils.h:403-434); a point probe on an n-file z-layout overlaps
+    // ~sqrt(n) files instead of all (file-stats disjointness is
+    // spec-asserted in ZorderSpec; results here are oracle-checked
+    // against the plain table)
+    "zorder_orders_scan" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") + "-" +
+        graft.sources.ParquetMeta.fingerprint(s, s"$dir/orders.parquet")
+      val path = s"/tmp/graft_zorder/$tag"
+      graft.operators.Zorder.layout(t(s, dir, "orders"), "o_custkey", "o_totalprice", path)
+      val z = s.read.parquet(path)
+      def probe(name: String, f: org.apache.spark.sql.Column): DataFrame =
+        z.filter(f).agg(count(lit(1)).as("n"),
+          round(sum(round(col("o_totalprice"), 2).cast("decimal(28,2)")), 2)
+            .cast("double").as("sum_price"))
+          .select(lit(name).as("probe"), col("n"), col("sum_price"))
+      probe("custkey_point", col("o_custkey") === 721)
+        .unionByName(probe("price_range",
+          col("o_totalprice") >= 100000 && col("o_totalprice") < 150000))
+    }),
+
     // bucketed co-located join: both sides stored hash-bucketed on the
     // join key (one-time shuffle at write), so the join AND the
     // key-rooted aggregation plan with zero Exchange — the storage-level
@@ -627,6 +650,16 @@ object RelationalQueries {
         |  INTERSECT ALL
         |  SELECT CAST(o_custkey AS BIGINT) AS k FROM orders WHERE o_orderstatus = 'F'
         |) GROUP BY k""".stripMargin,
+
+    "zorder_orders_scan" ->
+      """SELECT 'custkey_point' AS probe, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(round(o_totalprice, 2) AS DECIMAL(28,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_custkey = 721
+        |UNION ALL
+        |SELECT 'price_range', CAST(count(*) AS BIGINT),
+        |  CAST(round(sum(CAST(round(o_totalprice, 2) AS DECIMAL(28,2))), 2) AS DOUBLE)
+        |FROM orders WHERE o_totalprice >= 100000 AND o_totalprice < 150000""".stripMargin,
 
     "bucketed_join_revenue" ->
       """SELECT l_orderkey, o_orderpriority, count(*) AS n_items,
