@@ -207,12 +207,30 @@ object ContestRun {
 
     // ---- per-type stored-index search, chunk-fed (each stage
     // resumable; same composition as ContestScaleProbe) ----
+    // Type-0 routing arm: the hash store mirrors the reference's
+    // single-full-graph composition (walk every bucket); GRAFT_CONTEST_T0
+    // =ivf serves type-0 through a Lloyd-trained IVF store instead
+    // (centroid-probed, nprobe lists per query — the measured 3.3× at
+    // the 2M point, IvfScaleProbe). Separate result caches so the two
+    // arms coexist and t1-t3 results are reused across arms.
     val resPath = s"$root/results"
-    if (!exists(s"$resPath/t0")) timed("search_type0_hash") {
-      AnnIndexStore.searchChunked(spark, s"$root/by_hash",
-          queries.filter(col("qtype") === 0).select(col("qid"), col("qvec")), k, ef,
-          chunkRows = 50000)
-        .write.mode("overwrite").parquet(s"$resPath/t0")
+    val t0Mode = sys.env.getOrElse("GRAFT_CONTEST_T0", "hash")
+    val t0Name = if (t0Mode == "ivf") "t0_ivf" else "t0"
+    if (t0Mode == "ivf" && !exists(s"$root/by_ivf")) timed("build_by_ivf") {
+      AnnIndexStore.buildIvf(base.select(col("id"), col("vec")),
+        s"$root/by_ivf", nlist = 128)
+    }
+    if (!exists(s"$resPath/$t0Name")) timed(s"search_type0_$t0Mode") {
+      val q0 = queries.filter(col("qtype") === 0).select(col("qid"), col("qvec"))
+      val r0 =
+        if (t0Mode == "ivf")
+          AnnIndexStore.searchIvfChunked(spark, s"$root/by_ivf", q0, k, ef,
+            nprobe = sys.env.getOrElse("GRAFT_CONTEST_NPROBE", "8").toInt,
+            chunkRows = 50000)
+        else
+          AnnIndexStore.searchChunked(spark, s"$root/by_hash", q0, k, ef,
+            chunkRows = 50000)
+      r0.write.mode("overwrite").parquet(s"$resPath/$t0Name")
     }
     if (!exists(s"$resPath/t1")) timed("search_type1_label") {
       AnnIndexStore.searchBy(spark, s"$root/by_label",
@@ -231,7 +249,7 @@ object ContestRun {
             .select(col("qid"), col("v"), col("l"), col("r"), col("qvec")), k, ef)
         .write.mode("overwrite").parquet(s"$resPath/t3")
     }
-    val results = spark.read.parquet(s"$resPath/t0")
+    val results = spark.read.parquet(s"$resPath/$t0Name")
       .unionByName(spark.read.parquet(s"$resPath/t1"))
       .unionByName(spark.read.parquet(s"$resPath/t2"))
       .unionByName(spark.read.parquet(s"$resPath/t3"))
