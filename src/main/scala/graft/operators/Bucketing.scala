@@ -36,21 +36,22 @@ import graft.sources.ParquetMeta
   */
 object Bucketing {
 
-  /** Catalog-safe derived-table tag: table + source-generation
-    * fingerprint (hex, so the name stays `[a-z0-9_]`). */
-  private def tableTag(s: SparkSession, dir: String, table: String): String =
-    table + "_" + ParquetMeta.fingerprint(s, s"$dir/$table.parquet")
-
   /** Ensure a bucketed, per-bucket-sorted copy of `dir/<table>.parquet`
     * exists on disk and is registered in the session catalog; returns
     * the catalog table name. Idempotent at all three levels: catalog
     * hit → no-op; files-on-disk hit → DDL re-register only; miss →
-    * one-time bucketed write (the amortized shuffle). */
+    * one-time bucketed write (the amortized shuffle). The identity
+    * (catalog name AND path) includes the bucket key, bucket count, and
+    * source-generation fingerprint — a re-register can therefore never
+    * declare a bucket spec the files were not written with (a wrong
+    * INTO n BUCKETS over existing files would silently drop join
+    * matches), and different (key, buckets) configs coexist. */
   def bucketedTable(s: SparkSession, dir: String, table: String, key: String,
                     buckets: Int = 16): String = {
-    val name = s"graft_bkt_${tableTag(s, dir, table)}"
+    val tag = s"${ParquetMeta.storeTag(s, dir, table)}_${key}_b$buckets"
+    val name = s"graft_bkt_$tag"
     if (!s.catalog.tableExists(name)) {
-      val loc = new File(s"/tmp/graft_bucketed/${tableTag(s, dir, table)}")
+      val loc = new File(s"/tmp/graft_bucketed/$tag")
       if (new File(loc, "_SUCCESS").exists()) {
         // files survive the session that wrote them: recover the bucket
         // spec via DDL; Spark reads bucket ids back from the file names

@@ -52,8 +52,11 @@ object Zorder {
   def zvalue(df: DataFrame, c1: String, c2: String): Column = {
     val b = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
-    spread16(bucket16(col(c1), b.getDouble(0), b.getDouble(1)))
-      .bitwiseOR(shiftleft(spread16(bucket16(col(c2), b.getDouble(2), b.getDouble(3))), 1))
+    // empty frame / all-null column → null aggregates; any fixed bounds
+    // give a constant z-value, which is correct (nothing to order)
+    def d(i: Int): Double = if (b.isNullAt(i)) 0.0 else b.getDouble(i)
+    spread16(bucket16(col(c1), d(0), d(1)))
+      .bitwiseOR(shiftleft(spread16(bucket16(col(c2), d(2), d(3))), 1))
   }
 
   /** Write `df` z-order clustered on (c1, c2) into `files` range

@@ -387,9 +387,7 @@ object RelationalQueries {
     // spec-asserted in ZorderSpec; results here are oracle-checked
     // against the plain table)
     "zorder_orders_scan" -> ((s, dir) => {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") + "-" +
-        graft.sources.ParquetMeta.fingerprint(s, s"$dir/orders.parquet")
-      val path = s"/tmp/graft_zorder/$tag"
+      val path = s"/tmp/graft_zorder/${graft.sources.ParquetMeta.storeTag(s, dir, "orders")}"
       graft.operators.Zorder.layout(t(s, dir, "orders"), "o_custkey", "o_totalprice", path)
       val z = s.read.parquet(path)
       def probe(name: String, f: org.apache.spark.sql.Column): DataFrame =

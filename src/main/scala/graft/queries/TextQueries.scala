@@ -298,10 +298,13 @@ object TextQueries {
         .cast("double") / lit(4294967296.0)
       val kept = d.join(broadcast(rates), "source")
         .filter(u < col("rate"))
-        .groupBy(col("source")).agg(count(lit(1)).as("kept"))
-      rates.join(kept, "source")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      // left join: a source whose whole sample hashes above its rate
+      // must still report kept=0, not vanish from the mixture report
+      rates.join(kept, Seq("source"), "left")
         .select(col("source"), col("n_docs"),
-          round(col("rate"), 6).as("rate"), col("kept"))
+          round(col("rate"), 6).as("rate"),
+          coalesce(col("n_kept"), lit(0L)).as("kept"))
     }),
 
     // exact interpolated length quantiles per source (corpus length
@@ -663,14 +666,15 @@ object TextQueries {
         |m AS (SELECT max(w) AS wmax FROM w),
         |r AS (SELECT source, n_docs, w / wmax AS rate FROM w CROSS JOIN m),
         |kept AS (
-        |  SELECT d.source, count(*) AS kept
+        |  SELECT d.source, count(*) AS n_kept
         |  FROM documents d JOIN r USING (source)
         |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |    / 4294967296.0 < rate
         |  GROUP BY 1)
         |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
-        |  round(rate, 6) AS rate, CAST(kept AS BIGINT) AS kept
-        |FROM r JOIN kept USING (source)""".stripMargin,
+        |  round(rate, 6) AS rate,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS kept
+        |FROM r LEFT JOIN kept USING (source)""".stripMargin,
 
     "pack_sequences" ->
       """WITH t AS (

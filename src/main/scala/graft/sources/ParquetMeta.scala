@@ -87,4 +87,15 @@ object ParquetMeta {
     }
     java.lang.Long.toHexString(h)
   }
+
+  /** Canonical derived-store tag for `dir/<table>.parquet`: sanitized
+    * dir + table + source-generation [[fingerprint]]. One shared
+    * definition so every /tmp derived store (bucketed layouts, z-order
+    * layouts, index stores) keys identically — including the source
+    * DIR, so two corpora whose files happen to share (name, size,
+    * mtime) cannot collide in the derived-store namespace. Safe for
+    * catalog identifiers and paths: `[a-zA-Z0-9_]` only. */
+  def storeTag(spark: SparkSession, dir: String, table: String): String =
+    (dir.stripSuffix("/") + "_" + table).replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + fingerprint(spark, s"$dir/$table.parquet")
 }

@@ -216,7 +216,9 @@ object ContestRun {
     val resPath = s"$root/results"
     val t0Mode = sys.env.getOrElse("GRAFT_CONTEST_T0", "hash")
     val t0Name = if (t0Mode == "ivf") "t0_ivf" else "t0"
-    if (t0Mode == "ivf" && !exists(s"$root/by_ivf")) timed("build_by_ivf") {
+    // guard on lists/_SUCCESS: buildIvf writes parquet under
+    // centroids/ and lists/, never at the store root itself
+    if (t0Mode == "ivf" && !exists(s"$root/by_ivf/lists")) timed("build_by_ivf") {
       AnnIndexStore.buildIvf(base.select(col("id"), col("vec")),
         s"$root/by_ivf", nlist = 128)
     }
