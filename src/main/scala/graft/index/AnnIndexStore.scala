@@ -131,17 +131,12 @@ object AnnIndexStore {
   def buildIvfSeeded(base: DataFrame, path: String, nlist: Int,
       m: Int = 16, efConstruction: Int = 200,
       maxRowsPerIndex: Int = 200000): Unit = {
-    val picked = base
-      .select(col("id").cast("long").as("id"), col("vec"))
-      .withColumn("h",
-        conv(substring(md5(concat(lit("ivfseed:"), col("id").cast("string"))), 1, 15), 16, 10)
-          .cast("long"))
-      .orderBy(col("h"), col("id")).limit(nlist)
-      .select(col("id"), col("vec"))
-      .collect()
-      .sortBy(_.getLong(0))
-    require(picked.nonEmpty, "buildIvfSeeded: empty base table")
-    writeIvf(base, path, picked.map(_.getSeq[Float](1).toArray),
+    // ONE definition of the seed formula: the SQL oracles (ann_sql_ivf,
+    // ann_ivfpq_knn, semdedup_prune) replay it verbatim, so a second
+    // hand-maintained copy here would silently break hash parity for
+    // one consumer the day the other is edited
+    writeIvf(base, path,
+      graft.operators.SimilaritySearch.seededCentroids(base, "id", "vec", nlist),
       m, efConstruction, maxRowsPerIndex)
   }
 
@@ -609,9 +604,39 @@ object AnnIndexStore {
     * store never mixes schemas. */
   def deltaPath(path: String): String = path.stripSuffix("/") + ".delta"
 
+  /** Only a COMMITTED delta counts: `_SUCCESS` is written at job
+    * commit, so a crashed/in-flight append (bare directory,
+    * `_temporary` remnants) is invisible rather than failing the whole
+    * search with an unreadable-parquet error or serving partial rows.
+    * Previously committed appends keep their `_SUCCESS`, so data
+    * already durable stays served. */
   private def deltaExists(path: String): Boolean =
-    new java.io.File(deltaPath(path), "_SUCCESS").exists() ||
-      new java.io.File(deltaPath(path)).isDirectory
+    new java.io.File(deltaPath(path), "_SUCCESS").exists()
+
+  /** A committed delta is LIVE iff the main store's fold marker does
+    * not record it as already folded in — the crash window of
+    * [[compactDelta]] between the store promote and the delta delete
+    * would otherwise (a) serve every delta id twice in
+    * [[searchWithDelta]] (two top-k slots per id, evicting true
+    * neighbors) and (b) fold the delta a SECOND time on the next
+    * compaction, baking duplicate ids into the rebuilt graphs. A
+    * matching marker triggers repair: the stale delta is deleted here
+    * and never served or folded again. */
+  private def liveDelta(spark: SparkSession, path: String): Boolean = {
+    if (!deltaExists(path)) return false
+    val marker = new java.io.File(path, foldMarkerName)
+    if (marker.exists()) {
+      val folded = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+      if (folded == graft.sources.ParquetMeta.fingerprint(spark, deltaPath(path))) {
+        deleteRecursively(new java.io.File(deltaPath(path)))
+        return false
+      }
+    }
+    true
+  }
+
+  private val foldMarkerName = "_folded_delta"
 
   /** Append new vectors to a stored index WITHOUT rebuilding its
     * graphs — the LSM pattern for continuously-ingested corpora
@@ -639,7 +664,7 @@ object AnnIndexStore {
     * aggregate over the B bucket rows (sums `size(ids)` — B is tens of
     * rows by construction, so this is a driver-trivial job). */
   def deltaFraction(spark: SparkSession, path: String): Double = {
-    if (!deltaExists(path)) return 0.0
+    if (!liveDelta(spark, path)) return 0.0
     val indexed = spark.read.parquet(path)
       .agg(sum(size(col("ids")))).head().getLong(0)
     val delta = graft.sources.ParquetMeta.rowCount(spark, deltaPath(path))
@@ -661,7 +686,7 @@ object AnnIndexStore {
       return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     val main = rawSearchBatch(spark, path, qBatch, k, ef)
     val all =
-      if (!deltaExists(path)) main
+      if (!liveDelta(spark, path)) main
       else {
         val qDf = broadcast(qBatch.toIndexedSeq.toDF("qid", "qvec"))
         val deltaRaw = qDf.crossJoin(
@@ -680,11 +705,22 @@ object AnnIndexStore {
     * base table — at 100 TB the archived corpus is not re-scanned to
     * maintain its index. The rebuilt store lands beside the live one
     * and swaps in with directory renames (object-store equivalent: a
-    * manifest pointer flip), so a concurrent reader sees either the
-    * old store + delta or the new store — never a half-built one. */
+    * manifest pointer flip). Crash-idempotent: the new store carries a
+    * marker recording the delta generation it folded, so if the
+    * process dies between the promote and the delta delete,
+    * [[liveDelta]] recognizes the leftover delta as already-folded and
+    * repairs (deletes) it — the delta can never be served alongside
+    * graphs that contain it, nor folded a second time. Maintenance is
+    * single-writer by contract; readers racing the two renames can
+    * observe a brief store-absent window (a manifest-pointer layout
+    * removes even that on object stores). */
   def compactDelta(spark: SparkSession, path: String, numBuckets: Int,
       m: Int = 16, efConstruction: Int = 200): Unit = {
     import spark.implicits._
+    val hasDelta = liveDelta(spark, path)
+    val deltaFp =
+      if (hasDelta) Some(graft.sources.ParquetMeta.fingerprint(spark, deltaPath(path)))
+      else None
     val fromGraphs = spark.read.parquet(path)
       .select(col("ids"), col("graph"))
       .as[(Array[Long], Array[Byte])]
@@ -694,11 +730,16 @@ object AnnIndexStore {
       }
       .toDF("id", "vec")
     val all =
-      if (!deltaExists(path)) fromGraphs
+      if (!hasDelta) fromGraphs
       else fromGraphs.unionByName(
         spark.read.parquet(deltaPath(path)).select(col("id").cast("long"), col("vec")))
     val tmp = path.stripSuffix("/") + ".compact"
+    deleteRecursively(new java.io.File(tmp)) // a crashed prior attempt
     build(all, tmp, numBuckets, m, efConstruction)
+    deltaFp.foreach { fp =>
+      java.nio.file.Files.write(
+        new java.io.File(tmp, foldMarkerName).toPath, fp.getBytes("UTF-8"))
+    }
     val old = new java.io.File(path.stripSuffix("/") + ".old")
     deleteRecursively(old)
     require(new java.io.File(path).renameTo(old), s"swap: cannot move $path aside")

@@ -24,8 +24,6 @@ import graft.operators.{AnnJoin, KnnJoin, Selectivity}
   */
 object ContestScaleProbe {
 
-  private val labels = ContestCorpus.labels
-
   private def heapMb(): Long = {
     System.gc()
     val rt = Runtime.getRuntime

@@ -71,6 +71,9 @@ object PqScaleProbe {
       .toDF("id", "vec")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"BASE: ${base.count()} rows dim $dim")
+    // stride sampling needs a stride the modulus-3 pick can actually
+    // select from; nq near/above n would divide by zero or match nothing
+    require(n >= 4L * nq, s"nq=$nq must be <= n/4 (n=$n) for stride sampling")
     val queries = base.filter(col("id") % (n / nq) === 3)
       .select(col("id").as("qid"), col("vec").as("qvec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -88,6 +88,7 @@ object AnnCatalog {
       ivfIndex: Option[String] = None,
       nprobe: Int = 4): Unit = {
     (labelIndex.map(_._2) ++ rangeIndex.map(_._2)).foreach(attrCache.remove)
+    ivfIndex.foreach(centroidCache.remove)
     registry.put(norm(basePath),
       IndexMeta(indexPath, idCol, vecCol, ef, labelIndex, rangeIndex, trusted,
         ivfIndex, nprobe))
@@ -118,7 +119,21 @@ object AnnCatalog {
 
   def unregister(basePath: String): Unit = registry.remove(norm(basePath))
 
-  def clear(): Unit = { registry.clear(); attrCache.clear() }
+  def clear(): Unit = { registry.clear(); attrCache.clear(); centroidCache.clear() }
+
+  // IVF centroid tables (nlist rows by contract), driver-resident per
+  // store path. Registration paths embed the source-generation
+  // fingerprint, so a regenerated corpus can never hit a stale entry.
+  private val centroidCache = TrieMap.empty[String, Array[(Int, Array[Float])]]
+
+  private[graft] def centroidsOf(spark: org.apache.spark.sql.SparkSession,
+      ivfPath: String): Array[(Int, Array[Float])] =
+    centroidCache.getOrElseUpdate(ivfPath, {
+      import org.apache.spark.sql.functions.col
+      spark.read.parquet(s"$ivfPath/centroids")
+        .select(col("list").cast("int"), col("centroid"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    })
 
   // which column an index table's aligned `attrs` were built from
   // (AnnIndexStore.buildBy writes it as a constant `attr_col` column).
@@ -569,13 +584,15 @@ object AnnTopKExec {
                 (index.exactDistTo(qvec, internal), ids(internal)) }
           }
       case IvfRoute(path, nprobe) =>
-        // The centroid table is nlist rows by contract — driver-resident,
-        // one tiny read. Probe-list choice mirrors NearestCentroids
-        // exactly (sequential double L2, ties by (dist, list) ascending)
-        // so the served candidate set equals the oracle's replay.
-        val cents = spark.read.parquet(s"$path/centroids")
-          .select(col("list").cast("int"), col("centroid"))
-          .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        // The centroid table is nlist rows by contract — driver-resident
+        // and cached per store path (registration paths embed the source
+        // generation fingerprint, so a regenerated corpus misses): a
+        // build-time constant must not cost a per-statement collect job
+        // on the serving hot path. Probe-list choice mirrors
+        // NearestCentroids exactly (sequential double L2, ties by
+        // (dist, list) ascending) so the served candidate set equals the
+        // oracle's replay.
+        val cents = AnnCatalog.centroidsOf(spark, path)
         val scored = cents.map { case (li, cv) =>
           val n = math.min(cv.length, qvec.length)
           var s = 0.0

@@ -92,6 +92,42 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(nIndexed == 900L)
   }
 
+  test("compaction crash window: an already-folded delta is never served or folded twice") {
+    val all = Seq.tabulate(400)(i => (i.toLong, vec()))
+    val (indexed, delta) = all.partition(_._1 % 4 != 0)
+    val dir = Files.createTempDirectory("graft-anndelta-crash").toString + "/index"
+    AnnIndexStore.build(indexed.toDF("id", "vec"), dir, numBuckets = 2)
+    AnnIndexStore.appendDelta(delta.toDF("id", "vec"), dir)
+    // snapshot the delta dir attribute-preserving (fingerprint = name,
+    // len, mtime), so we can reconstruct the exact crash-window state
+    val deltaDir = java.nio.file.Paths.get(AnnIndexStore.deltaPath(dir))
+    val saved = Files.createTempDirectory("graft-delta-save")
+    java.nio.file.Files.list(deltaDir).forEach { p =>
+      java.nio.file.Files.copy(p, saved.resolve(p.getFileName.toString),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
+    // simulate a crash between store promote and delta delete: the new
+    // graphs already CONTAIN the delta rows, and the same delta is back
+    java.nio.file.Files.createDirectories(deltaDir)
+    java.nio.file.Files.list(saved).forEach { p =>
+      java.nio.file.Files.copy(p, deltaDir.resolve(p.getFileName.toString),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    // the folded marker must classify it dead: fraction 0, and serving
+    // must not emit duplicate (qid, nid) pairs from graph+delta
+    assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0)
+    val queries = Seq.tabulate(6)(i => (i.toLong, vec())).toDF("qid", "qvec")
+    val got = AnnIndexStore.searchWithDelta(spark, dir, queries, k = 10, ef = 400)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, "duplicate (qid, nid) served")
+    // and the repair deleted the stale delta outright
+    assert(!new java.io.File(AnnIndexStore.deltaPath(dir), "_SUCCESS").exists())
+    // a GENUINELY new delta (same rows, new commit) is live again
+    AnnIndexStore.replaceDelta(delta.toDF("id", "vec"), dir)
+    assert(AnnIndexStore.deltaFraction(spark, dir) > 0.0)
+  }
+
   test("buildBy/searchBy: per-label persisted indexes, predicate by construction") {
     val base = Seq.tabulate(1200)(i => (i.toLong, (i % 4).toLong, vec()))
       .toDF("id", "label", "vec")
