@@ -32,4 +32,29 @@ object StreamingKnn {
         sink(KnnJoin.exactFlat(cachedBase, batch, k), batchId)
       }
   }
+
+  /** Streaming INGEST into a stored ANN index — the write half of the
+    * LSM loop (the read half is [[graft.index.AnnIndexStore.searchWithDelta]]):
+    * each micro-batch of (id, vec) rows appends to the store's delta
+    * (searchable immediately at exact recall, no graph touched), and
+    * when the accumulated delta crosses `compactAt` of the indexed
+    * size, the batch triggers a fold into rebuilt graphs — amortized
+    * maintenance driven by data volume, not wall clock. Graph builds
+    * happen at most once per crossing; between crossings every batch is
+    * a plain parquet append. Caller starts the returned writer
+    * (trigger/checkpoint); exactly-once hinges on the sink's normal
+    * foreachBatch replay semantics plus [[graft.index.AnnIndexStore
+    * .replaceDelta]]-style idempotency if the upstream can replay
+    * batches. */
+  def deltaIngestWriter(vectorStream: DataFrame, indexPath: String,
+      numBuckets: Int, compactAt: Double = 0.25): DataStreamWriter[Row] = {
+    vectorStream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.index.AnnIndexStore.appendDelta(batch, indexPath)
+        if (graft.index.AnnIndexStore.deltaFraction(spark, indexPath) >= compactAt)
+          graft.index.AnnIndexStore.compactDelta(spark, indexPath, numBuckets)
+      }
+  }
 }

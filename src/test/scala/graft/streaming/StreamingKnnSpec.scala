@@ -34,4 +34,36 @@ class StreamingKnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(collected.toSet == batch && batch.nonEmpty)
   }
+
+  test("streaming delta ingest: appended vectors are served; crossing the threshold compacts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.AnnIndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ingest")
+      .toString + "/index"
+    AnnIndexStore.build(
+      Seq.tabulate(300)(i => (i.toLong, vec())).toDF("id", "vec"),
+      dir, numBuckets = 2)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val sdf = mem.toDF.toDF("id", "vec")
+    // two micro-batches: 30 rows (below the 0.25 trigger), then 60 more
+    // (90/300 = 0.3 crosses it -> the second batch must compact)
+    mem.addData(Seq.tabulate(30)(i => ((1000 + i).toLong, vec())): _*)
+    mem.addData(Seq.tabulate(60)(i => ((2000 + i).toLong, vec())): _*)
+    val q = StreamingKnn.deltaIngestWriter(sdf, dir, numBuckets = 2,
+      compactAt = 0.25).start()
+    q.awaitTermination(120000)
+
+    // compaction ran: delta cleared, all 390 ids live in the graphs
+    assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0)
+    val nIndexed = spark.read.parquet(dir)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("ids")))).head().getLong(0)
+    assert(nIndexed == 390L)
+    // and the streamed rows are searchable
+    val queries = Seq((0L, vec()), (1L, vec())).toDF("qid", "qvec")
+    val got = AnnIndexStore.searchWithDelta(spark, dir, queries, k = 5, ef = 200)
+    assert(got.count() == 10)
+  }
 }
