@@ -307,6 +307,35 @@ object TextQueries {
           coalesce(col("n_kept"), lit(0L)).as("kept"))
     }),
 
+    // Gopher-style quality rule bundle (Rae et al. 2021 §A1.1, the
+    // subset computable from the token stream): word-count window,
+    // mean-word-length window, alphabetic-word fraction, minimum
+    // stopword hits — one array-local pass per doc (no explode, no
+    // shuffle beyond the scan), emitting the per-rule stats AND the
+    // combined verdict so downstream filtering is a plain predicate
+    "quality_gopher_rules" -> ((s, dir) => {
+      val stop = Seq("the", "of", "and", "to", "in", "a", "is", "that")
+      val toks = TF.tokens(col("text"))
+      val n = size(toks).cast("long")
+      val meanLen = when(n > 0,
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+          .cast("double") / n.cast("double")).otherwise(lit(0.0))
+      val alphaFrac = when(n > 0,
+        size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / n.cast("double"))
+        .otherwise(lit(0.0))
+      val nStop = size(filter(toks, t => lower(t).isin(stop.map(x => x: Any): _*))).cast("long")
+      docs(s, dir).select(
+          col("doc_id").cast("long").as("doc_id"),
+          n.as("n_words"), meanLen.as("mean_wlen_raw"),
+          alphaFrac.as("alpha_frac_raw"), nStop.as("n_stop"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_wlen_raw"), 4).as("mean_wlen"),
+          round(col("alpha_frac_raw"), 4).as("alpha_frac"), col("n_stop"),
+          (col("n_words").between(50, 100000) &&
+            col("mean_wlen_raw").between(3.0, 10.0) &&
+            col("alpha_frac_raw") > 0.8 && col("n_stop") >= 2).as("passes"))
+    }),
+
     // exact interpolated length quantiles per source (corpus length
     // profile — the stats that drive truncation/packing choices).
     // Spark `percentile` and DuckDB `quantile_cont` share the linear-
@@ -652,6 +681,31 @@ object TextQueries {
         |  CAST(length(text) AS BIGINT) AS len_chars
         |FROM documents
         |WHERE CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0""".stripMargin,
+
+    "quality_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, len(toks) AS n_words,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mean_wlen_raw,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS alpha_frac_raw,
+        |    len(list_filter(toks, x -> lower(x) IN
+        |      ('the','of','and','to','in','a','is','that'))) AS n_stop
+        |  FROM t
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  round(mean_wlen_raw, 4) AS mean_wlen,
+        |  round(alpha_frac_raw, 4) AS alpha_frac,
+        |  CAST(n_stop AS BIGINT) AS n_stop,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_wlen_raw BETWEEN 3.0 AND 10.0
+        |    AND alpha_frac_raw > 0.8 AND n_stop >= 2) AS passes
+        |FROM s""".stripMargin,
 
     "len_quantiles_by_source" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
