@@ -315,7 +315,12 @@ object TextQueries {
     // combined verdict so downstream filtering is a plain predicate
     "quality_gopher_rules" -> ((s, dir) => {
       val stop = Seq("the", "of", "and", "to", "in", "a", "is", "that")
-      val toks = TF.tokens(col("text"))
+      // tokenize ONCE in its own projection and reference the column:
+      // embedding TF.tokens(...) in every statistic re-inlines the
+      // split+filter tree per use (7 interpreted evaluations per row —
+      // audited); CollapseProject keeps a non-cheap multi-referenced
+      // projection separate, so this shape tokenizes once
+      val toks = col("toks")
       val n = size(toks).cast("long")
       val meanLen = when(n > 0,
         aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
@@ -324,8 +329,9 @@ object TextQueries {
         size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / n.cast("double"))
         .otherwise(lit(0.0))
       val nStop = size(filter(toks, t => lower(t).isin(stop.map(x => x: Any): _*))).cast("long")
-      docs(s, dir).select(
-          col("doc_id").cast("long").as("doc_id"),
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
           n.as("n_words"), meanLen.as("mean_wlen_raw"),
           alphaFrac.as("alpha_frac_raw"), nStop.as("n_stop"))
         .select(col("doc_id"), col("n_words"),
