@@ -598,45 +598,168 @@ object AnnIndexStore {
       .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
 
   // ---- delta appends: LSM-style incremental index maintenance ----
+  //
+  // Lifecycle contract (single-writer MAINTENANCE, lock-free reads):
+  //   - appendDelta / replaceDelta / appendDeltaBatch / compactDelta are
+  //     maintenance ops — at most one runs at a time, and only they
+  //     mutate the store or delete stale delta data ([[repairDelta]],
+  //     [[recoverStore]] run at their entry).
+  //   - searchWithDelta / deltaFraction are READ ops: they classify
+  //     already-folded delta data as dead and EXCLUDE it, but never
+  //     delete — two concurrent readers can never race a delete against
+  //     a scan.
 
   /** Sibling dataset holding not-yet-indexed rows (plain (id, vec)
     * parquet) — `<path>.delta`, NOT a subdirectory, so reading the main
-    * store never mixes schemas. */
+    * store never mixes schemas. Two committed layouts coexist: flat
+    * part files at the root (batch [[appendDelta]]/[[replaceDelta]])
+    * and `bid=<batchId>` subdirectories ([[appendDeltaBatch]], the
+    * streaming form — one dir per micro-batch so at-least-once replays
+    * overwrite instead of double-appending). */
   def deltaPath(path: String): String = path.stripSuffix("/") + ".delta"
 
-  /** Only a COMMITTED delta counts: `_SUCCESS` is written at job
-    * commit, so a crashed/in-flight append (bare directory,
-    * `_temporary` remnants) is invisible rather than failing the whole
-    * search with an unreadable-parquet error or serving partial rows.
-    * Previously committed appends keep their `_SUCCESS`, so data
-    * already durable stays served. */
-  private def deltaExists(path: String): Boolean =
-    new java.io.File(deltaPath(path), "_SUCCESS").exists()
+  private val foldMarkerName = "_folded_delta"
 
-  /** A committed delta is LIVE iff the main store's fold marker does
-    * not record it as already folded in — the crash window of
-    * [[compactDelta]] between the store promote and the delta delete
-    * would otherwise (a) serve every delta id twice in
-    * [[searchWithDelta]] (two top-k slots per id, evicting true
-    * neighbors) and (b) fold the delta a SECOND time on the next
-    * compaction, baking duplicate ids into the rebuilt graphs. A
-    * matching marker triggers repair: the stale delta is deleted here
-    * and never served or folded again. */
-  private def liveDelta(spark: SparkSession, path: String): Boolean = {
-    if (!deltaExists(path)) return false
+  /** What a compaction folded: a fingerprint of the flat part files it
+    * consumed ("-" when there were none) and the highest micro-batch id
+    * it consumed (-1 when there were none). Stored in the promoted
+    * store as [[foldMarkerName]]; the legacy single-line form (a
+    * whole-delta-dir fingerprint) is still read. */
+  private case class FoldMarker(flatFp: Option[String], maxBid: Long,
+      legacyFp: Option[String])
+
+  private def readFoldMarker(path: String): Option[FoldMarker] = {
     val marker = new java.io.File(path, foldMarkerName)
-    if (marker.exists()) {
-      val folded = new String(
-        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
-      if (folded == graft.sources.ParquetMeta.fingerprint(spark, deltaPath(path))) {
-        deleteRecursively(new java.io.File(deltaPath(path)))
-        return false
-      }
-    }
-    true
+    if (!marker.exists()) return None
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      .split("\n").map(_.trim).filter(_.nonEmpty)
+    if (lines.headOption.contains("v2")) {
+      val kv = lines.drop(1).flatMap { l =>
+        l.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+      }.toMap
+      Some(FoldMarker(
+        kv.get("flatfp").filter(_ != "-"),
+        kv.get("maxbid").map(_.toLong).getOrElse(-1L),
+        legacyFp = None))
+    } else lines.headOption.map(fp => FoldMarker(None, -1L, legacyFp = Some(fp)))
   }
 
-  private val foldMarkerName = "_folded_delta"
+  /** Only COMMITTED data counts (`_SUCCESS` written at job commit): a
+    * crashed/in-flight write is invisible rather than failing the read
+    * or serving partial rows. */
+  private def committedFlatFiles(path: String): Seq[java.io.File] = {
+    val root = new java.io.File(deltaPath(path))
+    if (!new java.io.File(root, "_SUCCESS").exists()) return Nil
+    root.listFiles().toSeq.filter(f => f.isFile &&
+      f.getName.endsWith(".parquet") &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+  }
+
+  private def committedBids(path: String): Seq[(Long, java.io.File)] = {
+    val root = new java.io.File(deltaPath(path))
+    if (!root.isDirectory) return Nil
+    root.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("bid=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("bid=").toLong)
+        .toOption.map(_ -> f))
+      .sortBy(_._1)
+  }
+
+  /** Fingerprint of the delta's FLAT part files only (bid dirs have
+    * their own watermark), non-recursive — pairs with the `flatfp`
+    * marker line. */
+  private def flatFp(spark: SparkSession, path: String): String =
+    graft.sources.ParquetMeta.fingerprint(spark, deltaPath(path), recursive = false)
+
+  /** LIVE delta read roots — committed data the fold marker does NOT
+    * record as already folded into the main graphs. Flat files are
+    * returned individually (the root dir may also hold bid= subdirs,
+    * which a directory read would misparse as a partition column).
+    * Pure function of the on-disk state: read paths never delete. */
+  private def liveDeltaRoots(spark: SparkSession, path: String): Seq[String] = {
+    val flat = committedFlatFiles(path)
+    val bids = committedBids(path)
+    if (flat.isEmpty && bids.isEmpty) return Nil
+    readFoldMarker(path) match {
+      case None => (flat ++ bids.map(_._2)).map(_.toString)
+      case Some(m) if m.legacyFp.isDefined =>
+        // legacy marker: whole-dir identity — all-or-nothing
+        if (m.legacyFp.contains(
+            graft.sources.ParquetMeta.fingerprint(spark, deltaPath(path)))) Nil
+        else (flat ++ bids.map(_._2)).map(_.toString)
+      case Some(m) =>
+        val liveFlat =
+          if (flat.isEmpty || m.flatFp.contains(flatFp(spark, path))) Nil else flat
+        val liveBids = bids.filter(_._1 > m.maxBid).map(_._2)
+        (liveFlat ++ liveBids).map(_.toString)
+    }
+  }
+
+  /** The live delta rows, if any. */
+  private def readDelta(spark: SparkSession, path: String): Option[DataFrame] = {
+    val roots = liveDeltaRoots(spark, path)
+    if (roots.isEmpty) None
+    else Some(spark.read.parquet(roots: _*)
+      .select(col("id").cast("long"), col("vec")))
+  }
+
+  /** MAINTENANCE-side repair: physically delete delta data the fold
+    * marker records as already folded — the crash window of
+    * [[compactDelta]] between the store promote and the delta delete
+    * would otherwise (a) serve every folded id twice and (b) fold it a
+    * SECOND time. Runs at the top of every maintenance op (append /
+    * replace / compact), so a stale folded delta is gone BEFORE any new
+    * rows land beside it — new appends can never blend into a stale
+    * generation and defeat the marker comparison. Read paths only
+    * exclude ([[liveDeltaRoots]]); this is the one place that deletes. */
+  private def repairDelta(spark: SparkSession, path: String): Unit = {
+    val root = new java.io.File(deltaPath(path))
+    if (!root.exists()) return
+    readFoldMarker(path).foreach { m =>
+      if (m.legacyFp.isDefined) {
+        if (m.legacyFp.contains(
+            graft.sources.ParquetMeta.fingerprint(spark, deltaPath(path))))
+          deleteRecursively(root)
+      } else {
+        if (committedFlatFiles(path).nonEmpty && m.flatFp.contains(flatFp(spark, path))) {
+          committedFlatFiles(path).foreach(deleteRecursively)
+          deleteRecursively(new java.io.File(root, "_SUCCESS"))
+        }
+        committedBids(path).filter(_._1 <= m.maxBid)
+          .foreach(b => deleteRecursively(b._2))
+      }
+      val left = Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+      if (left.forall(f => f.getName.startsWith("_") || f.getName.startsWith(".")))
+        deleteRecursively(root)
+    }
+  }
+
+  /** Roll a half-completed [[compactDelta]] swap forward or back: dying
+    * between the two renames leaves nothing at `path` ('.old' holds the
+    * previous store, '.compact' may hold a complete rebuilt one) — with
+    * no repair, every later read or compaction fails on the missing
+    * store and nothing ever restores it. A complete '.compact' wins
+    * (roll FORWARD — it already contains the folded delta and carries
+    * the fold marker); otherwise a complete '.old' is restored (roll
+    * BACK — the fold never happened). Runs at maintenance entry points
+    * (same single-writer contract as [[repairDelta]]). */
+  private def recoverStore(path: String): Unit = {
+    val store = new java.io.File(path.stripSuffix("/"))
+    if (new java.io.File(store, "_SUCCESS").exists()) return
+    val compact = new java.io.File(path.stripSuffix("/") + ".compact")
+    val old = new java.io.File(path.stripSuffix("/") + ".old")
+    if (new java.io.File(compact, "_SUCCESS").exists()) {
+      deleteRecursively(store)
+      require(compact.renameTo(store), s"recover: cannot promote $compact")
+      deleteRecursively(old)
+    } else if (new java.io.File(old, "_SUCCESS").exists()) {
+      deleteRecursively(compact)
+      deleteRecursively(store)
+      require(old.renameTo(store), s"recover: cannot restore $old")
+    }
+  }
 
   /** Append new vectors to a stored index WITHOUT rebuilding its
     * graphs — the LSM pattern for continuously-ingested corpora
@@ -647,27 +770,54 @@ object AnnIndexStore {
     * into rebuilt graphs once [[deltaFraction]] crosses a threshold —
     * amortized-O(1) index maintenance with zero recall loss from
     * staleness (the delta side is brute-force, recall 1.0 by
-    * construction). */
-  def appendDelta(delta: DataFrame, path: String): Unit =
+    * construction). NOT replay-safe on its own: a crashed-and-rerun
+    * append doubles its rows — retrying writers use [[replaceDelta]]
+    * or the per-batch [[appendDeltaBatch]]. */
+  def appendDelta(delta: DataFrame, path: String): Unit = {
+    recoverStore(path)
+    repairDelta(delta.sparkSession, path)
     delta.select(col("id").cast("long"), col("vec"))
       .write.mode("append").parquet(deltaPath(path))
+  }
 
   /** Idempotent form for build scripts that may retry: REPLACE the
     * delta instead of appending (a crashed-and-rerun `appendDelta`
     * would double its rows). */
-  def replaceDelta(delta: DataFrame, path: String): Unit =
+  def replaceDelta(delta: DataFrame, path: String): Unit = {
+    recoverStore(path)
     delta.select(col("id").cast("long"), col("vec"))
       .write.mode("overwrite").parquet(deltaPath(path))
+  }
+
+  /** Exactly-once-effective streaming append: micro-batch `batchId`
+    * lands in its own `bid=<batchId>` subdirectory with OVERWRITE mode,
+    * so foreachBatch's at-least-once replay (crash after the parquet
+    * commit, before the checkpoint commit) rewrites the same rows
+    * instead of double-appending them. A batch at or below the fold
+    * marker's watermark is skipped outright: its rows were folded into
+    * the main graphs by a compaction the crash happened to straddle —
+    * appending them again would serve and re-fold every row twice. */
+  def appendDeltaBatch(delta: DataFrame, path: String, batchId: Long): Unit = {
+    recoverStore(path)
+    val spark = delta.sparkSession
+    repairDelta(spark, path)
+    if (readFoldMarker(path).exists(m => m.legacyFp.isEmpty && batchId <= m.maxBid))
+      return
+    delta.select(col("id").cast("long"), col("vec"))
+      .write.mode("overwrite").parquet(s"${deltaPath(path)}/bid=$batchId")
+  }
 
   /** delta rows ÷ indexed rows — the compaction trigger. Delta count
     * comes from parquet footers (no job); the indexed count is one
     * aggregate over the B bucket rows (sums `size(ids)` — B is tens of
-    * rows by construction, so this is a driver-trivial job). */
+    * rows by construction, so this is a driver-trivial job). Read-only:
+    * folded leftovers are excluded, not deleted. */
   def deltaFraction(spark: SparkSession, path: String): Double = {
-    if (!liveDelta(spark, path)) return 0.0
+    val roots = liveDeltaRoots(spark, path)
+    if (roots.isEmpty) return 0.0
     val indexed = spark.read.parquet(path)
       .agg(sum(size(col("ids")))).head().getLong(0)
-    val delta = graft.sources.ParquetMeta.rowCount(spark, deltaPath(path))
+    val delta = roots.map(graft.sources.ParquetMeta.rowCount(spark, _)).sum
     if (indexed == 0) Double.PositiveInfinity else delta.toDouble / indexed
   }
 
@@ -676,7 +826,8 @@ object AnnIndexStore {
     * rows ([[graft.functions.VectorFunctions.l2Sq]] codegen — the same
     * arithmetic as the exact kNN join), merged by a single bounded
     * top-k. Newly appended rows are searchable immediately, at exact
-    * recall, without touching a graph. */
+    * recall, without touching a graph. Read-only: folded leftovers are
+    * excluded, not deleted. */
   def searchWithDelta(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, ef: Int = 200): DataFrame = {
     import spark.implicits._
@@ -685,17 +836,15 @@ object AnnIndexStore {
     if (qBatch.isEmpty)
       return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     val main = rawSearchBatch(spark, path, qBatch, k, ef)
-    val all =
-      if (!liveDelta(spark, path)) main
-      else {
+    val all = readDelta(spark, path) match {
+      case None => main
+      case Some(delta) =>
         val qDf = broadcast(qBatch.toIndexedSeq.toDF("qid", "qvec"))
-        val deltaRaw = qDf.crossJoin(
-            spark.read.parquet(deltaPath(path))
-              .select(col("id").cast("long"), col("vec")))
+        val deltaRaw = qDf.crossJoin(delta)
           .select(col("qid"), col("id"),
             graft.functions.VectorFunctions.l2Sq(col("qvec"), col("vec")).as("dist"))
         main.unionByName(deltaRaw)
-      }
+    }
     rankTopK(all, k)
   }
 
@@ -705,22 +854,24 @@ object AnnIndexStore {
     * base table — at 100 TB the archived corpus is not re-scanned to
     * maintain its index. The rebuilt store lands beside the live one
     * and swaps in with directory renames (object-store equivalent: a
-    * manifest pointer flip). Crash-idempotent: the new store carries a
-    * marker recording the delta generation it folded, so if the
-    * process dies between the promote and the delta delete,
-    * [[liveDelta]] recognizes the leftover delta as already-folded and
-    * repairs (deletes) it — the delta can never be served alongside
-    * graphs that contain it, nor folded a second time. Maintenance is
-    * single-writer by contract; readers racing the two renames can
-    * observe a brief store-absent window (a manifest-pointer layout
-    * removes even that on object stores). */
+    * manifest pointer flip). Crash-idempotent end to end: entry runs
+    * [[recoverStore]] (a half-completed PRIOR swap rolls forward/back)
+    * and [[repairDelta]]; the new store carries a marker recording what
+    * it folded (flat-file fingerprint + micro-batch watermark), so
+    * dying between the promote and the delta delete leaves a leftover
+    * the marker classifies dead — never served, never folded twice —
+    * and the next maintenance op deletes. Maintenance is single-writer
+    * by contract; readers racing the two renames can observe a brief
+    * store-absent window (a manifest-pointer layout removes even that
+    * on object stores). */
   def compactDelta(spark: SparkSession, path: String, numBuckets: Int,
       m: Int = 16, efConstruction: Int = 200): Unit = {
     import spark.implicits._
-    val hasDelta = liveDelta(spark, path)
-    val deltaFp =
-      if (hasDelta) Some(graft.sources.ParquetMeta.fingerprint(spark, deltaPath(path)))
-      else None
+    recoverStore(path)
+    repairDelta(spark, path)
+    val hadFlat = committedFlatFiles(path).nonEmpty
+    val maxBid = committedBids(path).map(_._1).foldLeft(-1L)(math.max)
+    val foldedFlatFp = if (hadFlat) flatFp(spark, path) else "-"
     val fromGraphs = spark.read.parquet(path)
       .select(col("ids"), col("graph"))
       .as[(Array[Long], Array[Byte])]
@@ -729,16 +880,17 @@ object AnnIndexStore {
         ids.indices.iterator.map(i => (ids(i), idx.vectorOf(i)))
       }
       .toDF("id", "vec")
-    val all =
-      if (!hasDelta) fromGraphs
-      else fromGraphs.unionByName(
-        spark.read.parquet(deltaPath(path)).select(col("id").cast("long"), col("vec")))
+    val all = readDelta(spark, path) match {
+      case None        => fromGraphs
+      case Some(delta) => fromGraphs.unionByName(delta)
+    }
     val tmp = path.stripSuffix("/") + ".compact"
     deleteRecursively(new java.io.File(tmp)) // a crashed prior attempt
     build(all, tmp, numBuckets, m, efConstruction)
-    deltaFp.foreach { fp =>
+    if (hadFlat || maxBid >= 0) {
       java.nio.file.Files.write(
-        new java.io.File(tmp, foldMarkerName).toPath, fp.getBytes("UTF-8"))
+        new java.io.File(tmp, foldMarkerName).toPath,
+        s"v2\nflatfp=$foldedFlatFp\nmaxbid=$maxBid\n".getBytes("UTF-8"))
     }
     val old = new java.io.File(path.stripSuffix("/") + ".old")
     deleteRecursively(old)
@@ -746,7 +898,10 @@ object AnnIndexStore {
     require(new java.io.File(tmp).renameTo(new java.io.File(path)),
       s"swap: cannot promote $tmp")
     deleteRecursively(old)
-    deleteRecursively(new java.io.File(deltaPath(path)))
+    // delete exactly what the marker says was folded (an in-flight
+    // uncommitted micro-batch dir, if the single-writer contract were
+    // ever stretched, is left for its replay to overwrite)
+    repairDelta(spark, path)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -60,6 +60,12 @@ object Bucketing {
                  |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
                  |LOCATION '${loc.toString}'""".stripMargin)
       } else {
+        // creating a NEW generation: reclaim siblings keyed to superseded
+        // source fingerprints first (same dir/table/key/buckets identity,
+        // different fingerprint) — every source regeneration would
+        // otherwise leave its full bucketed copy under /tmp forever
+        ParquetMeta.gcSiblingStores(new File("/tmp/graft_bucketed"), tag,
+          ParquetMeta.storePrefix(dir, table), s"_${key}_b$buckets")
         s.read.parquet(s"$dir/$table.parquet")
           .repartition(buckets, col(key))
           .write.mode(SaveMode.Overwrite)

@@ -60,10 +60,22 @@ object Zorder {
   }
 
   /** Write `df` z-order clustered on (c1, c2) into `files` range
-    * partitions of the Morton value; idempotent per source generation. */
+    * partitions of the Morton value; idempotent per source generation.
+    * A fresh generation GCs stale siblings of the same source first
+    * (generation-fingerprinted paths would otherwise accumulate one
+    * full copy per source regeneration — ADVICE r9). */
   def layout(df: DataFrame, c1: String, c2: String, path: String,
              files: Int = 32): Unit = {
     if (!new File(path, "_SUCCESS").exists()) {
+      val dir = new File(path)
+      Option(dir.getParentFile).foreach { parent =>
+        // sibling = same everything up to the trailing fingerprint
+        val name = dir.getName
+        val cut = name.lastIndexOf('_')
+        if (cut > 0)
+          graft.sources.ParquetMeta.gcSiblingStores(parent, name,
+            name.substring(0, cut + 1))
+      }
       df.withColumn("zval", zvalue(df, c1, c2))
         .repartitionByRange(files, col("zval"))
         .sortWithinPartitions("zval")

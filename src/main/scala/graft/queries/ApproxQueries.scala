@@ -63,6 +63,47 @@ object ApproxQueries {
       graft.index.AnnIndexStore.searchWithDelta(s, idxPath, q, k = 10, ef = 200)
     }),
 
+    // the SAME LSM loop driven end-to-end through Structured Streaming
+    // (the round-9 gap: deltaIngestWriter was spec-only): two
+    // MemoryStream micro-batches flow through appendDeltaBatch across a
+    // checkpointed stream RESTART (so the second run's batchId really
+    // advances), the second crosses the compaction threshold and folds
+    // both into rebuilt graphs, and serving answers from the compacted
+    // store. Oracle = the same whole-corpus exact kNN as ann_delta_knn.
+    // The stream mutates its store, so each run rebuilds from scratch
+    // (a cached store would re-ingest the same ids twice).
+    "ann_delta_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = new java.io.File(s"/tmp/graft_ann_delta_stream/${storeTag(s, dir)}")
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        if (f.exists()) f.delete()
+      }
+      wipe(root)
+      val idxPath = s"$root/index"
+      val e = emb(s, dir).select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("vec"))
+      graft.index.AnnIndexStore.build(e.filter(col("id") % 5 >= 2), idxPath,
+        numBuckets = 4)
+      def batch(m: Int): Seq[(Long, Array[Float])] = e.filter(col("id") % 5 === m)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val writer = graft.streaming.StreamingKnn.deltaIngestWriter(
+          mem.toDF.toDF("id", "vec"), idxPath, numBuckets = 4, compactAt = 0.4)
+        .option("checkpointLocation", s"$root/ckpt")
+      mem.addData(batch(0): _*) // 1/5 over 3/5 = 0.33 < 0.4: append only
+      writer.start().awaitTermination()
+      mem.addData(batch(1): _*) // 2/5 over 3/5 = 0.67 ≥ 0.4: fold
+      writer.start().awaitTermination()
+      require(graft.index.AnnIndexStore.deltaFraction(s, idxPath) == 0.0,
+        "ann_delta_stream: threshold crossing must have compacted the delta")
+      val q = emb(s, dir).filter(col("vec_id") % 71 === 3)
+        .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+      graft.index.AnnIndexStore.searchWithDelta(s, idxPath, q, k = 10, ef = 200)
+    }),
+
     // signed-random-projection LSH cosine top-k
     "sim_lsh_topk" -> ((s, dir) => {
       val base = emb(s, dir).select(col("vec_id").cast("long").as("id"),
@@ -115,13 +156,23 @@ object ApproxQueries {
     // top-k orders — DuckDB-replayable; hash-checked APPROXIMATE
     // search end to end. The Lloyd-trained quality path
     // (ivfPqKnnTrained) is recall-floored in SimilaritySearchSpec.
+    // Served from the PERSISTED store, not the in-memory operator: the
+    // codes table is written partitionBy("list"), so the probed set
+    // becomes a static partition filter on the scan — the query batch
+    // physically reads nprobe/nlist of the codes files (PartitionFilters
+    // asserted in AnnIndexStoreSpec; stored ≡ in-memory row-for-row is
+    // spec-asserted there too, so the oracle below is unchanged).
     "ann_ivfpq_knn" -> ((s, dir) => {
       val base = emb(s, dir).select(col("vec_id").cast("long").as("id"),
         col("embedding").as("vec"))
       val q = emb(s, dir).filter(col("vec_id") % 71 === 3)
         .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
-      SimilaritySearch.ivfPqKnnSeeded(base, q, k = 10,
-        nlist = 16, nprobe = 4, m = 4, ksub = 16, refineK = 50)
+      val idxPath = s"/tmp/graft_ivfpq/${storeTag(s, dir)}"
+      if (!new java.io.File(s"$idxPath/codes/_SUCCESS").exists())
+        graft.index.AnnIndexStore.buildIvfPqSeeded(base, idxPath,
+          nlist = 16, m = 4, ksub = 16)
+      graft.index.AnnIndexStore.searchIvfPq(s, idxPath, base, q,
+        k = 10, nprobe = 4, refineK = 50)
     }),
 
     // measured-recall ef auto-tune (the reference's offline recall
@@ -468,6 +519,25 @@ object ApproxQueries {
     // delta fifth is scanned exactly, so the union's top-k equals the
     // full brute force.
     "ann_delta_knn" ->
+      """WITH q AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qvec
+        |  FROM embeddings WHERE vec_id % 71 = 3
+        |), j AS (
+        |  SELECT q.qid, CAST(b.vec_id AS BIGINT) AS id,
+        |    list_sum(list_transform(list_zip(q.qvec, b.embedding),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+        |  FROM q, embeddings b
+        |), r AS (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+        |  FROM j
+        |)
+        |SELECT qid, CAST(rnk AS BIGINT) AS "rank", id AS nid FROM r WHERE rnk <= 10""".stripMargin,
+
+    // Streaming LSM ingest lands on the identical end state: after the
+    // threshold fold the whole corpus is in the graphs (walked
+    // exhaustively at this scale), so the oracle is the same
+    // whole-corpus exact kNN as ann_delta_knn.
+    "ann_delta_stream" ->
       """WITH q AS (
         |  SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qvec
         |  FROM embeddings WHERE vec_id % 71 = 3

@@ -55,7 +55,7 @@ object ParquetMeta {
     * spark.graft.ann.trustIndex serving mode would then skip the
     * staleness check that used to catch it). No Spark job, no footer
     * read — one directory listing. */
-  def fingerprint(spark: SparkSession, path: String): String = {
+  def fingerprint(spark: SparkSession, path: String, recursive: Boolean = true): String = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -63,11 +63,13 @@ object ParquetMeta {
     // partitioned layouts repeat names (label=0/part-00000, label=1/
     // part-00000) — a name-only sort leaves equal names in enumeration
     // order (unstable fingerprints) and makes two same-size files
-    // swapped between partitions indistinguishable.
+    // swapped between partitions indistinguishable. `recursive = false`
+    // fingerprints only the root's own files — the delta stores use it
+    // to identify the flat layer independently of bid= subdirectories.
     val rootUri = p.toUri.getPath
     val stats: Seq[(String, Long, Long)] =
       if (fs.getFileStatus(p).isDirectory) {
-        val it = fs.listFiles(p, true)
+        val it = fs.listFiles(p, recursive)
         val acc = Seq.newBuilder[(String, Long, Long)]
         while (it.hasNext) {
           val s = it.next()
@@ -96,6 +98,34 @@ object ParquetMeta {
     * mtime) cannot collide in the derived-store namespace. Safe for
     * catalog identifiers and paths: `[a-zA-Z0-9_]` only. */
   def storeTag(spark: SparkSession, dir: String, table: String): String =
-    (dir.stripSuffix("/") + "_" + table).replaceAll("[^a-zA-Z0-9]", "_") +
-      "_" + fingerprint(spark, s"$dir/$table.parquet")
+    storePrefix(dir, table) + fingerprint(spark, s"$dir/$table.parquet")
+
+  /** The generation-independent part of [[storeTag]] — everything
+    * before the source fingerprint. Derived-store writers use it to
+    * find STALE sibling generations of the same source for GC. */
+  def storePrefix(dir: String, table: String): String =
+    (dir.stripSuffix("/") + "_" + table).replaceAll("[^a-zA-Z0-9]", "_") + "_"
+
+  /** Remove stale generations of a derived store: directories under
+    * `parent` that share `keep`'s source identity (same prefix before
+    * the embedded fingerprint, same suffix after it) but are not `keep`
+    * itself — i.e. copies keyed to a superseded source generation.
+    * Derived stores are (re)creatable caches by contract, so deleting a
+    * stale one costs at most a rebuild; NOT calling this leaks a full
+    * table copy under /tmp on every source regeneration, forever. Run
+    * when a new generation is materialized (single-writer, same
+    * contract as the store write itself). */
+  def gcSiblingStores(parent: java.io.File, keep: String,
+      prefix: String, suffix: String = ""): Unit = {
+    Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName != keep &&
+        f.getName.startsWith(prefix) && f.getName.endsWith(suffix))
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteRecursively)
+    if (f.exists()) f.delete()
+  }
 }

@@ -42,17 +42,20 @@ object StreamingKnn {
     * maintenance driven by data volume, not wall clock. Graph builds
     * happen at most once per crossing; between crossings every batch is
     * a plain parquet append. Caller starts the returned writer
-    * (trigger/checkpoint); exactly-once hinges on the sink's normal
-    * foreachBatch replay semantics plus [[graft.index.AnnIndexStore
-    * .replaceDelta]]-style idempotency if the upstream can replay
-    * batches. */
+    * (trigger/checkpoint). Exactly-once-EFFECTIVE under foreachBatch's
+    * at-least-once replay: each micro-batch lands via
+    * [[graft.index.AnnIndexStore.appendDeltaBatch]] — its own
+    * bid=<batchId> subdirectory written with overwrite, so a replayed
+    * batch rewrites the same rows rather than double-appending, and a
+    * batch the fold watermark records as already compacted into the
+    * graphs is skipped outright. */
   def deltaIngestWriter(vectorStream: DataFrame, indexPath: String,
       numBuckets: Int, compactAt: Double = 0.25): DataStreamWriter[Row] = {
     vectorStream.writeStream
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        graft.index.AnnIndexStore.appendDelta(batch, indexPath)
+        graft.index.AnnIndexStore.appendDeltaBatch(batch, indexPath, batchId)
         if (graft.index.AnnIndexStore.deltaFraction(spark, indexPath) >= compactAt)
           graft.index.AnnIndexStore.compactDelta(spark, indexPath, numBuckets)
       }

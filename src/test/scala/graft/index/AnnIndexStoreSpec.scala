@@ -121,11 +121,69 @@ class AnnIndexStoreSpec extends SparkSpec {
     val got = AnnIndexStore.searchWithDelta(spark, dir, queries, k = 10, ef = 400)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == got.distinct.length, "duplicate (qid, nid) served")
-    // and the repair deleted the stale delta outright
-    assert(!new java.io.File(AnnIndexStore.deltaPath(dir), "_SUCCESS").exists())
+    // read paths EXCLUDE but never delete (two readers can't race a
+    // delete against a scan): the stale files are still on disk
+    assert(new java.io.File(AnnIndexStore.deltaPath(dir), "_SUCCESS").exists())
+    // the next MAINTENANCE op repairs first, so new rows never blend
+    // into the stale folded generation (whose fingerprint they'd change,
+    // defeating the marker comparison forever)
+    val fresh = Seq.tabulate(10)(i => ((5000 + i).toLong, vec()))
+    AnnIndexStore.appendDelta(fresh.toDF("id", "vec"), dir)
+    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 10.0 / 400) < 1e-9,
+      "append onto a stale folded delta must repair (delete) it first")
     // a GENUINELY new delta (same rows, new commit) is live again
     AnnIndexStore.replaceDelta(delta.toDF("id", "vec"), dir)
     assert(AnnIndexStore.deltaFraction(spark, dir) > 0.0)
+  }
+
+  test("appendDeltaBatch: replays overwrite, folded batches are skipped") {
+    val indexed = Seq.tabulate(200)(i => (i.toLong, vec()))
+    val dir = Files.createTempDirectory("graft-anndelta-bid").toString + "/index"
+    AnnIndexStore.build(indexed.toDF("id", "vec"), dir, numBuckets = 2)
+    val a = Seq.tabulate(20)(i => ((1000 + i).toLong, vec()))
+    val b = Seq.tabulate(30)(i => ((2000 + i).toLong, vec()))
+    // at-least-once replay of the same micro-batch: rows counted ONCE
+    AnnIndexStore.appendDeltaBatch(a.toDF("id", "vec"), dir, batchId = 0)
+    AnnIndexStore.appendDeltaBatch(a.toDF("id", "vec"), dir, batchId = 0)
+    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 20.0 / 200) < 1e-9)
+    AnnIndexStore.appendDeltaBatch(b.toDF("id", "vec"), dir, batchId = 1)
+    AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
+    assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0)
+    // replay of a batch the compaction already folded (crash straddled
+    // the fold): must be skipped outright, not served twice
+    AnnIndexStore.appendDeltaBatch(b.toDF("id", "vec"), dir, batchId = 1)
+    assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0)
+    // a NEW batch past the watermark is live
+    val c = Seq.tabulate(10)(i => ((3000 + i).toLong, vec()))
+    AnnIndexStore.appendDeltaBatch(c.toDF("id", "vec"), dir, batchId = 2)
+    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 10.0 / 250) < 1e-9)
+    val queries = Seq.tabulate(4)(i => (i.toLong, vec())).toDF("qid", "qvec")
+    val got = AnnIndexStore.searchWithDelta(spark, dir, queries, k = 10, ef = 400)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 40 && got.distinct.length == 40)
+  }
+
+  test("half-swapped compaction crash: maintenance entry rolls forward/back") {
+    val indexed = Seq.tabulate(300)(i => (i.toLong, vec()))
+    val delta = Seq.tabulate(60)(i => ((9000 + i).toLong, vec()))
+    val dir = Files.createTempDirectory("graft-annswap").toString + "/index"
+    AnnIndexStore.build(indexed.toDF("id", "vec"), dir, numBuckets = 2)
+    AnnIndexStore.appendDelta(delta.toDF("id", "vec"), dir)
+    // ROLL BACK: crash left only '.old' (store moved aside, promote
+    // never happened) — compactDelta must restore it and then compact
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old")))
+    AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
+    val n1 = spark.read.parquet(dir).agg(sum(size(col("ids")))).head().getLong(0)
+    assert(n1 == 360L, s"roll-back then compact should index all rows, got $n1")
+    // ROLL FORWARD: crash left a complete '.compact' and no live store —
+    // the next maintenance op must promote it (it already contains the
+    // folded rows) rather than fail on the missing path
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".compact")))
+    AnnIndexStore.appendDelta(
+      Seq.tabulate(5)(i => ((9900 + i).toLong, vec())).toDF("id", "vec"), dir)
+    val n2 = spark.read.parquet(dir).agg(sum(size(col("ids")))).head().getLong(0)
+    assert(n2 == 360L)
+    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 5.0 / 360) < 1e-9)
   }
 
   test("buildBy/searchBy: per-label persisted indexes, predicate by construction") {

@@ -62,6 +62,33 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("a regenerated source GCs the superseded bucketed copy (no /tmp leak)") {
+    import graft.sources.ParquetMeta
+    val d = Files.createTempDirectory("graft_bkt_gc").toString
+    def writeSource(): Unit =
+      (1L to 50L).map(k => (k, s"P${k % 3}"))
+        .toDF("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    def generations(): Seq[String] = {
+      val prefix = ParquetMeta.storePrefix(d, "orders")
+      Option(new java.io.File("/tmp/graft_bucketed").listFiles())
+        .getOrElse(Array.empty).toSeq
+        .map(_.getName).filter(n => n.startsWith(prefix) && n.endsWith("_o_orderkey_b4"))
+    }
+    writeSource()
+    Bucketing.bucketedTable(spark, d, "orders", "o_orderkey", buckets = 4)
+    val gen1 = generations()
+    assert(gen1.size == 1)
+    // regenerate the source (new fingerprint) and rebuild: the stale
+    // generation's full copy must be reclaimed, not accumulate forever
+    Thread.sleep(1100) // ensure a new mtime second even on coarse clocks
+    writeSource()
+    Bucketing.bucketedTable(spark, d, "orders", "o_orderkey", buckets = 4)
+    val gen2 = generations()
+    assert(gen2.size == 1, s"stale generations left behind: $gen2")
+    assert(gen2 != gen1)
+  }
+
   test("fresh catalog re-registers existing bucketed files via DDL, still co-located") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
