@@ -63,6 +63,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         foldableInt(es(1), "bits"), foldableInt(es(2), "blocks"))))
     e.injectFunction(fn("block_hamming", "Hamming distance of two block-value fingerprints",
       es => org.apache.spark.sql.graft.BlockHamming(es(0), es(1))))
+    e.injectFunction(fn("gopher_stats", "9-slot Gopher quality-rule statistics of a document",
+      es => org.apache.spark.sql.graft.GopherStats(es(0))))
     // `ORDER BY l2_sq(vec, :qvec) LIMIT k` over an AnnCatalog-registered
     // table auto-routes to the bucketed HNSW index (SURVEY §4's optional
     // AnnJoinStrategy). Opt-out: spark.graft.ann.autoRoute=false.

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ArrayEqCount, BlockHamming, ExprBridge, Md5Hash60, SimHashBlocks, SimHashFromHashes}
+import org.apache.spark.sql.graft.{ArrayEqCount, BlockHamming, ExprBridge, GopherStats, Md5Hash60, SimHashBlocks, SimHashFromHashes}
 
 /** Text-analysis building blocks for large-scale corpus pipelines:
   * tokenization, word shingles, deterministic 60-bit hashing, MinHash
@@ -35,6 +35,13 @@ object TextFunctions {
     * signature-agreement kernel; see [[ArrayEqCount]]). */
   def arrayEqCount(a: Column, b: Column): Column =
     ExprBridge.column(ArrayEqCount(ExprBridge.expression(a), ExprBridge.expression(b)))
+
+  /** All per-document Gopher-rule statistics in one codegen byte-scan —
+    * 9-slot array<long>; see
+    * [[org.apache.spark.sql.graft.GopherStatsUtil]] for the slot layout
+    * and the per-slot SQL equivalences. */
+  def gopherStats(text: Column): Column =
+    ExprBridge.column(GopherStats(ExprBridge.expression(text)))
 
   /** SimHash over a precomputed array<long> of token hashes (use
     * [[hash60]] with seed 97): for each bit, sign of Σ(±1); packs `bits`

@@ -173,34 +173,88 @@ object Dedup {
 
   /** LSH candidate pairs: docs sharing ≥1 of `bands` band keys, with the
     * estimated similarity = fraction of matching minhash components.
-    * (doc_a, doc_b, est_sim), doc_a < doc_b, distinct. */
+    * (doc_a, doc_b, est_sim), doc_a < doc_b, distinct.
+    *
+    * `bandGroups` > 1 switches to BAND-SEQUENTIAL execution: the band
+    * set is partitioned into that many groups and each group's
+    * banded-key shuffle + self-join runs as its own materialized pass
+    * (signatures computed once, cached across passes). The pair set is
+    * identical by construction — the union over all bands of per-band
+    * matches does not depend on which pass a band ran in; pairs matching
+    * in bands of different groups are collapsed by the final
+    * dropDuplicates (est_sim is a pure function of the pair, so any
+    * survivor carries the same value). What changes is the PEAK
+    * transient footprint: the banding exchange is the algorithm's one
+    * unavoidable shuffle and its volume is linear in docs × bands — one
+    * pass spills bands/bandGroups of it, which is exactly the knob that
+    * fits a 100M-doc mine onto a single node whose scratch the one-shot
+    * shuffle exceeded (BASELINE.md round-9 boundary; on a cluster the
+    * same knob caps per-executor scratch instead). */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+      numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3,
+      bandGroups: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(bandGroups >= 1 && bands % bandGroups == 0,
+      "bandGroups must partition the band set")
     val rows = numHashes / bands
-    // materialize the banded keys hash-partitioned on the join key:
-    // signatures are computed once, and the band self-join reads both
-    // sides from the same cached partitioning with no exchange
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
-    val banded = tracked(sig.select(
-        col("doc_id"), col("mh"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("band_key",
-        md5(expr(s"cast(array_join(transform(slice(mh, band * $rows + 1, $rows), " +
-          "x -> cast(x as string)), ',') as binary)")))
-      .repartition(col("band"), col("band_key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.mh").as("mha"), col("b.mh").as("mhb"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("est_sim",
-        graft.functions.TextFunctions.arrayEqCount(col("mha"), col("mhb")) /
-          lit(numHashes).cast("double"))
-      .select(col("doc_a"), col("doc_b"), col("est_sim"))
+
+    if (bandGroups == 1) {
+      // materialize the banded keys hash-partitioned on the join key:
+      // the band self-join reads both sides from the same cached
+      // partitioning with no exchange
+      val banded = tracked(sig.select(
+          col("doc_id"), col("mh"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .withColumn("band_key",
+          md5(expr(s"cast(array_join(transform(slice(mh, band * $rows + 1, $rows), " +
+            "x -> cast(x as string)), ',') as binary)")))
+        .repartition(col("band"), col("band_key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.mh").as("mha"), col("b.mh").as("mhb"))
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("est_sim",
+          graft.functions.TextFunctions.arrayEqCount(col("mha"), col("mhb")) /
+            lit(numHashes).cast("double"))
+        .select(col("doc_a"), col("doc_b"), col("est_sim"))
+    } else {
+      // signatures are the expensive scan (one md5 per distinct shingle):
+      // compute once, reuse across every pass
+      val sigP = tracked(sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val bpg = bands / bandGroups
+      val perGroup = (0 until bandGroups).map { g =>
+        val banded = sigP.select(
+            col("doc_id"), col("mh"),
+            explode(sequence(lit(g * bpg), lit((g + 1) * bpg - 1))).as("band"))
+          .withColumn("band_key",
+            md5(expr(s"cast(array_join(transform(slice(mh, band * $rows + 1, $rows), " +
+              "x -> cast(x as string)), ',') as binary)")))
+          .repartition(col("band"), col("band_key"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = banded.as("a")
+          .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.mh").as("mha"), col("b.mh").as("mhb"))
+          .dropDuplicates("doc_a", "doc_b")
+          .withColumn("est_sim",
+            graft.functions.TextFunctions.arrayEqCount(col("mha"), col("mhb")) /
+              lit(numHashes).cast("double"))
+          .select(col("doc_a"), col("doc_b"), col("est_sim"))
+          // eager: this pass's shuffle/cache is fully consumed HERE, so
+          // its scratch can be dropped before the next pass allocates
+          .localCheckpoint(true)
+        banded.unpersist(blocking = true)
+        pairs
+      }
+      perGroup.reduce(_.unionByName(_)).dropDuplicates("doc_a", "doc_b")
+    }
   }
 
   /** Per-doc SimHash fingerprint over distinct-token hashes: (doc_id, simhash). */

@@ -160,9 +160,13 @@ object DedupScaleProbe {
     }
 
     // ---- MinHash-LSH candidate pairs ----
+    // GRAFT_DEDUP_BAND_GROUPS=g mines band-sequentially (peak banding
+    // spill ÷ g, identical pairs) — the knob that fits 100M docs onto
+    // this node's scratch (the one-shot shuffle exceeded it, round 9)
+    val bandGroups = sys.env.getOrElse("GRAFT_DEDUP_BAND_GROUPS", "1").toInt
     val pairsPath = s"$root/lsh_pairs"
-    if (!exists(pairsPath)) timed("minhash_lsh_pairs") {
-      Dedup.minhashLshCandidates(docs, "doc_id", "text")
+    if (!exists(pairsPath)) timed(s"minhash_lsh_pairs_g$bandGroups") {
+      Dedup.minhashLshCandidates(docs, "doc_id", "text", bandGroups = bandGroups)
         .filter(col("est_sim") >= 0.5)
         .write.mode("overwrite").parquet(pairsPath)
       Dedup.releaseCaches(blocking = true)

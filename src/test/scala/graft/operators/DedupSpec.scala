@@ -92,6 +92,16 @@ class DedupSpec extends SparkSpec {
     assert(cand((0L, 1L)) == 1.0)
   }
 
+  test("band-sequential mining yields the identical pair set (bandGroups = 2, 4)") {
+    def pairsWith(g: Int) =
+      Dedup.minhashLshCandidates(docs, "doc_id", "text", bandGroups = g)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val oneShot = pairsWith(1)
+    assert(pairsWith(2) == oneShot)
+    assert(pairsWith(4) == oneShot)
+    Dedup.releaseCaches(blocking = true)
+  }
+
   test("simhash: identical docs share fingerprints; near dups are close") {
     val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
