@@ -76,7 +76,15 @@ object AnnIndexStore {
       .as[(Long, Long, Double, Array[Float], Int)]
       .repartition(col("bucket"), col("sub"))
       .mapPartitions { it =>
-        it.toArray.groupBy(t => (t._2, t._5)).iterator.map { case ((bucket, _), rows) =>
+        it.toArray.groupBy(t => (t._2, t._5)).iterator.map { case ((bucket, _), rowsIn) =>
+          // insert in (attr, id) order: node ids then align with the
+          // ts-sorted view (TsIndex.perm ≈ identity), so a range
+          // slice's SQ8 codes are one CONTIGUOUS run — the sequential
+          // layout the reference keeps by sorting each decile before
+          // building (utils.h:403-434 + the aligned-code trick,
+          // hybrid_graph.cpp:505-524). Shuffle arrival order would
+          // scatter every slice scan across the codes array.
+          val rows = rowsIn.sortBy(t => (t._3, t._1))
           val index = HnswIndex.buildOn(rows.head._4.length, m, efConstruction,
             rows.iterator.map(_._4), HnswIndex.maxAbsOf(rows.iterator.map(_._4)))
           (bucket, rows.map(_._1), rows.map(_._3), index.toBytes)
@@ -324,40 +332,54 @@ object AnnIndexStore {
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).map(_._2)
     val np = math.min(nprobe, cents.length)
-    def nearestLists(q: Array[Float]): Array[Long] = {
-      // bounded max-heap of the np nearest (dist, list) pairs
-      val heap = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(Ordering.by(_._1))
-      var li = 0
-      while (li < cents.length) {
-        val c = cents(li)
-        var d = 0.0
-        var i = 0
-        while (i < c.length) { val t = q(i) - c(i); d += t * t; i += 1 }
-        if (heap.size < np) heap.enqueue((d, li))
-        else if (d < heap.head._1) { heap.dequeue(); heap.enqueue((d, li)) }
-        li += 1
-      }
-      // drain order is irrelevant: the per-list candidates merge
-      // through the bounded top-k downstream
-      heap.iterator.map((p: (Double, Int)) => p._2.toLong).toArray
-    }
-    val it = queries.select(col("qid").cast("long"), col("qvec")).toLocalIterator()
-    val chunks = Iterator.continually {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
-      while (it.hasNext && buf.length < chunkRows) {
-        val r = it.next()
-        buf += ((r.getLong(0), r.getSeq[Float](1).toArray))
-      }
-      buf.toArray
-    }.takeWhile(_.nonEmpty)
-    val results = chunks.map { chunk =>
+    val results = queryChunks(queries, chunkRows).map { chunk =>
       val qByBucket = chunk.iterator.flatMap { case (qid, qvec) =>
-        nearestLists(qvec).iterator.map(l => (l, (qid, qvec)))
+        nearestLists(cents, np, qvec).iterator.map(l => (l, (qid, qvec)))
       }.toArray.groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2)) }
       searchByBatch(spark, s"$path/lists", qByBucket, k, ef).localCheckpoint(eager = true)
     }.toSeq
     if (results.isEmpty) spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     else results.reduce(_.unionByName(_))
+  }
+
+  /** Driver-side centroid routing: the `np` nearest list ids for one
+    * query via a bounded max-heap (drain order irrelevant — the
+    * per-list candidates merge through the bounded top-k downstream). */
+  private def nearestLists(cents: Array[Array[Float]], np: Int,
+      q: Array[Float]): Array[Long] = {
+    val heap = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(Ordering.by(_._1))
+    var li = 0
+    while (li < cents.length) {
+      val c = cents(li)
+      var d = 0.0
+      var i = 0
+      while (i < c.length) { val t = q(i) - c(i); d += t * t; i += 1 }
+      if (heap.size < np) heap.enqueue((d, li))
+      else if (d < heap.head._1) { heap.dequeue(); heap.enqueue((d, li)) }
+      li += 1
+    }
+    heap.iterator.map((p: (Double, Int)) => p._2.toLong).toArray
+  }
+
+  /** [[searchIvfChunked]] in the [[searchChunkedTo]] form: each chunk's
+    * centroid-routed result is written straight to parquet (staged,
+    * promoted by rename) instead of accumulating as localCheckpoint
+    * blocks. */
+  def searchIvfChunkedTo(spark: SparkSession, path: String, queries: DataFrame,
+      outPath: String, k: Int, ef: Int = 200, nprobe: Int = 4,
+      chunkRows: Int = 100000): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("list").cast("int"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val np = math.min(nprobe, cents.length)
+    writeChunkedResults(spark, outPath,
+      queryChunks(queries, chunkRows).map { chunk =>
+        val qByBucket = chunk.iterator.flatMap { case (qid, qvec) =>
+          nearestLists(cents, np, qvec).iterator.map(l => (l, (qid, qvec)))
+        }.toArray.groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2)) }
+        searchByBatch(spark, s"$path/lists", qByBucket, k, ef)
+      })
   }
 
   /** Type-3 search over a per-label [[buildBy]] table built with
@@ -410,15 +432,36 @@ object AnnIndexStore {
       .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
   }
 
-  /** Range search over a decile-bucketed [[buildBy]] table (bucketCol =
-    * floor(ts·10), attrCol = ts): each query reads only its overlapping
-    * decile rows (bucket min/max pruned), walks fully-covered deciles
-    * unfiltered and partially-covered ones with the ts in-filter, and
-    * the per-decile candidates merge through the bounded top-k — the
-    * stored-index form of the reference's type-2 stage
-    * (hybrid_graph.cpp:338-459). queries: (qid, l, r, qvec). */
+  /** Range search over a ts-bucketed [[buildBy]] table (bucketCol =
+    * floor(ts·scale), attrCol = ts): each query reads only its
+    * overlapping bucket rows (bucket min/max pruned), walks
+    * fully-covered buckets unfiltered and partially-covered ones with
+    * the ts in-filter, and the per-bucket candidates merge through the
+    * bounded top-k — the stored-index form of the reference's type-2
+    * stage (hybrid_graph.cpp:338-459).
+    *
+    * `scale` = buckets per unit ts (10 = the reference's deciles). The
+    * reference is pinned to 10 because its decile graphs are offset
+    * slices of ONE ts-sorted array; here each bucket is its own stored
+    * graph, so the right granularity is data-sized: scale ≈
+    * n/maxRowsPerIndex keeps every bucket ONE unsalted graph, and a
+    * range then walks only the buckets it actually overlaps. A coarse
+    * salted store makes every partial range walk ALL of a decile's
+    * salted sub-graphs (hash salting spreads each query's range over
+    * every sub-graph — the measured type-2 wall at the 10M contest
+    * point); ts-contiguous fine buckets cut the per-query walk count by
+    * the salt factor.
+    *
+    * `efBands` (serving-scale arm): fully-covered bucket walks use
+    * [[graft.operators.SearchParams.unionWalkEf]] (per-bucket depth
+    * shrinks as more full buckets contribute) and SMALL slices use the
+    * quantized [[HnswIndex.exactOverQ]] two-stage scan. Off by default:
+    * both can differ from the exact-effort result at the margin, and
+    * the hash-gated oracle queries must stay bit-stable.
+    *
+    * queries: (qid, l, r, qvec). */
   def searchDecileRange(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, ef: Int = 200): DataFrame = {
+      k: Int, ef: Int = 200, scale: Int = 10, efBands: Boolean = false): DataFrame = {
     import spark.implicits._
     val qBatch = queries
       .select(col("qid").cast("long"), col("l").cast("double"),
@@ -427,21 +470,39 @@ object AnnIndexStore {
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getSeq[Float](3).toArray))
     if (qBatch.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     val bq = spark.sparkContext.broadcast(qBatch)
-    // widen the coarse prune one bucket low: floor(ts*10) float rounding
-    // can file a boundary row one decile down (ADVICE r2); the per-row
-    // in-filter keeps the extra bucket correct
-    val minB = math.floor(qBatch.map(_._2).min * 10).toLong - 1
-    val maxB = math.floor(qBatch.map(_._3).max * 10).toLong
-    spark.read.parquet(path)
+    // widen the coarse prune one bucket low: floor(ts*scale) float
+    // rounding can file a boundary row one bucket down (ADVICE r2); the
+    // per-row in-filter keeps the extra bucket correct
+    val minB = math.floor(qBatch.map(_._2).min * scale).toLong - 1
+    val maxB = math.floor(qBatch.map(_._3).max * scale).toLong
+    // Query-shard the batch across replicated bucket scans: one task
+    // per bucket row makes the stage wall the SLOWEST bucket (middle
+    // buckets overlap most ranges — measured tail skew at the 6M
+    // probe: 2-28 of 32 threads busy). Each of the `shards` scan
+    // replicas serves an index-strided 1/shards of the batch, so the
+    // straggler shrinks by the shard factor; the graph blob re-read is
+    // page-cached and the deserialization is shared via
+    // fromBytesCached.
+    val shards = math.max(1, math.min(16, qBatch.length / 4000))
+    val scanOne = spark.read.parquet(path)
       .filter(col("bucket") >= minB && col("bucket") <= maxB)
       .select(col("bucket"), col("ids"), col("attrs"), col("graph"))
-      .as[(Long, Array[Long], Array[Double], Array[Byte])]
+    val scan =
+      if (shards == 1) scanOne.withColumn("qshard", lit(0))
+      else (0 until shards).map(s => scanOne.withColumn("qshard", lit(s)))
+        .reduce(_ unionByName _)
+    scan
+      .as[(Long, Array[Long], Array[Double], Array[Byte], Int)]
       .mapPartitions { it =>
-        it.flatMap { case (decile, ids, ts, graphBytes) =>
-          val bStart = decile / 10.0
-          val bEnd = (decile + 1) / 10.0
+        it.flatMap { case (bucket, ids, ts, graphBytes, qshard) =>
+          val bStart = bucket.toDouble / scale
+          val bEnd = (bucket + 1).toDouble / scale
           // boundary buckets inclusive on both sides (see minB note)
-          val overlapping = bq.value.filter { case (_, l, r, _) => l <= bEnd && r >= bStart }
+          val all = bq.value
+          val overlapping = Iterator.range(qshard, all.length, shards)
+            .map(all(_))
+            .filter { case (_, l, r, _) => l <= bEnd && r >= bStart }
+            .toArray
           if (overlapping.isEmpty) Iterator.empty
           else {
             val index = HnswIndex.fromBytesCached(graphBytes)
@@ -449,8 +510,33 @@ object AnnIndexStore {
             overlapping.iterator.flatMap { case (qid, l, r, qvec) =>
               val full = l <= bStart && r >= bEnd
               val hits =
-                if (full) index.search(qvec, k, ef)
-                else {
+                if (full) {
+                  val efFull =
+                    if (efBands) {
+                      val mFull = math.max(0,
+                        math.floor(r * scale) - math.ceil(l * scale)).toInt
+                      graft.operators.SearchParams.unionWalkEf(ef, k, mFull)
+                    } else ef
+                  index.search(qvec, k, efFull)
+                } else if (efBands) {
+                  // banded arm: a partial bucket is at most
+                  // maxRowsPerIndex rows whose in-range codes are one
+                  // contiguous run (ts-sorted build) — below
+                  // BruteCoverage a sequential int8 scan + fp32 refine
+                  // beats a rejection-boosted filtered walk (measured:
+                  // warm filtered walk ≈ 3.5 ms vs ≤ 2.5 ms scan at the
+                  // 6M probe; the reference's narrow-sel SplitInterval
+                  // draws the same 0.5-0.6 line, hybrid_graph.cpp:91-134)
+                  val cover = tsIdx.coverage(l, r)
+                  if (cover < graft.operators.SearchParams.BruteCoverage)
+                    index.exactOverQ(qvec, tsIdx.inRange(l, r), k)
+                  else {
+                    val allowed: Int => Boolean = i => ts(i) >= l && ts(i) <= r
+                    index.search(qvec, k,
+                      graft.operators.SearchParams.inFilterEf(ef, cover), allowed,
+                      seeds = tsIdx.seeds(l, r, graft.operators.SearchParams.FilterSeeds))
+                  }
+                } else {
                   val cover = tsIdx.coverage(l, r)
                   if (cover < graft.operators.SearchParams.SmallCoverage)
                     index.exactOver(qvec, tsIdx.inRange(l, r), k)
@@ -542,9 +628,33 @@ object AnnIndexStore {
   def searchChunked(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, ef: Int = 200, chunkRows: Int = 100000): DataFrame = {
     import spark.implicits._
+    val results = queryChunks(queries, chunkRows).map { chunk =>
+      // materialize this chunk's results so its broadcast can be freed
+      searchBatch(spark, path, chunk, k, ef).localCheckpoint(eager = true)
+    }.toSeq
+    if (results.isEmpty) spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+    else results.reduce(_.unionByName(_))
+  }
+
+  /** [[searchChunked]] that streams each chunk's (qid, rank, nid)
+    * result straight to parquet instead of holding every chunk as a
+    * localCheckpoint block: nothing accumulates in the block manager
+    * between chunks, and the run's peak footprint is one chunk's plan.
+    * Chunks append into a `.tmp` staging dir promoted by rename at the
+    * end, so a crash mid-sequence never leaves a _SUCCESS-marked
+    * partial result for a resume guard to trust. */
+  def searchChunkedTo(spark: SparkSession, path: String, queries: DataFrame,
+      outPath: String, k: Int, ef: Int = 200, chunkRows: Int = 100000): Unit =
+    writeChunkedResults(spark, outPath,
+      queryChunks(queries, chunkRows).map(chunk => searchBatch(spark, path, chunk, k, ef)))
+
+  /** Driver-streamed `chunkRows`-sized query slices — peak driver
+    * memory is one chunk, independent of total batch size. */
+  private def queryChunks(queries: DataFrame,
+      chunkRows: Int): Iterator[Array[(Long, Array[Float])]] = {
     val it = queries.select(col("qid").cast("long"), col("qvec"))
       .toLocalIterator()
-    val chunks = Iterator.continually {
+    Iterator.continually {
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
       while (it.hasNext && buf.length < chunkRows) {
         val r = it.next()
@@ -552,12 +662,21 @@ object AnnIndexStore {
       }
       buf.toArray
     }.takeWhile(_.nonEmpty)
-    val results = chunks.map { chunk =>
-      // materialize this chunk's results so its broadcast can be freed
-      searchBatch(spark, path, chunk, k, ef).localCheckpoint(eager = true)
-    }.toSeq
-    if (results.isEmpty) spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
-    else results.reduce(_.unionByName(_))
+  }
+
+  private def writeChunkedResults(spark: SparkSession, outPath: String,
+      results: Iterator[DataFrame]): Unit = {
+    import spark.implicits._
+    val tmp = outPath.stripSuffix("/") + ".tmp"
+    deleteRecursively(new java.io.File(tmp))
+    var any = false
+    results.foreach { df => df.write.mode("append").parquet(tmp); any = true }
+    if (!any)
+      spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+        .write.mode("overwrite").parquet(tmp)
+    deleteRecursively(new java.io.File(outPath))
+    require(new java.io.File(tmp).renameTo(new java.io.File(outPath)),
+      s"rename $tmp -> $outPath failed")
   }
 
   private def searchBatch(spark: SparkSession, path: String,

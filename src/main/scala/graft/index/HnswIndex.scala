@@ -797,6 +797,41 @@ final class HnswIndex(
     }
     heap.drainSortedPairs()
   }
+
+  /** [[exactOver]] in the reference's quantized two-stage form
+    * (bruteforce_subgraph on SQ8 codes, hybrid_graph.cpp:394-418, with
+    * bf_refine_k=140, hybrid_graph.h:80): preselect `max(k+40, 140)`
+    * candidates on int8 codes — 4× less memory traffic than fp32 on a
+    * slice too big for cache — then re-rank the survivors with exact
+    * fp32 distances. The candidate set can differ from [[exactOver]]'s
+    * at the quantization margin, so hash-gated oracle paths keep the
+    * fp32 scan; this is the serving-scale arm (`efBands`). Small slices
+    * fall through to the exact scan (they fit cache; the quantized
+    * detour would only add the re-rank pass). */
+  def exactOverQ(q: Array[Float], nodes: Array[Int], k: Int): Array[(Int, Double)] = {
+    if (entry < 0 || nodes.length <= 2048) return exactOver(q, nodes, k)
+    ensureCodes()
+    val qb = encodeSq8(q, codeAlpha)
+    val qc = new Array[Short](qb.length)
+    var qi = 0
+    while (qi < qb.length) { qc(qi) = qb(qi).toShort; qi += 1 }
+    val refineK = math.min(nodes.length, math.max(k + 40, 140))
+    val pre = new BoundedTieHeap(refineK)
+    var i = 0
+    while (i < nodes.length) {
+      pre.offer(qdistTo(qc, nodes(i)), nodes(i))
+      i += 1
+    }
+    val cand = pre.drainSortedPairs()
+    val heap = new BoundedTieHeap(math.min(k, math.max(cand.length, 1)))
+    var j = 0
+    while (j < cand.length) {
+      val id = cand(j)._1
+      heap.offer(dist(q, vecs(id)), id)
+      j += 1
+    }
+    heap.drainSortedPairs()
+  }
 }
 
 object HnswIndex {

@@ -34,6 +34,30 @@ object SearchParams {
     * [[Selectivity.splitInterval]]'s SMALL threshold. */
   val SmallCoverage = 0.2
 
+  /** Per-bucket ef for a range search that unions FULLY-covered bucket
+    * walks: the global top-k draws ~k/m from each of m full buckets, so
+    * per-bucket depth can shrink as m grows — the reference's banded
+    * ef2_full table (hybrid_graph.h:24-26, applied at
+    * hybrid_graph.cpp:434-448: 780/630/480 as coverage widens). Floored
+    * at k+40 (the reference never collects fewer than
+    * graph_full_refine_k=150 per decile at k=100). */
+  def unionWalkEf(ef: Int, k: Int, mFull: Int): Int = {
+    val banded =
+      if (mFull >= 8) math.ceil(ef * 0.35).toInt
+      else if (mFull >= 4) math.ceil(ef * 0.5).toInt
+      else if (mFull >= 2) math.ceil(ef * 0.75).toInt
+      else ef
+    math.max(math.min(ef, k + 40), banded)
+  }
+
+  /** Banded-arm partial-bucket threshold: below this in-range fraction
+    * of a ≤maxRowsPerIndex sub-index, a contiguous quantized exact scan
+    * ([[graft.index.HnswIndex.exactOverQ]]) beats a rejection-boosted
+    * filtered walk — the reference draws the same line at 0.5 for
+    * narrow ranges (SplitInterval's bf_thr, hybrid_graph.cpp:91-134,
+    * called with 0.5 at :355-360). */
+  val BruteCoverage = 0.6
+
   /** In-predicate entry seeds for filtered walks (the reference seeds
     * its filtered beam with ~10 evenly spaced in-range points,
     * searcher.hpp:301-317). */

@@ -56,6 +56,11 @@ object ContestScaleProbe {
       .config("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "4g")
+      // vectored parquet reads stage each giant graph-blob column chunk
+      // through a same-sized temporary DIRECT buffer on the channel
+      // path — see ContestRun.runScale's note; byte[]-path reads keep
+      // 32 concurrent scan tasks inside MaxDirectMemorySize
+      .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -97,10 +102,22 @@ object ContestScaleProbe {
       AnnIndexStore.buildBy(base.select(col("id"), col("label"), col("ts"), col("vec")),
         s"$root/by_label", "label", attrCol = Some("ts"))
     }
-    if (!exists(s"$root/by_decile")) timed("build_by_decile") {
+    // type-2 arm (see ContestRun.runScale): range = ts-contiguous fine
+    // buckets (default), decile = the reference-shaped salted store
+    val t2Mode = sys.env.getOrElse("GRAFT_CONTEST_T2", "range")
+    val t2Scale = {
+      val s = sys.env.getOrElse("GRAFT_CONTEST_T2_SCALE", "0").toInt
+      if (s > 0) s else math.max(10, math.ceil(n / 200000.0).toInt)
+    }
+    if (t2Mode != "range" && !exists(s"$root/by_decile")) timed("build_by_decile") {
       AnnIndexStore.buildBy(
         base.withColumn("decile", floor(col("ts") * 10).cast("long")),
         s"$root/by_decile", "decile", attrCol = Some("ts"))
+    }
+    if (t2Mode == "range" && !exists(s"$root/by_range$t2Scale")) timed("build_by_range") {
+      AnnIndexStore.buildBy(
+        base.withColumn("bucket", floor(col("ts") * t2Scale).cast("long")),
+        s"$root/by_range$t2Scale", "bucket", attrCol = Some("ts"))
     }
 
     // ---- routing stats pass (selectivity grid + route decision) ----
@@ -127,11 +144,17 @@ object ContestScaleProbe {
           queries.filter(col("qtype") === 1).select(col("qid"), col("v"), col("qvec")), k, ef)
         .write.mode("overwrite").parquet(s"$outPath/t1")
     }
-    if (!exists(s"$outPath/t2")) timed("search_type2_decile") {
-      AnnIndexStore.searchDecileRange(spark, s"$root/by_decile",
-          queries.filter(col("qtype") === 2)
-            .select(col("qid"), col("l"), col("r"), col("qvec")), k, ef)
-        .write.mode("overwrite").parquet(s"$outPath/t2")
+    val t2Name = if (t2Mode == "range") s"t2_range$t2Scale" else "t2"
+    if (!exists(s"$outPath/$t2Name")) timed(s"search_type2_$t2Mode") {
+      val q2 = queries.filter(col("qtype") === 2)
+        .select(col("qid"), col("l"), col("r"), col("qvec"))
+      val r2 =
+        if (t2Mode == "range")
+          AnnIndexStore.searchDecileRange(spark, s"$root/by_range$t2Scale", q2, k, ef,
+            scale = t2Scale, efBands = true)
+        else
+          AnnIndexStore.searchDecileRange(spark, s"$root/by_decile", q2, k, ef)
+      r2.write.mode("overwrite").parquet(s"$outPath/$t2Name")
     }
     if (!exists(s"$outPath/t3")) timed("search_type3_label_range") {
       AnnIndexStore.searchByRange(spark, s"$root/by_label",
@@ -141,7 +164,7 @@ object ContestScaleProbe {
     }
     val results = spark.read.parquet(s"$outPath/t0")
       .unionByName(spark.read.parquet(s"$outPath/t1"))
-      .unionByName(spark.read.parquet(s"$outPath/t2"))
+      .unionByName(spark.read.parquet(s"$outPath/$t2Name"))
       .unionByName(spark.read.parquet(s"$outPath/t3"))
     val nRes = results.count()
     println(s"RESULTS: $nRes rows (${nRes / math.max(k, 1)} answered queries)")

@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index.{HnswIndex, TsIndex}
+
+/** Ground-truth unit costs for the type-2 arm's building blocks, on ONE
+  * stored sub-graph (no Spark in the timed loops): full walk at several
+  * ef, in-filter walk, quantized exact slice scan. Feeds the ef-band /
+  * brute-threshold constants in [[graft.operators.SearchParams]] with
+  * measured numbers instead of a cost model.
+  *
+  * Usage: runMain graft.tools.WalkMicro <storePath> [nQueries]
+  */
+object WalkMicro {
+
+  def main(args: Array[String]): Unit = {
+    val path = if (args.length > 0) args(0) else "/tmp/graft_t2probe_6000000/by_range30"
+    val nq = if (args.length > 1) args(1).toInt else 200
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "4g").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val row = spark.read.parquet(path)
+      .select(col("bucket"), col("ids"), col("attrs"), col("graph"))
+      .filter(col("bucket") === 3).limit(1).collect()(0)
+    val ts = row.getSeq[Double](2).toArray
+    val graph = row.getAs[Array[Byte]](3)
+    spark.stop()
+    val index = HnswIndex.fromBytes(graph)
+    val tsIdx = new TsIndex(ts)
+    val n = ts.length
+    println(s"graph: n=$n bucket=${row.getLong(0)}")
+    val rnd = new java.util.Random(7)
+    val queries = Array.fill(nq)(Array.fill(100)(rnd.nextFloat()))
+    // mixture queries like the corpus (kept simple: random is fine for
+    // COST; recall is measured elsewhere)
+    def timed(name: String)(f: => Unit): Unit = {
+      f // warm
+      val reps = 3
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < reps) { f; i += 1 }
+      val per = (System.nanoTime() - t0) / 1e6 / reps / nq
+      println(f"$name%-28s ${per}%8.3f ms/query-unit")
+    }
+    val k = 100
+    timed("walk ef=400")(queries.foreach(q => index.search(q, k, 400)))
+    timed("walk ef=200")(queries.foreach(q => index.search(q, k, 200)))
+    timed("walk ef=140")(queries.foreach(q => index.search(q, k, 140)))
+    val lo = ts.min; val span = ts.max - lo
+    timed("filtered walk cover=0.3 ef=1333") {
+      queries.foreach { q =>
+        val l = lo + 0.2 * span; val r = lo + 0.5 * span
+        val allowed: Int => Boolean = i => ts(i) >= l && ts(i) <= r
+        index.search(q, k, 1333, allowed, seeds = tsIdx.seeds(l, r, 10))
+      }
+    }
+    timed("exactOverQ cover=0.3") {
+      queries.foreach { q =>
+        val l = lo + 0.2 * span; val r = lo + 0.5 * span
+        index.exactOverQ(q, tsIdx.inRange(l, r), k)
+      }
+    }
+    timed("exactOverQ full") {
+      queries.foreach(q => index.exactOverQ(q, tsIdx.inRange(lo, lo + span), k))
+    }
+    timed("exactOver fp32 cover=0.3") {
+      queries.foreach { q =>
+        val l = lo + 0.2 * span; val r = lo + 0.5 * span
+        index.exactOver(q, tsIdx.inRange(l, r), k)
+      }
+    }
+  }
+}

@@ -310,6 +310,56 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("fine-bucket range search (scale=20, efBands): predicate holds, recall >= 0.85") {
+    // the serving-scale type-2 arm: ts-contiguous buckets at
+    // data-sized granularity, banded full-walk ef, quantized slices
+    val base = Seq.tabulate(2000)(i => (i.toLong, (i % 100) / 100.0, vec()))
+      .toDF("id", "ts", "vec")
+    val dir = Files.createTempDirectory("graft-annstore-rng").toString + "/by_range20"
+    AnnIndexStore.buildBy(
+      base.withColumn("bucket", floor(col("ts") * 20).cast("long")),
+      dir, "bucket", attrCol = Some("ts"))
+    val queries = Seq(
+      (0L, 0.0, 1.0, vec()),    // all 20 buckets FULL -> banded ef
+      (1L, 0.13, 0.71, vec()),  // partial edges + full middles
+      (2L, 0.42, 0.47, vec()),  // sub-bucket slice (SMALL -> exactOverQ)
+      (3L, 0.05, 0.35, vec())
+    ).toDF("qid", "l", "r", "qvec")
+    val res = AnnIndexStore.searchDecileRange(spark, dir, queries,
+      k = 10, ef = 256, scale = 20, efBands = true)
+    val joined = res.join(queries.select($"qid", $"l", $"r"), "qid")
+      .join(base.select($"id".as("nid"), $"ts"), "nid")
+    assert(joined.filter($"ts" < $"l" || $"ts" > $"r").count() == 0)
+    val exact = KnnJoin.exactFlat(
+      base.withColumn("label", lit(0L)),
+      queries.withColumn("qtype", lit(2)).withColumn("v", lit(0L)), 10, types = Seq(2))
+    val recall = AnnJoin.recallAtK(res, exact)
+    assert(recall >= 0.85, s"recall $recall")
+  }
+
+  test("searchChunkedTo / searchIvfChunkedTo write the searchChunked result set") {
+    val base = Seq.tabulate(900)(i => (i.toLong, vec())).toDF("id", "vec")
+    val queries = Seq.tabulate(11)(i => (i.toLong, vec())).toDF("qid", "qvec")
+    val root = Files.createTempDirectory("graft-annstore-to").toString
+    AnnIndexStore.build(base, s"$root/by_hash", numBuckets = 3)
+    val inMem = AnnIndexStore.searchChunked(spark, s"$root/by_hash", queries,
+      k = 5, ef = 128, chunkRows = 4)
+    AnnIndexStore.searchChunkedTo(spark, s"$root/by_hash", queries,
+      s"$root/t0", k = 5, ef = 128, chunkRows = 4)
+    assert(new java.io.File(s"$root/t0/_SUCCESS").exists())
+    val onDisk = spark.read.parquet(s"$root/t0")
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(set(onDisk) == set(inMem))
+
+    AnnIndexStore.buildIvf(base, s"$root/by_ivf", nlist = 4)
+    val ivfMem = AnnIndexStore.searchIvfChunked(spark, s"$root/by_ivf", queries,
+      k = 5, ef = 128, nprobe = 2, chunkRows = 4)
+    AnnIndexStore.searchIvfChunkedTo(spark, s"$root/by_ivf", queries,
+      s"$root/t0_ivf", k = 5, ef = 128, nprobe = 2, chunkRows = 4)
+    assert(set(spark.read.parquet(s"$root/t0_ivf")) == set(ivfMem))
+  }
+
   test("decile ANN join: range predicate holds, recall >= 0.85 vs exact") {
     val base = Seq.tabulate(2000)(i => (i.toLong, (i % 100) / 100.0, vec()))
       .toDF("id", "ts", "vec")

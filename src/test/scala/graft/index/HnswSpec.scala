@@ -27,6 +27,26 @@ class HnswSpec extends SparkSpec {
     assert(mean >= 0.95, s"mean recall $mean")
   }
 
+  test("exactOverQ: quantized two-stage slice scan recalls >= 0.9 of the exact slice top-k") {
+    val data = Array.fill(3000)(vec()) // > 2048 so the quantized path engages
+    val idx = new HnswIndex(dim, m = 16, efConstruction = 200)
+    data.foreach(idx.add)
+    val nodes = Array.tabulate(3000)(identity)
+    val recalls = Array.fill(20)(vec()).map { q =>
+      val exact = idx.exactOver(q, nodes, 10).map(_._1).toSet
+      val quant = idx.exactOverQ(q, nodes, 10)
+      assert(quant.length == 10)
+      assert(quant.sliding(2).forall(p => p(0)._2 <= p(1)._2)) // ascending dist
+      quant.map(_._1).toSet.intersect(exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"mean recall $mean")
+    // small slices bypass quantization entirely: exact equality
+    val small = Array.tabulate(500)(identity)
+    val q = vec()
+    assert(idx.exactOverQ(q, small, 10).toSeq == idx.exactOver(q, small, 10).toSeq)
+  }
+
   test("filtered search returns only allowed ids") {
     val data = Array.fill(500)(vec())
     val idx = new HnswIndex(dim)
