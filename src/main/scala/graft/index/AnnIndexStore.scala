@@ -41,7 +41,15 @@ object AnnIndexStore {
         }
       }
       .toDF("bucket", "ids", "graph")
-      .write.mode("overwrite").parquet(path)
+      // UNCOMPRESSED: a graph blob is packed fp32 + int8 codes +
+      // adjacency — snappy saves almost nothing on it, and parquet's
+      // snappy codec (NonBlockedDecompressor) stages every page through
+      // DIRECT ByteBuffers sized to the page: a ~200 MB blob costs each
+      // scan task ~650 MB of direct memory (compressed input +
+      // uncompressed output), which is what exhausted
+      // MaxDirectMemorySize=20g at 32 threads in the r9/r10 full-scale
+      // runs. Uncompressed pages read through plain heap buffers.
+      .write.mode("overwrite").option("compression", "uncompressed").parquet(path)
   }
 
   /** Build sub-indexes per VALUE of `bucketCol` (label, decile, …) —
@@ -96,7 +104,8 @@ object AnnIndexStore {
       // index built without attrCol would otherwise silently answer
       // type-3 statements wrong — ADVICE r2)
       .withColumn("attr_col", lit(attrCol.orNull))
-      .write.mode("overwrite").parquet(path)
+      // uncompressed for the same direct-memory reason as [[build]]
+      .write.mode("overwrite").option("compression", "uncompressed").parquet(path)
   }
 
   /** IVF-routed stored index: sampled k-means++ centroids as the coarse
