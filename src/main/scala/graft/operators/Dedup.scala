@@ -305,7 +305,8 @@ object Dedup {
     * fingerprint at the same `blocks` (e.g. bits=120, blocks=6 → 60-bit
     * keys, 20 bands) is the only config move that does both. */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 48, maxHamming: Int = 3, blocks: Int = 0): DataFrame = {
+      bits: Int = 48, maxHamming: Int = 3, blocks: Int = 0,
+      bandGroups: Int = 1): DataFrame = {
     val b = if (blocks > 0) blocks else maxHamming + 1
     require(b > maxHamming, s"blocks ($b) must exceed maxHamming ($maxHamming)")
     require(bits % b == 0, s"blocks ($b) must divide bits ($bits)")
@@ -393,18 +394,41 @@ object Dedup {
     // payload alone is ~25 GB of shuffle — the delta that overflowed an
     // 80 GB scratch disk (the two post-join hash joins against `reps`
     // touch only the collided PAIR set, orders of magnitude smaller).
-    val banded = reps.select(col("rep"),
-        explode(array(keyStructs.toIndexedSeq: _*)).as("band"))
-      .select(col("rep"),
-        col("band.chunk").as("chunk"), col("band.chunk_val").as("chunk_val"))
-      .repartition(col("chunk"), col("chunk_val"))
-    val crossReps = banded.as("a")
-      .join(banded.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.rep") < col("b.rep"))
-      .select(col("a.rep").as("ra"), col("b.rep").as("rb"))
-      // rep ↔ fingerprint is 1:1, so (ra, rb) dedups the band multiplicity
-      .dropDuplicates("ra", "rb")
+    def bandCandidates(ks: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val banded = reps.select(col("rep"),
+          explode(array(ks: _*)).as("band"))
+        .select(col("rep"),
+          col("band.chunk").as("chunk"), col("band.chunk_val").as("chunk_val"))
+        .repartition(col("chunk"), col("chunk_val"))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+            col("a.rep") < col("b.rep"))
+        .select(col("a.rep").as("ra"), col("b.rep").as("rb"))
+        // rep ↔ fingerprint is 1:1, so (ra, rb) dedups the band multiplicity
+        .dropDuplicates("ra", "rb")
+    }
+    // bandGroups > 1 = BAND-SEQUENTIAL mining, same contract as
+    // minhashLshCandidates: the C(blocks, maxHamming) band set is split
+    // into that many groups and each group's banding exchange +
+    // self-join runs as its own eagerly-materialized pass. The candidate
+    // set is a union over bands, independent of which pass a band ran
+    // in, so the result is identical; the peak shuffle scratch — the
+    // banded frame spilled by BOTH sides of the self-join — divides by
+    // the group count. This is the knob that fits the 100M-doc SimHash
+    // mine on one node (the one-shot 20-band exchange is ~2×35 GB of
+    // sort spill there); on a cluster it caps per-executor scratch.
+    require(bandGroups >= 1 && keyStructs.length % bandGroups == 0,
+      s"bandGroups ($bandGroups) must partition the ${keyStructs.length} bands")
+    val candReps =
+      if (bandGroups == 1) bandCandidates(keyStructs.toIndexedSeq)
+      else keyStructs.grouped(keyStructs.length / bandGroups).toSeq
+        // eager: each pass's shuffle is fully consumed here, so its
+        // scratch is reclaimable before the next pass allocates
+        .map(g => bandCandidates(g.toIndexedSeq).localCheckpoint(true))
+        .reduce(_.unionByName(_))
+        .dropDuplicates("ra", "rb")
+    val crossReps = candReps
       .join(reps.select(col("rep").as("ra"), col("simhash").as("sa")), "ra")
       .join(reps.select(col("rep").as("rb"), col("simhash").as("sb")), "rb")
       .withColumn("hamming", hamming(col("sa"), col("sb")))

@@ -175,11 +175,20 @@ object DedupScaleProbe {
     println(s"LSH PAIRS: ${pairs.count()} (est_sim >= 0.5)")
 
     // ---- multi-block SimHash pairs ----
+    // the band-group knob applies here too: C(blocks,3) band combos
+    // mined in groups, peak banding spill ÷ groups (the 100M one-shot
+    // 20-band exchange spilled past this node's scratch). The combo
+    // count must divide evenly; fall back to 1 when it doesn't.
+    val shGroups =
+      if (bandGroups > 1) {
+        val nb = (0 until shBlocks).combinations(shBlocks - 3).size
+        if (nb % bandGroups == 0) bandGroups else 1
+      } else 1
     val shPath = s"$root/simhash_pairs" +
       (if (shBits != 60 || shBlocks != 6) s"_${shBits}_$shBlocks" else "")
-    if (!exists(shPath)) timed(s"simhash_pairs_multiblock_${shBits}_$shBlocks") {
+    if (!exists(shPath)) timed(s"simhash_pairs_multiblock_${shBits}_${shBlocks}_g$shGroups") {
       Dedup.simhashNearPairs(docs, "doc_id", "text",
-          bits = shBits, maxHamming = 3, blocks = shBlocks)
+          bits = shBits, maxHamming = 3, blocks = shBlocks, bandGroups = shGroups)
         .write.mode("overwrite").parquet(shPath)
       Dedup.releaseCaches(blocking = true)
     }

@@ -132,6 +132,22 @@ class DedupSpec extends SparkSpec {
     assert(single.nonEmpty)
   }
 
+  test("band-sequential simhash mining returns the one-shot pair set") {
+    // the candidate set is a union over bands, independent of which
+    // pass a band runs in — C(6,3) = 20 combos split 2/4/5 ways must
+    // all reproduce the one-shot result exactly
+    val oneShot = Dedup.simhashNearPairs(docs, "doc_id", "text", 60, 3, blocks = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
+    assert(oneShot.nonEmpty)
+    for (g <- Seq(2, 4, 5)) {
+      val grouped = Dedup.simhashNearPairs(docs, "doc_id", "text", 60, 3,
+          blocks = 6, bandGroups = g)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
+      assert(grouped == oneShot, s"g=$g grouped=$grouped oneShot=$oneShot")
+    }
+    Dedup.releaseCaches(blocking = true)
+  }
+
   test("wide (120-bit) simhash banding equals brute-force block hamming") {
     import graft.functions.{TextFunctions => TF}
     // 14 groups of (base, 1-token-mutated) 60-token docs: at 120 bits a
