@@ -909,28 +909,55 @@ object AnnIndexStore {
   }
 
   /** Idempotent form for build scripts that may retry: REPLACE the
-    * delta instead of appending (a crashed-and-rerun `appendDelta`
-    * would double its rows). */
+    * delta's FLAT layout instead of appending (a crashed-and-rerun
+    * `appendDelta` would double its rows). Committed `bid=` micro-batch
+    * dirs are a concurrent STREAM's not-yet-folded rows and survive —
+    * a whole-dir overwrite would silently lose them (their checkpoints
+    * have committed, so the stream never replays them). Crash-safe the
+    * same way as before: a write that dies mid-job leaves part files
+    * with no root `_SUCCESS` (invisible to reads), and the retry's
+    * file-level sweep below removes them before rewriting. */
   def replaceDelta(delta: DataFrame, path: String): Unit = {
     recoverStore(path)
+    repairDelta(delta.sparkSession, path)
+    val root = new java.io.File(deltaPath(path))
+    Option(root.listFiles()).foreach(_.filter(_.isFile).foreach(deleteRecursively))
     delta.select(col("id").cast("long"), col("vec"))
-      .write.mode("overwrite").parquet(deltaPath(path))
+      .write.mode("append").parquet(deltaPath(path))
   }
 
   /** Exactly-once-effective streaming append: micro-batch `batchId`
     * lands in its own `bid=<batchId>` subdirectory with OVERWRITE mode,
     * so foreachBatch's at-least-once replay (crash after the parquet
     * commit, before the checkpoint commit) rewrites the same rows
-    * instead of double-appending them. A batch at or below the fold
-    * marker's watermark is skipped outright: its rows were folded into
-    * the main graphs by a compaction the crash happened to straddle —
-    * appending them again would serve and re-fold every row twice. */
+    * instead of double-appending them. A batch AT the fold marker's
+    * watermark is skipped outright: its rows were folded into the main
+    * graphs by a compaction the crash happened to straddle — appending
+    * them again would serve and re-fold every row twice. Only the
+    * watermark batch can legitimately replay (checkpoints commit in
+    * batch order, so every lower bid's checkpoint committed before a
+    * higher bid could exist); a batchId STRICTLY below the watermark
+    * therefore means the stream was restarted from a fresh checkpoint
+    * (ids restart at 0) — accepting it would write rows the
+    * `bid > maxBid` liveness rule classifies dead, and skipping it
+    * would drop them, both silent data loss, so it fails loudly
+    * instead: point a fresh-checkpoint stream at a fresh store (or
+    * compact and clear the delta first). */
   def appendDeltaBatch(delta: DataFrame, path: String, batchId: Long): Unit = {
     recoverStore(path)
     val spark = delta.sparkSession
     repairDelta(spark, path)
-    if (readFoldMarker(path).exists(m => m.legacyFp.isEmpty && batchId <= m.maxBid))
-      return
+    val marker = readFoldMarker(path).filter(_.legacyFp.isEmpty)
+    if (marker.exists(_.maxBid == batchId)) return
+    marker.foreach { m =>
+      if (batchId < m.maxBid)
+        throw new IllegalStateException(
+          s"appendDeltaBatch($path, batchId=$batchId): below the fold " +
+            s"watermark ${m.maxBid} — this stream appears restarted from a " +
+            "fresh checkpoint; its batch ids would collide with already-" +
+            "folded ones and be served never or twice. Use a fresh store " +
+            "path, or keep the original checkpoint.")
+    }
     delta.select(col("id").cast("long"), col("vec"))
       .write.mode("overwrite").parquet(s"${deltaPath(path)}/bid=$batchId")
   }
@@ -998,7 +1025,16 @@ object AnnIndexStore {
     recoverStore(path)
     repairDelta(spark, path)
     val hadFlat = committedFlatFiles(path).nonEmpty
-    val maxBid = committedBids(path).map(_._1).foldLeft(-1L)(math.max)
+    // carry the PREVIOUS fold's watermark forward: a compaction that
+    // sees no (or lower) live bids must not regress maxbid — a
+    // regressed watermark lets an at-least-once replay of the highest
+    // already-folded batch slip past appendDeltaBatch's skip check and
+    // re-append rows the graphs already contain (served and folded
+    // twice). The previous marker's bids were deleted by repairDelta
+    // above, so committedBids alone only sees the NEW generation.
+    val prevMaxBid = readFoldMarker(path).filter(_.legacyFp.isEmpty)
+      .map(_.maxBid).getOrElse(-1L)
+    val maxBid = committedBids(path).map(_._1).foldLeft(prevMaxBid)(math.max)
     val foldedFlatFp = if (hadFlat) flatFp(spark, path) else "-"
     val fromGraphs = spark.read.parquet(path)
       .select(col("ids"), col("graph"))

@@ -425,7 +425,21 @@ object Dedup {
       else keyStructs.grouped(keyStructs.length / bandGroups).toSeq
         // eager: each pass's shuffle is fully consumed here, so its
         // scratch is reclaimable before the next pass allocates
-        .map(g => bandCandidates(g.toIndexedSeq).localCheckpoint(true))
+        .map { g =>
+          val pass = bandCandidates(g.toIndexedSeq).localCheckpoint(true)
+          // The pass's banding-shuffle FILES are only deleted when the
+          // driver GC collects the now-unreachable ShuffleDependency
+          // (eager localCheckpoint truncates the lineage but Spark has
+          // no public eager shuffle-release API; ContextCleaner reacts
+          // to GC). Without this, sequential passes STACK their shuffle
+          // files — at 100M docs ~14 GB each, which re-fills the
+          // scratch the banding split exists to protect. The sleep
+          // gives the (async, but blocking-per-item) cleaner thread
+          // time to unlink before the next pass allocates.
+          System.gc()
+          Thread.sleep(2000)
+          pass
+        }
         .reduce(_.unionByName(_))
         .dropDuplicates("ra", "rb")
     val crossReps = candReps

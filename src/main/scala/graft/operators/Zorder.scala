@@ -61,21 +61,21 @@ object Zorder {
 
   /** Write `df` z-order clustered on (c1, c2) into `files` range
     * partitions of the Morton value; idempotent per source generation.
-    * A fresh generation GCs stale siblings of the same source first
-    * (generation-fingerprinted paths would otherwise accumulate one
-    * full copy per source regeneration — ADVICE r9). */
+    * `gcPrefix`, when given, names the generation-independent part of
+    * the path's final segment ([[graft.sources.ParquetMeta.storePrefix]])
+    * and a fresh generation GCs stale fingerprint-suffixed siblings of
+    * the same source first (generation-fingerprinted paths would
+    * otherwise accumulate one full copy per source regeneration —
+    * ADVICE r9). It is opt-in because only the CALLER knows the path is
+    * tag-structured: inferring the prefix from an arbitrary path (e.g.
+    * by its last '_') would turn layout() into a destructive sweep of
+    * unrelated sibling directories. */
   def layout(df: DataFrame, c1: String, c2: String, path: String,
-             files: Int = 32): Unit = {
+             files: Int = 32, gcPrefix: Option[String] = None): Unit = {
     if (!new File(path, "_SUCCESS").exists()) {
       val dir = new File(path)
-      Option(dir.getParentFile).foreach { parent =>
-        // sibling = same everything up to the trailing fingerprint
-        val name = dir.getName
-        val cut = name.lastIndexOf('_')
-        if (cut > 0)
-          graft.sources.ParquetMeta.gcSiblingStores(parent, name,
-            name.substring(0, cut + 1))
-      }
+      for (prefix <- gcPrefix; parent <- Option(dir.getParentFile))
+        graft.sources.ParquetMeta.gcSiblingStores(parent, dir.getName, prefix)
       df.withColumn("zval", zvalue(df, c1, c2))
         .repartitionByRange(files, col("zval"))
         .sortWithinPartitions("zval")

@@ -388,7 +388,8 @@ object RelationalQueries {
     // against the plain table)
     "zorder_orders_scan" -> ((s, dir) => {
       val path = s"/tmp/graft_zorder/${graft.sources.ParquetMeta.storeTag(s, dir, "orders")}"
-      graft.operators.Zorder.layout(t(s, dir, "orders"), "o_custkey", "o_totalprice", path)
+      graft.operators.Zorder.layout(t(s, dir, "orders"), "o_custkey", "o_totalprice", path,
+        gcPrefix = Some(graft.sources.ParquetMeta.storePrefix(dir, "orders")))
       val z = s.read.parquet(path)
       def probe(name: String, f: org.apache.spark.sql.Column): DataFrame =
         z.filter(f).agg(count(lit(1)).as("n"),

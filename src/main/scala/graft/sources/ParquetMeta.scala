@@ -114,12 +114,31 @@ object ParquetMeta {
     * stale one costs at most a rebuild; NOT calling this leaks a full
     * table copy under /tmp on every source regeneration, forever. Run
     * when a new generation is materialized (single-writer, same
-    * contract as the store write itself). */
+    * contract as the store write itself).
+    *
+    * A sibling is deleted ONLY when the segment between prefix and
+    * suffix is fingerprint-shaped (hex, no separators): prefix/suffix
+    * string matching alone would also capture a DIFFERENT source whose
+    * sanitized name extends this one — e.g. tables `orders` and
+    * `orders_v2` under the same dir, where `..._orders_` is a prefix of
+    * `..._orders_v2_<fp>` — and deleting that sibling breaks a live,
+    * possibly catalog-registered store. Every [[storeTag]] inserts the
+    * fingerprint directly after the prefix, so for tag-structured
+    * stores the hex test exactly separates "same source, older
+    * generation" from "different source". */
   def gcSiblingStores(parent: java.io.File, keep: String,
       prefix: String, suffix: String = ""): Unit = {
+    val fpShaped = "[0-9a-f]{1,16}".r
     Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName != keep &&
-        f.getName.startsWith(prefix) && f.getName.endsWith(suffix))
+      .filter { f =>
+        f.isDirectory && f.getName != keep &&
+        f.getName.startsWith(prefix) && f.getName.endsWith(suffix) &&
+        f.getName.length > prefix.length + suffix.length && {
+          val mid = f.getName.substring(prefix.length,
+            f.getName.length - suffix.length)
+          fpShaped.pattern.matcher(mid).matches()
+        }
+      }
       .foreach(deleteRecursively)
   }
 

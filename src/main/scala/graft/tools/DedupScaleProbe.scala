@@ -177,13 +177,18 @@ object DedupScaleProbe {
     // ---- multi-block SimHash pairs ----
     // the band-group knob applies here too: C(blocks,3) band combos
     // mined in groups, peak banding spill ÷ groups (the 100M one-shot
-    // 20-band exchange spilled past this node's scratch). The combo
-    // count must divide evenly; fall back to 1 when it doesn't.
-    val shGroups =
-      if (bandGroups > 1) {
-        val nb = (0 until shBlocks).combinations(shBlocks - 3).size
-        if (nb % bandGroups == 0) bandGroups else 1
-      } else 1
+    // 20-band exchange spilled past this node's scratch).
+    // GRAFT_DEDUP_SH_BAND_GROUPS overrides for the SimHash mine alone —
+    // its per-band exchange is rep-sized (one row per distinct
+    // fingerprint per band), so fine granularity (one combo per pass)
+    // costs only per-job overhead while dividing the peak further. The
+    // combo count must divide evenly; fall back to 1 when it doesn't.
+    val shGroups = {
+      val nb = (0 until shBlocks).combinations(shBlocks - 3).size
+      val want = sys.env.get("GRAFT_DEDUP_SH_BAND_GROUPS").map(_.toInt)
+        .getOrElse(bandGroups)
+      if (want > 1 && nb % want == 0) want else 1
+    }
     val shPath = s"$root/simhash_pairs" +
       (if (shBits != 60 || shBlocks != 6) s"_${shBits}_$shBlocks" else "")
     if (!exists(shPath)) timed(s"simhash_pairs_multiblock_${shBits}_${shBlocks}_g$shGroups") {

@@ -163,6 +163,55 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(got.length == 40 && got.distinct.length == 40)
   }
 
+  test("fold watermark survives a bid-less compaction; fresh-checkpoint restart fails loudly") {
+    val indexed = Seq.tabulate(200)(i => (i.toLong, vec()))
+    val dir = Files.createTempDirectory("graft-anndelta-wm").toString + "/index"
+    AnnIndexStore.build(indexed.toDF("id", "vec"), dir, numBuckets = 2)
+    val a = Seq.tabulate(20)(i => ((1000 + i).toLong, vec()))
+    val b = Seq.tabulate(30)(i => ((2000 + i).toLong, vec()))
+    AnnIndexStore.appendDeltaBatch(a.toDF("id", "vec"), dir, batchId = 0)
+    AnnIndexStore.appendDeltaBatch(b.toDF("id", "vec"), dir, batchId = 1)
+    AnnIndexStore.compactDelta(spark, dir, numBuckets = 2) // folds bids 0-1
+    // a compaction that sees NO live bids must not regress the
+    // watermark: without the carry-forward, this rewrites maxbid=-1 and
+    // the replay below re-appends rows the graphs already contain
+    AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
+    AnnIndexStore.appendDeltaBatch(b.toDF("id", "vec"), dir, batchId = 1)
+    assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0,
+      "replay of the folded watermark batch must still be skipped after an empty compaction")
+    // batchId STRICTLY below the watermark = a stream restarted from a
+    // fresh checkpoint (ids restart at 0): silent skip would drop the
+    // new rows, silent append would write rows liveness classifies
+    // dead — must fail loudly instead
+    val ex = intercept[IllegalStateException] {
+      AnnIndexStore.appendDeltaBatch(a.toDF("id", "vec"), dir, batchId = 0)
+    }
+    assert(ex.getMessage.contains("fresh checkpoint"))
+  }
+
+  test("replaceDelta preserves committed streaming micro-batches") {
+    val indexed = Seq.tabulate(200)(i => (i.toLong, vec()))
+    val dir = Files.createTempDirectory("graft-anndelta-repl").toString + "/index"
+    AnnIndexStore.build(indexed.toDF("id", "vec"), dir, numBuckets = 2)
+    val streamRows = Seq.tabulate(30)(i => ((2000 + i).toLong, vec()))
+    AnnIndexStore.appendDeltaBatch(streamRows.toDF("id", "vec"), dir, batchId = 0)
+    // a build-script replace must swap the FLAT layout only: batch 0's
+    // checkpoint has committed upstream, the stream will never replay
+    // it — a whole-dir overwrite would silently lose those rows
+    val flatRows = Seq.tabulate(20)(i => ((1000 + i).toLong, vec()))
+    AnnIndexStore.replaceDelta(flatRows.toDF("id", "vec"), dir)
+    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 50.0 / 200) < 1e-9,
+      "flat replacement and the committed micro-batch must BOTH be live")
+    // still idempotent for retrying writers: rerun replaces, not appends
+    AnnIndexStore.replaceDelta(flatRows.toDF("id", "vec"), dir)
+    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 50.0 / 200) < 1e-9)
+    // both id ranges are served
+    val queries = Seq.tabulate(4)(i => (i.toLong, vec())).toDF("qid", "qvec")
+    val nids = AnnIndexStore.searchWithDelta(spark, dir, queries, k = 60, ef = 400)
+      .select("nid").collect().map(_.getLong(0)).toSet
+    assert(nids.exists(_ >= 2000) && nids.exists(n => n >= 1000 && n < 2000))
+  }
+
   test("half-swapped compaction crash: maintenance entry rolls forward/back") {
     val indexed = Seq.tabulate(300)(i => (i.toLong, vec()))
     val delta = Seq.tabulate(60)(i => ((9000 + i).toLong, vec()))

@@ -67,4 +67,29 @@ class ParquetMetaSpec extends SparkSpec {
     assert(a != ParquetMeta.fingerprint(spark, dir),
       "regenerated dataset must fingerprint differently")
   }
+
+  test("gcSiblingStores deletes stale generations only, never a name-extending source") {
+    val parent = new java.io.File(tmpDir("pqmeta_gc"))
+    parent.mkdirs()
+    def mk(name: String): java.io.File = {
+      val d = new java.io.File(parent, name)
+      d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "x").toPath, Array[Byte](1))
+      d
+    }
+    val prefix = "_data_orders_"
+    val suffix = "_l_orderkey_b16"
+    val keep = mk(s"${prefix}1a2b3c$suffix")              // current generation
+    val stale = mk(s"${prefix}9f8e7d$suffix")             // superseded generation
+    // a DIFFERENT table whose sanitized name extends this one: the
+    // middle segment carries the extending name + '_', so the
+    // fingerprint-shape test must protect it
+    val otherTable = mk(s"${prefix}v2_4c5d6e$suffix")
+    val otherSuffix = mk(s"${prefix}9f8e7d_o_orderkey_b16") // different key
+    ParquetMeta.gcSiblingStores(parent, keep.getName, prefix, suffix)
+    assert(keep.exists(), "the kept generation must survive")
+    assert(!stale.exists(), "the superseded generation must be deleted")
+    assert(otherTable.exists(), "a name-extending different source must survive")
+    assert(otherSuffix.exists(), "a different (key, buckets) config must survive")
+  }
 }
