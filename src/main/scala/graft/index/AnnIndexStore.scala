@@ -527,28 +527,27 @@ object AnnIndexStore {
                       graft.operators.SearchParams.unionWalkEf(ef, k, mFull)
                     } else ef
                   index.search(qvec, k, efFull)
-                } else if (efBands) {
-                  // banded arm: a partial bucket is at most
-                  // maxRowsPerIndex rows whose in-range codes are one
-                  // contiguous run (ts-sorted build) — below
-                  // BruteCoverage a sequential int8 scan + fp32 refine
-                  // beats a rejection-boosted filtered walk (measured:
-                  // warm filtered walk ≈ 3.5 ms vs ≤ 2.5 ms scan at the
-                  // 6M probe; the reference's narrow-sel SplitInterval
-                  // draws the same 0.5-0.6 line, hybrid_graph.cpp:91-134)
-                  val cover = tsIdx.coverage(l, r)
-                  if (cover < graft.operators.SearchParams.BruteCoverage)
-                    index.exactOverQ(qvec, tsIdx.inRange(l, r), k)
-                  else {
-                    val allowed: Int => Boolean = i => ts(i) >= l && ts(i) <= r
-                    index.search(qvec, k,
-                      graft.operators.SearchParams.inFilterEf(ef, cover), allowed,
-                      seeds = tsIdx.seeds(l, r, graft.operators.SearchParams.FilterSeeds))
-                  }
                 } else {
+                  // partial bucket: below a coverage threshold a
+                  // sequential exact scan of the in-range run (one
+                  // contiguous slice — ts-sorted build) beats a
+                  // rejection-boosted filtered walk. The banded arm
+                  // scans int8 codes + fp32 refine and draws its line
+                  // at BruteCoverage (measured: warm filtered walk
+                  // ≈ 3.5 ms vs ≤ 2.5 ms scan at the 6M probe; the
+                  // reference's narrow-sel SplitInterval draws the same
+                  // 0.5-0.6 line, hybrid_graph.cpp:91-134); the plain
+                  // arm scans fp32 below SmallCoverage. Same walk above
+                  // the line in both arms.
                   val cover = tsIdx.coverage(l, r)
-                  if (cover < graft.operators.SearchParams.SmallCoverage)
-                    index.exactOver(qvec, tsIdx.inRange(l, r), k)
+                  val (thr, exactScan) =
+                    if (efBands)
+                      (graft.operators.SearchParams.BruteCoverage,
+                        () => index.exactOverQ(qvec, tsIdx.inRange(l, r), k))
+                    else
+                      (graft.operators.SearchParams.SmallCoverage,
+                        () => index.exactOver(qvec, tsIdx.inRange(l, r), k))
+                  if (cover < thr) exactScan()
                   else {
                     val allowed: Int => Boolean = i => ts(i) >= l && ts(i) <= r
                     index.search(qvec, k,
@@ -1068,8 +1067,6 @@ object AnnIndexStore {
     repairDelta(spark, path)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    if (f.exists()) f.delete()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.sources.ParquetMeta.deleteRecursively(f)
 }

@@ -198,20 +198,29 @@ object Dedup {
       "bandGroups must partition the band set")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    // signatures are the expensive scan (one md5 per distinct shingle):
+    // when mining in multiple passes, compute once and reuse; a single
+    // pass reads them exactly once through its banded cache, so an
+    // extra signature cache would only waste block-manager space
+    val src =
+      if (bandGroups == 1) sig
+      else tracked(sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bpg = bands / bandGroups
 
-    if (bandGroups == 1) {
-      // materialize the banded keys hash-partitioned on the join key:
-      // the band self-join reads both sides from the same cached
-      // partitioning with no exchange
-      val banded = tracked(sig.select(
+    /** One mining pass over bands [lo, hi]: materialize the banded keys
+      * hash-partitioned on the join key (the band self-join reads both
+      * sides from the same cached partitioning with no exchange), then
+      * emit the pass's distinct (doc_a, doc_b, est_sim). */
+    def minePass(lo: Int, hi: Int): (DataFrame, DataFrame) = {
+      val banded = src.select(
           col("doc_id"), col("mh"),
-          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+          explode(sequence(lit(lo), lit(hi))).as("band"))
         .withColumn("band_key",
           md5(expr(s"cast(array_join(transform(slice(mh, band * $rows + 1, $rows), " +
             "x -> cast(x as string)), ',') as binary)")))
         .repartition(col("band"), col("band_key"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      banded.as("a")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -222,36 +231,21 @@ object Dedup {
           graft.functions.TextFunctions.arrayEqCount(col("mha"), col("mhb")) /
             lit(numHashes).cast("double"))
         .select(col("doc_a"), col("doc_b"), col("est_sim"))
+      (pairs, banded)
+    }
+
+    if (bandGroups == 1) {
+      val (pairs, banded) = minePass(0, bands - 1)
+      tracked(banded) // released with the operator's cache set
+      pairs
     } else {
-      // signatures are the expensive scan (one md5 per distinct shingle):
-      // compute once, reuse across every pass
-      val sigP = tracked(sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val bpg = bands / bandGroups
       val perGroup = (0 until bandGroups).map { g =>
-        val banded = sigP.select(
-            col("doc_id"), col("mh"),
-            explode(sequence(lit(g * bpg), lit((g + 1) * bpg - 1))).as("band"))
-          .withColumn("band_key",
-            md5(expr(s"cast(array_join(transform(slice(mh, band * $rows + 1, $rows), " +
-              "x -> cast(x as string)), ',') as binary)")))
-          .repartition(col("band"), col("band_key"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val pairs = banded.as("a")
-          .join(banded.as("b"),
-            col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.mh").as("mha"), col("b.mh").as("mhb"))
-          .dropDuplicates("doc_a", "doc_b")
-          .withColumn("est_sim",
-            graft.functions.TextFunctions.arrayEqCount(col("mha"), col("mhb")) /
-              lit(numHashes).cast("double"))
-          .select(col("doc_a"), col("doc_b"), col("est_sim"))
-          // eager: this pass's shuffle/cache is fully consumed HERE, so
-          // its scratch can be dropped before the next pass allocates
-          .localCheckpoint(true)
+        val (pairs, banded) = minePass(g * bpg, (g + 1) * bpg - 1)
+        // eager: this pass's shuffle/cache is fully consumed HERE, so
+        // its scratch can be dropped before the next pass allocates
+        val done = pairs.localCheckpoint(true)
         banded.unpersist(blocking = true)
-        pairs
+        done
       }
       perGroup.reduce(_.unionByName(_)).dropDuplicates("doc_a", "doc_b")
     }

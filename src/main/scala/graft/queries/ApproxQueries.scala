@@ -76,11 +76,7 @@ object ApproxQueries {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val root = new java.io.File(s"/tmp/graft_ann_delta_stream/${storeTag(s, dir)}")
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-        if (f.exists()) f.delete()
-      }
-      wipe(root)
+      graft.sources.ParquetMeta.deleteRecursively(root)
       val idxPath = s"$root/index"
       val e = emb(s, dir).select(col("vec_id").cast("long").as("id"),
         col("embedding").as("vec"))

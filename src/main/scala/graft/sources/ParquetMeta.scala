@@ -142,7 +142,10 @@ object ParquetMeta {
       .foreach(deleteRecursively)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** The one recursive delete every derived-store writer shares —
+    * repair correctness depends on deletions actually happening, so
+    * hardening must land in exactly one place. */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
       .foreach(deleteRecursively)
     if (f.exists()) f.delete()
