@@ -748,12 +748,14 @@ object AnnIndexStore {
   private val foldMarkerName = "_folded_delta"
 
   /** What a compaction folded: a fingerprint of the flat part files it
-    * consumed ("-" when there were none) and the highest micro-batch id
-    * it consumed (-1 when there were none). Stored in the promoted
-    * store as [[foldMarkerName]]; the legacy single-line form (a
-    * whole-delta-dir fingerprint) is still read. */
+    * consumed ("-" when there were none), the highest micro-batch id
+    * it consumed (-1 when there were none), and the stream EPOCH those
+    * micro-batches belonged to (the ingesting writer's checkpoint
+    * identity — see [[appendDeltaBatch]]; "-" when unknown). Stored in
+    * the promoted store as [[foldMarkerName]]; the legacy single-line
+    * form (a whole-delta-dir fingerprint) is still read. */
   private case class FoldMarker(flatFp: Option[String], maxBid: Long,
-      legacyFp: Option[String])
+      legacyFp: Option[String], epoch: Option[String] = None)
 
   private def readFoldMarker(path: String): Option[FoldMarker] = {
     val marker = new java.io.File(path, foldMarkerName)
@@ -768,8 +770,29 @@ object AnnIndexStore {
       Some(FoldMarker(
         kv.get("flatfp").filter(_ != "-"),
         kv.get("maxbid").map(_.toLong).getOrElse(-1L),
-        legacyFp = None))
+        legacyFp = None,
+        epoch = kv.get("epoch").filter(_ != "-")))
     } else lines.headOption.map(fp => FoldMarker(None, -1L, legacyFp = Some(fp)))
+  }
+
+  private def writeFoldMarker(dir: java.io.File, flatFp: String,
+      maxBid: Long, epoch: Option[String]): Unit =
+    java.nio.file.Files.write(
+      new java.io.File(dir, foldMarkerName).toPath,
+      s"v2\nflatfp=$flatFp\nmaxbid=$maxBid\nepoch=${epoch.getOrElse("-")}\n"
+        .getBytes("UTF-8"))
+
+  /** The delta's current stream epoch (written beside the bid= dirs by
+    * [[appendDeltaBatch]]; consumed by [[compactDelta]] to stamp the
+    * fold marker). `_`-prefixed, so invisible to flat fingerprints and
+    * committed-file listings. */
+  private val streamEpochName = "_stream_epoch"
+
+  private def readStreamEpoch(path: String): Option[String] = {
+    val f = new java.io.File(deltaPath(path), streamEpochName)
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
+      .filter(_.nonEmpty)
   }
 
   /** Only COMMITTED data counts (`_SUCCESS` written at job commit): a
@@ -920,7 +943,15 @@ object AnnIndexStore {
     recoverStore(path)
     repairDelta(delta.sparkSession, path)
     val root = new java.io.File(deltaPath(path))
-    Option(root.listFiles()).foreach(_.filter(_.isFile).foreach(deleteRecursively))
+    // sweep root FILES and any _temporary job-attempt dir — a crashed
+    // write's committed task outputs under _temporary would otherwise
+    // be merged into the retry's commitJob (the committer commits ALL
+    // on-disk task dirs of the attempt path), duplicating rows. bid=
+    // dirs (the stream's rows) and its epoch file survive.
+    Option(root.listFiles()).foreach(_.foreach { f =>
+      if (f.getName != streamEpochName &&
+          (f.isFile || !f.getName.startsWith("bid="))) deleteRecursively(f)
+    })
     delta.select(col("id").cast("long"), col("vec"))
       .write.mode("append").parquet(deltaPath(path))
   }
@@ -930,32 +961,63 @@ object AnnIndexStore {
     * so foreachBatch's at-least-once replay (crash after the parquet
     * commit, before the checkpoint commit) rewrites the same rows
     * instead of double-appending them. A batch AT the fold marker's
-    * watermark is skipped outright: its rows were folded into the main
-    * graphs by a compaction the crash happened to straddle — appending
-    * them again would serve and re-fold every row twice. Only the
-    * watermark batch can legitimately replay (checkpoints commit in
-    * batch order, so every lower bid's checkpoint committed before a
-    * higher bid could exist); a batchId STRICTLY below the watermark
-    * therefore means the stream was restarted from a fresh checkpoint
-    * (ids restart at 0) — accepting it would write rows the
-    * `bid > maxBid` liveness rule classifies dead, and skipping it
-    * would drop them, both silent data loss, so it fails loudly
-    * instead: point a fresh-checkpoint stream at a fresh store (or
-    * compact and clear the delta first). */
-  def appendDeltaBatch(delta: DataFrame, path: String, batchId: Long): Unit = {
+    * watermark FROM THE SAME STREAM EPOCH is skipped outright: its rows
+    * were folded into the main graphs by a compaction the crash
+    * happened to straddle — appending them again would serve and
+    * re-fold every row twice. Only the watermark batch can legitimately
+    * replay (checkpoints commit in batch order, so every lower bid's
+    * checkpoint committed before a higher bid could exist).
+    *
+    * `epoch` identifies the ingesting stream's checkpoint (the
+    * streaming writer passes its checkpoint location). A batch arriving
+    * under a DIFFERENT epoch than the marker's is a new stream whose
+    * ids restart at 0 — its rows are NEW data, so the watermark resets
+    * (maxbid=-1 rewritten in place; the folded bid dirs were already
+    * deleted by the entry repair) and ingestion proceeds. Without an
+    * epoch (batch callers, legacy markers), a batchId strictly below
+    * the watermark is ambiguous between a fresh-checkpoint restart and
+    * an impossible replay; both silently lose data, so it fails loudly
+    * instead. The one signal-free residual: a stream whose checkpoint
+    * CONTENTS were cleared at the SAME location re-presents batch
+    * maxBid under the same epoch and is indistinguishable from a
+    * genuine replay — that batch is skipped (delete the store's fold
+    * marker manually if that is ever the intent). */
+  def appendDeltaBatch(delta: DataFrame, path: String, batchId: Long,
+      epoch: Option[String] = None): Unit = {
     recoverStore(path)
     val spark = delta.sparkSession
     repairDelta(spark, path)
     val marker = readFoldMarker(path).filter(_.legacyFp.isEmpty)
-    if (marker.exists(_.maxBid == batchId)) return
-    marker.foreach { m =>
-      if (batchId < m.maxBid)
-        throw new IllegalStateException(
-          s"appendDeltaBatch($path, batchId=$batchId): below the fold " +
-            s"watermark ${m.maxBid} — this stream appears restarted from a " +
-            "fresh checkpoint; its batch ids would collide with already-" +
-            "folded ones and be served never or twice. Use a fresh store " +
-            "path, or keep the original checkpoint.")
+    val newEpoch = (epoch, marker.flatMap(_.epoch)) match {
+      case (Some(e), Some(me)) => e != me
+      case _                   => false
+    }
+    if (newEpoch) {
+      // rewrite the marker with the watermark reset: the new stream's
+      // bids start at 0 and must all be LIVE under the bid > maxBid rule
+      marker.foreach { m =>
+        writeFoldMarker(new java.io.File(path.stripSuffix("/")),
+          m.flatFp.getOrElse("-"), -1L, epoch)
+      }
+    } else {
+      if (marker.exists(_.maxBid == batchId)) return
+      marker.foreach { m =>
+        if (batchId < m.maxBid)
+          throw new IllegalStateException(
+            s"appendDeltaBatch($path, batchId=$batchId): below the fold " +
+              s"watermark ${m.maxBid} with no stream-epoch change — this " +
+              "stream appears restarted from a cleared checkpoint; its " +
+              "batch ids would collide with already-folded ones and be " +
+              "served never or twice. Use a fresh store path or a fresh " +
+              "checkpoint location (a new epoch resets the watermark); " +
+              s"if reuse is intended, delete $path/$foldMarkerName.")
+      }
+    }
+    epoch.foreach { e =>
+      val dp = new java.io.File(deltaPath(path))
+      dp.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(dp, streamEpochName).toPath, e.getBytes("UTF-8"))
     }
     delta.select(col("id").cast("long"), col("vec"))
       .write.mode("overwrite").parquet(s"${deltaPath(path)}/bid=$batchId")
@@ -1031,9 +1093,13 @@ object AnnIndexStore {
     // re-append rows the graphs already contain (served and folded
     // twice). The previous marker's bids were deleted by repairDelta
     // above, so committedBids alone only sees the NEW generation.
-    val prevMaxBid = readFoldMarker(path).filter(_.legacyFp.isEmpty)
-      .map(_.maxBid).getOrElse(-1L)
+    val prevMarker = readFoldMarker(path).filter(_.legacyFp.isEmpty)
+    val prevMaxBid = prevMarker.map(_.maxBid).getOrElse(-1L)
     val maxBid = committedBids(path).map(_._1).foldLeft(prevMaxBid)(math.max)
+    // the folded bids' stream epoch: the delta's epoch file when a
+    // stream is ingesting, else whatever the previous fold recorded
+    // (append-time epoch resets keep the two consistent)
+    val foldedEpoch = readStreamEpoch(path).orElse(prevMarker.flatMap(_.epoch))
     val foldedFlatFp = if (hadFlat) flatFp(spark, path) else "-"
     val fromGraphs = spark.read.parquet(path)
       .select(col("ids"), col("graph"))
@@ -1050,11 +1116,8 @@ object AnnIndexStore {
     val tmp = path.stripSuffix("/") + ".compact"
     deleteRecursively(new java.io.File(tmp)) // a crashed prior attempt
     build(all, tmp, numBuckets, m, efConstruction)
-    if (hadFlat || maxBid >= 0) {
-      java.nio.file.Files.write(
-        new java.io.File(tmp, foldMarkerName).toPath,
-        s"v2\nflatfp=$foldedFlatFp\nmaxbid=$maxBid\n".getBytes("UTF-8"))
-    }
+    if (hadFlat || maxBid >= 0)
+      writeFoldMarker(new java.io.File(tmp), foldedFlatFp, maxBid, foldedEpoch)
     val old = new java.io.File(path.stripSuffix("/") + ".old")
     deleteRecursively(old)
     require(new java.io.File(path).renameTo(old), s"swap: cannot move $path aside")

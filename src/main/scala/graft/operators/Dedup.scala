@@ -245,9 +245,31 @@ object Dedup {
         // its scratch can be dropped before the next pass allocates
         val done = pairs.localCheckpoint(true)
         banded.unpersist(blocking = true)
+        releasePassShuffles()
         done
       }
       perGroup.reduce(_.unionByName(_)).dropDuplicates("doc_a", "doc_b")
+    }
+  }
+
+  /** Reclaim a finished band pass's shuffle files. They are only
+    * deleted when the driver GC collects the now-unreachable
+    * ShuffleDependency (the eager localCheckpoint truncates the
+    * lineage, but Spark has no public eager shuffle-release API;
+    * ContextCleaner reacts to collection) — without a nudge,
+    * sequential passes STACK their shuffle files (~14 GB each at 100M
+    * docs) and re-fill the scratch the banding split exists to
+    * protect. The pause gives the (async, blocking-per-item) cleaner
+    * thread time to unlink before the next pass allocates.
+    * GRAFT_BAND_PASS_GC_MS tunes the pause (0 disables both the gc and
+    * the sleep — also the escape hatch for JVMs running
+    * -XX:+DisableExplicitGC, where System.gc() is a no-op and an
+    * external cleaner cadence must be trusted instead). */
+  private def releasePassShuffles(): Unit = {
+    val ms = sys.env.get("GRAFT_BAND_PASS_GC_MS").map(_.toLong).getOrElse(2000L)
+    if (ms > 0) {
+      System.gc()
+      Thread.sleep(ms)
     }
   }
 
@@ -421,17 +443,7 @@ object Dedup {
         // scratch is reclaimable before the next pass allocates
         .map { g =>
           val pass = bandCandidates(g.toIndexedSeq).localCheckpoint(true)
-          // The pass's banding-shuffle FILES are only deleted when the
-          // driver GC collects the now-unreachable ShuffleDependency
-          // (eager localCheckpoint truncates the lineage but Spark has
-          // no public eager shuffle-release API; ContextCleaner reacts
-          // to GC). Without this, sequential passes STACK their shuffle
-          // files — at 100M docs ~14 GB each, which re-fills the
-          // scratch the banding split exists to protect. The sleep
-          // gives the (async, but blocking-per-item) cleaner thread
-          // time to unlink before the next pass allocates.
-          System.gc()
-          Thread.sleep(2000)
+          releasePassShuffles()
           pass
         }
         .reduce(_.unionByName(_))

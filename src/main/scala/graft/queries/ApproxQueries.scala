@@ -87,7 +87,8 @@ object ApproxQueries {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Array[Float])]
       val writer = graft.streaming.StreamingKnn.deltaIngestWriter(
-          mem.toDF.toDF("id", "vec"), idxPath, numBuckets = 4, compactAt = 0.4)
+          mem.toDF.toDF("id", "vec"), idxPath, numBuckets = 4, compactAt = 0.4,
+          epoch = Some(s"$root/ckpt"))
         .option("checkpointLocation", s"$root/ckpt")
       mem.addData(batch(0): _*) // 1/5 over 3/5 = 0.33 < 0.4: append only
       writer.start().awaitTermination()

@@ -48,14 +48,22 @@ object StreamingKnn {
     * bid=<batchId> subdirectory written with overwrite, so a replayed
     * batch rewrites the same rows rather than double-appending, and a
     * batch the fold watermark records as already compacted into the
-    * graphs is skipped outright. */
+    * graphs is skipped outright.
+    *
+    * `epoch` should be the checkpoint location the caller starts the
+    * writer with: batch ids are only meaningful within one checkpoint's
+    * lifetime, and the epoch is what lets the store distinguish a
+    * replay (same epoch, skip) from a NEW stream whose ids restart at 0
+    * (different epoch — the fold watermark resets and ingestion
+    * continues) instead of silently dropping or double-serving rows. */
   def deltaIngestWriter(vectorStream: DataFrame, indexPath: String,
-      numBuckets: Int, compactAt: Double = 0.25): DataStreamWriter[Row] = {
+      numBuckets: Int, compactAt: Double = 0.25,
+      epoch: Option[String] = None): DataStreamWriter[Row] = {
     vectorStream.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        graft.index.AnnIndexStore.appendDeltaBatch(batch, indexPath, batchId)
+        graft.index.AnnIndexStore.appendDeltaBatch(batch, indexPath, batchId, epoch)
         if (graft.index.AnnIndexStore.deltaFraction(spark, indexPath) >= compactAt)
           graft.index.AnnIndexStore.compactDelta(spark, indexPath, numBuckets)
       }

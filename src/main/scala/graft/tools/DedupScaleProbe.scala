@@ -185,8 +185,15 @@ object DedupScaleProbe {
     // combo count must divide evenly; fall back to 1 when it doesn't.
     val shGroups = {
       val nb = (0 until shBlocks).combinations(shBlocks - 3).size
-      val want = sys.env.get("GRAFT_DEDUP_SH_BAND_GROUPS").map(_.toInt)
-        .getOrElse(bandGroups)
+      val explicit = sys.env.get("GRAFT_DEDUP_SH_BAND_GROUPS").map(_.toInt)
+      // an EXPLICIT override that cannot partition the combo set fails
+      // fast: silently falling back to the one-shot mine would run the
+      // exact spill the operator set the knob to avoid, and fail with
+      // a full disk hours later instead of now
+      explicit.foreach(w => require(w >= 1 && nb % w == 0,
+        s"GRAFT_DEDUP_SH_BAND_GROUPS=$w must divide the $nb band combos " +
+          s"of blocks=$shBlocks"))
+      val want = explicit.getOrElse(bandGroups)
       if (want > 1 && nb % want == 0) want else 1
     }
     val shPath = s"$root/simhash_pairs" +

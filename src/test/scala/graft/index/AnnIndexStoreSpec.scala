@@ -189,6 +189,43 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(ex.getMessage.contains("fresh checkpoint"))
   }
 
+  test("a new stream epoch resets the fold watermark; same-epoch replays still skip") {
+    val indexed = Seq.tabulate(200)(i => (i.toLong, vec()))
+    val dir = Files.createTempDirectory("graft-anndelta-epoch").toString + "/index"
+    AnnIndexStore.build(indexed.toDF("id", "vec"), dir, numBuckets = 2)
+    val a = Seq.tabulate(20)(i => ((1000 + i).toLong, vec()))
+    // stream 1 (epoch ckpt1) delivers ONLY batch 0, which gets folded:
+    // watermark 0 — the nastiest case, where a plain `<= maxBid` skip
+    // cannot tell a fresh stream's batch 0 from a replay
+    AnnIndexStore.appendDeltaBatch(a.toDF("id", "vec"), dir, batchId = 0,
+      epoch = Some("ckpt1"))
+    AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
+    // same-epoch replay of the folded watermark batch: skipped
+    AnnIndexStore.appendDeltaBatch(a.toDF("id", "vec"), dir, batchId = 0,
+      epoch = Some("ckpt1"))
+    assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0)
+    // stream 2 (fresh checkpoint = new epoch): its batch 0 carries NEW
+    // rows and must be LIVE, not skipped or classified dead
+    val b = Seq.tabulate(30)(i => ((2000 + i).toLong, vec()))
+    AnnIndexStore.appendDeltaBatch(b.toDF("id", "vec"), dir, batchId = 0,
+      epoch = Some("ckpt2"))
+    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 30.0 / 220) < 1e-9,
+      "a new epoch's restarted batch 0 must be live")
+    // the new epoch's own fold then watermarks ITS batch ids
+    AnnIndexStore.appendDeltaBatch(
+      Seq.tabulate(10)(i => ((3000 + i).toLong, vec())).toDF("id", "vec"),
+      dir, batchId = 1, epoch = Some("ckpt2"))
+    AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
+    assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0)
+    val nIndexed = spark.read.parquet(dir)
+      .agg(sum(size(col("ids")))).head().getLong(0)
+    assert(nIndexed == 260L, s"220 + stream2's 40 expected, got $nIndexed")
+    AnnIndexStore.appendDeltaBatch(b.toDF("id", "vec"), dir, batchId = 1,
+      epoch = Some("ckpt2"))
+    assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0,
+      "ckpt2's folded watermark batch must skip on replay")
+  }
+
   test("replaceDelta preserves committed streaming micro-batches") {
     val indexed = Seq.tabulate(200)(i => (i.toLong, vec()))
     val dir = Files.createTempDirectory("graft-anndelta-repl").toString + "/index"
