@@ -886,6 +886,38 @@ object AnnIndexStore {
     }
   }
 
+  /** Demote committed `bid=` micro-batch dirs to FLAT delta rows — the
+    * epoch-switch step of [[appendDeltaBatch]]. The old stream's
+    * committed bids are checkpoint-acknowledged (id, vec) parquet it
+    * will never resend; once its epoch is retired they are ordinary
+    * un-indexed rows, so their part files move (atomic renames) to the
+    * delta root under bid-tagged names and serve/fold exactly like a
+    * batch append. Crash-safe: a rename either happened or didn't, a
+    * retry of the switch re-demotes what remains, and rows are moved —
+    * never copied — so no interleaving can double them. Un-COMMITTED
+    * bid dirs (no `_SUCCESS`) are crashed writes the old stream never
+    * acknowledged: deleted. */
+  private def demoteBidsToFlat(path: String): Unit = {
+    val root = new java.io.File(deltaPath(path))
+    if (!root.isDirectory) return
+    val bids = committedBids(path)
+    bids.foreach { case (bid, dir) =>
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+        if (f.isFile && f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          require(f.renameTo(new java.io.File(root, s"bid$bid-${f.getName}")),
+            s"epoch switch: cannot demote $f")
+      }
+      deleteRecursively(dir)
+    }
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("bid="))
+      .foreach(deleteRecursively)
+    if (bids.nonEmpty)
+      java.nio.file.Files.write(
+        new java.io.File(root, "_SUCCESS").toPath, Array.empty[Byte])
+  }
+
   /** Roll a half-completed [[compactDelta]] swap forward or back: dying
     * between the two renames leaves nothing at `path` ('.old' holds the
     * previous store, '.compact' may hold a complete rebuilt one) — with
@@ -968,33 +1000,45 @@ object AnnIndexStore {
     * replay (checkpoints commit in batch order, so every lower bid's
     * checkpoint committed before a higher bid could exist).
     *
-    * `epoch` identifies the ingesting stream's checkpoint (the
-    * streaming writer passes its checkpoint location). A batch arriving
-    * under a DIFFERENT epoch than the marker's is a new stream whose
-    * ids restart at 0 — its rows are NEW data, so the watermark resets
-    * (maxbid=-1 rewritten in place; the folded bid dirs were already
-    * deleted by the entry repair) and ingestion proceeds. Without an
-    * epoch (batch callers, legacy markers), a batchId strictly below
-    * the watermark is ambiguous between a fresh-checkpoint restart and
-    * an impossible replay; both silently lose data, so it fails loudly
-    * instead. The one signal-free residual: a stream whose checkpoint
-    * CONTENTS were cleared at the SAME location re-presents batch
-    * maxBid under the same epoch and is indistinguishable from a
-    * genuine replay — that batch is skipped (delete the store's fold
-    * marker manually if that is ever the intent). */
+    * `epoch` identifies the ingesting STREAM, not its batch counter:
+    * the streaming writer derives it from the checkpoint's persistent
+    * query id ([[graft.streaming.StreamingKnn.checkpointEpoch]]) — the
+    * id survives a checkpoint directory being MOVED (a moved checkpoint
+    * is the same stream and must still replay-skip, not reset) and is
+    * regenerated when the contents are cleared (a genuinely new stream
+    * even at the same path). A batch arriving under a DIFFERENT epoch
+    * than the store's (the fold marker's, or the delta's `_stream_epoch`
+    * when nothing was ever folded) is a new stream whose ids restart at
+    * 0 — its rows are NEW data: the OLD stream's committed-but-unfolded
+    * bid dirs are first DEMOTED to flat delta rows (they are
+    * checkpoint-acknowledged data the old stream will never resend;
+    * leaving them as bids would let the new stream's overwrite silently
+    * destroy them, and folding them under the new watermark would poison
+    * its id space), the watermark resets (maxbid=-1), and ingestion
+    * proceeds. Without an epoch (batch callers, legacy markers), a
+    * batchId strictly below the watermark is ambiguous between a
+    * fresh-checkpoint restart and an impossible replay; both silently
+    * lose data, so it fails loudly instead. */
   def appendDeltaBatch(delta: DataFrame, path: String, batchId: Long,
       epoch: Option[String] = None): Unit = {
     recoverStore(path)
     val spark = delta.sparkSession
     repairDelta(spark, path)
     val marker = readFoldMarker(path).filter(_.legacyFp.isEmpty)
-    val newEpoch = (epoch, marker.flatMap(_.epoch)) match {
-      case (Some(e), Some(me)) => e != me
+    // the store's current epoch: what the last fold recorded, else what
+    // the current delta's writer recorded (a never-compacted store has
+    // no marker, but its bids still belong to a stream)
+    val storeEpoch = marker.flatMap(_.epoch).orElse(readStreamEpoch(path))
+    val newEpoch = (epoch, storeEpoch) match {
+      case (Some(e), Some(se)) => e != se
       case _                   => false
     }
     if (newEpoch) {
-      // rewrite the marker with the watermark reset: the new stream's
-      // bids start at 0 and must all be LIVE under the bid > maxBid rule
+      // the old stream is gone: its committed bids become flat rows
+      // (searchable and foldable like any batch append), and the
+      // watermark resets so the new stream's restarted ids are LIVE
+      // under the bid > maxBid rule
+      demoteBidsToFlat(path)
       marker.foreach { m =>
         writeFoldMarker(new java.io.File(path.stripSuffix("/")),
           m.flatFp.getOrElse("-"), -1L, epoch)

@@ -88,8 +88,7 @@ object ApproxQueries {
         .MemoryStream[(Long, Array[Float])]
       val writer = graft.streaming.StreamingKnn.deltaIngestWriter(
           mem.toDF.toDF("id", "vec"), idxPath, numBuckets = 4, compactAt = 0.4,
-          epoch = Some(s"$root/ckpt"))
-        .option("checkpointLocation", s"$root/ckpt")
+          checkpointLocation = Some(s"$root/ckpt"))
       mem.addData(batch(0): _*) // 1/5 over 3/5 = 0.33 < 0.4: append only
       writer.start().awaitTermination()
       mem.addData(batch(1): _*) // 2/5 over 3/5 = 0.67 ≥ 0.4: fold

@@ -50,22 +50,46 @@ object StreamingKnn {
     * batch the fold watermark records as already compacted into the
     * graphs is skipped outright.
     *
-    * `epoch` should be the checkpoint location the caller starts the
-    * writer with: batch ids are only meaningful within one checkpoint's
-    * lifetime, and the epoch is what lets the store distinguish a
-    * replay (same epoch, skip) from a NEW stream whose ids restart at 0
-    * (different epoch — the fold watermark resets and ingestion
-    * continues) instead of silently dropping or double-serving rows. */
+    * `checkpointLocation`, when given, is set on the writer AND used to
+    * derive the store's stream EPOCH (via [[checkpointEpoch]] — one
+    * argument, so the two can never drift apart): batch ids are only
+    * meaningful within one checkpoint's lifetime, and the epoch is what
+    * lets the store distinguish a replay (same epoch, skip) from a NEW
+    * stream whose ids restart at 0 (different epoch — the fold
+    * watermark resets and ingestion continues) instead of silently
+    * dropping or double-serving rows. The epoch is resolved lazily
+    * inside each batch because the checkpoint's metadata file exists
+    * only once the query has started. */
   def deltaIngestWriter(vectorStream: DataFrame, indexPath: String,
       numBuckets: Int, compactAt: Double = 0.25,
-      epoch: Option[String] = None): DataStreamWriter[Row] = {
-    vectorStream.writeStream
+      checkpointLocation: Option[String] = None): DataStreamWriter[Row] = {
+    val w = vectorStream.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        graft.index.AnnIndexStore.appendDeltaBatch(batch, indexPath, batchId, epoch)
+        graft.index.AnnIndexStore.appendDeltaBatch(batch, indexPath, batchId,
+          checkpointLocation.flatMap(checkpointEpoch))
         if (graft.index.AnnIndexStore.deltaFraction(spark, indexPath) >= compactAt)
           graft.index.AnnIndexStore.compactDelta(spark, indexPath, numBuckets)
       }
+    checkpointLocation.fold(w)(loc => w.option("checkpointLocation", loc))
+  }
+
+  /** The stream epoch of a checkpoint: its PERSISTENT query id (the
+    * `metadata` file Structured Streaming writes at the checkpoint
+    * root). The id, not the path, is the stream's identity — it
+    * survives the checkpoint directory being MOVED (same stream, batch
+    * ids still meaningful) and is regenerated when the contents are
+    * cleared (a genuinely new stream even at the same path). Falls back
+    * to the location string if the metadata is missing or unparsable. */
+  def checkpointEpoch(location: String): Option[String] = {
+    val f = new java.io.File(location, "metadata")
+    val parsed =
+      if (!f.exists()) None
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+      }
+    parsed.orElse(Some(location))
   }
 }

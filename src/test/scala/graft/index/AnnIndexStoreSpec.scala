@@ -226,6 +226,42 @@ class AnnIndexStoreSpec extends SparkSpec {
       "ckpt2's folded watermark batch must skip on replay")
   }
 
+  test("epoch switch demotes the old stream's un-folded bids instead of clobbering them") {
+    val indexed = Seq.tabulate(200)(i => (i.toLong, vec()))
+    val dir = Files.createTempDirectory("graft-anndelta-demote").toString + "/index"
+    AnnIndexStore.build(indexed.toDF("id", "vec"), dir, numBuckets = 2)
+    // old stream, NEVER compacted (no fold marker — the epoch signal
+    // must come from the delta's own _stream_epoch file): bids 0-1
+    val a = Seq.tabulate(20)(i => ((1000 + i).toLong, vec()))
+    val b = Seq.tabulate(30)(i => ((2000 + i).toLong, vec()))
+    AnnIndexStore.appendDeltaBatch(a.toDF("id", "vec"), dir, batchId = 0,
+      epoch = Some("ckptA"))
+    AnnIndexStore.appendDeltaBatch(b.toDF("id", "vec"), dir, batchId = 1,
+      epoch = Some("ckptA"))
+    // new stream's batch 0 carries NEW rows: the old bid=0 is
+    // checkpoint-acknowledged data stream A will never resend — it must
+    // be demoted to flat rows, not overwritten
+    val c = Seq.tabulate(10)(i => ((3000 + i).toLong, vec()))
+    AnnIndexStore.appendDeltaBatch(c.toDF("id", "vec"), dir, batchId = 0,
+      epoch = Some("ckptB"))
+    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 60.0 / 200) < 1e-9,
+      "old-epoch bids and the new batch must ALL be live")
+    val queries = Seq.tabulate(4)(i => (i.toLong, vec())).toDF("qid", "qvec")
+    val nids = AnnIndexStore.searchWithDelta(spark, dir, queries, k = 80, ef = 400)
+      .select("nid").collect().map(_.getLong(0)).toSet
+    assert(nids.exists(n => n >= 1000 && n < 2000) &&
+      nids.exists(n => n >= 2000 && n < 3000) && nids.exists(_ >= 3000))
+    // a fold indexes every row exactly once
+    AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
+    val nIndexed = spark.read.parquet(dir)
+      .agg(sum(size(col("ids")))).head().getLong(0)
+    assert(nIndexed == 260L, s"260 distinct rows expected, got $nIndexed")
+    // the fold watermarked ckptB's batch: replay skips, next id is live
+    AnnIndexStore.appendDeltaBatch(c.toDF("id", "vec"), dir, batchId = 0,
+      epoch = Some("ckptB"))
+    assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0)
+  }
+
   test("replaceDelta preserves committed streaming micro-batches") {
     val indexed = Seq.tabulate(200)(i => (i.toLong, vec()))
     val dir = Files.createTempDirectory("graft-anndelta-repl").toString + "/index"
