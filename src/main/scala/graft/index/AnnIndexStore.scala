@@ -734,7 +734,9 @@ object AnnIndexStore {
   //   - searchWithDelta / deltaFraction are READ ops: they classify
   //     already-folded delta data as dead and EXCLUDE it, but never
   //     delete — two concurrent readers can never race a delete against
-  //     a scan.
+  //     a scan. One carve-out: an EPOCH SWITCH (see demoteBidsToFlat)
+  //     relocates live bid files, so a read racing that rare
+  //     redeployment event can fail transiently and should retry.
 
   /** Sibling dataset holding not-yet-indexed rows (plain (id, vec)
     * parquet) — `<path>.delta`, NOT a subdirectory, so reading the main
@@ -892,30 +894,49 @@ object AnnIndexStore {
     * will never resend; once its epoch is retired they are ordinary
     * un-indexed rows, so their part files move (atomic renames) to the
     * delta root under bid-tagged names and serve/fold exactly like a
-    * batch append. Crash-safe: a rename either happened or didn't, a
-    * retry of the switch re-demotes what remains, and rows are moved —
-    * never copied — so no interleaving can double them. Un-COMMITTED
-    * bid dirs (no `_SUCCESS`) are crashed writes the old stream never
-    * acknowledged: deleted. */
+    * batch append. Crash-safe ORDER: the flat layout is committed (root
+    * `_SUCCESS`) BEFORE any rename — a crash mid-demotion then leaves
+    * every row visible exactly once (moved files as committed flat,
+    * unmoved ones still in their committed bid dirs) and the switch
+    * retry re-demotes what remains; committing after the renames would
+    * instead make a crash between the last rename and the commit lose
+    * every moved row invisibly. When the flat layout was NOT previously
+    * committed, uncommitted root leftovers (a crashed batch append) are
+    * swept first so the new `_SUCCESS` cannot retroactively commit
+    * partial files. Un-COMMITTED bid dirs (no `_SUCCESS`) are crashed
+    * writes the old stream never acknowledged: deleted.
+    *
+    * This is the ONE maintenance op that relocates LIVE data: a read
+    * that planned a bid file and scans it after the rename fails
+    * transiently (retry succeeds — the rows are in the flat layout).
+    * Epoch switches are rare (a stream redeployment), so the window is
+    * a redeployment event, not steady-state serving. */
   private def demoteBidsToFlat(path: String): Unit = {
     val root = new java.io.File(deltaPath(path))
     if (!root.isDirectory) return
     val bids = committedBids(path)
-    bids.foreach { case (bid, dir) =>
-      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
-        if (f.isFile && f.getName.endsWith(".parquet") &&
-            !f.getName.startsWith("_") && !f.getName.startsWith("."))
-          require(f.renameTo(new java.io.File(root, s"bid$bid-${f.getName}")),
-            s"epoch switch: cannot demote $f")
+    if (bids.nonEmpty) {
+      if (!new java.io.File(root, "_SUCCESS").exists()) {
+        Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+          if (f.getName != streamEpochName &&
+              (f.isFile || !f.getName.startsWith("bid="))) deleteRecursively(f)
+        }
+        java.nio.file.Files.write(
+          new java.io.File(root, "_SUCCESS").toPath, Array.empty[Byte])
       }
-      deleteRecursively(dir)
+      bids.foreach { case (bid, dir) =>
+        Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+          if (f.isFile && f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith("_") && !f.getName.startsWith("."))
+            require(f.renameTo(new java.io.File(root, s"bid$bid-${f.getName}")),
+              s"epoch switch: cannot demote $f")
+        }
+        deleteRecursively(dir)
+      }
     }
     Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("bid="))
       .foreach(deleteRecursively)
-    if (bids.nonEmpty)
-      java.nio.file.Files.write(
-        new java.io.File(root, "_SUCCESS").toPath, Array.empty[Byte])
   }
 
   /** Roll a half-completed [[compactDelta]] swap forward or back: dying

@@ -68,7 +68,7 @@ object StreamingKnn {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         graft.index.AnnIndexStore.appendDeltaBatch(batch, indexPath, batchId,
-          checkpointLocation.flatMap(checkpointEpoch))
+          checkpointLocation.map(checkpointEpoch(spark, _)))
         if (graft.index.AnnIndexStore.deltaFraction(spark, indexPath) >= compactAt)
           graft.index.AnnIndexStore.compactDelta(spark, indexPath, numBuckets)
       }
@@ -79,17 +79,33 @@ object StreamingKnn {
     * `metadata` file Structured Streaming writes at the checkpoint
     * root). The id, not the path, is the stream's identity — it
     * survives the checkpoint directory being MOVED (same stream, batch
-    * ids still meaningful) and is regenerated when the contents are
-    * cleared (a genuinely new stream even at the same path). Falls back
-    * to the location string if the metadata is missing or unparsable. */
-  def checkpointEpoch(location: String): Option[String] = {
-    val f = new java.io.File(location, "metadata")
-    val parsed =
-      if (!f.exists()) None
-      else {
-        val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
-      }
-    parsed.orElse(Some(location))
+    * ids still meaningful: a replay must still skip, not reset the
+    * fold watermark and double-append) and is regenerated when the
+    * contents are cleared (a genuinely new stream even at the same
+    * path). Resolved through the Hadoop filesystem — checkpoints live
+    * wherever Spark can put them (`file:` URIs, distributed stores),
+    * and a local-file read would silently miss them and degrade the
+    * epoch to the raw string. Falls back to the fs-QUALIFIED path
+    * (spelling-normalized: `/x` ≡ `file:/x`) when the metadata is
+    * missing or unreadable, so even the fallback cannot flip epochs
+    * between two spellings of one location. */
+  def checkpointEpoch(spark: org.apache.spark.sql.SparkSession,
+      location: String): String = {
+    val p = new org.apache.hadoop.fs.Path(location)
+    try {
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val meta = new org.apache.hadoop.fs.Path(p, "metadata")
+      val parsed =
+        if (!fs.exists(meta)) None
+        else {
+          val in = fs.open(meta)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+        }
+      parsed.getOrElse(fs.makeQualified(p).toString)
+    } catch {
+      case scala.util.control.NonFatal(_) => p.toString
+    }
   }
 }
