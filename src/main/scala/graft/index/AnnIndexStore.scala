@@ -736,7 +736,9 @@ object AnnIndexStore {
   //     delete — two concurrent readers can never race a delete against
   //     a scan. One carve-out: an EPOCH SWITCH (see demoteBidsToFlat)
   //     relocates live bid files, so a read racing that rare
-  //     redeployment event can fail transiently and should retry.
+  //     redeployment event can fail transiently or observe a partial
+  //     delta — retry after the switch, or pause serving around
+  //     stream redeployments.
 
   /** Sibling dataset holding not-yet-indexed rows (plain (id, vec)
     * parquet) — `<path>.delta`, NOT a subdirectory, so reading the main
@@ -888,6 +890,19 @@ object AnnIndexStore {
     }
   }
 
+  /** Remove everything at the delta ROOT that is not a `bid=` micro-
+    * batch dir or the stream-epoch file — the shared pre-write sweep of
+    * [[replaceDelta]] and [[demoteBidsToFlat]]. What it removes is
+    * either uncommitted (part files with no surviving `_SUCCESS`,
+    * `_temporary` job-attempt dirs) or about to be rewritten; what
+    * counts as sweepable must stay identical between the two callers,
+    * hence one definition. */
+  private def sweepUncommittedRoot(root: java.io.File): Unit =
+    Option(root.listFiles()).foreach(_.foreach { f =>
+      if (f.getName != streamEpochName &&
+          (f.isFile || !f.getName.startsWith("bid="))) deleteRecursively(f)
+    })
+
   /** Demote committed `bid=` micro-batch dirs to FLAT delta rows — the
     * epoch-switch step of [[appendDeltaBatch]]. The old stream's
     * committed bids are checkpoint-acknowledged (id, vec) parquet it
@@ -907,20 +922,21 @@ object AnnIndexStore {
     * writes the old stream never acknowledged: deleted.
     *
     * This is the ONE maintenance op that relocates LIVE data: a read
-    * that planned a bid file and scans it after the rename fails
-    * transiently (retry succeeds — the rows are in the flat layout).
-    * Epoch switches are rare (a stream redeployment), so the window is
-    * a redeployment event, not steady-state serving. */
+    * overlapping the switch can fail transiently (it planned a bid
+    * file that moved before its scan) or return a PARTIAL delta (it
+    * listed the flat layout before a file landed and the bid dir
+    * after it left) — bounded by the switch duration. Serving that
+    * cannot tolerate either should pause around stream redeployments;
+    * a manifest-pointer layout (the object-store evolution already
+    * noted on [[compactDelta]]) removes the window entirely. Epoch
+    * switches are rare redeployment events, not steady-state serving. */
   private def demoteBidsToFlat(path: String): Unit = {
     val root = new java.io.File(deltaPath(path))
     if (!root.isDirectory) return
     val bids = committedBids(path)
     if (bids.nonEmpty) {
       if (!new java.io.File(root, "_SUCCESS").exists()) {
-        Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
-          if (f.getName != streamEpochName &&
-              (f.isFile || !f.getName.startsWith("bid="))) deleteRecursively(f)
-        }
+        sweepUncommittedRoot(root)
         java.nio.file.Files.write(
           new java.io.File(root, "_SUCCESS").toPath, Array.empty[Byte])
       }
@@ -1001,10 +1017,7 @@ object AnnIndexStore {
     // be merged into the retry's commitJob (the committer commits ALL
     // on-disk task dirs of the attempt path), duplicating rows. bid=
     // dirs (the stream's rows) and its epoch file survive.
-    Option(root.listFiles()).foreach(_.foreach { f =>
-      if (f.getName != streamEpochName &&
-          (f.isFile || !f.getName.startsWith("bid="))) deleteRecursively(f)
-    })
+    sweepUncommittedRoot(root)
     delta.select(col("id").cast("long"), col("vec"))
       .write.mode("append").parquet(deltaPath(path))
   }

@@ -63,12 +63,23 @@ object StreamingKnn {
   def deltaIngestWriter(vectorStream: DataFrame, indexPath: String,
       numBuckets: Int, compactAt: Double = 0.25,
       checkpointLocation: Option[String] = None): DataStreamWriter[Row] = {
+    // the query id is immutable for the writer's lifetime: resolve once
+    // on the first successful batch and reuse (a remote checkpoint
+    // store would otherwise pay an fs round-trip per micro-batch on
+    // the ingest hot path)
+    val epochMemo = new java.util.concurrent.atomic.AtomicReference[String]()
     val w = vectorStream.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        graft.index.AnnIndexStore.appendDeltaBatch(batch, indexPath, batchId,
-          checkpointLocation.map(checkpointEpoch(spark, _)))
+        val epoch = checkpointLocation.map { loc =>
+          Option(epochMemo.get).getOrElse {
+            val e = checkpointEpoch(spark, loc)
+            epochMemo.set(e)
+            e
+          }
+        }
+        graft.index.AnnIndexStore.appendDeltaBatch(batch, indexPath, batchId, epoch)
         if (graft.index.AnnIndexStore.deltaFraction(spark, indexPath) >= compactAt)
           graft.index.AnnIndexStore.compactDelta(spark, indexPath, numBuckets)
       }
@@ -86,26 +97,28 @@ object StreamingKnn {
     * wherever Spark can put them (`file:` URIs, distributed stores),
     * and a local-file read would silently miss them and degrade the
     * epoch to the raw string. Falls back to the fs-QUALIFIED path
-    * (spelling-normalized: `/x` ≡ `file:/x`) when the metadata is
-    * missing or unreadable, so even the fallback cannot flip epochs
-    * between two spellings of one location. */
+    * (spelling-normalized: `/x` ≡ `file:/x`) only when the metadata is
+    * genuinely ABSENT; a read error PROPAGATES and fails the batch —
+    * an error fallback would return a different epoch string than
+    * steady state, and one flickering fs call would then masquerade as
+    * a new stream, demote live bids, reset the fold watermark, and let
+    * a replayed folded batch append twice. Failing the batch is safe:
+    * the stream retries and resolution runs again. The fallback
+    * spelling is part of epoch identity — keep it byte-stable across
+    * versions. */
   def checkpointEpoch(spark: org.apache.spark.sql.SparkSession,
       location: String): String = {
     val p = new org.apache.hadoop.fs.Path(location)
-    try {
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val meta = new org.apache.hadoop.fs.Path(p, "metadata")
-      val parsed =
-        if (!fs.exists(meta)) None
-        else {
-          val in = fs.open(meta)
-          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
-        }
-      parsed.getOrElse(fs.makeQualified(p).toString)
-    } catch {
-      case scala.util.control.NonFatal(_) => p.toString
-    }
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = new org.apache.hadoop.fs.Path(p, "metadata")
+    val parsed =
+      if (!fs.exists(meta)) None
+      else {
+        val in = fs.open(meta)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+      }
+    parsed.getOrElse(fs.makeQualified(p).toString)
   }
 }
