@@ -63,23 +63,20 @@ object StreamingKnn {
   def deltaIngestWriter(vectorStream: DataFrame, indexPath: String,
       numBuckets: Int, compactAt: Double = 0.25,
       checkpointLocation: Option[String] = None): DataStreamWriter[Row] = {
-    // the query id is immutable for the writer's lifetime: resolve once
-    // on the first successful batch and reuse (a remote checkpoint
-    // store would otherwise pay an fs round-trip per micro-batch on
-    // the ingest hot path)
-    val epochMemo = new java.util.concurrent.atomic.AtomicReference[String]()
+    // The epoch is re-resolved in EVERY batch, deliberately: the query
+    // id belongs to the checkpoint CONTENTS, not this writer object — a
+    // multi-start writer (AvailableNow is designed for repeated runs)
+    // restarted after its checkpoint was cleared carries a new id, and
+    // a memoized epoch would miss the change and let the new stream's
+    // bid overwrites destroy the old stream's acknowledged rows. The
+    // cost is one metadata fetch per micro-batch — noise against the
+    // batch's own append + fraction jobs.
     val w = vectorStream.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val epoch = checkpointLocation.map { loc =>
-          Option(epochMemo.get).getOrElse {
-            val e = checkpointEpoch(spark, loc)
-            epochMemo.set(e)
-            e
-          }
-        }
-        graft.index.AnnIndexStore.appendDeltaBatch(batch, indexPath, batchId, epoch)
+        graft.index.AnnIndexStore.appendDeltaBatch(batch, indexPath, batchId,
+          checkpointLocation.map(checkpointEpoch(spark, _)))
         if (graft.index.AnnIndexStore.deltaFraction(spark, indexPath) >= compactAt)
           graft.index.AnnIndexStore.compactDelta(spark, indexPath, numBuckets)
       }
