@@ -68,15 +68,24 @@ object StreamingKnn {
     // multi-start writer (AvailableNow is designed for repeated runs)
     // restarted after its checkpoint was cleared carries a new id, and
     // a memoized epoch would miss the change and let the new stream's
-    // bid overwrites destroy the old stream's acknowledged rows. The
-    // cost is one metadata fetch per micro-batch — noise against the
-    // batch's own append + fraction jobs.
+    // bid overwrites destroy the old stream's acknowledged rows.
+    // Resolution is in-process first: foreachBatch runs on the stream
+    // execution thread, where Spark publishes the PERSISTENT query id
+    // as the local property `sql.streaming.queryId`
+    // (StreamExecution.QUERY_ID_KEY — the same uuid the checkpoint
+    // metadata carries, so the two sources can never disagree). That is
+    // free and immune to checkpoint-store flicker; the metadata read
+    // remains as the fallback for exotic callers that invoke the batch
+    // function off-thread.
     val w = vectorStream.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        graft.index.AnnIndexStore.appendDeltaBatch(batch, indexPath, batchId,
-          checkpointLocation.map(checkpointEpoch(spark, _)))
+        val epoch = checkpointLocation.map { loc =>
+          Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+            .getOrElse(checkpointEpoch(spark, loc))
+        }
+        graft.index.AnnIndexStore.appendDeltaBatch(batch, indexPath, batchId, epoch)
         if (graft.index.AnnIndexStore.deltaFraction(spark, indexPath) >= compactAt)
           graft.index.AnnIndexStore.compactDelta(spark, indexPath, numBuckets)
       }
