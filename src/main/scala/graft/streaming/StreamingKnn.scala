@@ -50,16 +50,17 @@ object StreamingKnn {
     * batch the fold watermark records as already compacted into the
     * graphs is skipped outright.
     *
-    * `checkpointLocation`, when given, is set on the writer AND used to
-    * derive the store's stream EPOCH (via [[checkpointEpoch]] — one
-    * argument, so the two can never drift apart): batch ids are only
-    * meaningful within one checkpoint's lifetime, and the epoch is what
-    * lets the store distinguish a replay (same epoch, skip) from a NEW
-    * stream whose ids restart at 0 (different epoch — the fold
-    * watermark resets and ingestion continues) instead of silently
-    * dropping or double-serving rows. The epoch is resolved lazily
-    * inside each batch because the checkpoint's metadata file exists
-    * only once the query has started. */
+    * `checkpointLocation`, when given, is set on the writer AND enables
+    * the stream EPOCH (one argument for both, so they cannot drift):
+    * batch ids are only meaningful within one checkpoint's lifetime,
+    * and the epoch is what lets the store distinguish a replay (same
+    * epoch, skip) from a NEW stream whose ids restart at 0 (different
+    * epoch — the fold watermark resets and ingestion continues) instead
+    * of silently dropping or double-serving rows. The epoch is the
+    * PERSISTENT query id, read per batch from the stream-execution
+    * thread's local property (see the body comment); [[checkpointEpoch]]
+    * reads the same uuid from the checkpoint metadata as the off-thread
+    * fallback. */
   def deltaIngestWriter(vectorStream: DataFrame, indexPath: String,
       numBuckets: Int, compactAt: Double = 0.25,
       checkpointLocation: Option[String] = None): DataStreamWriter[Row] = {
@@ -82,7 +83,8 @@ object StreamingKnn {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val epoch = checkpointLocation.map { loc =>
-          Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+          Option(spark.sparkContext.getLocalProperty(
+              org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
             .getOrElse(checkpointEpoch(spark, loc))
         }
         graft.index.AnnIndexStore.appendDeltaBatch(batch, indexPath, batchId, epoch)

@@ -66,4 +66,43 @@ class StreamingKnnSpec extends SparkSpec {
     val got = AnnIndexStore.searchWithDelta(spark, dir, queries, k = 5, ef = 200)
     assert(got.count() == 10)
   }
+
+  test("checkpointed delta ingest records the query id as the stream epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.AnnIndexStore
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-epoch").toString
+    val dir = s"$root/index"
+    val ckpt = s"$root/ckpt"
+    AnnIndexStore.build(
+      Seq.tabulate(200)(i => (i.toLong, vec())).toDF("id", "vec"),
+      dir, numBuckets = 2)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val sdf = mem.toDF.toDF("id", "vec")
+    // compactAt high: no fold, so the delta's epoch file survives for
+    // inspection
+    val writer = StreamingKnn.deltaIngestWriter(sdf, dir, numBuckets = 2,
+      compactAt = 10.0, checkpointLocation = Some(ckpt))
+    mem.addData(Seq.tabulate(20)(i => ((1000 + i).toLong, vec())): _*)
+    writer.start().awaitTermination(120000)
+    // the recorded epoch is the checkpoint's PERSISTENT query id (a
+    // uuid), proving the in-process property path resolved — a silent
+    // fall-through to the path fallback would record the ckpt path
+    val epochFile = new java.io.File(AnnIndexStore.deltaPath(dir), "_stream_epoch")
+    assert(epochFile.exists(), "ingesting with a checkpoint must record the epoch")
+    val epoch = new String(
+      java.nio.file.Files.readAllBytes(epochFile.toPath), "UTF-8").trim
+    assert(epoch.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"),
+      s"epoch must be the query id uuid, got '$epoch'")
+    // it matches what the metadata fallback resolves: the two sources
+    // can never disagree
+    assert(epoch == StreamingKnn.checkpointEpoch(spark, ckpt))
+    // a SECOND start on the SAME checkpoint is the same stream: the
+    // epoch is stable and rows accumulate without a spurious reset
+    mem.addData(Seq.tabulate(10)(i => ((2000 + i).toLong, vec())): _*)
+    writer.start().awaitTermination(120000)
+    assert(new String(java.nio.file.Files.readAllBytes(epochFile.toPath), "UTF-8").trim
+      == epoch)
+    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 30.0 / 200) < 1e-9)
+  }
 }
