@@ -80,7 +80,7 @@ object ContestRun {
 
   def genBinaries(n: Long, nq: Long, basePath: String, queryPath: String): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = SparkSession.builder()
+    val spark = graft.GraftConf.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.ui.enabled", "false")
@@ -154,7 +154,7 @@ object ContestRun {
   def runScale(basePath: String, queryPath: String, outPath: String,
       k: Int, ef: Int): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = SparkSession.builder()
+    val spark = graft.GraftConf.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
       .config("spark.ui.enabled", "false")
@@ -367,7 +367,7 @@ object ContestRun {
     val outPath = if (args.length > 2) args(2) else "/tmp/graft_contest_output.bin"
     val k = if (args.length > 3) args(3).toInt else 100
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val spark = graft.GraftConf.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
