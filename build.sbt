@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The band-sequential miners pause between passes so the shuffle-file
+// cleaner can reclaim scratch (a 100M-doc concern); specs mine toy data
+// where lingering files are KBs, so skip the ~2 s/pass dead time there.
+Test / envVars += "GRAFT_BAND_PASS_GC_MS" -> "0"
 // Pass forked-run output straight through to stdout: the bench/verify
 // drivers parse the one-line JSON the mains print, and sbt's default
 // logger would prefix it with "[info] ".
