@@ -12,7 +12,13 @@ import graft.functions.VectorFunctions
   * (same column names, types normalized to BIGINT/DOUBLE/STRING) unless the
   * operator is not SQL-expressible, in which case the driver records a
   * rows-only check.
-  */
+  *
+  * Embedders with their own SparkSession: apply [[GraftConf.tuned]] to the
+  * builder. The contract queries here use ≤128-query batches and are safe
+  * on a stock session, but WIDE query batches through any bounded-top-k
+  * reduction need the raised ObjectHashAggregate threshold — the measured
+  * cliff is in BASELINE.md (2M × 1000-query serve: 115.6 s stock vs
+  * 4.7 s tuned). */
 object SparkEntry {
 
   private[graft] def load(s: SparkSession, dir: String, name: String): DataFrame =
