@@ -27,6 +27,15 @@ object VectorQueries {
     dir.replaceAll("[^a-zA-Z0-9]", "_") + "-" +
       graft.sources.ParquetMeta.fingerprint(s, s"$dir/embeddings.parquet")
 
+  /** Resolve `parent/<storeTag>` and GC sibling generations keyed to
+    * superseded source fingerprints (ADVICE r9: every source
+    * regeneration otherwise leaks a full derived copy under /tmp). */
+  private def taggedPath(s: SparkSession, parent: String, dir: String): String = {
+    val tag = storeTag(s, dir)
+    graft.sources.ParquetMeta.gcSiblingTags(new java.io.File(parent), tag)
+    s"$parent/$tag"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SQ8 two-stage refine: top-20 by int8 code distance, exact top-5 re-rank
     "sq8_refine_knn" -> ((s, dir) => {
@@ -67,7 +76,7 @@ object VectorQueries {
     // partition dirs — the reference's binary-searched category slice)
     "knn_pruned" -> ((s, dir) => {
       val layoutPath =
-        s"/tmp/graft_layouts/${storeTag(s, dir)}/by_label"
+        s"${taggedPath(s, "/tmp/graft_layouts", dir)}/by_label"
       val layout = graft.operators.Layouts.ensureCategoryLayout(base(s, dir), layoutPath)
       val q13 = qs(s, dir).filter(col("qtype").isin(1, 3))
       val labels = q13.select(col("v")).distinct().collect().map(_.getLong(0))
@@ -81,7 +90,7 @@ object VectorQueries {
     // logical result as knn_hybrid (shared oracle), different plan.
     "knn_routed" -> ((s, dir) => {
       val layoutPath =
-        s"/tmp/graft_layouts/${storeTag(s, dir)}/by_label"
+        s"${taggedPath(s, "/tmp/graft_layouts", dir)}/by_label"
       val layout = graft.operators.Layouts.ensureCategoryLayout(base(s, dir), layoutPath)
       graft.operators.HybridKnn.execute(base(s, dir), qs(s, dir), 10, Some(layout))
     }),
@@ -101,7 +110,7 @@ object VectorQueries {
     // store (buildBy + ts attr) answers type-2 with the in-filter walk.
     // Rows-only; AnnIndexStoreSpec enforces recall + determinism.
     "knn_stored" -> ((s, dir) => {
-      val root = s"/tmp/graft_ann_store/${storeTag(s, dir)}"
+      val root = taggedPath(s, "/tmp/graft_ann_store", dir)
       val b = base(s, dir)
       if (!new java.io.File(s"$root/by_hash/_SUCCESS").exists())
         graft.index.AnnIndexStore.build(b.select(col("id"), col("vec")), s"$root/by_hash", 4)

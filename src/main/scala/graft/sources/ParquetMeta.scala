@@ -145,6 +145,21 @@ object ParquetMeta {
   /** The one recursive delete every derived-store writer shares —
     * repair correctness depends on deletions actually happening, so
     * hardening must land in exactly one place. */
+  /** GC convenience for tag-ADDRESSED derived stores (`parent/<tag>`
+    * where tag = `<source-prefix><fingerprint>` and the fingerprint is
+    * the trailing hex run — the separator before it is non-hex, so the
+    * split is unambiguous): deletes sibling dirs carrying the same
+    * prefix with a different fingerprint-shaped tail, i.e. copies keyed
+    * to superseded source generations. Call when resolving the tag
+    * (idempotent; same-generation callers share `keep` and never delete
+    * each other's store). */
+  def gcSiblingTags(parent: java.io.File, keep: String): Unit = {
+    val fpLen = keep.reverseIterator
+      .takeWhile(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')).length
+    if (fpLen == 0 || fpLen >= keep.length) return
+    gcSiblingStores(parent, keep, keep.substring(0, keep.length - fpLen))
+  }
+
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
       .foreach(deleteRecursively)

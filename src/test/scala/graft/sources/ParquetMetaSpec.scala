@@ -68,6 +68,29 @@ class ParquetMetaSpec extends SparkSpec {
       "regenerated dataset must fingerprint differently")
   }
 
+  test("gcSiblingTags splits the trailing fingerprint and GCs superseded generations") {
+    val parent = new java.io.File(tmpDir("pqmeta_gctag"))
+    parent.mkdirs()
+    def mk(name: String): java.io.File = {
+      val d = new java.io.File(parent, name)
+      d.mkdirs()
+      d
+    }
+    // prefix deliberately ends in hex-able chars ("...sf0_01-"): the
+    // non-hex '-' separator bounds the trailing-hex run, so the split
+    // cannot eat into the source name
+    val keep = mk("_data_sf0_01-1a2b3c4d")
+    val stale = mk("_data_sf0_01-9f8e7d6c")
+    val otherSrc = mk("_data_sf0_02-9f8e7d6c")
+    ParquetMeta.gcSiblingTags(parent, keep.getName)
+    assert(keep.exists() && otherSrc.exists() && !stale.exists())
+    // degenerate tags (all hex, or no hex tail) must be no-ops
+    val weird = mk("abcdef")
+    ParquetMeta.gcSiblingTags(parent, "abcdef")
+    ParquetMeta.gcSiblingTags(parent, "tag-ends-nonhex_")
+    assert(weird.exists() && keep.exists() && otherSrc.exists())
+  }
+
   test("gcSiblingStores deletes stale generations only, never a name-extending source") {
     val parent = new java.io.File(tmpDir("pqmeta_gc"))
     parent.mkdirs()
