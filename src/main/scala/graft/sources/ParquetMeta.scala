@@ -157,7 +157,13 @@ object ParquetMeta {
     val fpLen = keep.reverseIterator
       .takeWhile(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')).length
     if (fpLen == 0 || fpLen >= keep.length) return
-    gcSiblingStores(parent, keep, keep.substring(0, keep.length - fpLen))
+    val prefix = keep.substring(0, keep.length - fpLen)
+    gcSiblingStores(parent, keep, prefix)
+    // an index store's sibling delta dataset (`<tag>.delta` —
+    // AnnIndexStore's LSM layout) is keyed by the same tag and must be
+    // reclaimed with its store (its non-hex tail hides it from the
+    // fingerprint-shaped pass above)
+    gcSiblingStores(parent, keep + ".delta", prefix, ".delta")
   }
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {

@@ -80,10 +80,14 @@ class ParquetMetaSpec extends SparkSpec {
     // non-hex '-' separator bounds the trailing-hex run, so the split
     // cannot eat into the source name
     val keep = mk("_data_sf0_01-1a2b3c4d")
+    val keepDelta = mk("_data_sf0_01-1a2b3c4d.delta")
     val stale = mk("_data_sf0_01-9f8e7d6c")
+    val staleDelta = mk("_data_sf0_01-9f8e7d6c.delta")
     val otherSrc = mk("_data_sf0_02-9f8e7d6c")
     ParquetMeta.gcSiblingTags(parent, keep.getName)
-    assert(keep.exists() && otherSrc.exists() && !stale.exists())
+    assert(keep.exists() && keepDelta.exists() && otherSrc.exists())
+    assert(!stale.exists() && !staleDelta.exists(),
+      "a superseded store AND its sibling .delta dataset must both be reclaimed")
     // degenerate tags (all hex, or no hex tail) must be no-ops
     val weird = mk("abcdef")
     ParquetMeta.gcSiblingTags(parent, "abcdef")
