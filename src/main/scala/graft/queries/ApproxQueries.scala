@@ -33,14 +33,12 @@ object ApproxQueries {
     dir.replaceAll("[^a-zA-Z0-9]", "_") + "-" +
       graft.sources.ParquetMeta.fingerprint(s, s"$dir/embeddings.parquet")
 
-  /** Resolve `parent/<storeTag>` and GC sibling generations keyed to
-    * superseded source fingerprints (ADVICE r9: every source
-    * regeneration otherwise leaks a full derived copy under /tmp). */
-  private def taggedPath(s: SparkSession, parent: String, dir: String): String = {
-    val tag = storeTag(s, dir)
-    graft.sources.ParquetMeta.gcSiblingTags(new java.io.File(parent), tag)
-    s"$parent/$tag"
-  }
+  /** Resolve `parent/<storeTag>`; materializing a NEW generation GCs
+    * siblings keyed to superseded source fingerprints (ADVICE r9: every
+    * source regeneration otherwise leaks a full derived copy under
+    * /tmp). */
+  private def taggedPath(s: SparkSession, parent: String, dir: String): String =
+    graft.sources.ParquetMeta.resolveTagged(parent, storeTag(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // partitioned-HNSW approximate kNN (per-bucket sub-index + merge)

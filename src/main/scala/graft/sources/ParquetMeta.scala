@@ -142,17 +142,26 @@ object ParquetMeta {
       .foreach(deleteRecursively)
   }
 
-  /** The one recursive delete every derived-store writer shares —
-    * repair correctness depends on deletions actually happening, so
-    * hardening must land in exactly one place. */
-  /** GC convenience for tag-ADDRESSED derived stores (`parent/<tag>`
-    * where tag = `<source-prefix><fingerprint>` and the fingerprint is
-    * the trailing hex run — the separator before it is non-hex, so the
-    * split is unambiguous): deletes sibling dirs carrying the same
-    * prefix with a different fingerprint-shaped tail, i.e. copies keyed
-    * to superseded source generations. Call when resolving the tag
-    * (idempotent; same-generation callers share `keep` and never delete
-    * each other's store). */
+  /** Resolve `parent/<tag>` for a tag-addressed derived store. When the
+    * tag's directory does not exist yet — i.e. a NEW generation is about
+    * to be materialized — stale sibling generations are GC'd first
+    * ([[gcSiblingTags]]); resolutions of an EXISTING generation are pure
+    * reads and never delete, preserving the single-writer-at-
+    * materialization contract (a reader of an old generation cannot be
+    * raced by another session's resolve). */
+  def resolveTagged(parent: String, tag: String): String = {
+    val dir = new java.io.File(parent, tag)
+    if (!dir.isDirectory) gcSiblingTags(new java.io.File(parent), tag)
+    s"$parent/$tag"
+  }
+
+  /** GC for tag-ADDRESSED derived stores (`parent/<tag>` where tag =
+    * `<source-prefix><fingerprint>` and the fingerprint is the trailing
+    * hex run — the separator before it is non-hex, so the split is
+    * unambiguous): deletes sibling dirs carrying the same prefix with a
+    * different fingerprint-shaped tail, i.e. copies keyed to superseded
+    * source generations. Run at new-generation materialization
+    * ([[resolveTagged]]), same contract as [[gcSiblingStores]]. */
   def gcSiblingTags(parent: java.io.File, keep: String): Unit = {
     val fpLen = keep.reverseIterator
       .takeWhile(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')).length
@@ -166,6 +175,9 @@ object ParquetMeta {
     gcSiblingStores(parent, keep + ".delta", prefix, ".delta")
   }
 
+  /** The one recursive delete every derived-store writer shares —
+    * repair correctness depends on deletions actually happening, so
+    * hardening must land in exactly one place. */
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
       .foreach(deleteRecursively)

@@ -93,6 +93,18 @@ class ParquetMetaSpec extends SparkSpec {
     ParquetMeta.gcSiblingTags(parent, "abcdef")
     ParquetMeta.gcSiblingTags(parent, "tag-ends-nonhex_")
     assert(weird.exists() && keep.exists() && otherSrc.exists())
+    // resolveTagged: an EXISTING generation resolves as a pure read (a
+    // reader of an old generation is never raced by another session's
+    // resolve); a NEW generation's first resolve GCs superseded siblings
+    val gen2 = mk("_data_sf0_01-ffff0000")
+    assert(ParquetMeta.resolveTagged(parent.toString, keep.getName)
+      == s"$parent/${keep.getName}")
+    assert(gen2.exists(), "resolving an existing generation must not GC")
+    val resolved = ParquetMeta.resolveTagged(parent.toString, "_data_sf0_01-00001111")
+    assert(resolved == s"$parent/_data_sf0_01-00001111")
+    assert(!gen2.exists() && !keep.exists(),
+      "materializing a new generation must GC the superseded ones")
+    assert(otherSrc.exists())
   }
 
   test("gcSiblingStores deletes stale generations only, never a name-extending source") {
