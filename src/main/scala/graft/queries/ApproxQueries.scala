@@ -25,21 +25,6 @@ object ApproxQueries {
   private def evq(s: SparkSession, dir: String): DataFrame =
     graft.sources.Events.read(s, dir)
 
-  /** Derived-store path tag: sf dir + source-generation fingerprint, so
-    * a regenerated corpus can never hit a stale index store (see
-    * [[graft.sources.ParquetMeta.fingerprint]]) — the trustIndex
-    * serving mode relies on this. */
-  private def storeTag(s: SparkSession, dir: String): String =
-    dir.replaceAll("[^a-zA-Z0-9]", "_") + "-" +
-      graft.sources.ParquetMeta.fingerprint(s, s"$dir/embeddings.parquet")
-
-  /** Resolve `parent/<storeTag>`; materializing a NEW generation GCs
-    * siblings keyed to superseded source fingerprints (ADVICE r9: every
-    * source regeneration otherwise leaks a full derived copy under
-    * /tmp). */
-  private def taggedPath(s: SparkSession, parent: String, dir: String): String =
-    graft.sources.ParquetMeta.resolveTagged(parent, storeTag(s, dir))
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // partitioned-HNSW approximate kNN (per-bucket sub-index + merge)
     "ann_hnsw_knn" -> ((s, dir) => {
@@ -56,7 +41,7 @@ object ApproxQueries {
     // top-k. Oracle = exact kNN over the WHOLE corpus (delta recall is
     // 1.0 by construction; main walks are exhaustive-grade at sf scale).
     "ann_delta_knn" -> ((s, dir) => {
-      val idxPath = taggedPath(s, "/tmp/graft_ann_delta", dir)
+      val idxPath = StorePaths.taggedPath(s, "/tmp/graft_ann_delta", dir)
       val e = emb(s, dir).select(col("vec_id").cast("long").as("id"),
         col("embedding").as("vec"))
       if (!new java.io.File(s"$idxPath/_SUCCESS").exists() ||
@@ -82,7 +67,7 @@ object ApproxQueries {
     "ann_delta_stream" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val root = new java.io.File(taggedPath(s, "/tmp/graft_ann_delta_stream", dir))
+      val root = new java.io.File(StorePaths.taggedPath(s, "/tmp/graft_ann_delta_stream", dir))
       graft.sources.ParquetMeta.deleteRecursively(root)
       val idxPath = s"$root/index"
       val e = emb(s, dir).select(col("vec_id").cast("long").as("id"),
@@ -170,7 +155,7 @@ object ApproxQueries {
         col("embedding").as("vec"))
       val q = emb(s, dir).filter(col("vec_id") % 71 === 3)
         .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
-      val idxPath = taggedPath(s, "/tmp/graft_ivfpq", dir)
+      val idxPath = StorePaths.taggedPath(s, "/tmp/graft_ivfpq", dir)
       if (!new java.io.File(s"$idxPath/codes/_SUCCESS").exists())
         graft.index.AnnIndexStore.buildIvfPqSeeded(base, idxPath,
           nlist = 16, m = 4, ksub = 16)
@@ -188,7 +173,7 @@ object ApproxQueries {
     // from the parquet footer count (no job), with an ordered-top-N
     // fallback for sparse/offset id spaces.
     "ann_ef_tune" -> ((s, dir) => {
-      val idxPath = taggedPath(s, "/tmp/graft_ann_sql", dir)
+      val idxPath = StorePaths.taggedPath(s, "/tmp/graft_ann_sql", dir)
       if (!new java.io.File(s"$idxPath/_SUCCESS").exists()) {
         graft.index.AnnIndexStore.build(
           emb(s, dir).select(col("vec_id").cast("long").as("id"),
@@ -231,7 +216,7 @@ object ApproxQueries {
     // of a full scan — the reference's core premise surfaced in Catalyst
     "ann_sql_topk" -> ((s, dir) => {
       val basePath = s"$dir/embeddings.parquet"
-      val idxPath = taggedPath(s, "/tmp/graft_ann_sql", dir)
+      val idxPath = StorePaths.taggedPath(s, "/tmp/graft_ann_sql", dir)
       if (!new java.io.File(s"$idxPath/_SUCCESS").exists()) {
         graft.index.AnnIndexStore.build(
           emb(s, dir).select(col("vec_id").cast("long").as("id"),
@@ -269,7 +254,7 @@ object ApproxQueries {
     // APPROXIMATE serving, not recall-floored.
     "ann_sql_ivf" -> ((s, dir) => {
       val basePath = s"$dir/embeddings.parquet"
-      val ivfPath = taggedPath(s, "/tmp/graft_ann_ivf_sql", dir)
+      val ivfPath = StorePaths.taggedPath(s, "/tmp/graft_ann_ivf_sql", dir)
       if (!new java.io.File(s"$ivfPath/lists/_SUCCESS").exists()) {
         graft.index.AnnIndexStore.buildIvfSeeded(
           emb(s, dir).select(col("vec_id").cast("long").as("id"),
@@ -278,7 +263,7 @@ object ApproxQueries {
       }
       // hash store stays the registered non-type-0 fallback path (same
       // tag ann_sql_topk maintains); the type-0 route prefers the lists
-      val hashPath = taggedPath(s, "/tmp/graft_ann_sql", dir)
+      val hashPath = StorePaths.taggedPath(s, "/tmp/graft_ann_sql", dir)
       if (!new java.io.File(s"$hashPath/_SUCCESS").exists()) {
         graft.index.AnnIndexStore.build(
           emb(s, dir).select(col("vec_id").cast("long").as("id"),
@@ -309,7 +294,7 @@ object ApproxQueries {
     // injected planner strategy (AnnTopKStrategySpec proves the plans)
     "ann_sql_routed" -> ((s, dir) => {
       import graft.functions.{VectorFunctions => VF}
-      val root = taggedPath(s, "/tmp/graft_sql_route", dir)
+      val root = StorePaths.taggedPath(s, "/tmp/graft_sql_route", dir)
       val basePath = s"$root/base"
       if (!new java.io.File(s"$basePath/_SUCCESS").exists())
         graft.SparkEntry.vecBase(s, dir).write.mode("overwrite").parquet(basePath)

@@ -20,20 +20,6 @@ object VectorQueries {
   private def qs(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.vecQueries(s, dir)
 
-  /** Derived-store path tag: sf dir + source-generation fingerprint, so
-    * a regenerated corpus can never hit a stale layout/index (see
-    * [[graft.sources.ParquetMeta.fingerprint]]). */
-  private def storeTag(s: SparkSession, dir: String): String =
-    dir.replaceAll("[^a-zA-Z0-9]", "_") + "-" +
-      graft.sources.ParquetMeta.fingerprint(s, s"$dir/embeddings.parquet")
-
-  /** Resolve `parent/<storeTag>`; materializing a NEW generation GCs
-    * siblings keyed to superseded source fingerprints (ADVICE r9: every
-    * source regeneration otherwise leaks a full derived copy under
-    * /tmp). */
-  private def taggedPath(s: SparkSession, parent: String, dir: String): String =
-    graft.sources.ParquetMeta.resolveTagged(parent, storeTag(s, dir))
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SQ8 two-stage refine: top-20 by int8 code distance, exact top-5 re-rank
     "sq8_refine_knn" -> ((s, dir) => {
@@ -74,7 +60,7 @@ object VectorQueries {
     // partition dirs — the reference's binary-searched category slice)
     "knn_pruned" -> ((s, dir) => {
       val layoutPath =
-        s"${taggedPath(s, "/tmp/graft_layouts", dir)}/by_label"
+        s"${StorePaths.taggedPath(s, "/tmp/graft_layouts", dir)}/by_label"
       val layout = graft.operators.Layouts.ensureCategoryLayout(base(s, dir), layoutPath)
       val q13 = qs(s, dir).filter(col("qtype").isin(1, 3))
       val labels = q13.select(col("v")).distinct().collect().map(_.getLong(0))
@@ -88,7 +74,7 @@ object VectorQueries {
     // logical result as knn_hybrid (shared oracle), different plan.
     "knn_routed" -> ((s, dir) => {
       val layoutPath =
-        s"${taggedPath(s, "/tmp/graft_layouts", dir)}/by_label"
+        s"${StorePaths.taggedPath(s, "/tmp/graft_layouts", dir)}/by_label"
       val layout = graft.operators.Layouts.ensureCategoryLayout(base(s, dir), layoutPath)
       graft.operators.HybridKnn.execute(base(s, dir), qs(s, dir), 10, Some(layout))
     }),
@@ -108,7 +94,7 @@ object VectorQueries {
     // store (buildBy + ts attr) answers type-2 with the in-filter walk.
     // Rows-only; AnnIndexStoreSpec enforces recall + determinism.
     "knn_stored" -> ((s, dir) => {
-      val root = taggedPath(s, "/tmp/graft_ann_store", dir)
+      val root = StorePaths.taggedPath(s, "/tmp/graft_ann_store", dir)
       val b = base(s, dir)
       if (!new java.io.File(s"$root/by_hash/_SUCCESS").exists())
         graft.index.AnnIndexStore.build(b.select(col("id"), col("vec")), s"$root/by_hash", 4)

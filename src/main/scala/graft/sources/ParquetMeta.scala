@@ -146,9 +146,14 @@ object ParquetMeta {
     * tag's directory does not exist yet — i.e. a NEW generation is about
     * to be materialized — stale sibling generations are GC'd first
     * ([[gcSiblingTags]]); resolutions of an EXISTING generation are pure
-    * reads and never delete, preserving the single-writer-at-
-    * materialization contract (a reader of an old generation cannot be
-    * raced by another session's resolve). */
+    * reads and never delete. Scope of that guarantee: only
+    * existing-generation resolves are read-safe — the materialization of
+    * a NEW generation deletes the old ones, so a reader still scanning a
+    * superseded generation when the source regenerates races that first
+    * resolve (same single-writer-at-materialization contract as every
+    * derived-store writer). A delete that partially fails is retried at
+    * the NEXT generation's materialization (GC removes every non-keep
+    * fingerprint, not just the immediately preceding one). */
   def resolveTagged(parent: String, tag: String): String = {
     val dir = new java.io.File(parent, tag)
     if (!dir.isDirectory) gcSiblingTags(new java.io.File(parent), tag)
