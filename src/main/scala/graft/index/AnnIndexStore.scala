@@ -18,6 +18,36 @@ import graft.operators.TopKAggregate
   */
 object AnnIndexStore {
 
+  // ---- write-time store version: the serving cache's invalidation key --
+  //
+  // Every store write ends by stamping a fresh unique token into
+  // `_store_version` AFTER the parquet job commits. The SQL serving path
+  // keys its executor-resident graph cache on (path, version, bucket,
+  // sub) — all readable without touching the blob column — so a warm
+  // statement reads zero blob bytes, and a rebuilt store at the same
+  // path misses (new token) instead of serving stale graphs. A missing
+  // file (legacy store, or a writer that died between the parquet commit
+  // and the stamp) downgrades readers to the content-fingerprint path:
+  // slower, never stale. The stamp rides INSIDE the store directory, so
+  // compactDelta's rename swap carries it with the data it describes.
+
+  private val versionFileName = "_store_version"
+
+  /** Stamp `dir` with a fresh version token — call AFTER the store's
+    * data files are committed. */
+  def stampVersion(dir: java.io.File): Unit =
+    java.nio.file.Files.write(
+      new java.io.File(dir, versionFileName).toPath,
+      java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+
+  /** The store's write-time version token, if stamped. */
+  def storeVersion(path: String): Option[String] = {
+    val f = new java.io.File(path.stripSuffix("/"), versionFileName)
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
+      .filter(_.nonEmpty)
+  }
+
   /** Build and persist the bucketed index table.
     * base: (id LONG, vec ARRAY<FLOAT>). */
   def build(base: DataFrame, path: String, numBuckets: Int,
@@ -50,6 +80,7 @@ object AnnIndexStore {
       // MaxDirectMemorySize=20g at 32 threads in the r9/r10 full-scale
       // runs. Uncompressed pages read through plain heap buffers.
       .write.mode("overwrite").option("compression", "uncompressed").parquet(path)
+    stampVersion(new java.io.File(path.stripSuffix("/")))
   }
 
   /** Build sub-indexes per VALUE of `bucketCol` (label, decile, …) —
@@ -84,7 +115,7 @@ object AnnIndexStore {
       .as[(Long, Long, Double, Array[Float], Int)]
       .repartition(col("bucket"), col("sub"))
       .mapPartitions { it =>
-        it.toArray.groupBy(t => (t._2, t._5)).iterator.map { case ((bucket, _), rowsIn) =>
+        it.toArray.groupBy(t => (t._2, t._5)).iterator.map { case ((bucket, sub), rowsIn) =>
           // insert in (attr, id) order: node ids then align with the
           // ts-sorted view (TsIndex.perm ≈ identity), so a range
           // slice's SQ8 codes are one CONTIGUOUS run — the sequential
@@ -95,10 +126,12 @@ object AnnIndexStore {
           val rows = rowsIn.sortBy(t => (t._3, t._1))
           val index = HnswIndex.buildOn(rows.head._4.length, m, efConstruction,
             rows.iterator.map(_._4), HnswIndex.maxAbsOf(rows.iterator.map(_._4)))
-          (bucket, rows.map(_._1), rows.map(_._3), index.toBytes)
+          // `sub` persisted: (bucket, sub) uniquely names this row, so
+          // the serving cache can key it without hashing the blob
+          (bucket, sub, rows.map(_._1), rows.map(_._3), index.toBytes)
         }
       }
-      .toDF("bucket", "ids", "attrs", "graph")
+      .toDF("bucket", "sub", "ids", "attrs", "graph")
       // record WHICH column the aligned attrs came from, so range routes
       // can refuse an index whose attrs are the 0.0 placeholder (a label
       // index built without attrCol would otherwise silently answer
@@ -106,6 +139,7 @@ object AnnIndexStore {
       .withColumn("attr_col", lit(attrCol.orNull))
       // uncompressed for the same direct-memory reason as [[build]]
       .write.mode("overwrite").option("compression", "uncompressed").parquet(path)
+    stampVersion(new java.io.File(path.stripSuffix("/")))
   }
 
   /** IVF-routed stored index: sampled k-means++ centroids as the coarse

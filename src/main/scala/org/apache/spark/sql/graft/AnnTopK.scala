@@ -567,22 +567,20 @@ object AnnTopKExec {
   /** Distributed bucket search + driver top-k merge, ascending (dist, id).
     * Bucketed routes read only the matching sub-index rows (parquet
     * min/max pruning); range routes run the in-filter walk on partially
-    * covered deciles. Returns (id, exact fp32 dist) in rank order. */
+    * covered deciles. Returns (id, exact fp32 dist) in rank order.
+    *
+    * Versioned stores ([[graft.index.AnnIndexStore.storeVersion]]) serve
+    * through the two-pass [[searchStore]]: a WARM statement scans only
+    * the tiny key columns and walks executor-cached graphs — zero blob
+    * bytes read — while unversioned stores take the legacy full blob
+    * scan through the content-fingerprint cache. */
   private[graft] def searchHits(spark: SparkSession, route: AnnRoute,
       qvec: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
     import org.apache.spark.sql.functions.col
-    import spark.implicits._
     val effEf = math.max(ef, k)
-    val candidates = route match {
+    route match {
       case HashRoute(path) =>
-        spark.read.parquet(path)
-          .select("ids", "graph").as[(Array[Long], Array[Byte])]
-          .flatMap { case (ids, bytes) =>
-            val index = HnswIndex.fromBytesCached(bytes)
-            index.search(qvec, k, effEf).iterator
-              .map { case (internal, _) =>
-                (index.exactDistTo(qvec, internal), ids(internal)) }
-          }
+        searchStore(spark, path, None, plainWalk(qvec, k, effEf), k)
       case IvfRoute(path, nprobe) =>
         // The centroid table is nlist rows by contract — driver-resident
         // and cached per store path (registration paths embed the source
@@ -603,76 +601,179 @@ object AnnTopKExec {
         val lists = scored.take(math.min(nprobe, cents.length)).map(_._2.toLong).toIndexedSeq
         // salted oversized lists span several rows per bucket value; the
         // isin prunes to the probed lists via parquet min/max stats
-        spark.read.parquet(s"$path/lists")
-          .filter(col("bucket").isin(lists: _*))
-          .select("ids", "graph").as[(Array[Long], Array[Byte])]
-          .flatMap { case (ids, bytes) =>
-            val index = HnswIndex.fromBytesCached(bytes)
-            index.search(qvec, k, effEf).iterator
-              .map { case (internal, _) =>
-                (index.exactDistTo(qvec, internal), ids(internal)) }
-          }
+        searchStore(spark, s"$path/lists", Some(col("bucket").isin(lists: _*)),
+          plainWalk(qvec, k, effEf), k)
       case LabelRoute(path, bucket, tsRange) =>
-        spark.read.parquet(path)
-          .filter(col("bucket") === bucket)
-          .select("ids", "attrs", "graph").as[(Array[Long], Array[Double], Array[Byte])]
-          .flatMap { case (ids, ts, bytes) =>
-            val index = HnswIndex.fromBytesCached(bytes)
-            val hits = tsRange match {
-              case None => index.search(qvec, k, effEf)
-              case Some((l, r)) =>
-                // coverage by binary search on the sorted-ts view; SMALL
-                // slices scan exactly, the rest walk in-filter with
-                // in-range seeds and coverage-widened ef
-                val tsIdx = new graft.index.TsIndex(ts)
-                val cover = tsIdx.coverage(l, r)
-                if (cover < graft.operators.SearchParams.SmallCoverage)
-                  index.exactOver(qvec, tsIdx.inRange(l, r), k)
-                else
-                  index.search(qvec, k,
-                    graft.operators.SearchParams.inFilterEf(effEf, cover),
-                    (i: Int) => ts(i) >= l && ts(i) <= r,
-                    seeds = tsIdx.seeds(l, r, graft.operators.SearchParams.FilterSeeds))
-            }
-            hits.iterator.map { case (internal, _) =>
-              (index.exactDistTo(qvec, internal), ids(internal)) }
-          }
+        searchStore(spark, path, Some(col("bucket") === bucket),
+          labelWalk(qvec, k, effEf, tsRange), k)
       case RangeRoute(path, lo, hi) =>
         // one bucket of slack low: floor(ts*10) float rounding can file a
         // boundary row one decile down; the in-filter keeps it correct
         val minB = math.floor(lo * 10).toLong - 1
         val maxB = math.floor(hi * 10).toLong
-        spark.read.parquet(path)
-          .filter(col("bucket") >= minB && col("bucket") <= maxB)
-          .select("bucket", "ids", "attrs", "graph")
-          .as[(Long, Array[Long], Array[Double], Array[Byte])]
-          .flatMap { case (decile, ids, ts, bytes) =>
-            val bStart = decile / 10.0
-            val bEnd = (decile + 1) / 10.0
-            if (lo > bEnd || hi < bStart) Iterator.empty
-            else {
-              val index = HnswIndex.fromBytesCached(bytes)
-              val full = lo <= bStart && hi >= bEnd
-              val hits =
-                if (full) index.search(qvec, k, effEf)
-                else {
-                  val tsIdx = new graft.index.TsIndex(ts)
-                  val cover = tsIdx.coverage(lo, hi)
-                  if (cover < graft.operators.SearchParams.SmallCoverage)
-                    index.exactOver(qvec, tsIdx.inRange(lo, hi), k)
-                  else
-                    index.search(qvec, k,
-                      graft.operators.SearchParams.inFilterEf(effEf, cover),
-                      (i: Int) => ts(i) >= lo && ts(i) <= hi,
-                      seeds = tsIdx.seeds(lo, hi, graft.operators.SearchParams.FilterSeeds))
-                }
-              hits.iterator.map { case (internal, _) =>
-              (index.exactDistTo(qvec, internal), ids(internal)) }
-            }
-          }
+        searchStore(spark, path,
+          Some(col("bucket") >= minB && col("bucket") <= maxB),
+          rangeWalk(qvec, k, effEf, lo, hi), k)
     }
-    candidates.rdd
-      .takeOrdered(k)(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
-      .map { case (d, id) => (id, d) }
+  }
+
+  // --- per-route walk bodies (shared by the warm, cold, and legacy
+  // passes — ONE definition each, so hit and miss paths cannot drift) --
+
+  private type Walk = (Long, graft.index.ServingCache.Entry) => Iterator[(Double, Long)]
+
+  private def emit(e: graft.index.ServingCache.Entry, qvec: Array[Float],
+      hits: Array[(Int, Double)]): Iterator[(Double, Long)] =
+    hits.iterator.map { case (internal, _) =>
+      (e.index.exactDistTo(qvec, internal), e.ids(internal)) }
+
+  /** Unfiltered walk (hash buckets, IVF lists). */
+  private def plainWalk(qvec: Array[Float], k: Int, effEf: Int): Walk =
+    (_, e) => emit(e, qvec, e.index.search(qvec, k, effEf))
+
+  /** Type 1/3: label bucket, optional ts in-filter. Coverage by binary
+    * search on the entry's shared sorted-ts view; SMALL slices scan
+    * exactly, the rest walk in-filter with in-range seeds and
+    * coverage-widened ef. */
+  private def labelWalk(qvec: Array[Float], k: Int, effEf: Int,
+      tsRange: Option[(Double, Double)]): Walk = (_, e) => {
+    val hits = tsRange match {
+      case None => e.index.search(qvec, k, effEf)
+      case Some((l, r)) =>
+        val tsIdx = e.tsIndex
+        val ts = e.attrs
+        val cover = tsIdx.coverage(l, r)
+        if (cover < graft.operators.SearchParams.SmallCoverage)
+          e.index.exactOver(qvec, tsIdx.inRange(l, r), k)
+        else
+          e.index.search(qvec, k,
+            graft.operators.SearchParams.inFilterEf(effEf, cover),
+            (i: Int) => ts(i) >= l && ts(i) <= r,
+            seeds = tsIdx.seeds(l, r, graft.operators.SearchParams.FilterSeeds))
+    }
+    emit(e, qvec, hits)
+  }
+
+  /** Type 2: decile buckets — full buckets walk unfiltered, partial
+    * ones in-filter (SMALL slices scan exactly). */
+  private def rangeWalk(qvec: Array[Float], k: Int, effEf: Int,
+      lo: Double, hi: Double): Walk = (decile, e) => {
+    val bStart = decile / 10.0
+    val bEnd = (decile + 1) / 10.0
+    if (lo > bEnd || hi < bStart) Iterator.empty
+    else {
+      val full = lo <= bStart && hi >= bEnd
+      val hits =
+        if (full) e.index.search(qvec, k, effEf)
+        else {
+          val tsIdx = e.tsIndex
+          val ts = e.attrs
+          val cover = tsIdx.coverage(lo, hi)
+          if (cover < graft.operators.SearchParams.SmallCoverage)
+            e.index.exactOver(qvec, tsIdx.inRange(lo, hi), k)
+          else
+            e.index.search(qvec, k,
+              graft.operators.SearchParams.inFilterEf(effEf, cover),
+              (i: Int) => ts(i) >= lo && ts(i) <= hi,
+              seeds = tsIdx.seeds(lo, hi, graft.operators.SearchParams.FilterSeeds))
+        }
+      emit(e, qvec, hits)
+    }
+  }
+
+  /** Run `walk` over every (pred-matching) row of the store and merge
+    * the global top-k, ascending (dist, id).
+    *
+    * Versioned store (stamped by [[graft.index.AnnIndexStore]] writers):
+    *   pass 1 scans ONLY (bucket, sub) — no blob bytes — and walks rows
+    *   the executor's [[graft.index.ServingCache]] already holds under
+    *   (path, version, bucket, sub); rows it doesn't are recorded in a
+    *   collection accumulator. Pass 2 (cold rows only, pruned to their
+    *   buckets) reads the blobs, deserializes into the cache, and walks.
+    *   A fully warm statement is pass 1 alone — the read-on-hit tax the
+    *   fingerprint-keyed cache paid per statement is gone. A store
+    *   swapped mid-statement is detected by re-reading the version after
+    *   the passes (write-time tokens are unique) and the statement
+    *   retries against the new generation — entries keyed under a
+    *   superseded token are never read again and age out of the LRU.
+    *
+    * Unversioned store (legacy layout, or a writer that died between
+    * the parquet commit and the stamp): one full blob scan through
+    * [[HnswIndex.fromBytesCached]] — the content fingerprint can never
+    * serve stale bytes, just slower. */
+  private def searchStore(spark: SparkSession, path: String,
+      pred: Option[org.apache.spark.sql.Column], walk: Walk,
+      k: Int): Array[(Long, Double)] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    val df0 = spark.read.parquet(path)
+    val df = pred.map(df0.filter).getOrElse(df0)
+    val subCol = (if (df.columns.contains("sub")) col("sub") else lit(0))
+      .cast("int").as("sub")
+    val attrsCol = (if (df.columns.contains("attrs")) col("attrs")
+      else lit(null).cast("array<double>")).as("attrs")
+    def coldScan(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("bucket").cast("long").as("bucket"), subCol,
+        col("ids"), attrsCol, col("graph"))
+      .as[(Long, Int, Array[Long], Array[Double], Array[Byte])]
+
+    def onePass(ver: Option[String]): Array[(Double, Long)] = ver match {
+      case None =>
+        coldScan(df).mapPartitions { it =>
+          it.flatMap { case (bucket, _, ids, attrs, bytes) =>
+            walk(bucket, new graft.index.ServingCache.Entry(
+              HnswIndex.fromBytesCached(bytes), ids, attrs))
+          }
+        }.rdd.takeOrdered(k)(ord)
+      case Some(v) =>
+        val missAcc = spark.sparkContext
+          .collectionAccumulator[(Long, Int)]("graft.serving.miss")
+        val warmTop = df
+          .select(col("bucket").cast("long").as("bucket"), subCol)
+          .as[(Long, Int)]
+          .mapPartitions { it =>
+            it.flatMap { case (bucket, sub) =>
+              val e = graft.index.ServingCache.get(path, v, bucket, sub)
+              if (e == null) { missAcc.add((bucket, sub)); Iterator.empty }
+              else walk(bucket, e)
+            }
+          }.rdd.takeOrdered(k)(ord)
+        val missed = {
+          import scala.jdk.CollectionConverters._
+          missAcc.value.asScala.toSet
+        }
+        if (missed.isEmpty) warmTop
+        else {
+          val missBuckets = missed.map(_._1).toSeq
+          val coldTop = coldScan(df.filter(col("bucket").isin(missBuckets: _*)))
+            .mapPartitions { it =>
+              it.flatMap { case (bucket, sub, ids, attrs, bytes) =>
+                if (!missed.contains((bucket, sub))) Iterator.empty
+                else walk(bucket, graft.index.ServingCache.put(path, v,
+                  bucket, sub, HnswIndex.fromBytes(bytes), ids, attrs))
+              }
+            }.rdd.takeOrdered(k)(ord)
+          // a speculative/retried warm task can record a miss for a row
+          // another attempt served — identical (dist, id) duplicates,
+          // removed before the final cut (an id lives in exactly one
+          // store row, so distinct pairs are distinct ids)
+          (warmTop ++ coldTop).distinct.sorted(ord).take(k)
+        }
+    }
+
+    var ver = graft.index.AnnIndexStore.storeVersion(path)
+    var top = onePass(ver)
+    // maintenance swaps are rare (single-writer contract); a statement
+    // that straddled one re-runs against the new generation, bounded
+    var retries = 0
+    var after = graft.index.AnnIndexStore.storeVersion(path)
+    while (after != ver && retries < 2) {
+      ver = after
+      top = onePass(ver)
+      retries += 1
+      after = graft.index.AnnIndexStore.storeVersion(path)
+    }
+    top.map { case (d, id) => (id, d) }
   }
 }
