@@ -73,6 +73,19 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
+    // Per-statement serving latency per route (warm cache), so serving
+    // regressions are tracked round-over-round — the r10 read-on-hit
+    // tax was only visible because the batch suite happens to include
+    // ann_sql_*. Skippable via SPARK_GRAFT_QUERIES (a narrowed dev run
+    // shouldn't pay the store builds).
+    val serving: Seq[(String, Double)] =
+      if (only.isDefined) Seq.empty
+      else try graft.queries.ServingBench.run(spark, sfDir)
+      catch {
+        case NonFatal(e) =>
+          System.err.println(s"[bench] serving bench failed: ${e.getClass.getName}: ${e.getMessage}")
+          Seq.empty
+      }
     // ms precision is plenty for second-scale timings and keeps the
     // stdout line short enough for the driver's bounded capture window.
     // Locale pinned to ROOT: a comma-decimal default locale would emit
@@ -82,8 +95,11 @@ object Bench {
     def queriesJson(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val servingJson =
+      if (serving.isEmpty) ""
+      else s""","serving_ms":${queriesJson(serving)}"""
     def wrap(qs: String, extra: String = ""): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index_build_sec":${fmt(buildSec)}$extra,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index_build_sec":${fmt(buildSec)}$servingJson$extra,"queries":$qs,"sf":"$sfDir"}"""
     val fullJson = wrap(queriesJson(results))
     // The driver captures only a bounded TAIL of stdout (~2000 chars),
     // and sbt appends its own "[success] Total time" line after ours —

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-statement SQL serving latency, per route — the always-on
+  * micro-bench behind `serving_ms` in the bench JSON. The r10 serving
+  * regression (every statement re-reading store blobs to key the graph
+  * cache) was only visible because the gate suite happens to include
+  * `ann_sql_*` batch plans; this measures the per-statement warm-cache
+  * number directly so serving-path regressions are tracked
+  * round-over-round.
+  *
+  * Five routes, mirroring the reference's 4-type dispatch plus the
+  * IVF-routed type-0 serving arm: t0_hash (walk every hash bucket),
+  * t0_ivf (walk the statement's nprobe centroid-nearest lists),
+  * t1_label, t2_range, t3_label_range. Statements go through the full
+  * planner path (strategy match → AnnTopKExec → collect) in trusted
+  * mode; each route's first statement warms the cache and asserts the
+  * plan actually routed (a silent fallback to the exact scan would
+  * otherwise be reported as a serving number). Reuses the ann_sql_*
+  * gate queries' tagged /tmp stores, building any that are missing. */
+object ServingBench {
+
+  def run(s: SparkSession, dir: String, stmts: Int = 8): Seq[(String, Double)] = {
+    import graft.functions.{VectorFunctions => VF}
+    val embBase = s"$dir/embeddings.parquet"
+    val emb = s.read.parquet(embBase)
+
+    // same stores, guards, and parameters as the ann_sql_* gate queries
+    val hashPath = StorePaths.taggedPath(s, "/tmp/graft_ann_sql", dir)
+    if (!new java.io.File(s"$hashPath/_SUCCESS").exists())
+      graft.index.AnnIndexStore.build(
+        emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("vec")),
+        hashPath, numBuckets = 4)
+    val ivfPath = StorePaths.taggedPath(s, "/tmp/graft_ann_ivf_sql", dir)
+    if (!new java.io.File(s"$ivfPath/lists/_SUCCESS").exists())
+      graft.index.AnnIndexStore.buildIvfSeeded(
+        emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("vec")),
+        ivfPath, nlist = 16)
+    val root = StorePaths.taggedPath(s, "/tmp/graft_sql_route", dir)
+    val basePath = s"$root/base"
+    if (!new java.io.File(s"$basePath/_SUCCESS").exists())
+      graft.SparkEntry.vecBase(s, dir).write.mode("overwrite").parquet(basePath)
+    val b = s.read.parquet(basePath)
+    if (!new java.io.File(s"$root/by_hash/_SUCCESS").exists())
+      graft.index.AnnIndexStore.build(b.select(col("id"), col("vec")), s"$root/by_hash", 4)
+    if (!new java.io.File(s"$root/by_label/_SUCCESS").exists())
+      graft.index.AnnIndexStore.buildBy(b, s"$root/by_label", "label", attrCol = Some("ts"))
+    if (!new java.io.File(s"$root/by_decile/_SUCCESS").exists())
+      graft.index.AnnIndexStore.buildBy(
+        b.withColumn("decile", floor(col("ts") * 10).cast("long")),
+        s"$root/by_decile", "decile", attrCol = Some("ts"))
+
+    // deterministic statement parameters: the first stmts+1 queries of
+    // each type from the gate queries' own derived batch (head warms +
+    // plan-asserts, tail is timed)
+    val q = graft.SparkEntry.vecQueries(s, dir)
+    def qsOf(t: Int): Array[(Long, Double, Double, Array[Float])] =
+      q.filter(col("qtype") === t).orderBy("qid").limit(stmts + 1)
+        .select("v", "l", "r", "qvec").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getSeq[Float](3).toArray))
+
+    // mean warm ms/statement; the head statement additionally asserts
+    // the routed plan
+    def msPerStmt(params: Array[(Long, Double, Double, Array[Float])],
+        mustContain: String)(
+        mk: ((Long, Double, Double, Array[Float])) => DataFrame): Double = {
+      require(params.length >= 2, s"serving bench: too few statements (${params.length})")
+      val warm = mk(params.head)
+      val plan = warm.queryExecution.executedPlan.toString
+      require(plan.contains("AnnTopK") && plan.contains(mustContain),
+        s"serving bench: statement did not route (wanted $mustContain):\n$plan")
+      warm.collect()
+      val timed = params.tail
+      val t0 = System.nanoTime()
+      timed.foreach(p => mk(p).collect())
+      (System.nanoTime() - t0) / 1e6 / timed.length
+    }
+
+    val results = Seq.newBuilder[(String, Double)]
+    val qe = qsOf(0)
+
+    def t0Stmt(p: (Long, Double, Double, Array[Float])): DataFrame =
+      s.read.parquet(embBase)
+        .orderBy(VF.l2Sq(col("embedding"), typedLit(p._4)), col("vec_id"))
+        .select("vec_id").limit(10)
+
+    org.apache.spark.sql.graft.AnnCatalog.register(embBase, hashPath,
+      idCol = "vec_id", vecCol = "embedding", ef = 200, trusted = true)
+    results += "t0_hash" -> msPerStmt(qe, "index=")(t0Stmt)
+
+    org.apache.spark.sql.graft.AnnCatalog.register(embBase, hashPath,
+      idCol = "vec_id", vecCol = "embedding", ef = 400, trusted = true,
+      ivfIndex = Some(ivfPath), nprobe = 4)
+    results += "t0_ivf" -> msPerStmt(qe, "ivf=")(t0Stmt)
+    org.apache.spark.sql.graft.AnnCatalog.unregister(embBase)
+
+    org.apache.spark.sql.graft.AnnCatalog.register(basePath, s"$root/by_hash",
+      idCol = "id", vecCol = "vec", ef = 200,
+      labelIndex = Some(("label", s"$root/by_label")),
+      rangeIndex = Some(("ts", s"$root/by_decile")), trusted = true)
+    def ranked(filtered: DataFrame, qv: Array[Float]): DataFrame =
+      filtered.orderBy(VF.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id").limit(10)
+    results += "t1_label" -> msPerStmt(qsOf(1), "bucket=") { p =>
+      ranked(b.filter(col("label") === p._1), p._4)
+    }
+    results += "t2_range" -> msPerStmt(qsOf(2), "ts=[") { p =>
+      ranked(b.filter(col("ts") >= p._2 && col("ts") <= p._3), p._4)
+    }
+    results += "t3_label_range" -> msPerStmt(qsOf(3), "bucket=") { p =>
+      ranked(b.filter(col("label") === p._1 && col("ts") >= p._2 && col("ts") <= p._3), p._4)
+    }
+    org.apache.spark.sql.graft.AnnCatalog.unregister(basePath)
+    results.result()
+  }
+}

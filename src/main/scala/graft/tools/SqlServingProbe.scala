@@ -68,13 +68,52 @@ object SqlServingProbe {
       (dt, res)
     }
 
+    // legacy-path A/B: hide a store's version stamp so the SAME
+    // statements must take the fingerprint path (full blob scan per
+    // statement) instead of the version-keyed warm pass
+    def withHiddenStamp[T](storePath: String)(body: => T): T = {
+      val f = new java.io.File(storePath, "_store_version")
+      val bak = new java.io.File(storePath, "_store_version.hidden")
+      require(f.exists() && f.renameTo(bak), s"no stamp to hide at $storePath")
+      try body finally require(bak.renameTo(f), s"cannot restore stamp at $storePath")
+    }
+    def cacheDelta[T](body: => T): (T, Long, Long) = {
+      val h0 = graft.index.ServingCache.hits.get()
+      val m0 = graft.index.ServingCache.misses.get()
+      val r = body
+      (r, graft.index.ServingCache.hits.get() - h0,
+        graft.index.ServingCache.misses.get() - m0)
+    }
+
     AnnCatalog.register(basePath, s"$root/by_hash", idCol = "id", vecCol = "vec",
       ef = ef, trusted = true)
-    val (hashDt, hashRes) = drive("hash")
+    val ((hashDt, hashRes), hHits, hMisses) = cacheDelta(drive("hash"))
+    println(s"CACHE hash: hits=$hHits misses=$hMisses (misses = blob reads; warm steady state is 0)")
+    // the fingerprint path on the same store: every statement re-reads
+    // every bucket's blob to compute the cache key — the r10 tax
+    val (hashLegacyDt, hashLegacyRes) =
+      if (AnnIndexStoreHasStamp(s"$root/by_hash"))
+        withHiddenStamp(s"$root/by_hash")(drive("hash_fingerprint"))
+      else { println("STAGE hash_fingerprint: skipped (store predates version stamps)"); (0.0, hashRes) }
+    if (hashLegacyDt > 0) {
+      require(hashLegacyRes.zip(hashRes).forall { case (a, b) => a.sameElements(b) },
+        "fingerprint path must serve identical results")
+      println(f"AB hash: versioned=${hashDt / nStmts * 1000}%.0f ms/stmt vs fingerprint=${hashLegacyDt / nStmts * 1000}%.0f ms/stmt = ${hashLegacyDt / hashDt}%.2fx")
+    }
 
     AnnCatalog.register(basePath, s"$root/by_hash", idCol = "id", vecCol = "vec",
       ef = ef, trusted = true, ivfIndex = Some(s"$root/by_ivf"), nprobe = nprobe)
-    val (ivfDt, ivfRes) = drive(s"ivf_nprobe$nprobe")
+    val ((ivfDt, ivfRes), iHits, iMisses) = cacheDelta(drive(s"ivf_nprobe$nprobe"))
+    println(s"CACHE ivf: hits=$iHits misses=$iMisses")
+    val (ivfLegacyDt, ivfLegacyRes) =
+      if (AnnIndexStoreHasStamp(s"$root/by_ivf/lists"))
+        withHiddenStamp(s"$root/by_ivf/lists")(drive(s"ivf_fingerprint"))
+      else { println("STAGE ivf_fingerprint: skipped (store predates version stamps)"); (0.0, ivfRes) }
+    if (ivfLegacyDt > 0) {
+      require(ivfLegacyRes.zip(ivfRes).forall { case (a, b) => a.sameElements(b) },
+        "fingerprint path must serve identical results")
+      println(f"AB ivf: versioned=${ivfDt / nStmts * 1000}%.0f ms/stmt vs fingerprint=${ivfLegacyDt / nStmts * 1000}%.0f ms/stmt = ${ivfLegacyDt / ivfDt}%.2fx")
+    }
 
     val agree = hashRes.zip(ivfRes).map { case (h, i) =>
       h.toSet.intersect(i.toSet).size.toDouble / k
@@ -83,4 +122,7 @@ object SqlServingProbe {
     AnnCatalog.unregister(basePath)
     spark.stop()
   }
+
+  private def AnnIndexStoreHasStamp(path: String): Boolean =
+    graft.index.AnnIndexStore.storeVersion(path).isDefined
 }
