@@ -62,10 +62,17 @@ object SqlServingProbe {
       // serve from cached deserialized graphs in steady state)
       stmt(qvs.head._2)
       val t0 = System.nanoTime()
-      val res = qvs.map { case (_, qv) => stmt(qv) }
+      val perStmt = qvs.map { case (_, qv) =>
+        val s0 = System.nanoTime()
+        val r = stmt(qv)
+        (r, (System.nanoTime() - s0) / 1e6)
+      }
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"STAGE serve_$tag: $nStmts statements in $dt%.2f s = ${dt / nStmts * 1000}%.0f ms/stmt")
-      (dt, res)
+      val ms = perStmt.map(_._2).sorted
+      println(f"STAGE serve_$tag: $nStmts statements in $dt%.2f s = ${dt / nStmts * 1000}%.0f ms/stmt " +
+        f"(min ${ms.head}%.0f / p50 ${ms(ms.length / 2)}%.0f / max ${ms.last}%.0f; " +
+        f"last5 ${perStmt.takeRight(5).map(p => f"${p._2}%.0f").mkString(",")})")
+      (dt, perStmt.map(_._1))
     }
 
     // legacy-path A/B: hide a store's version stamp so the SAME
@@ -87,13 +94,19 @@ object SqlServingProbe {
 
     AnnCatalog.register(basePath, s"$root/by_hash", idCol = "id", vecCol = "vec",
       ef = ef, trusted = true)
+    // two passes per arm: pass 1 includes the one-time cache fill, pass
+    // 2 over the SAME statements is the steady-state serving number the
+    // A/B compares (misses there must be 0 on the versioned path)
+    drive("hash_fill")
     val ((hashDt, hashRes), hHits, hMisses) = cacheDelta(drive("hash"))
     println(s"CACHE hash: hits=$hHits misses=$hMisses (misses = blob reads; warm steady state is 0)")
     // the fingerprint path on the same store: every statement re-reads
     // every bucket's blob to compute the cache key — the r10 tax
     val (hashLegacyDt, hashLegacyRes) =
       if (AnnIndexStoreHasStamp(s"$root/by_hash"))
-        withHiddenStamp(s"$root/by_hash")(drive("hash_fingerprint"))
+        withHiddenStamp(s"$root/by_hash") {
+          drive("hash_fingerprint_fill"); drive("hash_fingerprint")
+        }
       else { println("STAGE hash_fingerprint: skipped (store predates version stamps)"); (0.0, hashRes) }
     if (hashLegacyDt > 0) {
       require(hashLegacyRes.zip(hashRes).forall { case (a, b) => a.sameElements(b) },
@@ -103,11 +116,14 @@ object SqlServingProbe {
 
     AnnCatalog.register(basePath, s"$root/by_hash", idCol = "id", vecCol = "vec",
       ef = ef, trusted = true, ivfIndex = Some(s"$root/by_ivf"), nprobe = nprobe)
+    drive(s"ivf_fill")
     val ((ivfDt, ivfRes), iHits, iMisses) = cacheDelta(drive(s"ivf_nprobe$nprobe"))
     println(s"CACHE ivf: hits=$iHits misses=$iMisses")
     val (ivfLegacyDt, ivfLegacyRes) =
       if (AnnIndexStoreHasStamp(s"$root/by_ivf/lists"))
-        withHiddenStamp(s"$root/by_ivf/lists")(drive(s"ivf_fingerprint"))
+        withHiddenStamp(s"$root/by_ivf/lists") {
+          drive("ivf_fingerprint_fill"); drive(s"ivf_fingerprint")
+        }
       else { println("STAGE ivf_fingerprint: skipped (store predates version stamps)"); (0.0, ivfRes) }
     if (ivfLegacyDt > 0) {
       require(ivfLegacyRes.zip(ivfRes).forall { case (a, b) => a.sameElements(b) },
