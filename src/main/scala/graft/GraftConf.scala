@@ -24,8 +24,13 @@ object GraftConf {
     */
   val TopKAggFallbackKeys = 8192
 
-  /** Apply engine session defaults to a builder. */
+  /** Apply engine session defaults to a builder.
+    * `GRAFT_TOPK_FALLBACK_KEYS` overrides the threshold (A/B knob: the
+    * raised default changes ObjectHashAggregate behavior for EVERY
+    * object aggregate in the session, not just the bounded top-k heaps
+    * it was sized for — bisectable per run). */
   def tuned(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      TopKAggFallbackKeys.toString)
+      sys.env.getOrElse("GRAFT_TOPK_FALLBACK_KEYS",
+        TopKAggFallbackKeys.toString))
 }
