@@ -48,6 +48,40 @@ object AnnIndexStore {
       .filter(_.nonEmpty)
   }
 
+  // ---- tuned effort-band sidecar (`_ef_bands`) -----------------------
+  //
+  // [[EfTuner.tuneBands]] derives a store's own EfBands table and
+  // persists it here; the banded search arms (searchDecileRange /
+  // searchByRange with efBands = true) load it per call and fall back
+  // to the hand-derived SearchParams defaults when absent or corrupt.
+
+  private val efBandsFileName = "_ef_bands"
+
+  def writeEfBands(path: String, bands: graft.operators.EfBands): Unit =
+    java.nio.file.Files.write(
+      new java.io.File(path.stripSuffix("/"), efBandsFileName).toPath,
+      bands.serialize.getBytes("UTF-8"))
+
+  def efBandsOf(path: String): Option[graft.operators.EfBands] = {
+    val f = new java.io.File(path.stripSuffix("/"), efBandsFileName)
+    if (!f.exists()) None
+    else graft.operators.EfBands.parse(
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+  }
+
+  /** Test observability: the last (store path, table) a banded search
+    * arm resolved — the spec's proof that lifecycle arms actually load
+    * the tuned sidecar rather than silently using the defaults. */
+  @volatile private[index] var lastBandsLoaded: Option[(String, graft.operators.EfBands)] = None
+
+  /** The banded arms' band-table resolution: the store's tuned sidecar
+    * when present, else the hand defaults; recorded for specs. */
+  private def resolveBands(path: String): graft.operators.EfBands = {
+    val loaded = efBandsOf(path)
+    lastBandsLoaded = loaded.map(path -> _)
+    loaded.getOrElse(graft.operators.SearchParams.DefaultBands)
+  }
+
   /** Build and persist the bucketed index table.
     * base: (id LONG, vec ARRAY<FLOAT>). */
   def build(base: DataFrame, path: String, numBuckets: Int,
@@ -91,27 +125,51 @@ object AnnIndexStore {
     * base: (id LONG, <bucketCol> LONG, vec ARRAY<FLOAT>). */
   /** `attrCol` (optional) persists one aligned double per row (e.g. the
     * raw timestamp) so range predicates can run the in-filter walk
-    * against the stored sub-index ([[searchDecileRange]]). */
+    * against the stored sub-index ([[searchDecileRange]]).
+    *
+    * `attrSalted` (requires `attrCol`): oversized buckets split into
+    * ATTR-CONTIGUOUS sub-chunks (consecutive (attr, id) rank) instead
+    * of hash(id) salt. Hash salting spreads every range query's slice
+    * across ALL of a bucket's sub-graphs — the measured type-2 wall at
+    * the 10M contest point, and the same amplification on the type-3
+    * label+range path; contiguous chunks let [[searchByRange]]'s banded
+    * arm skip sub-rows whose [attr_min, attr_max] misses the query
+    * range before even deserializing them. Changes sub-graph MEMBERSHIP
+    * (walk results can differ at equal recall), so hash-gated oracle
+    * stores keep the default. */
   def buildBy(base: DataFrame, path: String, bucketCol: String,
       m: Int = 16, efConstruction: Int = 200,
       attrCol: Option[String] = None,
-      maxRowsPerIndex: Int = 200000): Unit = {
+      maxRowsPerIndex: Int = 200000,
+      attrSalted: Boolean = false): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
+    require(!attrSalted || attrCol.isDefined, "attrSalted requires attrCol")
     val attr = attrCol.map(c => col(c).cast("double")).getOrElse(lit(0.0))
     val keyed = base.select(col("id").cast("long"),
       col(bucketCol).cast("long").as("bucket"), attr.as("attr"), col("vec"))
     // oversized bucket values split into salted sub-indexes — one giant
     // bucket would otherwise be one straggler task building one giant
     // graph; readers merge sub-rows through the bounded top-k
-    val splits = keyed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
-      .collect()
-      .map(r => r.getLong(0) ->
-        math.max(1, math.ceil(r.getLong(1).toDouble / maxRowsPerIndex).toInt))
-      .toMap
-    val splitsCol = element_at(typedLit(splits), col("bucket"))
-    keyed
-      .withColumn("sub", pmod(hash(col("id")), splitsCol).cast("int"))
+    val salted =
+      if (attrSalted) {
+        // per-bucket (attr, id) rank → chunks of ≤ maxRowsPerIndex
+        // consecutive rows; the biggest bucket is one sort partition,
+        // the same skew its graph build pays anyway
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy(col("attr"), col("id"))
+        keyed.withColumn("sub",
+          ((row_number().over(w) - 1) / maxRowsPerIndex).cast("int"))
+      } else {
+        val splits = keyed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+          .collect()
+          .map(r => r.getLong(0) ->
+            math.max(1, math.ceil(r.getLong(1).toDouble / maxRowsPerIndex).toInt))
+          .toMap
+        val splitsCol = element_at(typedLit(splits), col("bucket"))
+        keyed.withColumn("sub", pmod(hash(col("id")), splitsCol).cast("int"))
+      }
+    salted
       .as[(Long, Long, Double, Array[Float], Int)]
       .repartition(col("bucket"), col("sub"))
       .mapPartitions { it =>
@@ -127,11 +185,15 @@ object AnnIndexStore {
           val index = HnswIndex.buildOn(rows.head._4.length, m, efConstruction,
             rows.iterator.map(_._4), HnswIndex.maxAbsOf(rows.iterator.map(_._4)))
           // `sub` persisted: (bucket, sub) uniquely names this row, so
-          // the serving cache can key it without hashing the blob
-          (bucket, sub, rows.map(_._1), rows.map(_._3), index.toBytes)
+          // the serving cache can key it without hashing the blob.
+          // attr_min/attr_max (rows are (attr, id)-sorted): the range
+          // skip bound — parquet column min/max stats prune row GROUPS,
+          // these prune per ROW before the blob is deserialized
+          (bucket, sub, rows.map(_._1), rows.map(_._3), index.toBytes,
+            rows.head._3, rows.last._3)
         }
       }
-      .toDF("bucket", "sub", "ids", "attrs", "graph")
+      .toDF("bucket", "sub", "ids", "attrs", "graph", "attr_min", "attr_max")
       // record WHICH column the aligned attrs came from, so range routes
       // can refuse an index whose attrs are the 0.0 placeholder (a label
       // index built without attrCol would otherwise silently answer
@@ -429,9 +491,22 @@ object AnnIndexStore {
     * `attrCol = ts`: each query walks ONLY its label's sub-index with
     * the ts in-filter — the stored-index form of the reference's
     * SearchCategoryRange (searcher.hpp:301-374).
-    * queries: (qid, v, l, r, qvec) → (qid, rank, nid). */
+    *
+    * `efBands` (serving-scale arm, pairs with an `attrSalted` store):
+    * the type-2 rework's ingredients applied to the label+range path —
+    * (a) sub-rows whose [ts(0), ts(last)] misses the query range are
+    * SKIPPED before the graph is even deserialized (with attr-contiguous
+    * salting an oversized label's non-overlapping chunks cost nothing;
+    * hash-salted stores walk every chunk per query), (b) a sub-row the
+    * range fully covers walks PLAIN (no in-filter overhead), (c) below
+    * [[graft.operators.SearchParams.BruteCoverage]] the slice is scanned
+    * by the quantized two-stage [[HnswIndex.exactOverQ]] (int8 preselect
+    * + fp32 re-rank — the measured 4.3× over the boosted filtered walk
+    * at the t2 probe). Results can differ from the exact-effort arm at
+    * the quantization margin, so hash-gated oracle queries keep the
+    * default. queries: (qid, v, l, r, qvec) → (qid, rank, nid). */
   def searchByRange(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, ef: Int = 200): DataFrame = {
+      k: Int, ef: Int = 200, efBands: Boolean = false): DataFrame = {
     import spark.implicits._
     val qByBucket = queries
       .select(col("qid").cast("long"), col("v").cast("long"),
@@ -441,6 +516,8 @@ object AnnIndexStore {
         (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getSeq[Float](4).toArray)))
       .groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2)) }
     if (qByBucket.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+    val bands =
+      if (efBands) resolveBands(path) else graft.operators.SearchParams.DefaultBands
     val bq = spark.sparkContext.broadcast(qByBucket)
     val wanted = qByBucket.keys.toSeq
     spark.read.parquet(path)
@@ -450,20 +527,41 @@ object AnnIndexStore {
       .mapPartitions { it =>
         it.flatMap { case (bucket, ids, ts, graphBytes) =>
           bq.value.get(bucket).iterator.flatMap { qs =>
-            val index = HnswIndex.fromBytesCached(graphBytes)
-            val tsIdx = new TsIndex(ts)
-            qs.iterator.flatMap { case (qid, l, r, qvec) =>
-              val cover = tsIdx.coverage(l, r)
-              val hits =
-                if (cover < graft.operators.SearchParams.SmallCoverage)
-                  index.exactOver(qvec, tsIdx.inRange(l, r), k)
-                else {
-                  val allowed: Int => Boolean = i => ts(i) >= l && ts(i) <= r
-                  index.search(qvec, k,
-                    graft.operators.SearchParams.inFilterEf(ef, cover), allowed,
-                    seeds = tsIdx.seeds(l, r, graft.operators.SearchParams.FilterSeeds))
-                }
-              hits.iterator.map { case (internal, d) => (qid, ids(internal), d) }
+            // attrs are (attr, id)-sorted at build: ts(0)/ts(last) bound
+            // the sub-row, so the overlap check needs no graph
+            val overlapping =
+              if (!efBands || ts.isEmpty) qs
+              else qs.filter { case (_, l, r, _) => l <= ts(ts.length - 1) && r >= ts(0) }
+            if (overlapping.isEmpty) Iterator.empty
+            else {
+              val index = HnswIndex.fromBytesCached(graphBytes)
+              val tsIdx = new TsIndex(ts)
+              overlapping.iterator.flatMap { case (qid, l, r, qvec) =>
+                val full = efBands && ts.nonEmpty &&
+                  l <= ts(0) && r >= ts(ts.length - 1)
+                val hits =
+                  if (full) index.search(qvec, k, ef)
+                  else {
+                    val cover = tsIdx.coverage(l, r)
+                    val (thr, exactScan) =
+                      if (efBands)
+                        (bands.bruteCoverage,
+                          () => index.exactOverQ(qvec, tsIdx.inRange(l, r), k))
+                      else
+                        (graft.operators.SearchParams.SmallCoverage,
+                          () => index.exactOver(qvec, tsIdx.inRange(l, r), k))
+                    if (cover < thr) exactScan()
+                    else {
+                      val allowed: Int => Boolean = i => ts(i) >= l && ts(i) <= r
+                      val efW =
+                        if (efBands) bands.inFilterEf(ef, cover)
+                        else graft.operators.SearchParams.inFilterEf(ef, cover)
+                      index.search(qvec, k, efW, allowed,
+                        seeds = tsIdx.seeds(l, r, graft.operators.SearchParams.FilterSeeds))
+                    }
+                  }
+                hits.iterator.map { case (internal, d) => (qid, ids(internal), d) }
+              }
             }
           }
         }
@@ -512,6 +610,10 @@ object AnnIndexStore {
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getSeq[Float](3).toArray))
     if (qBatch.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+    // the banded arm's effort table: the store's tuned sidecar when
+    // present (EfTuner.tuneBands), else the hand-derived defaults
+    val bands =
+      if (efBands) resolveBands(path) else graft.operators.SearchParams.DefaultBands
     val bq = spark.sparkContext.broadcast(qBatch)
     // widen the coarse prune one bucket low: floor(ts*scale) float
     // rounding can file a boundary row one bucket down (ADVICE r2); the
@@ -558,7 +660,7 @@ object AnnIndexStore {
                     if (efBands) {
                       val mFull = math.max(0,
                         math.floor(r * scale) - math.ceil(l * scale)).toInt
-                      graft.operators.SearchParams.unionWalkEf(ef, k, mFull)
+                      bands.unionWalkEf(ef, k, mFull)
                     } else ef
                   index.search(qvec, k, efFull)
                 } else {
@@ -576,7 +678,7 @@ object AnnIndexStore {
                   val cover = tsIdx.coverage(l, r)
                   val (thr, exactScan) =
                     if (efBands)
-                      (graft.operators.SearchParams.BruteCoverage,
+                      (bands.bruteCoverage,
                         () => index.exactOverQ(qvec, tsIdx.inRange(l, r), k))
                     else
                       (graft.operators.SearchParams.SmallCoverage,
@@ -584,8 +686,10 @@ object AnnIndexStore {
                   if (cover < thr) exactScan()
                   else {
                     val allowed: Int => Boolean = i => ts(i) >= l && ts(i) <= r
-                    index.search(qvec, k,
-                      graft.operators.SearchParams.inFilterEf(ef, cover), allowed,
+                    val efW =
+                      if (efBands) bands.inFilterEf(ef, cover)
+                      else graft.operators.SearchParams.inFilterEf(ef, cover)
+                    index.search(qvec, k, efW, allowed,
                       seeds = tsIdx.seeds(l, r, graft.operators.SearchParams.FilterSeeds))
                   }
                 }
@@ -773,6 +877,19 @@ object AnnIndexStore {
   //     redeployment event can fail transiently or observe a partial
   //     delta — retry after the switch, or pause serving around
   //     stream redeployments.
+
+  /** Test-only fault injection: every fs-visible boundary inside the
+    * maintenance ops calls [[crashPoint]] with a stable name, and the
+    * crash-point property spec swaps in a hook that THROWS at a chosen
+    * point — simulating the process dying exactly there. The recovery
+    * contract under test: whatever the boundary, the next maintenance
+    * entry (recoverStore + repairDelta + the replay rules) restores a
+    * store whose serve set is exactly the acknowledged rows. Production
+    * value is a no-op; the call sites double as documentation of the
+    * crash windows. */
+  @volatile private[index] var crashHook: String => Unit = _ => ()
+
+  private def crashPoint(name: String): Unit = crashHook(name)
 
   /** Sibling dataset holding not-yet-indexed rows (plain (id, vec)
     * parquet) — `<path>.delta`, NOT a subdirectory, so reading the main
@@ -974,6 +1091,7 @@ object AnnIndexStore {
         java.nio.file.Files.write(
           new java.io.File(root, "_SUCCESS").toPath, Array.empty[Byte])
       }
+      crashPoint("demote.root_committed")
       bids.foreach { case (bid, dir) =>
         Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
           if (f.isFile && f.getName.endsWith(".parquet") &&
@@ -981,6 +1099,7 @@ object AnnIndexStore {
             require(f.renameTo(new java.io.File(root, s"bid$bid-${f.getName}")),
               s"epoch switch: cannot demote $f")
         }
+        crashPoint("demote.bid_moved")
         deleteRecursively(dir)
       }
     }
@@ -1052,6 +1171,7 @@ object AnnIndexStore {
     // on-disk task dirs of the attempt path), duplicating rows. bid=
     // dirs (the stream's rows) and its epoch file survive.
     sweepUncommittedRoot(root)
+    crashPoint("replace.swept")
     delta.select(col("id").cast("long"), col("vec"))
       .write.mode("append").parquet(deltaPath(path))
   }
@@ -1107,10 +1227,12 @@ object AnnIndexStore {
       // watermark resets so the new stream's restarted ids are LIVE
       // under the bid > maxBid rule
       demoteBidsToFlat(path)
+      crashPoint("append.demoted")
       marker.foreach { m =>
         writeFoldMarker(new java.io.File(path.stripSuffix("/")),
           m.flatFp.getOrElse("-"), -1L, epoch)
       }
+      crashPoint("append.watermark_reset")
     } else {
       if (marker.exists(_.maxBid == batchId)) return
       marker.foreach { m =>
@@ -1131,6 +1253,7 @@ object AnnIndexStore {
       java.nio.file.Files.write(
         new java.io.File(dp, streamEpochName).toPath, e.getBytes("UTF-8"))
     }
+    crashPoint("append.epoch_file_written")
     delta.select(col("id").cast("long"), col("vec"))
       .write.mode("overwrite").parquet(s"${deltaPath(path)}/bid=$batchId")
   }
@@ -1228,14 +1351,19 @@ object AnnIndexStore {
     val tmp = path.stripSuffix("/") + ".compact"
     deleteRecursively(new java.io.File(tmp)) // a crashed prior attempt
     build(all, tmp, numBuckets, m, efConstruction)
+    crashPoint("compact.built")
     if (hadFlat || maxBid >= 0)
       writeFoldMarker(new java.io.File(tmp), foldedFlatFp, maxBid, foldedEpoch)
+    crashPoint("compact.marked")
     val old = new java.io.File(path.stripSuffix("/") + ".old")
     deleteRecursively(old)
     require(new java.io.File(path).renameTo(old), s"swap: cannot move $path aside")
+    crashPoint("compact.store_aside")
     require(new java.io.File(tmp).renameTo(new java.io.File(path)),
       s"swap: cannot promote $tmp")
+    crashPoint("compact.promoted")
     deleteRecursively(old)
+    crashPoint("compact.old_deleted")
     // delete exactly what the marker says was folded (an in-flight
     // uncommitted micro-batch dir, if the single-writer contract were
     // ever stretched, is left for its replay to overwrite)

@@ -37,6 +37,116 @@ object EfTuner {
     tune(idx, sample, k, targetRecall, ladder)
   }
 
+  /** Derive a store's own effort-band table ([[graft.operators.EfBands]])
+    * by measured recall — the banded search arms' analog of [[tune]]:
+    * the reference's per-dataset `SearchParams` table
+    * (hybrid_graph.h:14-34) derived from the store instead of copied.
+    *
+    * Full-union factors: for each mFull threshold of the default table
+    * ({2, 4, 8}), load that many ADJACENT bucket rows (middle of the
+    * bucket-id range — middle buckets serve the most ranges), take the
+    * exact top-k over their union as ground truth, and keep the
+    * smallest factor whose unioned per-bucket walks (at
+    * `unionWalkEf(ef, k, m)` with that factor) reach `targetRecall`.
+    *
+    * In-filter cap: on the largest single bucket, centered attr ranges
+    * at coverage 0.70 and 0.85 (above the exact-scan line, where the
+    * in-filter walk actually runs): the smallest widening cap whose
+    * seeded in-filter walk reaches `targetRecall` on BOTH bands.
+    *
+    * Tuned at a reference `ef` (the serving default); factors are
+    * relative, so nearby serving efs inherit the shape. The store must
+    * be a [[AnnIndexStore.buildBy]] table with real attrs (range/label
+    * stores). Deterministic: seeded builds, id-ordered ties, fixed
+    * ladders. */
+  def tuneBands(spark: org.apache.spark.sql.SparkSession, storePath: String,
+      sample: Array[Array[Float]], k: Int, targetRecall: Double,
+      ef: Int = 400,
+      factorLadder: Seq[Double] = Seq(0.25, 0.35, 0.5, 0.75, 1.0),
+      capLadder: Seq[Double] = Seq(1.0, 1.5, 2.0, 3.0, 4.0)): graft.operators.EfBands = {
+    import org.apache.spark.sql.functions._
+    require(sample.nonEmpty, "empty tuning sample")
+    val deflt = graft.operators.SearchParams.DefaultBands
+    val df = spark.read.parquet(storePath)
+    require(df.columns.contains("attrs"), s"tuneBands: $storePath has no attrs")
+    val buckets = df.select(col("bucket").cast("long")).distinct()
+      .orderBy("bucket").collect().map(_.getLong(0))
+    require(buckets.nonEmpty, s"tuneBands: empty store at $storePath")
+
+    def loadBuckets(bs: Seq[Long]): Seq[(HnswIndex, Array[Long], Array[Double])] =
+      df.filter(col("bucket").isin(bs: _*))
+        .select(col("ids"), col("attrs"), col("graph"))
+        .collect().toSeq
+        .map(r => (HnswIndex.fromBytes(r.getAs[Array[Byte]]("graph")),
+          r.getSeq[Long](0).toArray, r.getSeq[Double](1).toArray))
+
+    def unionTopK(per: Seq[Array[(Double, Long)]]): Set[Long] =
+      per.flatten.sorted.take(k).map(_._2).toSet
+
+    // ---- full-union factors, one per mFull threshold ----
+    val fullTuned = deflt.full.map(_._1).sorted.map { m =>
+      val take = math.min(m, buckets.length)
+      val start = math.max(0, buckets.length / 2 - take / 2)
+      val idxs = loadBuckets(buckets.slice(start, start + take))
+      val truth: Array[Set[Long]] = sample.map { q =>
+        unionTopK(idxs.map { case (idx, ids, _) =>
+          idx.exactOver(q, Array.tabulate(idx.size)(identity), k)
+            .map { case (n, d) => (d, ids(n)) }
+        })
+      }
+      val chosen = factorLadder.find { f =>
+        val table = deflt.copy(full = Seq(1 -> f))
+        val efB = table.unionWalkEf(ef, k, m)
+        var hit = 0L
+        var total = 0L
+        sample.iterator.zipWithIndex.foreach { case (q, qi) =>
+          val got = unionTopK(idxs.map { case (idx, ids, _) =>
+            idx.search(q, k, efB).map { case (n, d) => (d, ids(n)) }
+          })
+          hit += truth(qi).intersect(got).size
+          total += truth(qi).size
+        }
+        total == 0 || hit.toDouble / total >= targetRecall
+      }.getOrElse(factorLadder.last)
+      (m, chosen)
+    }.sortBy(-_._1)
+
+    // ---- in-filter widening cap, on the largest bucket ----
+    val bigBucket = df
+      .select(col("bucket").cast("long"), size(col("ids")).as("n"))
+      .orderBy(desc("n"), col("bucket")).limit(1)
+      .collect()(0).getLong(0)
+    val (bigIdx, _, bigTs) = loadBuckets(Seq(bigBucket)).head
+    val tsIdx = new TsIndex(bigTs)
+    val sortedTs = bigTs.sorted
+    def bandRecall(cap: Double, cover: Double): Double = {
+      val n = sortedTs.length
+      val lo = sortedTs(math.max(0, ((1 - cover) / 2 * n).toInt))
+      val hi = sortedTs(math.min(n - 1, (((1 + cover) / 2) * n).toInt - 1))
+      val slice = tsIdx.inRange(lo, hi)
+      if (slice.isEmpty) return 1.0
+      val table = deflt.copy(inFilterMaxFactor = cap)
+      val efW = table.inFilterEf(ef, cover)
+      val allowed: Int => Boolean = i => bigTs(i) >= lo && bigTs(i) <= hi
+      var hit = 0L
+      var total = 0L
+      sample.foreach { q =>
+        val truth = bigIdx.exactOver(q, slice, k).map(_._1).toSet
+        val got = bigIdx.search(q, k, efW, allowed,
+          seeds = tsIdx.seeds(lo, hi, graft.operators.SearchParams.FilterSeeds))
+          .map(_._1).toSet
+        hit += truth.intersect(got).size
+        total += truth.size
+      }
+      if (total == 0) 1.0 else hit.toDouble / total
+    }
+    val capTuned = capLadder.find { cap =>
+      Seq(0.70, 0.85).forall(c => bandRecall(cap, c) >= targetRecall)
+    }.getOrElse(capLadder.last)
+
+    graft.operators.EfBands(fullTuned, deflt.floorExtra, capTuned, deflt.bruteCoverage)
+  }
+
   /** One measured rung: achieved mean recall@k at `ef`. */
   final case class Rung(ef: Int, recall: Double)
 

@@ -62,4 +62,69 @@ object SearchParams {
     * its filtered beam with ~10 evenly spaced in-range points,
     * searcher.hpp:301-317). */
   val FilterSeeds = 10
+
+  /** The hand-derived defaults as a table (the reference's
+    * hybrid_graph.h:14-34 constants, reproduced). */
+  val DefaultBands: EfBands = EfBands()
+}
+
+/** Effort-band table for the serving-scale (banded) search arms. The
+  * default values are [[SearchParams]]'s hand-derived constants;
+  * [[graft.index.EfTuner.tuneBands]] derives a STORE'S OWN table by
+  * measured recall ladder (the reference tunes its `SearchParams`
+  * offline against each dataset the same way, hybrid_graph.h:14-34
+  * consuming getquery.cpp sweeps) and persists it as an `_ef_bands`
+  * sidecar the banded arms load per store.
+  *
+  * `full`: (mFull threshold → ef factor), thresholds descending — the
+  * per-bucket depth of a walk that unions m fully-covered buckets.
+  * `floorExtra`: per-bucket ef never drops below k + floorExtra.
+  * `inFilterMaxFactor`: cap on the 1/coverage widening of in-filter
+  * walks. `bruteCoverage`: below this in-range fraction a partial
+  * bucket is scanned ([[graft.index.HnswIndex.exactOverQ]]) instead of
+  * walked — a perf line, carried so tuned stores can move it. */
+case class EfBands(
+    full: Seq[(Int, Double)] = Seq(8 -> 0.35, 4 -> 0.5, 2 -> 0.75),
+    floorExtra: Int = 40,
+    inFilterMaxFactor: Double = 4.0,
+    bruteCoverage: Double = SearchParams.BruteCoverage) {
+
+  def unionWalkEf(ef: Int, k: Int, mFull: Int): Int = {
+    val banded = full.find(mFull >= _._1).map(_._2)
+      .fold(ef)(f => math.ceil(ef * f).toInt)
+    math.max(math.min(ef, k + floorExtra), banded)
+  }
+
+  def inFilterEf(ef: Int, cover: Double): Int =
+    SearchParams.inFilterEf(ef, cover, inFilterMaxFactor)
+
+  /** Line format of the `_ef_bands` sidecar. */
+  def serialize: String =
+    "v1\n" +
+      s"full=${full.map { case (m, f) => s"$m:$f" }.mkString(",")}\n" +
+      s"floor_extra=$floorExtra\n" +
+      s"infilter_max=$inFilterMaxFactor\n" +
+      s"brute_coverage=$bruteCoverage\n"
+}
+
+object EfBands {
+
+  /** Parse [[EfBands.serialize]]; None on any malformed content (the
+    * caller falls back to the hand defaults — a corrupt sidecar must
+    * never break serving). */
+  def parse(text: String): Option[EfBands] = {
+    val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+    if (!lines.headOption.contains("v1")) return None
+    try {
+      val kv = lines.drop(1).flatMap { l =>
+        l.split("=", 2) match { case Array(a, b) => Some(a -> b); case _ => None }
+      }.toMap
+      val full = kv("full").split(",").toSeq.map { p =>
+        val Array(m, f) = p.split(":")
+        (m.toInt, f.toDouble)
+      }.sortBy(-_._1)
+      Some(EfBands(full, kv("floor_extra").toInt,
+        kv("infilter_max").toDouble, kv("brute_coverage").toDouble))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

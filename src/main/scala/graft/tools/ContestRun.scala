@@ -208,6 +208,20 @@ object ContestRun {
     }
     val t2Name = if (t2Mode == "range") s"t2_range$t2Scale" else "t2"
 
+    // derive the banded arms' effort tables from the stores themselves
+    // (EfTuner.tuneBands — the reference's per-dataset SearchParams
+    // sweep); tuned at the gate's own recall bar, so the tables can
+    // only trade effort at EQUAL recall target
+    def tuneBandsOnce(store: String, tag: String): Unit =
+      if (AnnIndexStore.efBandsOf(store).isEmpty) timed(s"tune_bands_$tag") {
+        val qs = queries.filter(col("qtype") === 2).orderBy("qid").limit(32)
+          .select("qvec").collect().map(_.getSeq[Float](0).toArray)
+        val bands = graft.index.EfTuner.tuneBands(spark, store, qs, k,
+          targetRecall = 0.999, ef = ef)
+        AnnIndexStore.writeEfBands(store, bands)
+        println(s"BANDS $tag: ${bands.serialize.linesIterator.mkString(" ")}")
+      }
+
     // ---- build-once stored indexes (baseline.cpp:66-96) ----
     if (!exists(s"$root/by_hash")) timed("build_by_hash") {
       AnnIndexStore.build(base.select(col("id"), col("vec")),
@@ -217,6 +231,18 @@ object ContestRun {
       AnnIndexStore.buildBy(base.select(col("id"), col("label"), col("ts"), col("vec")),
         s"$root/by_label", "label", attrCol = Some("ts"))
     }
+    // Type-3 serving arm (the t2 rework's ingredients on the
+    // label+range path): ts-CONTIGUOUS salting of oversized labels +
+    // the banded searchByRange (range-skip, plain full-cover walks,
+    // quantized slice scans). GRAFT_CONTEST_T3=plain keeps the r8-r10
+    // hash-salted exact-effort arm for A/B; caches are arm-separated.
+    val t3Mode = sys.env.getOrElse("GRAFT_CONTEST_T3", "banded")
+    val t3Name = if (t3Mode == "banded") "t3_banded" else "t3"
+    if (t3Mode == "banded" && !exists(s"$root/by_label_ts")) timed("build_by_label_ts") {
+      AnnIndexStore.buildBy(base.select(col("id"), col("label"), col("ts"), col("vec")),
+        s"$root/by_label_ts", "label", attrCol = Some("ts"), attrSalted = true)
+    }
+    if (t3Mode == "banded") tuneBandsOnce(s"$root/by_label_ts", "label_ts")
     if (t2Mode != "range" && !exists(s"$root/by_decile")) timed("build_by_decile") {
       AnnIndexStore.buildBy(
         base.withColumn("decile", floor(col("ts") * 10).cast("long")),
@@ -227,6 +253,7 @@ object ContestRun {
         base.withColumn("bucket", floor(col("ts") * t2Scale).cast("long")),
         s"$root/by_range$t2Scale", "bucket", attrCol = Some("ts"))
     }
+    if (t2Mode == "range") tuneBandsOnce(s"$root/by_range$t2Scale", "range")
 
     // ---- routing stats pass (hybrid_graph.cpp:168-230) ----
     val routeHist = timed("route_stats_pass") {
@@ -283,16 +310,21 @@ object ContestRun {
           AnnIndexStore.searchDecileRange(spark, s"$root/by_decile", q2, k, ef)
       r2.write.mode("overwrite").parquet(s"$resPath/$t2Name")
     }
-    if (!exists(s"$resPath/t3")) timed("search_type3_label_range") {
-      AnnIndexStore.searchByRange(spark, s"$root/by_label",
-          queries.filter(col("qtype") === 3)
-            .select(col("qid"), col("v"), col("l"), col("r"), col("qvec")), k, ef)
-        .write.mode("overwrite").parquet(s"$resPath/t3")
+    if (!exists(s"$resPath/$t3Name")) timed(s"search_type3_$t3Mode") {
+      val q3 = queries.filter(col("qtype") === 3)
+        .select(col("qid"), col("v"), col("l"), col("r"), col("qvec"))
+      val r3 =
+        if (t3Mode == "banded")
+          AnnIndexStore.searchByRange(spark, s"$root/by_label_ts", q3, k, ef,
+            efBands = true)
+        else
+          AnnIndexStore.searchByRange(spark, s"$root/by_label", q3, k, ef)
+      r3.write.mode("overwrite").parquet(s"$resPath/$t3Name")
     }
     val results = spark.read.parquet(s"$resPath/$t0Name")
       .unionByName(spark.read.parquet(s"$resPath/t1"))
       .unionByName(spark.read.parquet(s"$resPath/$t2Name"))
-      .unionByName(spark.read.parquet(s"$resPath/t3"))
+      .unionByName(spark.read.parquet(s"$resPath/$t3Name"))
 
     // A/B arm re-runs only need the per-stage walls above; the binary
     // emit + sampled recall (≈8 min) re-verify the SAME lifecycle tail

@@ -119,6 +119,17 @@ object ContestScaleProbe {
         base.withColumn("bucket", floor(col("ts") * t2Scale).cast("long")),
         s"$root/by_range$t2Scale", "bucket", attrCol = Some("ts"))
     }
+    // store-derived effort tables for the banded arms (see ContestRun)
+    def tuneBandsOnce(store: String, tag: String): Unit =
+      if (AnnIndexStore.efBandsOf(store).isEmpty) timed(s"tune_bands_$tag") {
+        val qs = queries.filter(col("qtype") === 2).orderBy("qid").limit(32)
+          .select("qvec").collect().map(_.getSeq[Float](0).toArray)
+        val bands = graft.index.EfTuner.tuneBands(spark, store, qs, k,
+          targetRecall = 0.999, ef = ef)
+        AnnIndexStore.writeEfBands(store, bands)
+        println(s"BANDS $tag: ${bands.serialize.linesIterator.mkString(" ")}")
+      }
+    if (t2Mode == "range") tuneBandsOnce(s"$root/by_range$t2Scale", "range")
 
     // ---- routing stats pass (selectivity grid + route decision) ----
     val routeHist = timed("route_stats_pass") {
@@ -156,16 +167,31 @@ object ContestScaleProbe {
           AnnIndexStore.searchDecileRange(spark, s"$root/by_decile", q2, k, ef)
       r2.write.mode("overwrite").parquet(s"$outPath/$t2Name")
     }
-    if (!exists(s"$outPath/t3")) timed("search_type3_label_range") {
-      AnnIndexStore.searchByRange(spark, s"$root/by_label",
-          queries.filter(col("qtype") === 3)
-            .select(col("qid"), col("v"), col("l"), col("r"), col("qvec")), k, ef)
-        .write.mode("overwrite").parquet(s"$outPath/t3")
+    // type-3 arm (see ContestRun.runScale): banded = ts-contiguous label
+    // salting + banded searchByRange (default), plain = hash-salted
+    // exact-effort arm for A/B
+    val t3Mode = sys.env.getOrElse("GRAFT_CONTEST_T3", "banded")
+    val t3Name = if (t3Mode == "banded") "t3_banded" else "t3"
+    if (t3Mode == "banded" && !exists(s"$root/by_label_ts")) timed("build_by_label_ts") {
+      AnnIndexStore.buildBy(base.select(col("id"), col("label"), col("ts"), col("vec")),
+        s"$root/by_label_ts", "label", attrCol = Some("ts"), attrSalted = true)
+    }
+    if (t3Mode == "banded") tuneBandsOnce(s"$root/by_label_ts", "label_ts")
+    if (!exists(s"$outPath/$t3Name")) timed(s"search_type3_$t3Mode") {
+      val q3 = queries.filter(col("qtype") === 3)
+        .select(col("qid"), col("v"), col("l"), col("r"), col("qvec"))
+      val r3 =
+        if (t3Mode == "banded")
+          AnnIndexStore.searchByRange(spark, s"$root/by_label_ts", q3, k, ef,
+            efBands = true)
+        else
+          AnnIndexStore.searchByRange(spark, s"$root/by_label", q3, k, ef)
+      r3.write.mode("overwrite").parquet(s"$outPath/$t3Name")
     }
     val results = spark.read.parquet(s"$outPath/t0")
       .unionByName(spark.read.parquet(s"$outPath/t1"))
       .unionByName(spark.read.parquet(s"$outPath/$t2Name"))
-      .unionByName(spark.read.parquet(s"$outPath/t3"))
+      .unionByName(spark.read.parquet(s"$outPath/$t3Name"))
     val nRes = results.count()
     println(s"RESULTS: $nRes rows (${nRes / math.max(k, 1)} answered queries)")
 

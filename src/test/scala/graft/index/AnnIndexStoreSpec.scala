@@ -411,6 +411,49 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("banded type-3 arm (attrSalted store, efBands): predicates hold, recall >= 0.85") {
+    // the serving-scale label+range arm: oversized labels split into
+    // ts-CONTIGUOUS sub-chunks (not hash salt), range-missing chunks
+    // skipped, full-cover chunks walk plain, SMALL slices exactOverQ
+    val base = Seq.tabulate(2400)(i => (i.toLong, (i % 3).toLong, (i % 60) / 60.0, vec()))
+      .toDF("id", "label", "ts", "vec")
+    val dir = Files.createTempDirectory("graft-annstore-t3b").toString + "/by_label_ts"
+    // maxRowsPerIndex = 300: every 800-row label spans 3 contiguous chunks
+    AnnIndexStore.buildBy(base, dir, "label", attrCol = Some("ts"),
+      maxRowsPerIndex = 300, attrSalted = true)
+    // contiguity is a STORE property: per label, chunk [attr_min,
+    // attr_max] intervals must not interleave (sorted by attr_min, each
+    // chunk's min >= the previous chunk's max)
+    val rows = spark.read.parquet(dir)
+      .select($"bucket", $"sub", $"attr_min", $"attr_max").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.groupBy(_._1).forall(_._2.length == 3), "expected 3 chunks per label")
+    rows.groupBy(_._1).foreach { case (_, chunks) =>
+      val sorted = chunks.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._3 + 1e-12,
+          s"chunks interleave: $a vs $b")
+        case _ =>
+      }
+    }
+    val queries = Seq(
+      (0L, 0L, 0.0, 1.0, vec()),   // whole label: every chunk FULL -> plain walks
+      (1L, 1L, 0.0, 0.3, vec()),   // first chunk only: others skipped
+      (2L, 2L, 0.42, 0.47, vec()), // narrow slice -> exactOverQ
+      (3L, 0L, 0.2, 0.8, vec()),   // partial chunks + full middle
+      (4L, 1L, 0.96, 0.99, vec())  // tail slice
+    ).toDF("qid", "v", "l", "r", "qvec")
+    val res = AnnIndexStore.searchByRange(spark, dir, queries, k = 10, ef = 256,
+      efBands = true)
+    val joined = res.join(queries.select($"qid", $"v", $"l", $"r"), "qid")
+      .join(base.select($"id".as("nid"), $"label", $"ts"), "nid")
+    assert(joined.filter($"label" =!= $"v" || $"ts" < $"l" || $"ts" > $"r").count() == 0)
+    val exact = KnnJoin.exactFlat(base,
+      queries.withColumn("qtype", lit(3)), 10, types = Seq(3))
+    val recall = AnnJoin.recallAtK(res, exact)
+    assert(recall >= 0.85, s"recall $recall")
+  }
+
   test("stored decile-range search: predicate holds, recall >= 0.85 vs exact") {
     val base = Seq.tabulate(1500)(i => (i.toLong, (i % 40) / 40.0, vec()))
       .toDF("id", "ts", "vec")
@@ -457,6 +500,58 @@ class AnnIndexStoreSpec extends SparkSpec {
       queries.withColumn("qtype", lit(2)).withColumn("v", lit(0L)), 10, types = Seq(2))
     val recall = AnnJoin.recallAtK(res, exact)
     assert(recall >= 0.85, s"recall $recall")
+  }
+
+  test("tuneBands derives a store's effort table; the banded arms load the sidecar") {
+    val base = Seq.tabulate(3000)(i => (i.toLong, (i % 100) / 100.0, vec()))
+      .toDF("id", "ts", "vec")
+    val root = Files.createTempDirectory("graft-annstore-bands").toString
+    val rngDir = s"$root/by_range10"
+    AnnIndexStore.buildBy(
+      base.withColumn("bucket", floor(col("ts") * 10).cast("long")),
+      rngDir, "bucket", attrCol = Some("ts"))
+    val sample = Array.fill(12)(vec())
+    val b1 = EfTuner.tuneBands(spark, rngDir, sample, k = 10,
+      targetRecall = 0.9, ef = 128)
+    val b2 = EfTuner.tuneBands(spark, rngDir, sample, k = 10,
+      targetRecall = 0.9, ef = 128)
+    assert(b1 == b2, "band tuning must be deterministic")
+    assert(b1.full.map(_._1).sorted == Seq(2, 4, 8))
+    assert(b1.full.forall { case (_, f) => f > 0 && f <= 1.0 })
+    // sidecar round-trip
+    AnnIndexStore.writeEfBands(rngDir, b1)
+    assert(AnnIndexStore.efBandsOf(rngDir).contains(b1))
+    // corrupt sidecar parses to None (callers fall back to defaults)
+    assert(graft.operators.EfBands.parse("v9\ngarbage").isEmpty)
+    // WIRING: the banded range arm resolves the persisted table
+    val queries = Seq.tabulate(6)(i =>
+      (i.toLong, (i % 3) / 10.0, (i % 3) / 10.0 + 0.5, vec()))
+      .toDF("qid", "l", "r", "qvec")
+    AnnIndexStore.lastBandsLoaded = None
+    val res = AnnIndexStore.searchDecileRange(spark, rngDir, queries,
+      k = 10, ef = 128, scale = 10, efBands = true)
+    res.count()
+    assert(AnnIndexStore.lastBandsLoaded.contains((rngDir, b1)),
+      "banded searchDecileRange must load the store's tuned table")
+    // recall with the tuned table still clears the bar
+    val exact = KnnJoin.exactFlat(
+      base.withColumn("label", lit(0L)),
+      queries.withColumn("qtype", lit(2)).withColumn("v", lit(0L)), 10, types = Seq(2))
+    assert(AnnJoin.recallAtK(res, exact) >= 0.85)
+    // WIRING: the banded label+range arm loads its store's table too
+    val lblDir = s"$root/by_label_ts"
+    AnnIndexStore.buildBy(
+      base.withColumn("label", (col("id") % 3).cast("long")),
+      lblDir, "label", attrCol = Some("ts"), maxRowsPerIndex = 400, attrSalted = true)
+    val b3 = EfTuner.tuneBands(spark, lblDir, sample, k = 10,
+      targetRecall = 0.9, ef = 128)
+    AnnIndexStore.writeEfBands(lblDir, b3)
+    AnnIndexStore.lastBandsLoaded = None
+    AnnIndexStore.searchByRange(spark, lblDir,
+      Seq((0L, 1L, 0.1, 0.7, vec())).toDF("qid", "v", "l", "r", "qvec"),
+      k = 10, ef = 128, efBands = true).count()
+    assert(AnnIndexStore.lastBandsLoaded.contains((lblDir, b3)),
+      "banded searchByRange must load the store's tuned table")
   }
 
   test("searchChunkedTo / searchIvfChunkedTo write the searchChunked result set") {

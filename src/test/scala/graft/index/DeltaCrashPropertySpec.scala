@@ -1,0 +1,119 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Crash-point property over the delta-ingest lifecycle: the process is
+  * "killed" (an injected throw) at EVERY fs-visible boundary of every
+  * maintenance op in an append → fold → append → epoch-switch → fold
+  * script, recovery runs implicitly at the next maintenance entry (plus
+  * the at-least-once replay rule for appends), and the final serve set
+  * must equal the acknowledged row set EXACTLY — no row lost, none
+  * served twice. This upgrades the hand-picked crash-window tests
+  * (half-swap, stale fold, replay) to an enumeration of all named
+  * boundaries ([[AnnIndexStore.crashHook]] call sites), with a coverage
+  * assert so a new boundary cannot ship uninstrumented-and-untested. */
+class DeltaCrashPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  private val rnd = new scala.util.Random(17)
+  private def vec(): Array[Float] = Array.fill(dim)(rnd.nextFloat())
+  private def rows(tag: Int, n: Int): Seq[(Long, Array[Float])] =
+    Seq.tabulate(n)(i => ((tag * 10000 + i).toLong, vec()))
+
+  private case class CrashSim(point: String) extends RuntimeException(point)
+
+  /** The lifecycle script: name → (op, replayable). `replayable` ops
+    * (appends — checkpointed sources resend an unacknowledged batch)
+    * are ALWAYS re-run after a crash; non-replayable ones (compactions)
+    * alternate between retry and skip, since the serve set must be
+    * right either way. */
+  private def script(dir: String): Seq[(String, () => Unit, Boolean)] = Seq(
+    ("append_b0_e1", () => AnnIndexStore.appendDeltaBatch(
+      rows(1, 30).toDF("id", "vec"), dir, 0, Some("E1")), true),
+    ("append_b1_e1", () => AnnIndexStore.appendDeltaBatch(
+      rows(2, 30).toDF("id", "vec"), dir, 1, Some("E1")), true),
+    ("compact_1", () => AnnIndexStore.compactDelta(spark, dir, 2), false),
+    ("append_b2_e1", () => AnnIndexStore.appendDeltaBatch(
+      rows(3, 30).toDF("id", "vec"), dir, 2, Some("E1")), true),
+    // bid 0 under a NEW epoch: forces the demote + watermark-reset path
+    // while bid 2 is committed-but-unfolded
+    ("append_b0_e2", () => AnnIndexStore.appendDeltaBatch(
+      rows(4, 30).toDF("id", "vec"), dir, 0, Some("E2")), true),
+    ("compact_2", () => AnnIndexStore.compactDelta(spark, dir, 2), false)
+  )
+
+  private val expectedIds: Set[Long] =
+    (rows(0, 80) ++ rows(1, 30) ++ rows(2, 30) ++ rows(3, 30) ++ rows(4, 30))
+      .map(_._1).toSet
+
+  private def freshStore(): String = {
+    val dir = Files.createTempDirectory("graft-crashprop").toString + "/index"
+    AnnIndexStore.build(rows(0, 80).toDF("id", "vec"), dir, numBuckets = 2)
+    dir
+  }
+
+  /** Final-state assertion: one clean compaction (a maintenance entry =
+    * full recovery), then the folded store must hold EXACTLY the
+    * acknowledged ids — set equality catches lost rows, the count
+    * equality catches a row folded twice. */
+  private def assertServeSet(dir: String, ctx: String): Unit = {
+    AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
+    assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0, s"[$ctx] delta not cleared")
+    val served = spark.read.parquet(dir).select(explode(col("ids")).as("id"))
+      .collect().map(_.getLong(0))
+    assert(served.length == expectedIds.size,
+      s"[$ctx] ${served.length} rows served, expected ${expectedIds.size} " +
+        s"(dups: ${served.groupBy(identity).filter(_._2.length > 1).keys.take(5).toSeq})")
+    assert(served.toSet == expectedIds,
+      s"[$ctx] lost ${expectedIds.diff(served.toSet).take(5)}, " +
+        s"phantom ${served.toSet.diff(expectedIds).take(5)}")
+  }
+
+  test("every fs-visible maintenance boundary recovers to the exact serve set") {
+    // discovery pass: which (step, point) pairs does the script visit?
+    val visited = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+    val dir0 = freshStore()
+    script(dir0).foreach { case (step, op, _) =>
+      AnnIndexStore.crashHook = p => visited += ((step, p))
+      try op() finally AnnIndexStore.crashHook = _ => ()
+    }
+    assertServeSet(dir0, "no-crash baseline")
+    // the enumeration itself is asserted: every instrumented boundary
+    // must be exercised by the script (a renamed/added point fails here)
+    val expectedPoints = Set(
+      "append.epoch_file_written", "append.demoted", "append.watermark_reset",
+      "demote.root_committed", "demote.bid_moved",
+      "compact.built", "compact.marked", "compact.store_aside",
+      "compact.promoted", "compact.old_deleted")
+    assert(visited.map(_._2).toSet == expectedPoints,
+      s"script does not exercise: ${expectedPoints.diff(visited.map(_._2).toSet)}; " +
+        s"unexpected: ${visited.map(_._2).toSet.diff(expectedPoints)}")
+
+    // property pass: one run per (step, point), crash there, recover,
+    // finish the script, assert the serve set
+    visited.toSeq.zipWithIndex.foreach { case ((crashStep, crashAt), i) =>
+      val dir = freshStore()
+      val steps = script(dir)
+      val idx = steps.indexWhere(_._1 == crashStep)
+      steps.take(idx).foreach(_._2())
+      val (_, op, replayable) = steps(idx)
+      AnnIndexStore.crashHook = p => if (p == crashAt) throw CrashSim(p)
+      val crashed =
+        try { op(); false }
+        catch { case CrashSim(_) => true }
+        finally { AnnIndexStore.crashHook = _ => () }
+      assert(crashed, s"[$crashStep/$crashAt] expected the injected crash to fire")
+      // at-least-once replay for appends; compactions alternate between
+      // a retry and skipping straight to the next op (recovery must not
+      // depend on the crashed op being re-run)
+      if (replayable || i % 2 == 0) op()
+      steps.drop(idx + 1).foreach(_._2())
+      assertServeSet(dir, s"$crashStep/$crashAt")
+    }
+  }
+}
