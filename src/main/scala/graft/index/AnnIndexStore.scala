@@ -31,7 +31,9 @@ object AnnIndexStore {
   // slower, never stale. The stamp rides INSIDE the store directory, so
   // compactDelta's rename swap carries it with the data it describes.
 
-  private val versionFileName = "_store_version"
+  // private[graft]: probes/specs that hide or delete a stamp to drive
+  // the fingerprint fallback must share the one name, not copy it
+  private[graft] val versionFileName = "_store_version"
 
   /** Stamp `dir` with a fresh version token — call AFTER the store's
     * data files are committed. */
@@ -520,8 +522,19 @@ object AnnIndexStore {
       if (efBands) resolveBands(path) else graft.operators.SearchParams.DefaultBands
     val bq = spark.sparkContext.broadcast(qByBucket)
     val wanted = qByBucket.keys.toSeq
-    spark.read.parquet(path)
-      .filter(col("bucket").isin(wanted: _*))
+    val scan0 = spark.read.parquet(path).filter(col("bucket").isin(wanted: _*))
+    // banded arm, attr-stamped store: push the batch's GLOBAL attr
+    // envelope into the scan — parquet row-group stats then skip
+    // sub-rows no query in the batch can touch before their blob
+    // columns are even read (the per-row ts(0)/ts(last) check below
+    // still skips precisely, per query, before deserialization)
+    val scan =
+      if (efBands && scan0.columns.contains("attr_min")) {
+        val minL = qByBucket.valuesIterator.flatMap(_.iterator).map(_._2).min
+        val maxR = qByBucket.valuesIterator.flatMap(_.iterator).map(_._3).max
+        scan0.filter(col("attr_max") >= minL && col("attr_min") <= maxR)
+      } else scan0
+    scan
       .select(col("bucket"), col("ids"), col("attrs"), col("graph"))
       .as[(Long, Array[Long], Array[Double], Array[Byte])]
       .mapPartitions { it =>
@@ -1157,10 +1170,15 @@ object AnnIndexStore {
     * `appendDelta` would double its rows). Committed `bid=` micro-batch
     * dirs are a concurrent STREAM's not-yet-folded rows and survive —
     * a whole-dir overwrite would silently lose them (their checkpoints
-    * have committed, so the stream never replays them). Crash-safe the
-    * same way as before: a write that dies mid-job leaves part files
-    * with no root `_SUCCESS` (invisible to reads), and the retry's
-    * file-level sweep below removes them before rewriting. */
+    * have committed, so the stream never replays them). NOTE: rows an
+    * epoch switch DEMOTED to the flat layout ([[demoteBidsToFlat]])
+    * count as flat and are replaced with it — callers mixing epoch
+    * switches with replace-style batch maintenance must compact between
+    * them or the demoted rows are (by these semantics) discarded.
+    * Crash-safe the same way as before: a write that dies mid-job
+    * leaves part files with no root `_SUCCESS` (invisible to reads),
+    * and the retry's file-level sweep below removes them before
+    * rewriting. */
   def replaceDelta(delta: DataFrame, path: String): Unit = {
     recoverStore(path)
     repairDelta(delta.sparkSession, path)

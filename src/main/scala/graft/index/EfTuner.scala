@@ -111,18 +111,29 @@ object EfTuner {
       (m, chosen)
     }.sortBy(-_._1)
 
-    // ---- in-filter widening cap, on the largest bucket ----
-    val bigBucket = df
-      .select(col("bucket").cast("long"), size(col("ids")).as("n"))
-      .orderBy(desc("n"), col("bucket")).limit(1)
-      .collect()(0).getLong(0)
-    val (bigIdx, _, bigTs) = loadBuckets(Seq(bigBucket)).head
+    // ---- in-filter widening cap, on the largest single ROW ----
+    // (bucket, sub) pins ONE sub-index: a salted bucket spans several
+    // rows and collecting them all to keep an enumeration-order .head
+    // would waste driver memory AND break determinism
+    val hasSub = df.columns.contains("sub")
+    val subC = (if (hasSub) col("sub") else lit(0)).cast("int")
+    val bigRow = df
+      .select(col("bucket").cast("long").as("bucket"), subC.as("sub"),
+        size(col("ids")).as("n"))
+      .orderBy(desc("n"), col("bucket"), col("sub")).limit(1)
+      .collect()(0)
+    val one = df.filter(col("bucket") === bigRow.getLong(0))
+      .filter(if (hasSub) col("sub") === bigRow.getInt(1)
+        else org.apache.spark.sql.functions.lit(true))
+      .select(col("attrs"), col("graph")).limit(1).collect()(0)
+    val bigIdx = HnswIndex.fromBytes(one.getAs[Array[Byte]]("graph"))
+    val bigTs = one.getSeq[Double](0).toArray
     val tsIdx = new TsIndex(bigTs)
     val sortedTs = bigTs.sorted
     def bandRecall(cap: Double, cover: Double): Double = {
       val n = sortedTs.length
-      val lo = sortedTs(math.max(0, ((1 - cover) / 2 * n).toInt))
-      val hi = sortedTs(math.min(n - 1, (((1 + cover) / 2) * n).toInt - 1))
+      val lo = sortedTs(math.min(n - 1, math.max(0, ((1 - cover) / 2 * n).toInt)))
+      val hi = sortedTs(math.max(0, math.min(n - 1, (((1 + cover) / 2) * n).toInt - 1)))
       val slice = tsIdx.inRange(lo, hi)
       if (slice.isEmpty) return 1.0
       val table = deflt.copy(inFilterMaxFactor = cap)
@@ -140,11 +151,34 @@ object EfTuner {
       }
       if (total == 0) 1.0 else hit.toDouble / total
     }
+    // 0.62 is the BINDING band: recall at fixed ef degrades as coverage
+    // shrinks, and the in-filter walk's hardest legal case sits just
+    // above the exact-scan line (bruteCoverage 0.6) — tuning only at
+    // easier bands would let an under-widening cap pass
     val capTuned = capLadder.find { cap =>
-      Seq(0.70, 0.85).forall(c => bandRecall(cap, c) >= targetRecall)
+      Seq(0.62, 0.70, 0.85).forall(c => bandRecall(cap, c) >= targetRecall)
     }.getOrElse(capLadder.last)
 
     graft.operators.EfBands(fullTuned, deflt.floorExtra, capTuned, deflt.bruteCoverage)
+  }
+
+  /** The lifecycle tools' tune-once entry: ONE definition of the
+    * sample selection (the first 32 type-2 query vectors — range
+    * queries exercise exactly the banded arms being tuned) and the
+    * recall bar (0.999, the lifecycle gate's own), so ContestRun and
+    * ContestScaleProbe cannot drift apart. Tunes and persists the
+    * `_ef_bands` sidecar unless the store already has one; returns the
+    * freshly derived table (None = sidecar was present, nothing done). */
+  def tuneAndPersistBands(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, queries: org.apache.spark.sql.DataFrame,
+      k: Int, ef: Int): Option[graft.operators.EfBands] = {
+    import org.apache.spark.sql.functions.col
+    if (AnnIndexStore.efBandsOf(storePath).isDefined) return None
+    val qs = queries.filter(col("qtype") === 2).orderBy("qid").limit(32)
+      .select("qvec").collect().map(_.getSeq[Float](0).toArray)
+    val bands = tuneBands(spark, storePath, qs, k, targetRecall = 0.999, ef = ef)
+    AnnIndexStore.writeEfBands(storePath, bands)
+    Some(bands)
   }
 
   /** One measured rung: achieved mean recall@k at `ef`. */

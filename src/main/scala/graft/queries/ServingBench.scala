@@ -87,33 +87,38 @@ object ServingBench {
         .orderBy(VF.l2Sq(col("embedding"), typedLit(p._4)), col("vec_id"))
         .select("vec_id").limit(10)
 
-    org.apache.spark.sql.graft.AnnCatalog.register(embBase, hashPath,
-      idCol = "vec_id", vecCol = "embedding", ef = 200, trusted = true)
-    results += "t0_hash" -> msPerStmt(qe, "index=")(t0Stmt)
+    // finally-unregister: a failed plan assert must not leak trusted
+    // /tmp-store registrations into the shared bench session
+    try {
+      org.apache.spark.sql.graft.AnnCatalog.register(embBase, hashPath,
+        idCol = "vec_id", vecCol = "embedding", ef = 200, trusted = true)
+      results += "t0_hash" -> msPerStmt(qe, "index=")(t0Stmt)
 
-    org.apache.spark.sql.graft.AnnCatalog.register(embBase, hashPath,
-      idCol = "vec_id", vecCol = "embedding", ef = 400, trusted = true,
-      ivfIndex = Some(ivfPath), nprobe = 4)
-    results += "t0_ivf" -> msPerStmt(qe, "ivf=")(t0Stmt)
-    org.apache.spark.sql.graft.AnnCatalog.unregister(embBase)
+      org.apache.spark.sql.graft.AnnCatalog.register(embBase, hashPath,
+        idCol = "vec_id", vecCol = "embedding", ef = 400, trusted = true,
+        ivfIndex = Some(ivfPath), nprobe = 4)
+      results += "t0_ivf" -> msPerStmt(qe, "ivf=")(t0Stmt)
 
-    org.apache.spark.sql.graft.AnnCatalog.register(basePath, s"$root/by_hash",
-      idCol = "id", vecCol = "vec", ef = 200,
-      labelIndex = Some(("label", s"$root/by_label")),
-      rangeIndex = Some(("ts", s"$root/by_decile")), trusted = true)
-    def ranked(filtered: DataFrame, qv: Array[Float]): DataFrame =
-      filtered.orderBy(VF.l2Sq(col("vec"), typedLit(qv)), col("id"))
-        .select("id").limit(10)
-    results += "t1_label" -> msPerStmt(qsOf(1), "bucket=") { p =>
-      ranked(b.filter(col("label") === p._1), p._4)
+      org.apache.spark.sql.graft.AnnCatalog.register(basePath, s"$root/by_hash",
+        idCol = "id", vecCol = "vec", ef = 200,
+        labelIndex = Some(("label", s"$root/by_label")),
+        rangeIndex = Some(("ts", s"$root/by_decile")), trusted = true)
+      def ranked(filtered: DataFrame, qv: Array[Float]): DataFrame =
+        filtered.orderBy(VF.l2Sq(col("vec"), typedLit(qv)), col("id"))
+          .select("id").limit(10)
+      results += "t1_label" -> msPerStmt(qsOf(1), "bucket=") { p =>
+        ranked(b.filter(col("label") === p._1), p._4)
+      }
+      results += "t2_range" -> msPerStmt(qsOf(2), "ts=[") { p =>
+        ranked(b.filter(col("ts") >= p._2 && col("ts") <= p._3), p._4)
+      }
+      results += "t3_label_range" -> msPerStmt(qsOf(3), "bucket=") { p =>
+        ranked(b.filter(col("label") === p._1 && col("ts") >= p._2 && col("ts") <= p._3), p._4)
+      }
+    } finally {
+      org.apache.spark.sql.graft.AnnCatalog.unregister(embBase)
+      org.apache.spark.sql.graft.AnnCatalog.unregister(basePath)
     }
-    results += "t2_range" -> msPerStmt(qsOf(2), "ts=[") { p =>
-      ranked(b.filter(col("ts") >= p._2 && col("ts") <= p._3), p._4)
-    }
-    results += "t3_label_range" -> msPerStmt(qsOf(3), "bucket=") { p =>
-      ranked(b.filter(col("label") === p._1 && col("ts") >= p._2 && col("ts") <= p._3), p._4)
-    }
-    org.apache.spark.sql.graft.AnnCatalog.unregister(basePath)
     results.result()
   }
 }

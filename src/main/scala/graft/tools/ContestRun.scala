@@ -209,17 +209,13 @@ object ContestRun {
     val t2Name = if (t2Mode == "range") s"t2_range$t2Scale" else "t2"
 
     // derive the banded arms' effort tables from the stores themselves
-    // (EfTuner.tuneBands — the reference's per-dataset SearchParams
-    // sweep); tuned at the gate's own recall bar, so the tables can
-    // only trade effort at EQUAL recall target
+    // (EfTuner.tuneAndPersistBands — the reference's per-dataset
+    // SearchParams sweep, tuned at the gate's own recall bar so the
+    // tables can only trade effort at EQUAL recall target)
     def tuneBandsOnce(store: String, tag: String): Unit =
       if (AnnIndexStore.efBandsOf(store).isEmpty) timed(s"tune_bands_$tag") {
-        val qs = queries.filter(col("qtype") === 2).orderBy("qid").limit(32)
-          .select("qvec").collect().map(_.getSeq[Float](0).toArray)
-        val bands = graft.index.EfTuner.tuneBands(spark, store, qs, k,
-          targetRecall = 0.999, ef = ef)
-        AnnIndexStore.writeEfBands(store, bands)
-        println(s"BANDS $tag: ${bands.serialize.linesIterator.mkString(" ")}")
+        graft.index.EfTuner.tuneAndPersistBands(spark, store, queries, k, ef)
+          .foreach(b => println(s"BANDS $tag: ${b.serialize.linesIterator.mkString(" ")}"))
       }
 
     // ---- build-once stored indexes (baseline.cpp:66-96) ----

@@ -122,12 +122,8 @@ object ContestScaleProbe {
     // store-derived effort tables for the banded arms (see ContestRun)
     def tuneBandsOnce(store: String, tag: String): Unit =
       if (AnnIndexStore.efBandsOf(store).isEmpty) timed(s"tune_bands_$tag") {
-        val qs = queries.filter(col("qtype") === 2).orderBy("qid").limit(32)
-          .select("qvec").collect().map(_.getSeq[Float](0).toArray)
-        val bands = graft.index.EfTuner.tuneBands(spark, store, qs, k,
-          targetRecall = 0.999, ef = ef)
-        AnnIndexStore.writeEfBands(store, bands)
-        println(s"BANDS $tag: ${bands.serialize.linesIterator.mkString(" ")}")
+        graft.index.EfTuner.tuneAndPersistBands(spark, store, queries, k, ef)
+          .foreach(b => println(s"BANDS $tag: ${b.serialize.linesIterator.mkString(" ")}"))
       }
     if (t2Mode == "range") tuneBandsOnce(s"$root/by_range$t2Scale", "range")
 

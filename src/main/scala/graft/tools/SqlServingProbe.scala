@@ -79,8 +79,9 @@ object SqlServingProbe {
     // statements must take the fingerprint path (full blob scan per
     // statement) instead of the version-keyed warm pass
     def withHiddenStamp[T](storePath: String)(body: => T): T = {
-      val f = new java.io.File(storePath, "_store_version")
-      val bak = new java.io.File(storePath, "_store_version.hidden")
+      val name = graft.index.AnnIndexStore.versionFileName
+      val f = new java.io.File(storePath, name)
+      val bak = new java.io.File(storePath, name + ".hidden")
       require(f.exists() && f.renameTo(bak), s"no stamp to hide at $storePath")
       try body finally require(bak.renameTo(f), s"cannot restore stamp at $storePath")
     }

@@ -531,7 +531,7 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
     s"AnnTopK k=$k ef=$ef $route"
 }
 
-object AnnTopKExec {
+object AnnTopKExec extends org.apache.spark.internal.Logging {
 
   /** Output-slot source: the result id, a plan-time constant, the
     * search's exact distance, or a fetched base column. */
@@ -774,6 +774,12 @@ object AnnTopKExec {
       retries += 1
       after = graft.index.AnnIndexStore.storeVersion(path)
     }
+    // three overlapping swaps in one statement exceeds the retry budget
+    // — serve the last pass (availability) but never silently: the
+    // result may span two store generations
+    if (after != ver)
+      logWarning(s"searchStore($path): store version still changing " +
+        s"after $retries retries; serving a possibly mixed-generation result")
     top.map { case (d, id) => (id, d) }
   }
 }

@@ -38,18 +38,26 @@ class DeltaCrashPropertySpec extends SparkSpec {
     ("append_b1_e1", () => AnnIndexStore.appendDeltaBatch(
       rows(2, 30).toDF("id", "vec"), dir, 1, Some("E1")), true),
     ("compact_1", () => AnnIndexStore.compactDelta(spark, dir, 2), false),
+    // replaceDelta REPLACES the flat layout by contract, so the script
+    // places it where the flat layout is empty under EVERY crash
+    // outcome of the prior steps (committed bid dirs survive a replace;
+    // demoted-to-flat rows would not — that ordering is the documented
+    // data-loss hazard, not a recovery bug)
+    ("replace_flat", () => AnnIndexStore.replaceDelta(
+      rows(5, 30).toDF("id", "vec"), dir), true),
     ("append_b2_e1", () => AnnIndexStore.appendDeltaBatch(
       rows(3, 30).toDF("id", "vec"), dir, 2, Some("E1")), true),
     // bid 0 under a NEW epoch: forces the demote + watermark-reset path
-    // while bid 2 is committed-but-unfolded
+    // while bid 2 is committed-but-unfolded and flat rows coexist
     ("append_b0_e2", () => AnnIndexStore.appendDeltaBatch(
       rows(4, 30).toDF("id", "vec"), dir, 0, Some("E2")), true),
+    // folds mixed flat (replaced + demoted) AND bid-dir rows
     ("compact_2", () => AnnIndexStore.compactDelta(spark, dir, 2), false)
   )
 
   private val expectedIds: Set[Long] =
-    (rows(0, 80) ++ rows(1, 30) ++ rows(2, 30) ++ rows(3, 30) ++ rows(4, 30))
-      .map(_._1).toSet
+    (rows(0, 80) ++ rows(1, 30) ++ rows(2, 30) ++ rows(3, 30) ++ rows(4, 30) ++
+      rows(5, 30)).map(_._1).toSet
 
   private def freshStore(): String = {
     val dir = Files.createTempDirectory("graft-crashprop").toString + "/index"
@@ -87,7 +95,7 @@ class DeltaCrashPropertySpec extends SparkSpec {
     // must be exercised by the script (a renamed/added point fails here)
     val expectedPoints = Set(
       "append.epoch_file_written", "append.demoted", "append.watermark_reset",
-      "demote.root_committed", "demote.bid_moved",
+      "demote.root_committed", "demote.bid_moved", "replace.swept",
       "compact.built", "compact.marked", "compact.store_aside",
       "compact.promoted", "compact.old_deleted")
     assert(visited.map(_._2).toSet == expectedPoints,

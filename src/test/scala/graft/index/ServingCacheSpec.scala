@@ -89,7 +89,7 @@ class ServingCacheSpec extends SparkSpec {
 
       // stamp-crash window: a store whose version file is missing must
       // downgrade to the content-fingerprint path, never serve stale
-      val verFile = new java.io.File(indexPath, "_store_version")
+      val verFile = new java.io.File(indexPath, AnnIndexStore.versionFileName)
       assert(verFile.delete())
       ServingCache.clear()
       val legacy = stmt(qv1)
