@@ -701,24 +701,54 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
     * the parquet commit and the stamp): one full blob scan through
     * [[HnswIndex.fromBytesCached]] — the content fingerprint can never
     * serve stale bytes, just slower. */
+  // Driver-side scan-frame cache: `spark.read.parquet` pays a file
+  // listing + footer schema inference PER STATEMENT on the serving hot
+  // path. A planned frame is immutable, so it is cached per
+  // (session, path, version) — the write-time version token is the
+  // invalidation key (a maintenance swap bumps it; superseded
+  // generations of the same path are dropped on insert). Only VERSIONED
+  // stores cache: an unversioned store's files can change with no
+  // detectable signal, so it re-lists per statement — and a
+  // version-swap RETRY re-lists too (its new token misses), so a retry
+  // can never re-read the pre-swap file listing.
+  private val scanFrames = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String), org.apache.spark.sql.DataFrame]
+
+  private def scanFrame(spark: SparkSession, path: String,
+      ver: Option[String]): org.apache.spark.sql.DataFrame = ver match {
+    case None => spark.read.parquet(path)
+    case Some(v) =>
+      val key = (System.identityHashCode(spark), path, v)
+      val hit = scanFrames.get(key)
+      if (hit != null) hit
+      else {
+        val df = spark.read.parquet(path)
+        scanFrames.keySet.removeIf(k =>
+          k._1 == key._1 && k._2 == path && k._3 != v)
+        val race = scanFrames.putIfAbsent(key, df)
+        if (race != null) race else df
+      }
+  }
+
   private def searchStore(spark: SparkSession, path: String,
       pred: Option[org.apache.spark.sql.Column], walk: Walk,
       k: Int): Array[(Long, Double)] = {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
     val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
-    val df0 = spark.read.parquet(path)
-    val df = pred.map(df0.filter).getOrElse(df0)
-    val subCol = (if (df.columns.contains("sub")) col("sub") else lit(0))
-      .cast("int").as("sub")
-    val attrsCol = (if (df.columns.contains("attrs")) col("attrs")
-      else lit(null).cast("array<double>")).as("attrs")
-    def coldScan(d: org.apache.spark.sql.DataFrame) = d
-      .select(col("bucket").cast("long").as("bucket"), subCol,
-        col("ids"), attrsCol, col("graph"))
-      .as[(Long, Int, Array[Long], Array[Double], Array[Byte])]
 
-    def onePass(ver: Option[String]): Array[(Double, Long)] = ver match {
+    def onePass(ver: Option[String]): Array[(Double, Long)] = {
+      val df0 = scanFrame(spark, path, ver)
+      val df = pred.map(df0.filter).getOrElse(df0)
+      val subCol = (if (df.columns.contains("sub")) col("sub") else lit(0))
+        .cast("int").as("sub")
+      val attrsCol = (if (df.columns.contains("attrs")) col("attrs")
+        else lit(null).cast("array<double>")).as("attrs")
+      def coldScan(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("bucket").cast("long").as("bucket"), subCol,
+          col("ids"), attrsCol, col("graph"))
+        .as[(Long, Int, Array[Long], Array[Double], Array[Byte])]
+      ver match {
       case None =>
         coldScan(df).mapPartitions { it =>
           it.flatMap { case (bucket, _, ids, attrs, bytes) =>
@@ -760,6 +790,7 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
           // store row, so distinct pairs are distinct ids)
           (warmTop ++ coldTop).distinct.sorted(ord).take(k)
         }
+      }
     }
 
     var ver = graft.index.AnnIndexStore.storeVersion(path)
