@@ -119,7 +119,10 @@ object AnnCatalog {
 
   def unregister(basePath: String): Unit = registry.remove(norm(basePath))
 
-  def clear(): Unit = { registry.clear(); attrCache.clear(); centroidCache.clear() }
+  def clear(): Unit = {
+    registry.clear(); attrCache.clear(); centroidCache.clear()
+    AnnTopKExec.clearScanFrames()
+  }
 
   // IVF centroid tables (nlist rows by contract), driver-resident per
   // store path. Registration paths embed the source-generation
@@ -705,26 +708,36 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
   // listing + footer schema inference PER STATEMENT on the serving hot
   // path. A planned frame is immutable, so it is cached per
   // (session, path, version) — the write-time version token is the
-  // invalidation key (a maintenance swap bumps it; superseded
-  // generations of the same path are dropped on insert). Only VERSIONED
-  // stores cache: an unversioned store's files can change with no
-  // detectable signal, so it re-lists per statement — and a
-  // version-swap RETRY re-lists too (its new token misses), so a retry
-  // can never re-read the pre-swap file listing.
+  // invalidation key (a maintenance swap bumps it, so superseded
+  // entries are simply never read again). Only VERSIONED stores cache:
+  // an unversioned store's files can change with no detectable signal,
+  // so it re-lists per statement — and a version-swap RETRY re-lists
+  // too (its new token misses), so a retry can never re-read the
+  // pre-swap file listing. Keyed by the SESSION OBJECT (identity
+  // equality) — a hash surrogate could alias two sessions and hand one
+  // a frame bound to the other's session state. Eviction: stale tokens
+  // are unordered UUIDs with nothing to age by, so hygiene is
+  // size-bounded — at the cap, frames of stopped sessions are dropped
+  // first, then the map clears wholesale (a re-warm is one listing per
+  // store). `AnnCatalog.clear()` clears this too.
   private val scanFrames = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, String), org.apache.spark.sql.DataFrame]
+    (SparkSession, String, String), org.apache.spark.sql.DataFrame]
+
+  private[graft] def clearScanFrames(): Unit = scanFrames.clear()
 
   private def scanFrame(spark: SparkSession, path: String,
       ver: Option[String]): org.apache.spark.sql.DataFrame = ver match {
     case None => spark.read.parquet(path)
     case Some(v) =>
-      val key = (System.identityHashCode(spark), path, v)
+      val key = (spark, path, v)
       val hit = scanFrames.get(key)
       if (hit != null) hit
       else {
+        if (scanFrames.size() >= 256) {
+          scanFrames.keySet.removeIf(_._1.sparkContext.isStopped)
+          if (scanFrames.size() >= 256) scanFrames.clear()
+        }
         val df = spark.read.parquet(path)
-        scanFrames.keySet.removeIf(k =>
-          k._1 == key._1 && k._2 == path && k._3 != v)
         val race = scanFrames.putIfAbsent(key, df)
         if (race != null) race else df
       }
