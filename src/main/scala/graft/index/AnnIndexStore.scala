@@ -523,16 +523,31 @@ object AnnIndexStore {
     val bq = spark.sparkContext.broadcast(qByBucket)
     val wanted = qByBucket.keys.toSeq
     val scan0 = spark.read.parquet(path).filter(col("bucket").isin(wanted: _*))
-    // banded arm, attr-stamped store: push the batch's GLOBAL attr
-    // envelope into the scan — parquet row-group stats then skip
-    // sub-rows no query in the batch can touch before their blob
-    // columns are even read (the per-row ts(0)/ts(last) check below
-    // still skips precisely, per query, before deserialization)
+    // banded arm, attr-stamped store: push PER-BUCKET attr envelopes
+    // into the scan — parquet row-group stats then skip sub-rows no
+    // query OF THAT BUCKET can touch before their blob columns are even
+    // read (a global envelope would approach [0, 1] as soon as the
+    // batch spans many labels and prune nothing). Each disjunct only
+    // drops rows outside its own bucket's query envelope, so the filter
+    // is safe by construction; the per-row ts(0)/ts(last) check below
+    // still skips precisely, per query, before deserialization. The
+    // stats evaluation is per ROW GROUP and these rows are graph blobs
+    // (few rows per group), so a few hundred disjuncts cost ~nothing;
+    // beyond the clamp the OR tree's plan-analysis cost outweighs the
+    // pruning and the batch-global envelope is used instead.
     val scan =
       if (efBands && scan0.columns.contains("attr_min")) {
-        val minL = qByBucket.valuesIterator.flatMap(_.iterator).map(_._2).min
-        val maxR = qByBucket.valuesIterator.flatMap(_.iterator).map(_._3).max
-        scan0.filter(col("attr_max") >= minL && col("attr_min") <= maxR)
+        if (qByBucket.size <= 256)
+          scan0.filter(qByBucket.iterator.map { case (b, qs) =>
+            col("bucket") === b &&
+              col("attr_max") >= qs.iterator.map(_._2).min &&
+              col("attr_min") <= qs.iterator.map(_._3).max
+          }.reduce(_ || _))
+        else {
+          val minL = qByBucket.valuesIterator.flatMap(_.iterator).map(_._2).min
+          val maxR = qByBucket.valuesIterator.flatMap(_.iterator).map(_._3).max
+          scan0.filter(col("attr_max") >= minL && col("attr_min") <= maxR)
+        }
       } else scan0
     scan
       .select(col("bucket"), col("ids"), col("attrs"), col("graph"))
