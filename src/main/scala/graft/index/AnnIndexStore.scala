@@ -42,12 +42,119 @@ object AnnIndexStore {
       new java.io.File(dir, versionFileName).toPath,
       java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
 
-  /** The store's write-time version token, if stamped. */
-  def storeVersion(path: String): Option[String] = {
-    val f = new java.io.File(path.stripSuffix("/"), versionFileName)
+  /** The store's write-time version token, if stamped. Resolves the
+    * generation layout first: a flipped store's token is the CURRENT
+    * generation's stamp. */
+  def storeVersion(path: String): Option[String] = versionAt(resolveStore(path))
+
+  private def versionAt(dataDir: String): Option[String] = {
+    val f = new java.io.File(dataDir.stripSuffix("/"), versionFileName)
     if (!f.exists()) None
     else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
       .filter(_.nonEmpty)
+  }
+
+  // ---- generation layout: manifest-pointer store directories ---------
+  //
+  // A maintenance REBUILD ([[compactDelta]]) must replace a store's data
+  // while readers keep serving. The previous layout swapped the store
+  // directory itself with two renames, which left a brief store-absent
+  // window (nothing at `path` between them): [[recoverStore]] repairs it
+  // after a crash, but a concurrent reader could still plan a scan into
+  // the gap. The generation layout removes the window — data lives in
+  // immutable `_gen-*` subdirectories and a one-line `_manifest` file
+  // names the current one; a rebuild writes a complete new generation
+  // BESIDE the live one and commits it with ONE atomic manifest rename
+  // (the object-store manifest-pointer flip the old compactDelta
+  // scaladoc specified as the evolution). Readers resolve root →
+  // generation once per operation and then scan an IMMUTABLE directory:
+  // there is no in-place state to half-read. Superseded generations —
+  // and the flat layout's root files, after a store's first flip — are
+  // dead data, deleted at the NEXT maintenance entry ([[gcStaleGens]])
+  // so a reader that resolved just before a flip keeps a full
+  // inter-maintenance interval to finish its scan: the same
+  // reads-exclude / maintenance-deletes split as [[repairDelta]].
+  //
+  // Builders still write the flat layout (a fresh store IS its own
+  // generation); only an in-place rebuild flips a store to the
+  // generation layout. Underscore-prefixed names keep the manifest and
+  // the generation dirs invisible to a whole-directory parquet read of
+  // the root during that one migration flip.
+
+  private val manifestName = "_manifest"
+
+  /** The store's current DATA directory: the generation dir named by
+    * the root's `_manifest` when present, else the root itself (flat
+    * layout). Every reader resolves through this; a manifest naming a
+    * missing dir fails the subsequent read loudly rather than silently
+    * serving the superseded layout. */
+  def resolveStore(path: String): String = {
+    val root = path.stripSuffix("/")
+    currentGen(root).map(g => s"$root/$g").getOrElse(root)
+  }
+
+  /** Resolve the data dir and its version token together — the serving
+    * path's one coherent view of (where to scan, what to key the cache
+    * on). A generation dir is immutable after its flip, so the pair can
+    * never be torn by a concurrent rebuild. */
+  def resolveVersioned(path: String): (String, Option[String]) = {
+    val d = resolveStore(path)
+    (d, versionAt(d))
+  }
+
+  private def currentGen(root: String): Option[String] = {
+    val mf = new java.io.File(root, manifestName)
+    if (!mf.exists()) return None
+    new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+      .split("\n").map(_.trim)
+      .collectFirst { case l if l.startsWith("gen=") => l.stripPrefix("gen=") }
+      .filter(_.nonEmpty)
+  }
+
+  /** Commit `gen` as the store's current generation: a fully-written
+    * temp manifest moved into place with one atomic rename — readers
+    * see the previous generation or the new one, never an absent or
+    * partially-written store. */
+  private def flipManifest(root: java.io.File, gen: String): Unit = {
+    val tmp = new java.io.File(root, manifestName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, s"v1\ngen=$gen\n".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(root, manifestName).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Next generation dir name: current sequence + 1, plus a random
+    * suffix so a crashed prior attempt's orphan can never collide with
+    * the name a retry builds. */
+  private def nextGenName(root: String): String = {
+    val seq = currentGen(root)
+      .flatMap(g => scala.util.Try(
+        g.stripPrefix("_gen-").takeWhile(_.isDigit).toLong).toOption.filter(_ > 0))
+      .getOrElse(0L) + 1
+    f"_gen-$seq%06d-" + java.util.UUID.randomUUID().toString.take(8)
+  }
+
+  /** MAINTENANCE-side generation GC: at a generation-layout root,
+    * everything except the manifest and the generation it names is dead
+    * — a superseded generation, a crashed rebuild's orphan, a leftover
+    * manifest temp, or the flat layout's files from before the store's
+    * first flip. Deleted here, at maintenance entry, never by readers.
+    * On a flat (manifest-less) store only orphan `_gen-*` dirs and
+    * manifest temps are swept (a crashed FIRST flip). */
+  private def gcStaleGens(path: String): Unit = {
+    val root = new java.io.File(path.stripSuffix("/"))
+    if (!root.isDirectory) return
+    currentGen(root.getPath) match {
+      case None =>
+        Option(root.listFiles()).foreach(_.foreach { f =>
+          if ((f.isDirectory && f.getName.startsWith("_gen-")) ||
+              f.getName == manifestName + ".tmp") deleteRecursively(f)
+        })
+      case Some(g) =>
+        Option(root.listFiles()).foreach(_.foreach { f =>
+          if (f.getName != manifestName && f.getName != g) deleteRecursively(f)
+        })
+    }
   }
 
   // ---- tuned effort-band sidecar (`_ef_bands`) -----------------------
@@ -61,11 +168,11 @@ object AnnIndexStore {
 
   def writeEfBands(path: String, bands: graft.operators.EfBands): Unit =
     java.nio.file.Files.write(
-      new java.io.File(path.stripSuffix("/"), efBandsFileName).toPath,
+      new java.io.File(resolveStore(path), efBandsFileName).toPath,
       bands.serialize.getBytes("UTF-8"))
 
   def efBandsOf(path: String): Option[graft.operators.EfBands] = {
-    val f = new java.io.File(path.stripSuffix("/"), efBandsFileName)
+    val f = new java.io.File(resolveStore(path), efBandsFileName)
     if (!f.exists()) None
     else graft.operators.EfBands.parse(
       new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
@@ -352,11 +459,12 @@ object AnnIndexStore {
       refineK: Int = 100): DataFrame = {
     import graft.functions.{VectorFunctions => VF}
     import graft.operators.{SimilaritySearch => SS, TopKAggregate}
-    val coarse = spark.read.parquet(s"$path/centroids")
+    val store = resolveStore(path)
+    val coarse = spark.read.parquet(s"$store/centroids")
       .select(col("list").cast("int"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).map(_._2)
-    val bookRows = spark.read.parquet(s"$path/codebook")
+    val bookRows = spark.read.parquet(s"$store/codebook")
       .select(col("c").cast("int"), col("bvec"), col("m").cast("int"))
       .collect()
     require(bookRows.nonEmpty, s"searchIvfPq: empty codebook at $path")
@@ -382,7 +490,7 @@ object AnnIndexStore {
     // the probed-list set is ≤ nlist values: one bounded collect turns
     // routing into a STATIC partition filter on the codes scan
     val lists = probed.select(col("list")).distinct().collect().map(_.getInt(0)).sorted
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = spark.read.parquet(s"$store/codes")
       .where(col("list").isin(lists.map(Integer.valueOf): _*))
       .select(col("id"), col("list").cast("int").as("list"), col("codes"))
 
@@ -410,7 +518,8 @@ object AnnIndexStore {
     * when the build salted an oversized one). (qid, rank, nid). */
   def searchIvf(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, ef: Int = 200, nprobe: Int = 4): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val store = resolveStore(path)
+    val cents = spark.read.parquet(s"$store/centroids")
       .select(col("list").cast("int"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
@@ -420,7 +529,7 @@ object AnnIndexStore {
           col("qvec"), centsFlat, lit(math.min(nprobe, cents.length)))).as("probe"),
         col("qvec"))
       .select(col("qid"), col("probe").cast("long").as("v"), col("qvec"))
-    searchBy(spark, s"$path/lists", probed, k, ef)
+    searchBy(spark, s"$store/lists", probed, k, ef)
   }
 
   /** Chunked [[searchIvf]] for query batches too large to hold on the
@@ -434,7 +543,8 @@ object AnnIndexStore {
   def searchIvfChunked(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, ef: Int = 200, nprobe: Int = 4, chunkRows: Int = 100000): DataFrame = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$path/centroids")
+    val store = resolveStore(path)
+    val cents = spark.read.parquet(s"$store/centroids")
       .select(col("list").cast("int"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).map(_._2)
@@ -443,7 +553,7 @@ object AnnIndexStore {
       val qByBucket = chunk.iterator.flatMap { case (qid, qvec) =>
         nearestLists(cents, np, qvec).iterator.map(l => (l, (qid, qvec)))
       }.toArray.groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2)) }
-      searchByBatch(spark, s"$path/lists", qByBucket, k, ef).localCheckpoint(eager = true)
+      searchByBatch(spark, s"$store/lists", qByBucket, k, ef).localCheckpoint(eager = true)
     }.toSeq
     if (results.isEmpty) spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     else results.reduce(_.unionByName(_))
@@ -475,7 +585,8 @@ object AnnIndexStore {
   def searchIvfChunkedTo(spark: SparkSession, path: String, queries: DataFrame,
       outPath: String, k: Int, ef: Int = 200, nprobe: Int = 4,
       chunkRows: Int = 100000): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val store = resolveStore(path)
+    val cents = spark.read.parquet(s"$store/centroids")
       .select(col("list").cast("int"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).map(_._2)
@@ -485,7 +596,7 @@ object AnnIndexStore {
         val qByBucket = chunk.iterator.flatMap { case (qid, qvec) =>
           nearestLists(cents, np, qvec).iterator.map(l => (l, (qid, qvec)))
         }.toArray.groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2)) }
-        searchByBatch(spark, s"$path/lists", qByBucket, k, ef)
+        searchByBatch(spark, s"$store/lists", qByBucket, k, ef)
       })
   }
 
@@ -522,7 +633,8 @@ object AnnIndexStore {
       if (efBands) resolveBands(path) else graft.operators.SearchParams.DefaultBands
     val bq = spark.sparkContext.broadcast(qByBucket)
     val wanted = qByBucket.keys.toSeq
-    val scan0 = spark.read.parquet(path).filter(col("bucket").isin(wanted: _*))
+    val scan0 = spark.read.parquet(resolveStore(path))
+      .filter(col("bucket").isin(wanted: _*))
     // banded arm, attr-stamped store: push PER-BUCKET attr envelopes
     // into the scan — parquet row-group stats then skip sub-rows no
     // query OF THAT BUCKET can touch before their blob columns are even
@@ -657,7 +769,7 @@ object AnnIndexStore {
     // page-cached and the deserialization is shared via
     // fromBytesCached.
     val shards = math.max(1, math.min(16, qBatch.length / 4000))
-    val scanOne = spark.read.parquet(path)
+    val scanOne = spark.read.parquet(resolveStore(path))
       .filter(col("bucket") >= minB && col("bucket") <= maxB)
       .select(col("bucket"), col("ids"), col("attrs"), col("graph"))
     val scan =
@@ -755,7 +867,7 @@ object AnnIndexStore {
     if (qByBucket.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
     val bq = spark.sparkContext.broadcast(qByBucket)
     val wanted = qByBucket.keys.toSeq
-    spark.read.parquet(path)
+    spark.read.parquet(resolveStore(path))
       .filter(col("bucket").isin(wanted: _*))
       .select(col("bucket"), col("ids"), col("graph"))
       .as[(Long, Array[Long], Array[Byte])]
@@ -868,7 +980,7 @@ object AnnIndexStore {
       qBatch: Array[(Long, Array[Float])], k: Int, ef: Int): DataFrame = {
     import spark.implicits._
     val bq = spark.sparkContext.broadcast(qBatch)
-    spark.read.parquet(path)
+    spark.read.parquet(resolveStore(path))
       .select(col("ids"), col("graph"))
       .as[(Array[Long], Array[Byte])]
       .mapPartitions { it =>
@@ -900,11 +1012,11 @@ object AnnIndexStore {
   //   - searchWithDelta / deltaFraction are READ ops: they classify
   //     already-folded delta data as dead and EXCLUDE it, but never
   //     delete — two concurrent readers can never race a delete against
-  //     a scan. One carve-out: an EPOCH SWITCH (see demoteBidsToFlat)
-  //     relocates live bid files, so a read racing that rare
-  //     redeployment event can fail transiently or observe a partial
-  //     delta — retry after the switch, or pause serving around
-  //     stream redeployments.
+  //     a scan. No carve-outs: live delta data is never relocated (each
+  //     stream epoch owns its own `eid=` subtree, so an epoch switch
+  //     writes beside the old stream's batches instead of moving them),
+  //     and dead data deleted by maintenance has been excluded by every
+  //     read since the fold marker that classified it appeared.
 
   /** Test-only fault injection: every fs-visible boundary inside the
     * maintenance ops calls [[crashPoint]] with a stable name, and the
@@ -921,27 +1033,37 @@ object AnnIndexStore {
 
   /** Sibling dataset holding not-yet-indexed rows (plain (id, vec)
     * parquet) — `<path>.delta`, NOT a subdirectory, so reading the main
-    * store never mixes schemas. Two committed layouts coexist: flat
-    * part files at the root (batch [[appendDelta]]/[[replaceDelta]])
-    * and `bid=<batchId>` subdirectories ([[appendDeltaBatch]], the
-    * streaming form — one dir per micro-batch so at-least-once replays
-    * overwrite instead of double-appending). */
+    * store never mixes schemas. Three committed layouts coexist: flat
+    * part files at the root (batch [[appendDelta]]/[[replaceDelta]]),
+    * root `bid=<batchId>` subdirectories ([[appendDeltaBatch]] without
+    * an epoch, and stores written before epochs were dir-scoped), and
+    * `eid=<epoch>/bid=<batchId>` subtrees (the streaming form — one dir
+    * per micro-batch so at-least-once replays overwrite instead of
+    * double-appending, one subtree per stream EPOCH so a restarted
+    * stream's bid counter can never collide with a previous stream's
+    * acknowledged batches). */
   def deltaPath(path: String): String = path.stripSuffix("/") + ".delta"
 
   private val foldMarkerName = "_folded_delta"
 
   /** What a compaction folded: a fingerprint of the flat part files it
-    * consumed ("-" when there were none), the highest micro-batch id
-    * it consumed (-1 when there were none), and the stream EPOCH those
-    * micro-batches belonged to (the ingesting writer's checkpoint
-    * identity — see [[appendDeltaBatch]]; "-" when unknown). Stored in
-    * the promoted store as [[foldMarkerName]]; the legacy single-line
-    * form (a whole-delta-dir fingerprint) is still read. */
+    * consumed ("-" when there were none), the highest ROOT-layout
+    * micro-batch id it consumed (-1 when there were none) with the
+    * stream EPOCH those root batches belonged to (the ingesting
+    * writer's checkpoint identity — see [[appendDeltaBatch]]; "-" when
+    * unknown), and a per-epoch watermark map for the epoch-scoped
+    * `eid=` layout (`eids=<token>:<maxbid>,…`). Stored in the promoted
+    * generation as [[foldMarkerName]], read through [[resolveStore]];
+    * the legacy single-line form (a whole-delta-dir fingerprint) is
+    * still read. Retired epochs keep their map entries forever — a
+    * moved-checkpoint late replay of a folded batch must still skip —
+    * bounded by the number of stream redeployments, not data size. */
   private case class FoldMarker(flatFp: Option[String], maxBid: Long,
-      legacyFp: Option[String], epoch: Option[String] = None)
+      legacyFp: Option[String], epoch: Option[String] = None,
+      eids: Map[String, Long] = Map.empty)
 
   private def readFoldMarker(path: String): Option[FoldMarker] = {
-    val marker = new java.io.File(path, foldMarkerName)
+    val marker = new java.io.File(resolveStore(path), foldMarkerName)
     if (!marker.exists()) return None
     val lines = new String(
       java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
@@ -954,22 +1076,42 @@ object AnnIndexStore {
         kv.get("flatfp").filter(_ != "-"),
         kv.get("maxbid").map(_.toLong).getOrElse(-1L),
         legacyFp = None,
-        epoch = kv.get("epoch").filter(_ != "-")))
+        epoch = kv.get("epoch").filter(_ != "-"),
+        eids = kv.get("eids").filter(_ != "-").map(_.split(",").iterator.flatMap { p =>
+          p.split(":", 2) match {
+            case Array(t, b) => scala.util.Try(t -> b.toLong).toOption
+            case _           => None
+          }
+        }.toMap).getOrElse(Map.empty)))
     } else lines.headOption.map(fp => FoldMarker(None, -1L, legacyFp = Some(fp)))
   }
 
   private def writeFoldMarker(dir: java.io.File, flatFp: String,
-      maxBid: Long, epoch: Option[String]): Unit =
+      maxBid: Long, epoch: Option[String],
+      eids: Map[String, Long] = Map.empty): Unit = {
+    val eidLine =
+      if (eids.isEmpty) "-"
+      else eids.toSeq.sorted.map { case (t, b) => s"$t:$b" }.mkString(",")
     java.nio.file.Files.write(
       new java.io.File(dir, foldMarkerName).toPath,
-      s"v2\nflatfp=$flatFp\nmaxbid=$maxBid\nepoch=${epoch.getOrElse("-")}\n"
-        .getBytes("UTF-8"))
+      (s"v2\nflatfp=$flatFp\nmaxbid=$maxBid\nepoch=${epoch.getOrElse("-")}\n" +
+        s"eids=$eidLine\n").getBytes("UTF-8"))
+  }
 
-  /** The delta's current stream epoch (written beside the bid= dirs by
-    * [[appendDeltaBatch]]; consumed by [[compactDelta]] to stamp the
-    * fold marker). `_`-prefixed, so invisible to flat fingerprints and
-    * committed-file listings. */
-  private val streamEpochName = "_stream_epoch"
+  /** Filesystem-safe form of a stream epoch (a checkpoint query id —
+    * UUID-shaped in practice): the `eid=` dir name and the marker map
+    * key. One definition, so the append and fold sides cannot drift. */
+  private def epochToken(e: String): String =
+    e.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** The ROOT-layout bid dirs' stream epoch — written by the
+    * pre-epoch-scoped [[appendDeltaBatch]] beside its root `bid=` dirs,
+    * still read so a legacy store's root batches keep their owner (the
+    * epoch-scoped layout needs no such file: the `eid=` dir name IS the
+    * attribution). `_`-prefixed, so invisible to flat fingerprints and
+    * committed-file listings. private[index]: specs that fabricate
+    * legacy root-bid state must share the one name. */
+  private[index] val streamEpochName = "_stream_epoch"
 
   private def readStreamEpoch(path: String): Option[String] = {
     val f = new java.io.File(deltaPath(path), streamEpochName)
@@ -1000,6 +1142,30 @@ object AnnIndexStore {
       .sortBy(_._1)
   }
 
+  /** Committed micro-batch dirs of the epoch-scoped layout:
+    * `eid=<token>/bid=<n>`. Each stream epoch owns its own subtree, so
+    * a restarted stream whose batch counter begins again at 0 writes
+    * BESIDE the old stream's checkpoint-acknowledged batches — nothing
+    * is demoted, relocated, or overwritten at an epoch switch (the
+    * previous layout moved the old epoch's part files to the flat root
+    * one rename at a time; a read racing that move could observe a
+    * partial delta — window gone). */
+  private def committedEidBids(path: String): Seq[(String, Long, java.io.File)] = {
+    val root = new java.io.File(deltaPath(path))
+    if (!root.isDirectory) return Nil
+    Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(d => d.isDirectory && d.getName.startsWith("eid="))
+      .flatMap { ed =>
+        val tok = ed.getName.stripPrefix("eid=")
+        Option(ed.listFiles()).map(_.toSeq).getOrElse(Nil)
+          .filter(b => b.isDirectory && b.getName.startsWith("bid=") &&
+            new java.io.File(b, "_SUCCESS").exists())
+          .flatMap(b => scala.util.Try(b.getName.stripPrefix("bid=").toLong)
+            .toOption.map(bid => (tok, bid, b)))
+      }
+      .sortBy(t => (t._1, t._2))
+  }
+
   /** Fingerprint of the delta's FLAT part files only (bid dirs have
     * their own watermark), non-recursive — pairs with the `flatfp`
     * marker line. */
@@ -1014,19 +1180,26 @@ object AnnIndexStore {
   private def liveDeltaRoots(spark: SparkSession, path: String): Seq[String] = {
     val flat = committedFlatFiles(path)
     val bids = committedBids(path)
-    if (flat.isEmpty && bids.isEmpty) return Nil
+    val eids = committedEidBids(path)
+    if (flat.isEmpty && bids.isEmpty && eids.isEmpty) return Nil
     readFoldMarker(path) match {
-      case None => (flat ++ bids.map(_._2)).map(_.toString)
+      case None =>
+        (flat ++ bids.map(_._2) ++ eids.map(_._3)).map(_.toString)
       case Some(m) if m.legacyFp.isDefined =>
-        // legacy marker: whole-dir identity — all-or-nothing
+        // legacy marker: whole-dir identity — all-or-nothing (epoch
+        // subtrees postdate legacy markers, so a matching fingerprint
+        // implies there are none)
         if (m.legacyFp.contains(
             graft.sources.ParquetMeta.fingerprint(spark, deltaPath(path)))) Nil
-        else (flat ++ bids.map(_._2)).map(_.toString)
+        else (flat ++ bids.map(_._2) ++ eids.map(_._3)).map(_.toString)
       case Some(m) =>
         val liveFlat =
           if (flat.isEmpty || m.flatFp.contains(flatFp(spark, path))) Nil else flat
         val liveBids = bids.filter(_._1 > m.maxBid).map(_._2)
-        (liveFlat ++ liveBids).map(_.toString)
+        val liveEids = eids.filter { case (t, b, _) =>
+          b > m.eids.getOrElse(t, -1L)
+        }.map(_._3)
+        (liveFlat ++ liveBids ++ liveEids).map(_.toString)
     }
   }
 
@@ -1062,6 +1235,17 @@ object AnnIndexStore {
         }
         committedBids(path).filter(_._1 <= m.maxBid)
           .foreach(b => deleteRecursively(b._2))
+        committedEidBids(path)
+          .filter { case (t, b, _) => b <= m.eids.getOrElse(t, -1L) }
+          .foreach(e => deleteRecursively(e._3))
+        // an epoch dir emptied of its batches is gone (an UNcommitted
+        // bid= child — an in-flight write — blocks the delete; its
+        // replay will overwrite it)
+        Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+          .filter(d => d.isDirectory && d.getName.startsWith("eid=") &&
+            Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+              .forall(c => !(c.isDirectory && c.getName.startsWith("bid="))))
+          .foreach(deleteRecursively)
       }
       val left = Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
       if (left.forall(f => f.getName.startsWith("_") || f.getName.startsWith(".")))
@@ -1069,85 +1253,41 @@ object AnnIndexStore {
     }
   }
 
-  /** Remove everything at the delta ROOT that is not a `bid=` micro-
-    * batch dir or the stream-epoch file — the shared pre-write sweep of
-    * [[replaceDelta]] and [[demoteBidsToFlat]]. What it removes is
+  /** Remove everything at the delta ROOT that is not a micro-batch dir
+    * (`bid=` root-layout or `eid=` epoch-scoped) or the stream-epoch
+    * file — [[replaceDelta]]'s pre-write sweep. What it removes is
     * either uncommitted (part files with no surviving `_SUCCESS`,
-    * `_temporary` job-attempt dirs) or about to be rewritten; what
-    * counts as sweepable must stay identical between the two callers,
-    * hence one definition. */
+    * `_temporary` job-attempt dirs) or about to be rewritten. */
   private def sweepUncommittedRoot(root: java.io.File): Unit =
     Option(root.listFiles()).foreach(_.foreach { f =>
       if (f.getName != streamEpochName &&
-          (f.isFile || !f.getName.startsWith("bid="))) deleteRecursively(f)
+          (f.isFile ||
+            !(f.getName.startsWith("bid=") || f.getName.startsWith("eid="))))
+        deleteRecursively(f)
     })
 
-  /** Demote committed `bid=` micro-batch dirs to FLAT delta rows — the
-    * epoch-switch step of [[appendDeltaBatch]]. The old stream's
-    * committed bids are checkpoint-acknowledged (id, vec) parquet it
-    * will never resend; once its epoch is retired they are ordinary
-    * un-indexed rows, so their part files move (atomic renames) to the
-    * delta root under bid-tagged names and serve/fold exactly like a
-    * batch append. Crash-safe ORDER: the flat layout is committed (root
-    * `_SUCCESS`) BEFORE any rename — a crash mid-demotion then leaves
-    * every row visible exactly once (moved files as committed flat,
-    * unmoved ones still in their committed bid dirs) and the switch
-    * retry re-demotes what remains; committing after the renames would
-    * instead make a crash between the last rename and the commit lose
-    * every moved row invisibly. When the flat layout was NOT previously
-    * committed, uncommitted root leftovers (a crashed batch append) are
-    * swept first so the new `_SUCCESS` cannot retroactively commit
-    * partial files. Un-COMMITTED bid dirs (no `_SUCCESS`) are crashed
-    * writes the old stream never acknowledged: deleted.
-    *
-    * This is the ONE maintenance op that relocates LIVE data: a read
-    * overlapping the switch can fail transiently (it planned a bid
-    * file that moved before its scan) or return a PARTIAL delta (it
-    * listed the flat layout before a file landed and the bid dir
-    * after it left) — bounded by the switch duration. Serving that
-    * cannot tolerate either should pause around stream redeployments;
-    * a manifest-pointer layout (the object-store evolution already
-    * noted on [[compactDelta]]) removes the window entirely. Epoch
-    * switches are rare redeployment events, not steady-state serving. */
-  private def demoteBidsToFlat(path: String): Unit = {
-    val root = new java.io.File(deltaPath(path))
-    if (!root.isDirectory) return
-    val bids = committedBids(path)
-    if (bids.nonEmpty) {
-      if (!new java.io.File(root, "_SUCCESS").exists()) {
-        sweepUncommittedRoot(root)
-        java.nio.file.Files.write(
-          new java.io.File(root, "_SUCCESS").toPath, Array.empty[Byte])
-      }
-      crashPoint("demote.root_committed")
-      bids.foreach { case (bid, dir) =>
-        Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
-          if (f.isFile && f.getName.endsWith(".parquet") &&
-              !f.getName.startsWith("_") && !f.getName.startsWith("."))
-            require(f.renameTo(new java.io.File(root, s"bid$bid-${f.getName}")),
-              s"epoch switch: cannot demote $f")
-        }
-        crashPoint("demote.bid_moved")
-        deleteRecursively(dir)
-      }
-    }
-    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("bid="))
-      .foreach(deleteRecursively)
-  }
-
-  /** Roll a half-completed [[compactDelta]] swap forward or back: dying
-    * between the two renames leaves nothing at `path` ('.old' holds the
-    * previous store, '.compact' may hold a complete rebuilt one) — with
-    * no repair, every later read or compaction fails on the missing
-    * store and nothing ever restores it. A complete '.compact' wins
-    * (roll FORWARD — it already contains the folded delta and carries
-    * the fold marker); otherwise a complete '.old' is restored (roll
-    * BACK — the fold never happened). Runs at maintenance entry points
-    * (same single-writer contract as [[repairDelta]]). */
+  /** Roll a half-completed PRE-GENERATION [[compactDelta]] swap forward
+    * or back: the old layout's rename swap could die between its two
+    * renames, leaving nothing at `path` ('.old' holds the previous
+    * store, '.compact' may hold a complete rebuilt one) — with no
+    * repair, every later read or compaction fails on the missing store
+    * and nothing ever restores it. A complete '.compact' wins (roll
+    * FORWARD — it already contains the folded delta and carries the
+    * fold marker); otherwise a complete '.old' is restored (roll BACK —
+    * the fold never happened). The generation layout has no such
+    * window (its commit is one atomic manifest rename), so this is
+    * pure legacy recovery for stores last compacted by the old code;
+    * it still runs at maintenance entry points (same single-writer
+    * contract as [[repairDelta]]). */
   private def recoverStore(path: String): Unit = {
     val store = new java.io.File(path.stripSuffix("/"))
-    if (new java.io.File(store, "_SUCCESS").exists()) return
+    // a healthy store: flat layout with its job-commit marker, or a
+    // generation layout (whose root never carries _SUCCESS — the data
+    // dir inside does). Either way the legacy half-swap repair must
+    // not touch it: stale '.compact'/'.old' siblings beside a healthy
+    // store are dead, deleted by compactDelta, never promoted.
+    if (new java.io.File(store, manifestName).exists() ||
+        new java.io.File(store, "_SUCCESS").exists()) return
     val compact = new java.io.File(path.stripSuffix("/") + ".compact")
     val old = new java.io.File(path.stripSuffix("/") + ".old")
     if (new java.io.File(compact, "_SUCCESS").exists()) {
@@ -1175,6 +1315,7 @@ object AnnIndexStore {
     * or the per-batch [[appendDeltaBatch]]. */
   def appendDelta(delta: DataFrame, path: String): Unit = {
     recoverStore(path)
+    gcStaleGens(path)
     repairDelta(delta.sparkSession, path)
     delta.select(col("id").cast("long"), col("vec"))
       .write.mode("append").parquet(deltaPath(path))
@@ -1182,27 +1323,24 @@ object AnnIndexStore {
 
   /** Idempotent form for build scripts that may retry: REPLACE the
     * delta's FLAT layout instead of appending (a crashed-and-rerun
-    * `appendDelta` would double its rows). Committed `bid=` micro-batch
-    * dirs are a concurrent STREAM's not-yet-folded rows and survive —
-    * a whole-dir overwrite would silently lose them (their checkpoints
-    * have committed, so the stream never replays them). NOTE: rows an
-    * epoch switch DEMOTED to the flat layout ([[demoteBidsToFlat]])
-    * count as flat and are replaced with it — callers mixing epoch
-    * switches with replace-style batch maintenance must compact between
-    * them or the demoted rows are (by these semantics) discarded.
-    * Crash-safe the same way as before: a write that dies mid-job
-    * leaves part files with no root `_SUCCESS` (invisible to reads),
-    * and the retry's file-level sweep below removes them before
-    * rewriting. */
+    * `appendDelta` would double its rows). Committed micro-batch dirs
+    * (`bid=` root-layout or `eid=` epoch-scoped) are a STREAM's
+    * not-yet-folded rows and survive — a whole-dir overwrite would
+    * silently lose them (their checkpoints have committed, so the
+    * stream never replays them). Crash-safe the same way as before: a
+    * write that dies mid-job leaves part files with no root `_SUCCESS`
+    * (invisible to reads), and the retry's file-level sweep below
+    * removes them before rewriting. */
   def replaceDelta(delta: DataFrame, path: String): Unit = {
     recoverStore(path)
+    gcStaleGens(path)
     repairDelta(delta.sparkSession, path)
     val root = new java.io.File(deltaPath(path))
     // sweep root FILES and any _temporary job-attempt dir — a crashed
     // write's committed task outputs under _temporary would otherwise
     // be merged into the retry's commitJob (the committer commits ALL
-    // on-disk task dirs of the attempt path), duplicating rows. bid=
-    // dirs (the stream's rows) and its epoch file survive.
+    // on-disk task dirs of the attempt path), duplicating rows. bid=/
+    // eid= dirs (the stream's rows) and the epoch file survive.
     sweepUncommittedRoot(root)
     crashPoint("replace.swept")
     delta.select(col("id").cast("long"), col("vec"))
@@ -1210,16 +1348,18 @@ object AnnIndexStore {
   }
 
   /** Exactly-once-effective streaming append: micro-batch `batchId`
-    * lands in its own `bid=<batchId>` subdirectory with OVERWRITE mode,
-    * so foreachBatch's at-least-once replay (crash after the parquet
-    * commit, before the checkpoint commit) rewrites the same rows
-    * instead of double-appending them. A batch AT the fold marker's
-    * watermark FROM THE SAME STREAM EPOCH is skipped outright: its rows
-    * were folded into the main graphs by a compaction the crash
-    * happened to straddle — appending them again would serve and
-    * re-fold every row twice. Only the watermark batch can legitimately
-    * replay (checkpoints commit in batch order, so every lower bid's
-    * checkpoint committed before a higher bid could exist).
+    * lands in its own `eid=<epoch>/bid=<batchId>` subdirectory with
+    * OVERWRITE mode, so foreachBatch's at-least-once replay (crash
+    * after the parquet commit, before the checkpoint commit) rewrites
+    * the same rows instead of double-appending them. A batch AT its
+    * epoch's fold watermark is skipped outright: its rows were folded
+    * into the main graphs by a compaction the crash happened to
+    * straddle — appending them again would serve and re-fold every row
+    * twice. Only the watermark batch can legitimately replay
+    * (checkpoints commit in batch order, so every lower bid's
+    * checkpoint committed before a higher bid could exist); a batchId
+    * STRICTLY below its epoch's watermark fails loudly (impossible for
+    * a real replay, and a silent skip or append would lose data).
     *
     * `epoch` identifies the ingesting STREAM, not its batch counter:
     * the streaming writer derives it from the checkpoint's persistent
@@ -1227,68 +1367,70 @@ object AnnIndexStore {
     * id survives a checkpoint directory being MOVED (a moved checkpoint
     * is the same stream and must still replay-skip, not reset) and is
     * regenerated when the contents are cleared (a genuinely new stream
-    * even at the same path). A batch arriving under a DIFFERENT epoch
-    * than the store's (the fold marker's, or the delta's `_stream_epoch`
-    * when nothing was ever folded) is a new stream whose ids restart at
-    * 0 — its rows are NEW data: the OLD stream's committed-but-unfolded
-    * bid dirs are first DEMOTED to flat delta rows (they are
-    * checkpoint-acknowledged data the old stream will never resend;
-    * leaving them as bids would let the new stream's overwrite silently
-    * destroy them, and folding them under the new watermark would poison
-    * its id space), the watermark resets (maxbid=-1), and ingestion
-    * proceeds. Without an epoch (batch callers, legacy markers), a
-    * batchId strictly below the watermark is ambiguous between a
-    * fresh-checkpoint restart and an impossible replay; both silently
-    * lose data, so it fails loudly instead. */
+    * even at the same path). Because every epoch owns its own `eid=`
+    * subtree and its own watermark in the fold marker's map, a NEW
+    * stream whose batch ids restart at 0 simply writes BESIDE the old
+    * stream's committed-but-unfolded batches: nothing is demoted,
+    * relocated, or watermark-reset (the previous layout moved the old
+    * epoch's part files to the flat root at switch time — a read racing
+    * that move could observe a partial delta; that window is gone).
+    * The old epoch's batches stay live until a fold consumes them, and
+    * its watermark entry outlives the fold so a late replay still
+    * skips.
+    *
+    * Without an epoch (batch callers), the batch lands in a ROOT
+    * `bid=` dir under the r10 single-watermark semantics — unchanged.
+    *
+    * Legacy bridge: root `bid=` dirs written by the pre-epoch-scoped
+    * streaming layout keep serving and folding under the root
+    * watermark, attributed to the stream the `_stream_epoch` file (or
+    * the last fold) recorded; a same-epoch replay of such a batch
+    * deletes the root copy before writing the epoch-scoped one, so its
+    * rows exist exactly once (a crash between the two re-replays: the
+    * batch's checkpoint cannot have committed, or it would not be
+    * replaying). */
   def appendDeltaBatch(delta: DataFrame, path: String, batchId: Long,
       epoch: Option[String] = None): Unit = {
     recoverStore(path)
+    gcStaleGens(path)
     val spark = delta.sparkSession
     repairDelta(spark, path)
     val marker = readFoldMarker(path).filter(_.legacyFp.isEmpty)
-    // the store's current epoch: what the last fold recorded, else what
-    // the current delta's writer recorded (a never-compacted store has
-    // no marker, but its bids still belong to a stream)
-    val storeEpoch = marker.flatMap(_.epoch).orElse(readStreamEpoch(path))
-    val newEpoch = (epoch, storeEpoch) match {
-      case (Some(e), Some(se)) => e != se
-      case _                   => false
+    def failBelow(wm: Long): Unit =
+      throw new IllegalStateException(
+        s"appendDeltaBatch($path, batchId=$batchId): below the fold " +
+          s"watermark $wm with no stream-epoch change — this " +
+          "stream appears restarted from a cleared checkpoint; its " +
+          "batch ids would collide with already-folded ones and be " +
+          "served never or twice. Use a fresh store path or a fresh " +
+          "checkpoint location (a new epoch has its own watermark); " +
+          s"if reuse is intended, delete the store's $foldMarkerName.")
+    val target = epoch match {
+      case None =>
+        if (marker.exists(_.maxBid == batchId)) return
+        marker.foreach(m => if (batchId < m.maxBid) failBelow(m.maxBid))
+        s"${deltaPath(path)}/bid=$batchId"
+      case Some(e) =>
+        // root-layout bids (legacy streaming layout) belong to the
+        // stream the epoch file or the last fold recorded; their single
+        // watermark governs THIS stream only when the epochs match
+        val rootEpoch = marker.flatMap(_.epoch).orElse(readStreamEpoch(path))
+        if (rootEpoch.contains(e)) {
+          if (marker.exists(_.maxBid == batchId)) return
+          marker.foreach(m => if (batchId < m.maxBid) failBelow(m.maxBid))
+          committedBids(path).find(_._1 == batchId).foreach { case (_, d) =>
+            deleteRecursively(d)
+            crashPoint("append.root_replay_cleared")
+          }
+        }
+        val tok = epochToken(e)
+        val wm = marker.map(_.eids.getOrElse(tok, -1L)).getOrElse(-1L)
+        if (batchId == wm) return
+        if (batchId < wm) failBelow(wm)
+        s"${deltaPath(path)}/eid=$tok/bid=$batchId"
     }
-    if (newEpoch) {
-      // the old stream is gone: its committed bids become flat rows
-      // (searchable and foldable like any batch append), and the
-      // watermark resets so the new stream's restarted ids are LIVE
-      // under the bid > maxBid rule
-      demoteBidsToFlat(path)
-      crashPoint("append.demoted")
-      marker.foreach { m =>
-        writeFoldMarker(new java.io.File(path.stripSuffix("/")),
-          m.flatFp.getOrElse("-"), -1L, epoch)
-      }
-      crashPoint("append.watermark_reset")
-    } else {
-      if (marker.exists(_.maxBid == batchId)) return
-      marker.foreach { m =>
-        if (batchId < m.maxBid)
-          throw new IllegalStateException(
-            s"appendDeltaBatch($path, batchId=$batchId): below the fold " +
-              s"watermark ${m.maxBid} with no stream-epoch change — this " +
-              "stream appears restarted from a cleared checkpoint; its " +
-              "batch ids would collide with already-folded ones and be " +
-              "served never or twice. Use a fresh store path or a fresh " +
-              "checkpoint location (a new epoch resets the watermark); " +
-              s"if reuse is intended, delete $path/$foldMarkerName.")
-      }
-    }
-    epoch.foreach { e =>
-      val dp = new java.io.File(deltaPath(path))
-      dp.mkdirs()
-      java.nio.file.Files.write(
-        new java.io.File(dp, streamEpochName).toPath, e.getBytes("UTF-8"))
-    }
-    crashPoint("append.epoch_file_written")
     delta.select(col("id").cast("long"), col("vec"))
-      .write.mode("overwrite").parquet(s"${deltaPath(path)}/bid=$batchId")
+      .write.mode("overwrite").parquet(target)
   }
 
   /** delta rows ÷ indexed rows — the compaction trigger. Delta count
@@ -1297,13 +1439,18 @@ object AnnIndexStore {
     * rows by construction, so this is a driver-trivial job). Read-only:
     * folded leftovers are excluded, not deleted. */
   def deltaFraction(spark: SparkSession, path: String): Double = {
-    val roots = liveDeltaRoots(spark, path)
-    if (roots.isEmpty) return 0.0
-    val indexed = spark.read.parquet(path)
+    val delta = liveDeltaRows(spark, path)
+    if (delta == 0) return 0.0
+    val indexed = spark.read.parquet(resolveStore(path))
       .agg(sum(size(col("ids")))).head().getLong(0)
-    val delta = roots.map(graft.sources.ParquetMeta.rowCount(spark, _)).sum
     if (indexed == 0) Double.PositiveInfinity else delta.toDouble / indexed
   }
+
+  /** Row count of the LIVE delta (folded leftovers excluded) — parquet
+    * footer counts, no job. Read-only like [[deltaFraction]]. */
+  def liveDeltaRows(spark: SparkSession, path: String): Long =
+    liveDeltaRoots(spark, path)
+      .map(graft.sources.ParquetMeta.rowCount(spark, _)).sum
 
   /** Search the main graphs AND the delta in one plan: graph walks over
     * the stored sub-indexes union an exact broadcast-scan of the delta
@@ -1336,40 +1483,58 @@ object AnnIndexStore {
     * the stored graphs carry their vectors, so compaction reads them
     * back out ([[HnswIndex.vectorOf]]) and never needs the original
     * base table — at 100 TB the archived corpus is not re-scanned to
-    * maintain its index. The rebuilt store lands beside the live one
-    * and swaps in with directory renames (object-store equivalent: a
-    * manifest pointer flip). Crash-idempotent end to end: entry runs
-    * [[recoverStore]] (a half-completed PRIOR swap rolls forward/back)
-    * and [[repairDelta]]; the new store carries a marker recording what
-    * it folded (flat-file fingerprint + micro-batch watermark), so
-    * dying between the promote and the delta delete leaves a leftover
-    * the marker classifies dead — never served, never folded twice —
-    * and the next maintenance op deletes. Maintenance is single-writer
-    * by contract; readers racing the two renames can observe a brief
-    * store-absent window (a manifest-pointer layout removes even that
-    * on object stores). */
+    * maintain its index. The rebuilt store lands as a NEW GENERATION
+    * dir inside the store root and commits with ONE atomic `_manifest`
+    * rename — readers see the previous generation or the new one,
+    * never an absent store (the old two-rename swap had exactly that
+    * window: repaired after a crash by [[recoverStore]], but still
+    * observable by a racing read). Crash-idempotent end to end: entry
+    * runs [[recoverStore]] (legacy half-swaps) + [[gcStaleGens]] +
+    * [[repairDelta]]; a generation built but never flipped is an
+    * unreferenced orphan the next maintenance entry GCs; the new
+    * generation carries a marker recording what it folded (flat-file
+    * fingerprint + root watermark + per-epoch watermark map), so dying
+    * between the flip and the delta delete leaves a leftover the
+    * marker classifies dead — never served, never folded twice.
+    * Maintenance is single-writer by contract; the superseded
+    * generation survives until the NEXT maintenance entry, so a reader
+    * that resolved it just before the flip finishes its scan
+    * unharmed. */
   def compactDelta(spark: SparkSession, path: String, numBuckets: Int,
       m: Int = 16, efConstruction: Int = 200): Unit = {
     import spark.implicits._
     recoverStore(path)
+    gcStaleGens(path)
+    // dead siblings of the pre-generation swap layout: recoverStore
+    // already rolled a genuine half-swap forward or back, so whatever
+    // remains beside a healthy store is a crashed attempt's leftover
+    deleteRecursively(new java.io.File(path.stripSuffix("/") + ".compact"))
+    deleteRecursively(new java.io.File(path.stripSuffix("/") + ".old"))
     repairDelta(spark, path)
     val hadFlat = committedFlatFiles(path).nonEmpty
-    // carry the PREVIOUS fold's watermark forward: a compaction that
-    // sees no (or lower) live bids must not regress maxbid — a
-    // regressed watermark lets an at-least-once replay of the highest
+    // carry the PREVIOUS fold's watermarks forward: a compaction that
+    // sees no (or lower) live bids must not regress a watermark — a
+    // regressed one lets an at-least-once replay of the highest
     // already-folded batch slip past appendDeltaBatch's skip check and
     // re-append rows the graphs already contain (served and folded
     // twice). The previous marker's bids were deleted by repairDelta
-    // above, so committedBids alone only sees the NEW generation.
+    // above, so the committed listings only see the NEW generation.
     val prevMarker = readFoldMarker(path).filter(_.legacyFp.isEmpty)
     val prevMaxBid = prevMarker.map(_.maxBid).getOrElse(-1L)
     val maxBid = committedBids(path).map(_._1).foldLeft(prevMaxBid)(math.max)
-    // the folded bids' stream epoch: the delta's epoch file when a
-    // stream is ingesting, else whatever the previous fold recorded
-    // (append-time epoch resets keep the two consistent)
+    // the folded ROOT bids' stream epoch: the delta's epoch file when a
+    // legacy-layout stream is ingesting, else whatever the previous
+    // fold recorded (epoch-scoped batches carry their own attribution)
     val foldedEpoch = readStreamEpoch(path).orElse(prevMarker.flatMap(_.epoch))
+    val prevEids = prevMarker.map(_.eids).getOrElse(Map.empty[String, Long])
+    val curEids = committedEidBids(path).groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).max }
+    val eids = (prevEids.keySet ++ curEids.keySet).iterator
+      .map(t => t -> math.max(prevEids.getOrElse(t, -1L), curEids.getOrElse(t, -1L)))
+      .toMap
     val foldedFlatFp = if (hadFlat) flatFp(spark, path) else "-"
-    val fromGraphs = spark.read.parquet(path)
+    val root = new java.io.File(path.stripSuffix("/"))
+    val fromGraphs = spark.read.parquet(resolveStore(path))
       .select(col("ids"), col("graph"))
       .as[(Array[Long], Array[Byte])]
       .flatMap { case (ids, g) =>
@@ -1381,25 +1546,19 @@ object AnnIndexStore {
       case None        => fromGraphs
       case Some(delta) => fromGraphs.unionByName(delta)
     }
-    val tmp = path.stripSuffix("/") + ".compact"
-    deleteRecursively(new java.io.File(tmp)) // a crashed prior attempt
-    build(all, tmp, numBuckets, m, efConstruction)
+    val genName = nextGenName(root.getPath)
+    build(all, s"${root.getPath}/$genName", numBuckets, m, efConstruction)
     crashPoint("compact.built")
-    if (hadFlat || maxBid >= 0)
-      writeFoldMarker(new java.io.File(tmp), foldedFlatFp, maxBid, foldedEpoch)
+    if (hadFlat || maxBid >= 0 || eids.nonEmpty)
+      writeFoldMarker(new java.io.File(root, genName), foldedFlatFp, maxBid,
+        foldedEpoch, eids)
     crashPoint("compact.marked")
-    val old = new java.io.File(path.stripSuffix("/") + ".old")
-    deleteRecursively(old)
-    require(new java.io.File(path).renameTo(old), s"swap: cannot move $path aside")
-    crashPoint("compact.store_aside")
-    require(new java.io.File(tmp).renameTo(new java.io.File(path)),
-      s"swap: cannot promote $tmp")
-    crashPoint("compact.promoted")
-    deleteRecursively(old)
-    crashPoint("compact.old_deleted")
-    // delete exactly what the marker says was folded (an in-flight
+    flipManifest(root, genName)
+    crashPoint("compact.flipped")
+    // delete exactly what the new marker says was folded (an in-flight
     // uncommitted micro-batch dir, if the single-writer contract were
-    // ever stretched, is left for its replay to overwrite)
+    // ever stretched, is left for its replay to overwrite); the
+    // superseded generation itself waits for the next maintenance entry
     repairDelta(spark, path)
   }
 

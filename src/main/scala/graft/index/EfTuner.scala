@@ -28,7 +28,7 @@ object EfTuner {
       sample: Array[Array[Float]], k: Int, targetRecall: Double,
       ladder: Seq[Int] = DefaultLadder): Result = {
     import org.apache.spark.sql.functions._
-    val row = spark.read.parquet(indexPath)
+    val row = spark.read.parquet(AnnIndexStore.resolveStore(indexPath))
       .select(col("bucket"), size(col("ids")).as("n"), col("graph"))
       .orderBy(desc("n"), col("bucket"))
       .limit(1).collect()
@@ -67,7 +67,7 @@ object EfTuner {
     import org.apache.spark.sql.functions._
     require(sample.nonEmpty, "empty tuning sample")
     val deflt = graft.operators.SearchParams.DefaultBands
-    val df = spark.read.parquet(storePath)
+    val df = spark.read.parquet(AnnIndexStore.resolveStore(storePath))
     require(df.columns.contains("attrs"), s"tuneBands: $storePath has no attrs")
     val buckets = df.select(col("bucket").cast("long")).distinct()
       .orderBy("bucket").collect().map(_.getLong(0))

@@ -45,17 +45,18 @@ object StreamingKnn {
     * (trigger/checkpoint). Exactly-once-EFFECTIVE under foreachBatch's
     * at-least-once replay: each micro-batch lands via
     * [[graft.index.AnnIndexStore.appendDeltaBatch]] — its own
-    * bid=<batchId> subdirectory written with overwrite, so a replayed
-    * batch rewrites the same rows rather than double-appending, and a
-    * batch the fold watermark records as already compacted into the
-    * graphs is skipped outright.
+    * eid=<epoch>/bid=<batchId> subdirectory written with overwrite, so
+    * a replayed batch rewrites the same rows rather than
+    * double-appending, and a batch its epoch's fold watermark records
+    * as already compacted into the graphs is skipped outright.
     *
     * `checkpointLocation`, when given, is set on the writer AND enables
     * the stream EPOCH (one argument for both, so they cannot drift):
     * batch ids are only meaningful within one checkpoint's lifetime,
     * and the epoch is what lets the store distinguish a replay (same
     * epoch, skip) from a NEW stream whose ids restart at 0 (different
-    * epoch — the fold watermark resets and ingestion continues) instead
+    * epoch — its own delta subtree and its own watermark, written
+    * beside the old stream's batches) instead
     * of silently dropping or double-serving rows. The epoch is the
     * PERSISTENT query id, read per batch from the stream-execution
     * thread's local property (see the body comment); [[checkpointEpoch]]
@@ -109,7 +110,7 @@ object StreamingKnn {
     * genuinely ABSENT; a read error PROPAGATES and fails the batch —
     * an error fallback would return a different epoch string than
     * steady state, and one flickering fs call would then masquerade as
-    * a new stream, demote live bids, reset the fold watermark, and let
+    * a new stream writing under a fresh watermark-less epoch, letting
     * a replayed folded batch append twice. Failing the batch is safe:
     * the stream retries and resolution runs again. The fallback
     * spelling is part of epoch identity — keep it byte-stable across

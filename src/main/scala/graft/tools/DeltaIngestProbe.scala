@@ -123,10 +123,9 @@ object DeltaIngestProbe {
     require(folded, s"probe never crossed compactAt=$compactAt - resize the run")
 
     // integrity: every base + streamed row is indexed-or-live exactly once
-    val indexed = spark.read.parquet(idxPath)
+    val indexed = spark.read.parquet(AnnIndexStore.resolveStore(idxPath))
       .agg(sum(size(col("ids")))).head().getLong(0)
-    val live = if (AnnIndexStore.deltaFraction(spark, idxPath) > 0)
-      spark.read.parquet(AnnIndexStore.deltaPath(idxPath)).count() else 0L
+    val live = AnnIndexStore.liveDeltaRows(spark, idxPath)
     val expect = baseN + batches.toLong * batchRows
     println(s"ROWS indexed=$indexed + delta=$live (expect $expect total)")
     require(indexed + live == expect, "row-count mismatch across the lifecycle")

@@ -133,7 +133,7 @@ object AnnCatalog {
       ivfPath: String): Array[(Int, Array[Float])] =
     centroidCache.getOrElseUpdate(ivfPath, {
       import org.apache.spark.sql.functions.col
-      spark.read.parquet(s"$ivfPath/centroids")
+      spark.read.parquet(s"${graft.index.AnnIndexStore.resolveStore(ivfPath)}/centroids")
         .select(col("list").cast("int"), col("centroid"))
         .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
     })
@@ -148,7 +148,7 @@ object AnnCatalog {
   private[graft] def attrColOf(spark: SparkSession, indexPath: String): Option[String] =
     attrCache.getOrElseUpdate(indexPath, {
       try {
-        val df = spark.read.parquet(indexPath)
+        val df = spark.read.parquet(graft.index.AnnIndexStore.resolveStore(indexPath))
         if (!df.columns.contains("attr_col")) None
         else Option(df.select("attr_col").head.getString(0))
       } catch {
@@ -604,7 +604,9 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
         val lists = scored.take(math.min(nprobe, cents.length)).map(_._2.toLong).toIndexedSeq
         // salted oversized lists span several rows per bucket value; the
         // isin prunes to the probed lists via parquet min/max stats
-        searchStore(spark, s"$path/lists", Some(col("bucket").isin(lists: _*)),
+        searchStore(spark,
+          s"${graft.index.AnnIndexStore.resolveStore(path)}/lists",
+          Some(col("bucket").isin(lists: _*)),
           plainWalk(qvec, k, effEf), k)
       case LabelRoute(path, bucket, tsRange) =>
         searchStore(spark, path, Some(col("bucket") === bucket),
@@ -725,9 +727,13 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
 
   private[graft] def clearScanFrames(): Unit = scanFrames.clear()
 
+  /** `dataPath` is the store's RESOLVED data dir (the current
+    * generation for flipped stores) — the frame scans it, while the
+    * cache stays keyed by the logical path + version (the version token
+    * is unique per write, so one key can never name two layouts). */
   private def scanFrame(spark: SparkSession, path: String,
-      ver: Option[String]): org.apache.spark.sql.DataFrame = ver match {
-    case None => spark.read.parquet(path)
+      ver: Option[String], dataPath: String): org.apache.spark.sql.DataFrame = ver match {
+    case None => spark.read.parquet(dataPath)
     case Some(v) =>
       val key = (spark, path, v)
       val hit = scanFrames.get(key)
@@ -737,7 +743,7 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
           scanFrames.keySet.removeIf(_._1.sparkContext.isStopped)
           if (scanFrames.size() >= 256) scanFrames.clear()
         }
-        val df = spark.read.parquet(path)
+        val df = spark.read.parquet(dataPath)
         val race = scanFrames.putIfAbsent(key, df)
         if (race != null) race else df
       }
@@ -750,8 +756,8 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
     import spark.implicits._
     val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
 
-    def onePass(ver: Option[String]): Array[(Double, Long)] = {
-      val df0 = scanFrame(spark, path, ver)
+    def onePass(ver: Option[String], dataPath: String): Array[(Double, Long)] = {
+      val df0 = scanFrame(spark, path, ver, dataPath)
       val df = pred.map(df0.filter).getOrElse(df0)
       val subCol = (if (df.columns.contains("sub")) col("sub") else lit(0))
         .cast("int").as("sub")
@@ -806,22 +812,27 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
       }
     }
 
-    var ver = graft.index.AnnIndexStore.storeVersion(path)
-    var top = onePass(ver)
+    // (data dir, version) resolved together: a generation-layout store
+    // serves one immutable dir per pass, so a pass is always internally
+    // consistent; the re-resolve below only decides whether to serve
+    // FRESHER data after a concurrent maintenance flip
+    var (dataPath, ver) = graft.index.AnnIndexStore.resolveVersioned(path)
+    var top = onePass(ver, dataPath)
     // maintenance swaps are rare (single-writer contract); a statement
     // that straddled one re-runs against the new generation, bounded
     var retries = 0
-    var after = graft.index.AnnIndexStore.storeVersion(path)
-    while (after != ver && retries < 2) {
-      ver = after
-      top = onePass(ver)
+    var after = graft.index.AnnIndexStore.resolveVersioned(path)
+    while (after != ((dataPath, ver)) && retries < 2) {
+      dataPath = after._1
+      ver = after._2
+      top = onePass(ver, dataPath)
       retries += 1
-      after = graft.index.AnnIndexStore.storeVersion(path)
+      after = graft.index.AnnIndexStore.resolveVersioned(path)
     }
     // three overlapping swaps in one statement exceeds the retry budget
     // — serve the last pass (availability) but never silently: the
     // result may span two store generations
-    if (after != ver)
+    if (after != ((dataPath, ver)))
       logWarning(s"searchStore($path): store version still changing " +
         s"after $retries retries; serving a possibly mixed-generation result")
     top.map { case (d, id) => (id, d) }

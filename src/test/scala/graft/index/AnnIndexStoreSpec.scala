@@ -86,8 +86,11 @@ class AnnIndexStoreSpec extends SparkSpec {
     val afterCompact = AnnIndexStore.search(spark, dir, queries, k = 10, ef = 600)
     assert(AnnJoin.recallAtK(afterCompact, exact) >= 0.95)
     // compacted store indexes the full id set (vectors were recovered
-    // from the stored graphs, not the original base)
-    val nIndexed = spark.read.parquet(dir)
+    // from the stored graphs, not the original base); the fold landed
+    // as a manifest-named generation inside the root
+    assert(AnnIndexStore.resolveStore(dir) != dir,
+      "a compaction must flip the store to the generation layout")
+    val nIndexed = spark.read.parquet(AnnIndexStore.resolveStore(dir))
       .agg(sum(size(col("ids")))).head().getLong(0)
     assert(nIndexed == 900L)
   }
@@ -217,7 +220,7 @@ class AnnIndexStoreSpec extends SparkSpec {
       dir, batchId = 1, epoch = Some("ckpt2"))
     AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
     assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0)
-    val nIndexed = spark.read.parquet(dir)
+    val nIndexed = spark.read.parquet(AnnIndexStore.resolveStore(dir))
       .agg(sum(size(col("ids")))).head().getLong(0)
     assert(nIndexed == 260L, s"220 + stream2's 40 expected, got $nIndexed")
     AnnIndexStore.appendDeltaBatch(b.toDF("id", "vec"), dir, batchId = 1,
@@ -226,12 +229,12 @@ class AnnIndexStoreSpec extends SparkSpec {
       "ckpt2's folded watermark batch must skip on replay")
   }
 
-  test("epoch switch demotes the old stream's un-folded bids instead of clobbering them") {
+  test("epoch switch preserves the old stream's un-folded batches without relocating them") {
     val indexed = Seq.tabulate(200)(i => (i.toLong, vec()))
     val dir = Files.createTempDirectory("graft-anndelta-demote").toString + "/index"
     AnnIndexStore.build(indexed.toDF("id", "vec"), dir, numBuckets = 2)
-    // old stream, NEVER compacted (no fold marker — the epoch signal
-    // must come from the delta's own _stream_epoch file): bids 0-1
+    // old stream, NEVER compacted (no fold marker): bids 0-1 in its own
+    // eid= subtree
     val a = Seq.tabulate(20)(i => ((1000 + i).toLong, vec()))
     val b = Seq.tabulate(30)(i => ((2000 + i).toLong, vec()))
     AnnIndexStore.appendDeltaBatch(a.toDF("id", "vec"), dir, batchId = 0,
@@ -239,11 +242,19 @@ class AnnIndexStoreSpec extends SparkSpec {
     AnnIndexStore.appendDeltaBatch(b.toDF("id", "vec"), dir, batchId = 1,
       epoch = Some("ckptA"))
     // new stream's batch 0 carries NEW rows: the old bid=0 is
-    // checkpoint-acknowledged data stream A will never resend — it must
-    // be demoted to flat rows, not overwritten
+    // checkpoint-acknowledged data stream A will never resend — the new
+    // epoch writes BESIDE it (its own subtree), no overwrite, no move
     val c = Seq.tabulate(10)(i => ((3000 + i).toLong, vec()))
     AnnIndexStore.appendDeltaBatch(c.toDF("id", "vec"), dir, batchId = 0,
       epoch = Some("ckptB"))
+    // nothing relocated: stream A's batch dirs are exactly where its
+    // writer committed them (the old layout moved their part files to
+    // the flat root — a window where a racing read saw a partial delta)
+    val deltaRoot = new java.io.File(AnnIndexStore.deltaPath(dir))
+    assert(new java.io.File(deltaRoot, "eid=ckptA/bid=0/_SUCCESS").exists() &&
+      new java.io.File(deltaRoot, "eid=ckptA/bid=1/_SUCCESS").exists() &&
+      new java.io.File(deltaRoot, "eid=ckptB/bid=0/_SUCCESS").exists(),
+      "each epoch must keep its own committed batch dirs in place")
     assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 60.0 / 200) < 1e-9,
       "old-epoch bids and the new batch must ALL be live")
     val queries = Seq.tabulate(4)(i => (i.toLong, vec())).toDF("qid", "qvec")
@@ -253,13 +264,17 @@ class AnnIndexStoreSpec extends SparkSpec {
       nids.exists(n => n >= 2000 && n < 3000) && nids.exists(_ >= 3000))
     // a fold indexes every row exactly once
     AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
-    val nIndexed = spark.read.parquet(dir)
+    val nIndexed = spark.read.parquet(AnnIndexStore.resolveStore(dir))
       .agg(sum(size(col("ids")))).head().getLong(0)
     assert(nIndexed == 260L, s"260 distinct rows expected, got $nIndexed")
-    // the fold watermarked ckptB's batch: replay skips, next id is live
+    // the fold watermarked BOTH epochs' batches: replays skip
     AnnIndexStore.appendDeltaBatch(c.toDF("id", "vec"), dir, batchId = 0,
       epoch = Some("ckptB"))
     assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0)
+    AnnIndexStore.appendDeltaBatch(b.toDF("id", "vec"), dir, batchId = 1,
+      epoch = Some("ckptA"))
+    assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0,
+      "the RETIRED epoch's watermark must outlive the fold (moved-checkpoint late replay)")
   }
 
   test("replaceDelta preserves committed streaming micro-batches") {
@@ -285,7 +300,10 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(nids.exists(_ >= 2000) && nids.exists(n => n >= 1000 && n < 2000))
   }
 
-  test("half-swapped compaction crash: maintenance entry rolls forward/back") {
+  test("legacy half-swapped compaction crash: maintenance entry rolls forward/back") {
+    // the pre-generation layout swapped the store dir with two renames;
+    // stores last compacted by that code can still be sitting in its
+    // crash states — fabricate each and prove maintenance repairs them
     val indexed = Seq.tabulate(300)(i => (i.toLong, vec()))
     val delta = Seq.tabulate(60)(i => ((9000 + i).toLong, vec()))
     val dir = Files.createTempDirectory("graft-annswap").toString + "/index"
@@ -295,17 +313,73 @@ class AnnIndexStoreSpec extends SparkSpec {
     // never happened) — compactDelta must restore it and then compact
     assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old")))
     AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
-    val n1 = spark.read.parquet(dir).agg(sum(size(col("ids")))).head().getLong(0)
+    val n1 = spark.read.parquet(AnnIndexStore.resolveStore(dir))
+      .agg(sum(size(col("ids")))).head().getLong(0)
     assert(n1 == 360L, s"roll-back then compact should index all rows, got $n1")
-    // ROLL FORWARD: crash left a complete '.compact' and no live store —
-    // the next maintenance op must promote it (it already contains the
-    // folded rows) rather than fail on the missing path
-    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".compact")))
+    // ROLL FORWARD: crash left a complete flat '.compact' and no live
+    // store — the next maintenance op must promote it (it already
+    // contains the folded rows) rather than fail on the missing path
+    val dir2 = Files.createTempDirectory("graft-annswap2").toString + "/index"
+    AnnIndexStore.build(
+      (indexed ++ delta).toDF("id", "vec"), dir2 + ".compact", numBuckets = 2)
     AnnIndexStore.appendDelta(
-      Seq.tabulate(5)(i => ((9900 + i).toLong, vec())).toDF("id", "vec"), dir)
-    val n2 = spark.read.parquet(dir).agg(sum(size(col("ids")))).head().getLong(0)
+      Seq.tabulate(5)(i => ((9900 + i).toLong, vec())).toDF("id", "vec"), dir2)
+    val n2 = spark.read.parquet(AnnIndexStore.resolveStore(dir2))
+      .agg(sum(size(col("ids")))).head().getLong(0)
     assert(n2 == 360L)
-    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 5.0 / 360) < 1e-9)
+    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir2) - 5.0 / 360) < 1e-9)
+  }
+
+  test("generation flip never leaves the store absent; stale generations GC at next maintenance") {
+    val indexed = Seq.tabulate(200)(i => (i.toLong, vec()))
+    val dir = Files.createTempDirectory("graft-anngen").toString + "/index"
+    val root = new java.io.File(dir)
+    AnnIndexStore.build(indexed.toDF("id", "vec"), dir, numBuckets = 2)
+    assert(AnnIndexStore.resolveStore(dir) == dir, "fresh store is flat")
+    val flatVer = AnnIndexStore.storeVersion(dir)
+    def listGens() = Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && f.getName.startsWith("_gen-")).map(_.getName)
+
+    // first fold: flips to the generation layout; the flat layout's
+    // files SURVIVE until the next maintenance entry, so a reader that
+    // resolved pre-flip can finish its scan
+    AnnIndexStore.appendDelta(
+      Seq.tabulate(20)(i => ((1000 + i).toLong, vec())).toDF("id", "vec"), dir)
+    AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
+    val gen1 = AnnIndexStore.resolveStore(dir)
+    assert(gen1 != dir && listGens().size == 1)
+    assert(new java.io.File(root, "_SUCCESS").exists(),
+      "the superseded flat layout must survive the flip (readers may hold it)")
+    assert(AnnIndexStore.storeVersion(dir) != flatVer,
+      "the flip must change the served version")
+    // a query against the resolved pre-flip dir still works (this is
+    // exactly the racing reader the deferred GC protects)
+    assert(spark.read.parquet(dir).count() > 0)
+
+    // next maintenance entry GCs the flat leftovers
+    AnnIndexStore.appendDelta(
+      Seq.tabulate(10)(i => ((2000 + i).toLong, vec())).toDF("id", "vec"), dir)
+    assert(!new java.io.File(root, "_SUCCESS").exists(),
+      "stale flat files must be GC'd at the next maintenance entry")
+    assert(AnnIndexStore.resolveStore(dir) == gen1)
+
+    // second fold: a NEW generation; the previous one survives the flip
+    // and dies at the following maintenance entry
+    AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
+    val gen2 = AnnIndexStore.resolveStore(dir)
+    assert(gen2 != gen1 && listGens().size == 2)
+    assert(new java.io.File(gen1).isDirectory,
+      "the superseded generation must survive its own flip")
+    AnnIndexStore.appendDelta(
+      Seq.tabulate(5)(i => ((3000 + i).toLong, vec())).toDF("id", "vec"), dir)
+    assert(!new java.io.File(gen1).exists(),
+      "the superseded generation must be GC'd at the next maintenance entry")
+    assert(listGens() == Seq(new java.io.File(gen2).getName))
+    // every row is served exactly once from the final layout
+    AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
+    val ids = spark.read.parquet(AnnIndexStore.resolveStore(dir))
+      .select(explode(col("ids")).as("id")).collect().map(_.getLong(0))
+    assert(ids.length == 235 && ids.distinct.length == 235)
   }
 
   test("buildBy/searchBy: per-label persisted indexes, predicate by construction") {

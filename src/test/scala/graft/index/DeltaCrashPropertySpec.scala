@@ -37,27 +37,42 @@ class DeltaCrashPropertySpec extends SparkSpec {
       rows(1, 30).toDF("id", "vec"), dir, 0, Some("E1")), true),
     ("append_b1_e1", () => AnnIndexStore.appendDeltaBatch(
       rows(2, 30).toDF("id", "vec"), dir, 1, Some("E1")), true),
+    // legacy bridge: fabricate a ROOT-layout micro-batch (the
+    // pre-epoch-scoped streaming layout — an epoch-less append plus the
+    // _stream_epoch file its old writer would have left) …
+    ("legacy_root_b2", () => {
+      AnnIndexStore.appendDeltaBatch(rows(6, 30).toDF("id", "vec"), dir, 2)
+      val dp = new java.io.File(AnnIndexStore.deltaPath(dir))
+      dp.mkdirs()
+      Files.write(new java.io.File(dp, AnnIndexStore.streamEpochName).toPath,
+        "E1".getBytes("UTF-8"))
+    }, true),
+    // … then replay the SAME batch under the new layout: the root copy
+    // must die before the epoch-scoped overwrite lands (rows exactly
+    // once, whichever side a crash leaves committed)
+    ("replay_b2_e1", () => AnnIndexStore.appendDeltaBatch(
+      rows(6, 30).toDF("id", "vec"), dir, 2, Some("E1")), true),
     ("compact_1", () => AnnIndexStore.compactDelta(spark, dir, 2), false),
     // replaceDelta REPLACES the flat layout by contract, so the script
     // places it where the flat layout is empty under EVERY crash
-    // outcome of the prior steps (committed bid dirs survive a replace;
-    // demoted-to-flat rows would not — that ordering is the documented
-    // data-loss hazard, not a recovery bug)
+    // outcome of the prior steps (committed bid/eid dirs survive a
+    // replace)
     ("replace_flat", () => AnnIndexStore.replaceDelta(
       rows(5, 30).toDF("id", "vec"), dir), true),
-    ("append_b2_e1", () => AnnIndexStore.appendDeltaBatch(
-      rows(3, 30).toDF("id", "vec"), dir, 2, Some("E1")), true),
-    // bid 0 under a NEW epoch: forces the demote + watermark-reset path
-    // while bid 2 is committed-but-unfolded and flat rows coexist
+    ("append_b3_e1", () => AnnIndexStore.appendDeltaBatch(
+      rows(3, 30).toDF("id", "vec"), dir, 3, Some("E1")), true),
+    // bid 0 under a NEW epoch while bid 3 is committed-but-unfolded and
+    // flat rows coexist: the new stream writes BESIDE the old one (its
+    // own eid= subtree) — nothing demoted or relocated
     ("append_b0_e2", () => AnnIndexStore.appendDeltaBatch(
       rows(4, 30).toDF("id", "vec"), dir, 0, Some("E2")), true),
-    // folds mixed flat (replaced + demoted) AND bid-dir rows
+    // folds mixed flat AND two epochs' batch dirs
     ("compact_2", () => AnnIndexStore.compactDelta(spark, dir, 2), false)
   )
 
   private val expectedIds: Set[Long] =
     (rows(0, 80) ++ rows(1, 30) ++ rows(2, 30) ++ rows(3, 30) ++ rows(4, 30) ++
-      rows(5, 30)).map(_._1).toSet
+      rows(5, 30) ++ rows(6, 30)).map(_._1).toSet
 
   private def freshStore(): String = {
     val dir = Files.createTempDirectory("graft-crashprop").toString + "/index"
@@ -72,7 +87,8 @@ class DeltaCrashPropertySpec extends SparkSpec {
   private def assertServeSet(dir: String, ctx: String): Unit = {
     AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
     assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0, s"[$ctx] delta not cleared")
-    val served = spark.read.parquet(dir).select(explode(col("ids")).as("id"))
+    val served = spark.read.parquet(AnnIndexStore.resolveStore(dir))
+      .select(explode(col("ids")).as("id"))
       .collect().map(_.getLong(0))
     assert(served.length == expectedIds.size,
       s"[$ctx] ${served.length} rows served, expected ${expectedIds.size} " +
@@ -94,10 +110,8 @@ class DeltaCrashPropertySpec extends SparkSpec {
     // the enumeration itself is asserted: every instrumented boundary
     // must be exercised by the script (a renamed/added point fails here)
     val expectedPoints = Set(
-      "append.epoch_file_written", "append.demoted", "append.watermark_reset",
-      "demote.root_committed", "demote.bid_moved", "replace.swept",
-      "compact.built", "compact.marked", "compact.store_aside",
-      "compact.promoted", "compact.old_deleted")
+      "append.root_replay_cleared", "replace.swept",
+      "compact.built", "compact.marked", "compact.flipped")
     assert(visited.map(_._2).toSet == expectedPoints,
       s"script does not exercise: ${expectedPoints.diff(visited.map(_._2).toSet)}; " +
         s"unexpected: ${visited.map(_._2).toSet.diff(expectedPoints)}")

@@ -56,7 +56,7 @@ class StreamingKnnSpec extends SparkSpec {
 
     // compaction ran: delta cleared, all 390 ids live in the graphs
     assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0)
-    val nIndexed = spark.read.parquet(dir)
+    val nIndexed = spark.read.parquet(AnnIndexStore.resolveStore(dir))
       .agg(org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.size(
           org.apache.spark.sql.functions.col("ids")))).head().getLong(0)
@@ -79,30 +79,36 @@ class StreamingKnnSpec extends SparkSpec {
 
     val mem = MemoryStream[(Long, Array[Float])]
     val sdf = mem.toDF.toDF("id", "vec")
-    // compactAt high: no fold, so the delta's epoch file survives for
-    // inspection
+    // compactAt high: no fold, so the delta's epoch subtree survives
+    // for inspection
     val writer = StreamingKnn.deltaIngestWriter(sdf, dir, numBuckets = 2,
       compactAt = 10.0, checkpointLocation = Some(ckpt))
     mem.addData(Seq.tabulate(20)(i => ((1000 + i).toLong, vec())): _*)
     writer.start().awaitTermination(120000)
     // the recorded epoch is the checkpoint's PERSISTENT query id (a
     // uuid), proving the in-process property path resolved — a silent
-    // fall-through to the path fallback would record the ckpt path
-    val epochFile = new java.io.File(AnnIndexStore.deltaPath(dir), "_stream_epoch")
-    assert(epochFile.exists(), "ingesting with a checkpoint must record the epoch")
-    val epoch = new String(
-      java.nio.file.Files.readAllBytes(epochFile.toPath), "UTF-8").trim
+    // fall-through to the path fallback would record the ckpt path.
+    // The epoch now lives as the batch subtree's eid= dir name (no
+    // separate epoch file: the layout IS the attribution)
+    def eidTokens(): Seq[String] = Option(
+        new java.io.File(AnnIndexStore.deltaPath(dir)).listFiles())
+      .map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && f.getName.startsWith("eid="))
+      .map(_.getName.stripPrefix("eid="))
+    assert(eidTokens().size == 1,
+      "ingesting with a checkpoint must record the epoch as the eid= subtree")
+    val epoch = eidTokens().head
     assert(epoch.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"),
       s"epoch must be the query id uuid, got '$epoch'")
     // it matches what the metadata fallback resolves: the two sources
-    // can never disagree
+    // can never disagree (a uuid is fs-safe, so the dir token is the
+    // raw epoch)
     assert(epoch == StreamingKnn.checkpointEpoch(spark, ckpt))
     // a SECOND start on the SAME checkpoint is the same stream: the
-    // epoch is stable and rows accumulate without a spurious reset
+    // epoch is stable and rows accumulate in the same subtree
     mem.addData(Seq.tabulate(10)(i => ((2000 + i).toLong, vec())): _*)
     writer.start().awaitTermination(120000)
-    assert(new String(java.nio.file.Files.readAllBytes(epochFile.toPath), "UTF-8").trim
-      == epoch)
+    assert(eidTokens() == Seq(epoch))
     assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 30.0 / 200) < 1e-9)
   }
 }
