@@ -99,8 +99,17 @@ object AnnIndexStore {
     * never be torn by a concurrent rebuild. */
   def resolveVersioned(path: String): (String, Option[String]) = {
     val d = resolveStore(path)
-    (d, versionAt(d))
+    val r = (d, versionAt(d))
+    postResolveHook()
+    r
   }
+
+  /** Test-only interleaving hook: fires after a (data dir, version)
+    * pair is resolved, before the caller acts on it — lets a spec
+    * deterministically race a maintenance flip + GC against an
+    * in-flight serving statement (the corner the serving retry loop
+    * covers). Production value is a no-op. */
+  @volatile private[index] var postResolveHook: () => Unit = () => ()
 
   private def currentGen(root: String): Option[String] = {
     val mf = new java.io.File(root, manifestName)

@@ -814,27 +814,40 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
 
     // (data dir, version) resolved together: a generation-layout store
     // serves one immutable dir per pass, so a pass is always internally
-    // consistent; the re-resolve below only decides whether to serve
-    // FRESHER data after a concurrent maintenance flip
+    // consistent. Maintenance swaps are rare (single-writer contract);
+    // a statement that straddled one re-runs against the new generation
+    // — including a pass that FAILED because its resolved generation
+    // was GC'd mid-scan by back-to-back maintenance ops (a reader
+    // normally gets the full inter-maintenance interval; two ops inside
+    // one statement is the corner this retry covers). A failure with NO
+    // store change is a real error and propagates.
     var (dataPath, ver) = graft.index.AnnIndexStore.resolveVersioned(path)
-    var top = onePass(ver, dataPath)
-    // maintenance swaps are rare (single-writer contract); a statement
-    // that straddled one re-runs against the new generation, bounded
+    var top: Array[(Double, Long)] = null
     var retries = 0
-    var after = graft.index.AnnIndexStore.resolveVersioned(path)
-    while (after != ((dataPath, ver)) && retries < 2) {
-      dataPath = after._1
-      ver = after._2
-      top = onePass(ver, dataPath)
-      retries += 1
-      after = graft.index.AnnIndexStore.resolveVersioned(path)
+    while (top == null) {
+      val passed =
+        try { top = onePass(ver, dataPath); true }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            val after = graft.index.AnnIndexStore.resolveVersioned(path)
+            if (after == ((dataPath, ver)) || retries >= 2) throw e
+            dataPath = after._1; ver = after._2; retries += 1
+            false
+        }
+      if (passed) {
+        val after = graft.index.AnnIndexStore.resolveVersioned(path)
+        if (after != ((dataPath, ver)) && retries < 2) {
+          dataPath = after._1; ver = after._2; retries += 1
+          top = null // straddled a swap: serve the new generation instead
+        } else if (after != ((dataPath, ver))) {
+          // three overlapping swaps in one statement exceeds the retry
+          // budget — serve the last pass (availability) but never
+          // silently: the result may span two store generations
+          logWarning(s"searchStore($path): store version still changing " +
+            s"after $retries retries; serving a possibly mixed-generation result")
+        }
+      }
     }
-    // three overlapping swaps in one statement exceeds the retry budget
-    // — serve the last pass (availability) but never silently: the
-    // result may span two store generations
-    if (after != ((dataPath, ver)))
-      logWarning(s"searchStore($path): store version still changing " +
-        s"after $retries retries; serving a possibly mixed-generation result")
     top.map { case (d, id) => (id, d) }
   }
 }

@@ -142,4 +142,54 @@ class ServingCacheSpec extends SparkSpec {
       assert(w2.forall(id => (id % 25) / 25.0 >= 0.2 && (id % 25) / 25.0 <= 0.6))
     } finally AnnCatalog.unregister(basePath)
   }
+
+  test("a statement straddling a flip + GC retries onto the new generation") {
+    // the corner the serving retry loop exists for: a statement
+    // resolves (flat layout, v0); before its scan runs, a maintenance
+    // fold flips the store to a generation AND a second maintenance op
+    // GCs the flat files the statement planned against. The pass must
+    // fail (its files are gone), re-resolve the NEW pair, and serve
+    // the fresh generation — not propagate the IO error.
+    val root = Files.createTempDirectory("graft_servcache_flip").toFile
+    root.deleteOnExit()
+    val basePath = s"$root/base"
+    val indexPath = s"$root/index"
+    mkBase(basePath, 400, idOffset = 0L, seed = 23)
+    AnnIndexStore.build(spark.read.parquet(basePath), indexPath, numBuckets = 3)
+    AnnCatalog.register(basePath, indexPath, idCol = "id", vecCol = "vec",
+      ef = 400, trusted = true)
+    try {
+      def stmt(qv: Array[Float]): Seq[Long] = {
+        val df = spark.read.parquet(basePath)
+          .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+          .select("id").limit(10)
+        assert(df.queryExecution.executedPlan.toString.contains("AnnTopK"))
+        df.collect().map(_.getLong(0)).toSeq
+      }
+      val qv = spark.read.parquet(basePath).filter(col("id") === 99L)
+        .select("vec").head.getSeq[Float](0).toArray
+      ServingCache.clear()
+      val before = stmt(qv)
+      assert(before == exactTopK(basePath, qv, 10))
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      AnnIndexStore.postResolveHook = () =>
+        if (fired.getAndIncrement() == 0) {
+          // fold → generation flip (new version); next maintenance
+          // entry GCs the flat layout the in-flight statement resolved.
+          // (The appended delta row is invisible to the SQL store path —
+          // results must not change.)
+          AnnIndexStore.compactDelta(spark, indexPath, numBuckets = 3)
+          AnnIndexStore.appendDelta(
+            Seq((9999L, Array.fill(dim)(0.0f))).toDF("id", "vec"), indexPath)
+        }
+      val after =
+        try stmt(qv)
+        finally AnnIndexStore.postResolveHook = () => ()
+      assert(fired.get() >= 2, "the statement must have re-resolved after the failure")
+      assert(AnnIndexStore.resolveStore(indexPath) != indexPath,
+        "the fold must have flipped the store")
+      assert(after == before,
+        "the retried statement must serve the new generation's identical rows")
+    } finally AnnCatalog.unregister(basePath)
+  }
 }
