@@ -62,8 +62,16 @@ object ServingBench {
         .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
           r.getSeq[Float](3).toArray))
 
-    // mean warm ms/statement; the head statement additionally asserts
-    // the routed plan
+    // median warm ms/statement. The label/range routes' statements each
+    // target a DIFFERENT bucket, so warming only the head statement
+    // would leave every timed statement paying its bucket's one-time
+    // cold blob load — the reported number would track disk-cache luck,
+    // not the serving path (the r11 bench drift showed exactly that
+    // jitter). Cycle 1 runs the WHOLE statement set untimed (every
+    // bucket's graphs land in the serving cache); cycle 2 is timed
+    // per-statement and the MEDIAN is reported, so one GC pause cannot
+    // move the round-over-round signal. The head statement additionally
+    // asserts the routed plan.
     def msPerStmt(params: Array[(Long, Double, Double, Array[Float])],
         mustContain: String)(
         mk: ((Long, Double, Double, Array[Float])) => DataFrame): Double = {
@@ -74,9 +82,13 @@ object ServingBench {
         s"serving bench: statement did not route (wanted $mustContain):\n$plan")
       warm.collect()
       val timed = params.tail
-      val t0 = System.nanoTime()
-      timed.foreach(p => mk(p).collect())
-      (System.nanoTime() - t0) / 1e6 / timed.length
+      timed.foreach(p => mk(p).collect()) // warm every statement's buckets
+      val ms = timed.map { p =>
+        val t0 = System.nanoTime()
+        mk(p).collect()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      ms(ms.length / 2)
     }
 
     val results = Seq.newBuilder[(String, Double)]
