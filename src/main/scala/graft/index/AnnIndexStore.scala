@@ -70,10 +70,18 @@ object AnnIndexStore {
   // generation once per operation and then scan an IMMUTABLE directory:
   // there is no in-place state to half-read. Superseded generations —
   // and the flat layout's root files, after a store's first flip — are
-  // dead data, deleted at the NEXT maintenance entry ([[gcStaleGens]])
-  // so a reader that resolved just before a flip keeps a full
-  // inter-maintenance interval to finish its scan: the same
+  // dead data, deleted at the NEXT COMPACTION entry ([[gcStaleGens]],
+  // run only by [[compactDelta]] — the one op that creates
+  // generations) so a reader that resolved just before a flip keeps a
+  // full inter-fold interval to finish its scan: the same
   // reads-exclude / maintenance-deletes split as [[repairDelta]].
+  // Deliberately NOT run by the append/replace entries: a streaming
+  // ingest appends every trigger interval, and GC'ing there would
+  // shrink the batch read paths' grace window (which, unlike the SQL
+  // serving statement, return lazy DataFrames and cannot retry a scan
+  // whose resolved generation disappears mid-flight) to seconds. The
+  // cost is one superseded generation of disk until the next fold —
+  // bounded by the fold's own peak usage.
   //
   // Builders still write the flat layout (a fresh store IS its own
   // generation); only an in-place rebuild flips a store to the
@@ -127,9 +135,14 @@ object AnnIndexStore {
   private def flipManifest(root: java.io.File, gen: String): Unit = {
     val tmp = new java.io.File(root, manifestName + ".tmp")
     java.nio.file.Files.write(tmp.toPath, s"v1\ngen=$gen\n".getBytes("UTF-8"))
+    // REPLACE_EXISTING rides along: every flip after the first replaces
+    // the live manifest, and ATOMIC_MOVE onto an existing target alone
+    // is implementation-specific (POSIX renames replace; other
+    // filesystems may throw and fail every fold after the first)
     java.nio.file.Files.move(tmp.toPath,
       new java.io.File(root, manifestName).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Next generation dir name: current sequence + 1, plus a random
@@ -143,13 +156,16 @@ object AnnIndexStore {
     f"_gen-$seq%06d-" + java.util.UUID.randomUUID().toString.take(8)
   }
 
-  /** MAINTENANCE-side generation GC: at a generation-layout root,
+  /** COMPACTION-side generation GC: at a generation-layout root,
     * everything except the manifest and the generation it names is dead
     * — a superseded generation, a crashed rebuild's orphan, a leftover
     * manifest temp, or the flat layout's files from before the store's
-    * first flip. Deleted here, at maintenance entry, never by readers.
-    * On a flat (manifest-less) store only orphan `_gen-*` dirs and
-    * manifest temps are swept (a crashed FIRST flip). */
+    * first flip. Deleted here, at [[compactDelta]] entry only (the one
+    * op that creates generations), never by readers and never by the
+    * append/replace entries — see the layout note above for why the
+    * grace window is the inter-FOLD interval. On a flat (manifest-less)
+    * store only orphan `_gen-*` dirs and manifest temps are swept (a
+    * crashed FIRST flip). */
   private def gcStaleGens(path: String): Unit = {
     val root = new java.io.File(path.stripSuffix("/"))
     if (!root.isDirectory) return
@@ -1107,11 +1123,24 @@ object AnnIndexStore {
         s"eids=$eidLine\n").getBytes("UTF-8"))
   }
 
-  /** Filesystem-safe form of a stream epoch (a checkpoint query id —
-    * UUID-shaped in practice): the `eid=` dir name and the marker map
-    * key. One definition, so the append and fold sides cannot drift. */
-  private def epochToken(e: String): String =
-    e.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** Filesystem-safe form of a stream epoch: the `eid=` dir name and
+    * the marker map key. One definition, so the append and fold sides
+    * cannot drift. A checkpoint query id is UUID-shaped and passes
+    * through unchanged; an epoch that NEEDS sanitizing (the
+    * missing-metadata fallback is a filesystem path) gets a short hash
+    * of the raw value appended, because plain character replacement is
+    * lossy — '/a/b' and '/a_b' would otherwise collide into one token
+    * and SHARE a fold watermark and `eid=` subtree, silently skipping
+    * one stream's batches against the other's high-water mark. */
+  private def epochToken(e: String): String = {
+    val safe = e.replaceAll("[^A-Za-z0-9._-]", "_")
+    if (safe == e) e
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(e.getBytes("UTF-8"))
+      safe + "-" + md.take(4).map(b => f"$b%02x").mkString
+    }
+  }
 
   /** The ROOT-layout bid dirs' stream epoch — written by the
     * pre-epoch-scoped [[appendDeltaBatch]] beside its root `bid=` dirs,
@@ -1324,7 +1353,6 @@ object AnnIndexStore {
     * or the per-batch [[appendDeltaBatch]]. */
   def appendDelta(delta: DataFrame, path: String): Unit = {
     recoverStore(path)
-    gcStaleGens(path)
     repairDelta(delta.sparkSession, path)
     delta.select(col("id").cast("long"), col("vec"))
       .write.mode("append").parquet(deltaPath(path))
@@ -1342,7 +1370,6 @@ object AnnIndexStore {
     * removes them before rewriting. */
   def replaceDelta(delta: DataFrame, path: String): Unit = {
     recoverStore(path)
-    gcStaleGens(path)
     repairDelta(delta.sparkSession, path)
     val root = new java.io.File(deltaPath(path))
     // sweep root FILES and any _temporary job-attempt dir — a crashed
@@ -1401,7 +1428,6 @@ object AnnIndexStore {
   def appendDeltaBatch(delta: DataFrame, path: String, batchId: Long,
       epoch: Option[String] = None): Unit = {
     recoverStore(path)
-    gcStaleGens(path)
     val spark = delta.sparkSession
     repairDelta(spark, path)
     val marker = readFoldMarker(path).filter(_.legacyFp.isEmpty)
@@ -1500,15 +1526,15 @@ object AnnIndexStore {
     * observable by a racing read). Crash-idempotent end to end: entry
     * runs [[recoverStore]] (legacy half-swaps) + [[gcStaleGens]] +
     * [[repairDelta]]; a generation built but never flipped is an
-    * unreferenced orphan the next maintenance entry GCs; the new
+    * unreferenced orphan the next compaction entry GCs; the new
     * generation carries a marker recording what it folded (flat-file
     * fingerprint + root watermark + per-epoch watermark map), so dying
     * between the flip and the delta delete leaves a leftover the
     * marker classifies dead — never served, never folded twice.
     * Maintenance is single-writer by contract; the superseded
-    * generation survives until the NEXT maintenance entry, so a reader
-    * that resolved it just before the flip finishes its scan
-    * unharmed. */
+    * generation survives until the NEXT compaction entry, so a reader
+    * that resolved it just before the flip keeps a full inter-fold
+    * interval to finish its scan — appends never GC generations. */
   def compactDelta(spark: SparkSession, path: String, numBuckets: Int,
       m: Int = 16, efConstruction: Int = 200): Unit = {
     import spark.implicits._
@@ -1567,7 +1593,7 @@ object AnnIndexStore {
     // delete exactly what the new marker says was folded (an in-flight
     // uncommitted micro-batch dir, if the single-writer contract were
     // ever stretched, is left for its replay to overwrite); the
-    // superseded generation itself waits for the next maintenance entry
+    // superseded generation itself waits for the next compaction entry
     repairDelta(spark, path)
   }
 

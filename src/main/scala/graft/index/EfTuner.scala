@@ -122,10 +122,18 @@ object EfTuner {
         size(col("ids")).as("n"))
       .orderBy(desc("n"), col("bucket"), col("sub")).limit(1)
       .collect()(0)
+    // (bucket, sub) pins one row on sub-stamped stores; a store WITHOUT
+    // a sub column can hold several salted rows per bucket value, so an
+    // unordered limit(1) would pick an arbitrary (possibly small) one —
+    // order by size desc (xxhash64 of the blob as a deterministic
+    // tie-break) so the cap is tuned on the measured largest row every
+    // run, matching the bigRow selection above
     val one = df.filter(col("bucket") === bigRow.getLong(0))
       .filter(if (hasSub) col("sub") === bigRow.getInt(1)
         else org.apache.spark.sql.functions.lit(true))
-      .select(col("attrs"), col("graph")).limit(1).collect()(0)
+      .select(col("attrs"), col("graph"))
+      .orderBy(size(col("attrs")).desc, xxhash64(col("graph")))
+      .limit(1).collect()(0)
     val bigIdx = HnswIndex.fromBytes(one.getAs[Array[Byte]]("graph"))
     val bigTs = one.getSeq[Double](0).toArray
     val tsIdx = new TsIndex(bigTs)

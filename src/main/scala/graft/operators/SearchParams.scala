@@ -41,14 +41,8 @@ object SearchParams {
     * hybrid_graph.cpp:434-448: 780/630/480 as coverage widens). Floored
     * at k+40 (the reference never collects fewer than
     * graph_full_refine_k=150 per decile at k=100). */
-  def unionWalkEf(ef: Int, k: Int, mFull: Int): Int = {
-    val banded =
-      if (mFull >= 8) math.ceil(ef * 0.35).toInt
-      else if (mFull >= 4) math.ceil(ef * 0.5).toInt
-      else if (mFull >= 2) math.ceil(ef * 0.75).toInt
-      else ef
-    math.max(math.min(ef, k + 40), banded)
-  }
+  def unionWalkEf(ef: Int, k: Int, mFull: Int): Int =
+    DefaultBands.unionWalkEf(ef, k, mFull)
 
   /** Banded-arm partial-bucket threshold: below this in-range fraction
     * of a ≤maxRowsPerIndex sub-index, a contiguous quantized exact scan

@@ -80,10 +80,14 @@ object SqlServingProbe {
     // statement) instead of the version-keyed warm pass
     def withHiddenStamp[T](storePath: String)(body: => T): T = {
       val name = graft.index.AnnIndexStore.versionFileName
-      val f = new java.io.File(storePath, name)
-      val bak = new java.io.File(storePath, name + ".hidden")
-      require(f.exists() && f.renameTo(bak), s"no stamp to hide at $storePath")
-      try body finally require(bak.renameTo(f), s"cannot restore stamp at $storePath")
+      // resolve like storeVersion does: a compacted store's stamp lives
+      // in its current generation dir, not the root (resolved once —
+      // the probe is the only writer while the A/B runs)
+      val dataDir = graft.index.AnnIndexStore.resolveStore(storePath)
+      val f = new java.io.File(dataDir, name)
+      val bak = new java.io.File(dataDir, name + ".hidden")
+      require(f.exists() && f.renameTo(bak), s"no stamp to hide at $dataDir")
+      try body finally require(bak.renameTo(f), s"cannot restore stamp at $dataDir")
     }
     def cacheDelta[T](body: => T): (T, Long, Long) = {
       val h0 = graft.index.ServingCache.hits.get()

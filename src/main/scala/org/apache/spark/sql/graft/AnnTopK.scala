@@ -799,8 +799,17 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
             .mapPartitions { it =>
               it.flatMap { case (bucket, sub, ids, attrs, bytes) =>
                 if (!missed.contains((bucket, sub))) Iterator.empty
+                // fromBytesCached, not fromBytes: when the ServingCache
+                // is under-budgeted for the store's working set, every
+                // statement re-misses the evicted rows — the
+                // fingerprint-keyed deserialization cache then still
+                // shares the parsed graph (one hash of the bytes vs a
+                // full re-parse per statement), so the degraded path
+                // costs what the r10 fingerprint path did, not more.
+                // Both caches hold the SAME immutable index object, so
+                // double-residency costs one reference, not one copy.
                 else walk(bucket, graft.index.ServingCache.put(path, v,
-                  bucket, sub, HnswIndex.fromBytes(bytes), ids, attrs))
+                  bucket, sub, HnswIndex.fromBytesCached(bytes), ids, attrs))
               }
             }.rdd.takeOrdered(k)(ord)
           // a speculative/retried warm task can record a miss for a row

@@ -277,6 +277,43 @@ class AnnIndexStoreSpec extends SparkSpec {
       "the RETIRED epoch's watermark must outlive the fold (moved-checkpoint late replay)")
   }
 
+  test("epochs that sanitize to the same characters get distinct eid subtrees") {
+    // the checkpointEpoch fallback is a filesystem PATH; '/a/b' and
+    // '/a_b' both character-replace to '_a_b' — a lossy token would
+    // merge the two streams into one subtree and one watermark,
+    // silently skipping one stream's batches against the other's
+    // high-water mark
+    val indexed = Seq.tabulate(100)(i => (i.toLong, vec()))
+    val dir = Files.createTempDirectory("graft-anndelta-tok").toString + "/index"
+    AnnIndexStore.build(indexed.toDF("id", "vec"), dir, numBuckets = 2)
+    AnnIndexStore.appendDeltaBatch(
+      Seq.tabulate(10)(i => ((1000 + i).toLong, vec())).toDF("id", "vec"),
+      dir, batchId = 0, epoch = Some("/a/b"))
+    AnnIndexStore.appendDeltaBatch(
+      Seq.tabulate(10)(i => ((2000 + i).toLong, vec())).toDF("id", "vec"),
+      dir, batchId = 0, epoch = Some("/a_b"))
+    val eids = Option(
+        new java.io.File(AnnIndexStore.deltaPath(dir)).listFiles())
+      .map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && f.getName.startsWith("eid="))
+      .map(_.getName)
+    assert(eids.size == 2 && eids.distinct.size == 2,
+      s"colliding sanitized epochs must keep distinct subtrees, got $eids")
+    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 20.0 / 100) < 1e-9,
+      "both streams' batch-0 rows must be live")
+    // fold, then replay EACH stream's batch 0: both must skip against
+    // their OWN watermark entry
+    AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
+    AnnIndexStore.appendDeltaBatch(
+      Seq.tabulate(10)(i => ((1000 + i).toLong, vec())).toDF("id", "vec"),
+      dir, batchId = 0, epoch = Some("/a/b"))
+    AnnIndexStore.appendDeltaBatch(
+      Seq.tabulate(10)(i => ((2000 + i).toLong, vec())).toDF("id", "vec"),
+      dir, batchId = 0, epoch = Some("/a_b"))
+    assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0,
+      "each epoch's replay must skip against its own watermark")
+  }
+
   test("replaceDelta preserves committed streaming micro-batches") {
     val indexed = Seq.tabulate(200)(i => (i.toLong, vec()))
     val dir = Files.createTempDirectory("graft-anndelta-repl").toString + "/index"
@@ -356,28 +393,36 @@ class AnnIndexStoreSpec extends SparkSpec {
     // exactly the racing reader the deferred GC protects)
     assert(spark.read.parquet(dir).count() > 0)
 
-    // next maintenance entry GCs the flat leftovers
+    // appends never GC: a streaming ingest appends every trigger
+    // interval, and GC there would shrink the batch read paths' grace
+    // window to seconds — stale data dies at the next COMPACTION entry
     AnnIndexStore.appendDelta(
       Seq.tabulate(10)(i => ((2000 + i).toLong, vec())).toDF("id", "vec"), dir)
-    assert(!new java.io.File(root, "_SUCCESS").exists(),
-      "stale flat files must be GC'd at the next maintenance entry")
+    assert(new java.io.File(root, "_SUCCESS").exists(),
+      "an append must NOT GC the superseded flat layout")
     assert(AnnIndexStore.resolveStore(dir) == gen1)
 
-    // second fold: a NEW generation; the previous one survives the flip
-    // and dies at the following maintenance entry
+    // second fold: its ENTRY GCs the flat leftovers, then flips a NEW
+    // generation; gen1 (now superseded) survives its own flip
     AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
     val gen2 = AnnIndexStore.resolveStore(dir)
     assert(gen2 != gen1 && listGens().size == 2)
+    assert(!new java.io.File(root, "_SUCCESS").exists(),
+      "stale flat files must be GC'd at the next compaction entry")
     assert(new java.io.File(gen1).isDirectory,
       "the superseded generation must survive its own flip")
     AnnIndexStore.appendDelta(
       Seq.tabulate(5)(i => ((3000 + i).toLong, vec())).toDF("id", "vec"), dir)
-    assert(!new java.io.File(gen1).exists(),
-      "the superseded generation must be GC'd at the next maintenance entry")
-    assert(listGens() == Seq(new java.io.File(gen2).getName))
-    // every row is served exactly once from the final layout
+    assert(new java.io.File(gen1).isDirectory,
+      "an append must NOT GC the superseded generation")
+    // third fold: entry GCs gen1; gen2 survives its own flip
     AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
-    val ids = spark.read.parquet(AnnIndexStore.resolveStore(dir))
+    val gen3 = AnnIndexStore.resolveStore(dir)
+    assert(!new java.io.File(gen1).exists(),
+      "the superseded generation must be GC'd at the next compaction entry")
+    assert(listGens().toSet == Set(gen2, gen3).map(new java.io.File(_).getName))
+    // every row is served exactly once from the final layout
+    val ids = spark.read.parquet(gen3)
       .select(explode(col("ids")).as("id")).collect().map(_.getLong(0))
     assert(ids.length == 235 && ids.distinct.length == 235)
   }

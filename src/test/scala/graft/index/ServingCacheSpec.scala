@@ -174,13 +174,13 @@ class ServingCacheSpec extends SparkSpec {
       val fired = new java.util.concurrent.atomic.AtomicInteger(0)
       AnnIndexStore.postResolveHook = () =>
         if (fired.getAndIncrement() == 0) {
-          // fold → generation flip (new version); next maintenance
-          // entry GCs the flat layout the in-flight statement resolved.
-          // (The appended delta row is invisible to the SQL store path —
-          // results must not change.)
+          // two back-to-back folds: the first flips the store to the
+          // generation layout (new version); the SECOND's entry GCs the
+          // flat layout the in-flight statement resolved (appends never
+          // GC — only a compaction entry does). Rows are unchanged, so
+          // the retried statement must serve identical results.
           AnnIndexStore.compactDelta(spark, indexPath, numBuckets = 3)
-          AnnIndexStore.appendDelta(
-            Seq((9999L, Array.fill(dim)(0.0f))).toDF("id", "vec"), indexPath)
+          AnnIndexStore.compactDelta(spark, indexPath, numBuckets = 3)
         }
       val after =
         try stmt(qv)
