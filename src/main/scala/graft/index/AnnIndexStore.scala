@@ -492,10 +492,7 @@ object AnnIndexStore {
     import graft.functions.{VectorFunctions => VF}
     import graft.operators.{SimilaritySearch => SS, TopKAggregate}
     val store = resolveStore(path)
-    val coarse = spark.read.parquet(s"$store/centroids")
-      .select(col("list").cast("int"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).map(_._2)
+    val coarse = loadCentroids(spark, store)
     val bookRows = spark.read.parquet(s"$store/codebook")
       .select(col("c").cast("int"), col("bvec"), col("m").cast("int"))
       .collect()
@@ -538,10 +535,7 @@ object AnnIndexStore {
     broadcast(cand.join(broadcast(q), "qid"))
       .join(base.select(col("id").cast("long").as("id"), col("vec")), "id")
       .withColumn("dist", VF.l2Sq(col("qvec"), col("vec")))
-      .groupBy("qid")
-      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
-      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
-      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
+      .transform(rankTopK(_, k))
   }
 
   /** Search a [[buildIvf]] table: each query fans out to its `nprobe`
@@ -551,11 +545,8 @@ object AnnIndexStore {
   def searchIvf(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, ef: Int = 200, nprobe: Int = 4): DataFrame = {
     val store = resolveStore(path)
-    val cents = spark.read.parquet(s"$store/centroids")
-      .select(col("list").cast("int"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    val centsFlat = typedLit(cents.flatMap(_._2))
+    val cents = loadCentroids(spark, store)
+    val centsFlat = typedLit(cents.flatten)
     val probed = queries.select(col("qid"),
         explode(graft.functions.VectorFunctions.nearestCentroids(
           col("qvec"), centsFlat, lit(math.min(nprobe, cents.length)))).as("probe"),
@@ -576,10 +567,7 @@ object AnnIndexStore {
       k: Int, ef: Int = 200, nprobe: Int = 4, chunkRows: Int = 100000): DataFrame = {
     import spark.implicits._
     val store = resolveStore(path)
-    val cents = spark.read.parquet(s"$store/centroids")
-      .select(col("list").cast("int"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).map(_._2)
+    val cents = loadCentroids(spark, store)
     val np = math.min(nprobe, cents.length)
     val results = queryChunks(queries, chunkRows).map { chunk =>
       val qByBucket = chunk.iterator.flatMap { case (qid, qvec) =>
@@ -618,10 +606,7 @@ object AnnIndexStore {
       outPath: String, k: Int, ef: Int = 200, nprobe: Int = 4,
       chunkRows: Int = 100000): Unit = {
     val store = resolveStore(path)
-    val cents = spark.read.parquet(s"$store/centroids")
-      .select(col("list").cast("int"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).map(_._2)
+    val cents = loadCentroids(spark, store)
     val np = math.min(nprobe, cents.length)
     writeChunkedResults(spark, outPath,
       queryChunks(queries, chunkRows).map { chunk =>
@@ -653,6 +638,7 @@ object AnnIndexStore {
   def searchByRange(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, ef: Int = 200, efBands: Boolean = false): DataFrame = {
     import spark.implicits._
+    requireAttrStamped(spark, path, "searchByRange")
     val qByBucket = queries
       .select(col("qid").cast("long"), col("v").cast("long"),
         col("l").cast("double"), col("r").cast("double"), col("qvec"))
@@ -739,10 +725,7 @@ object AnnIndexStore {
         }
       }
       .toDF("qid", "id", "dist")
-      .groupBy("qid")
-      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
-      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
-      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
+      .transform(rankTopK(_, k))
   }
 
   /** Range search over a ts-bucketed [[buildBy]] table (bucketCol =
@@ -776,6 +759,7 @@ object AnnIndexStore {
   def searchDecileRange(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, ef: Int = 200, scale: Int = 10, efBands: Boolean = false): DataFrame = {
     import spark.implicits._
+    requireAttrStamped(spark, path, "searchDecileRange")
     val qBatch = queries
       .select(col("qid").cast("long"), col("l").cast("double"),
         col("r").cast("double"), col("qvec"))
@@ -871,10 +855,7 @@ object AnnIndexStore {
         }
       }
       .toDF("qid", "id", "dist")
-      .groupBy("qid")
-      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
-      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
-      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
+      .transform(rankTopK(_, k))
   }
 
   /** Search a [[buildBy]] table with bucket-keyed queries (qid, v,
@@ -916,10 +897,7 @@ object AnnIndexStore {
         }
       }
       .toDF("qid", "id", "dist")
-      .groupBy("qid")
-      .agg(TopKAggregate.topkIds(k, col("dist"), col("id")).as("nb"))
-      .select(col("qid"), posexplode(col("nb")).as(Seq("r0", "nid")))
-      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"), col("nid"))
+      .transform(rankTopK(_, k))
   }
 
   /** Search a persisted index table: every bucket row searches the
@@ -1027,6 +1005,15 @@ object AnnIndexStore {
       }
       .toDF("qid", "id", "dist")
   }
+
+  /** The `centroids` sidecar as a list-ordered centroid array — ONE
+    * definition of the coarse-quantizer load every IVF search arm
+    * shares (the nlist-row collect is driver-trivial by contract). */
+  private def loadCentroids(spark: SparkSession, store: String): Array[Array[Float]] =
+    spark.read.parquet(s"$store/centroids")
+      .select(col("list").cast("int"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
 
   private def rankTopK(raw: DataFrame, k: Int): DataFrame =
     raw.groupBy("qid")
@@ -1272,17 +1259,27 @@ object AnnIndexStore {
       if (m.legacyFp.isDefined) {
         if (m.legacyFp.contains(
             graft.sources.ParquetMeta.fingerprint(spark, deltaPath(path))))
-          deleteRecursively(root)
+          deleteCommittedDataset(root)
       } else {
-        if (committedFlatFiles(path).nonEmpty && m.flatFp.contains(flatFp(spark, path))) {
-          committedFlatFiles(path).foreach(deleteRecursively)
+        // delete ORDER matters against racing readers in every branch
+        // below: the `_SUCCESS` commit marker dies FIRST, so the
+        // listing protocols (committedFlatFiles / committedBids /
+        // committedEidBids, all gated on the marker) see the dataset
+        // vanish atomically — a file-by-file delete under a standing
+        // marker would let a reader fingerprint the partially-deleted
+        // flat set (mismatch → the folded remainder flips back to
+        // "live" and is served as duplicates of rows already in the
+        // graphs), or list a bid dir whose part files are half gone
+        val flat = committedFlatFiles(path)
+        if (flat.nonEmpty && m.flatFp.contains(flatFp(spark, path))) {
           deleteRecursively(new java.io.File(root, "_SUCCESS"))
+          flat.foreach(deleteRecursively)
         }
         committedBids(path).filter(_._1 <= m.maxBid)
-          .foreach(b => deleteRecursively(b._2))
+          .foreach(b => deleteCommittedDataset(b._2))
         committedEidBids(path)
           .filter { case (t, b, _) => b <= m.eids.getOrElse(t, -1L) }
-          .foreach(e => deleteRecursively(e._3))
+          .foreach(e => deleteCommittedDataset(e._3))
         // an epoch dir emptied of its batches is gone (an UNcommitted
         // bid= child — an in-flight write — blocks the delete; its
         // replay will overwrite it)
@@ -1355,14 +1352,31 @@ object AnnIndexStore {
     * into rebuilt graphs once [[deltaFraction]] crosses a threshold —
     * amortized-O(1) index maintenance with zero recall loss from
     * staleness (the delta side is brute-force, recall 1.0 by
-    * construction). NOT replay-safe on its own: a crashed-and-rerun
-    * append doubles its rows — retrying writers use [[replaceDelta]]
-    * or the per-batch [[appendDeltaBatch]]. */
+    * construction).
+    *
+    * Each append lands in its OWN `bid=` dir (the next unused root
+    * batch id above the fold watermark), never as loose flat files: a
+    * `mode(append)` into the flat root would move this job's part
+    * files into place one rename at a time UNDER the previous append's
+    * still-standing `_SUCCESS`, so a racing read could list part of an
+    * uncommitted batch as committed. A batch dir is gated by its own
+    * `_SUCCESS` (written last), so it becomes visible to
+    * [[committedBids]] all-or-nothing. Crash-before-commit replays
+    * clean (the uncommitted dir is invisible and the retry recomputes
+    * the same id and overwrites it); a COMMITTED append rerun by a
+    * retrying script still doubles its rows — such writers use
+    * [[replaceDelta]] or the explicit-id [[appendDeltaBatch]]. Shares
+    * the root `bid=` namespace with epoch-less appendDeltaBatch
+    * callers — same single-writer contract. */
   def appendDelta(delta: DataFrame, path: String): Unit = {
     recoverStore(path)
     repairDelta(delta.sparkSession, path)
+    val afterMarker = readFoldMarker(path).filter(_.legacyFp.isEmpty)
+      .map(_.maxBid).getOrElse(-1L)
+    val nextBid = committedBids(path).map(_._1)
+      .foldLeft(afterMarker)(math.max) + 1
     delta.select(col("id").cast("long"), col("vec"))
-      .write.mode("append").parquet(deltaPath(path))
+      .write.mode("overwrite").parquet(s"${deltaPath(path)}/bid=$nextBid")
   }
 
   /** Idempotent form for build scripts that may retry: REPLACE the
@@ -1483,8 +1497,11 @@ object AnnIndexStore {
   def deltaFraction(spark: SparkSession, path: String): Double = {
     val delta = liveDeltaRows(spark, path)
     if (delta == 0) return 0.0
+    // coalesce: sum over a ZERO-row store (a valid empty build that a
+    // stream is bootstrapping) is NULL, and getLong would NPE before
+    // the infinity guard could fire
     val indexed = spark.read.parquet(resolveStore(path))
-      .agg(sum(size(col("ids")))).head().getLong(0)
+      .agg(coalesce(sum(size(col("ids"))), lit(0L))).head().getLong(0)
     if (indexed == 0) Double.PositiveInfinity else delta.toDouble / indexed
   }
 
@@ -1493,6 +1510,25 @@ object AnnIndexStore {
   def liveDeltaRows(spark: SparkSession, path: String): Long =
     liveDeltaRoots(spark, path)
       .map(graft.sources.ParquetMeta.rowCount(spark, _)).sum
+
+  /** The range arms refuse a store whose aligned attrs are the 0.0
+    * placeholder (built without attrCol): [[buildBy]] stamps `attr_col`
+    * for exactly this check (its own comment cites ADVICE r2), but only
+    * the SQL route applied it — the batch arms would silently answer
+    * range predicates against all-zero attrs (empty results for ranges
+    * missing 0, unfiltered for ranges containing it). Pre-stamp legacy
+    * stores (no column) are let through unchanged. */
+  private def requireAttrStamped(spark: SparkSession, path: String,
+      arm: String): Unit = {
+    val df = spark.read.parquet(resolveStore(path))
+    if (df.columns.contains("attr_col")) {
+      val row = df.select("attr_col").limit(1).collect()
+      require(row.isEmpty || row(0).getString(0) != null,
+        s"$arm($path): store was built WITHOUT attrCol — its aligned " +
+          "attrs are the 0.0 placeholder and cannot answer range " +
+          "predicates; rebuild with buildBy(..., attrCol = Some(<ts column>))")
+    }
+  }
 
   /** Search the main graphs AND the delta in one plan: graph walks over
     * the stored sub-indexes union an exact broadcast-scan of the delta
@@ -1606,4 +1642,18 @@ object AnnIndexStore {
 
   private def deleteRecursively(f: java.io.File): Unit =
     graft.sources.ParquetMeta.deleteRecursively(f)
+
+  /** Delete a committed dataset tree so a RACING reader never observes
+    * a partial commit: every `_SUCCESS` marker in the tree dies first
+    * (the listing protocols gate on them, so each dataset flips from
+    * committed to invisible in one unlink), then the data. */
+  private def deleteCommittedDataset(f: java.io.File): Unit = {
+    def killMarkers(d: java.io.File): Unit =
+      if (d.isDirectory)
+        Option(d.listFiles()).foreach(_.foreach { c =>
+          if (c.getName == "_SUCCESS") c.delete() else killMarkers(c)
+        })
+    killMarkers(f)
+    deleteRecursively(f)
+  }
 }

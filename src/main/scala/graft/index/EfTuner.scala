@@ -28,9 +28,12 @@ object EfTuner {
       sample: Array[Array[Float]], k: Int, targetRecall: Double,
       ladder: Seq[Int] = DefaultLadder): Result = {
     import org.apache.spark.sql.functions._
+    // xxhash64 tiebreak: a salted store's equal-size sub rows (chunks
+    // are exactly maxRowsPerIndex rows) tie on (n, bucket), and an
+    // untied limit(1) would measure a different graph per run
     val row = spark.read.parquet(AnnIndexStore.resolveStore(indexPath))
       .select(col("bucket"), size(col("ids")).as("n"), col("graph"))
-      .orderBy(desc("n"), col("bucket"))
+      .orderBy(desc("n"), col("bucket"), xxhash64(col("graph")))
       .limit(1).collect()
     require(row.nonEmpty, s"tuneStored: empty index store at $indexPath")
     val idx = HnswIndex.fromBytesCached(row(0).getAs[Array[Byte]]("graph"))

@@ -275,6 +275,14 @@ final class HnswIndex(
         math.max(vecs.length + (vecs.length >> 2), 1024))
       ws.gen = 0
     }
+    // generation wrap: a frozen serving instance never regrows the mark
+    // array, so after 2^31 searches on one (thread, index) the stamp
+    // would wrap into values still present from old walks and silently
+    // treat unvisited nodes as visited — re-zero and restart instead
+    if (ws.gen == Int.MaxValue) {
+      java.util.Arrays.fill(ws.mark, 0)
+      ws.gen = 0
+    }
     ws.gen += 1
     ws
   }

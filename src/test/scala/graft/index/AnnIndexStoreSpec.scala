@@ -101,22 +101,24 @@ class AnnIndexStoreSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-anndelta-crash").toString + "/index"
     AnnIndexStore.build(indexed.toDF("id", "vec"), dir, numBuckets = 2)
     AnnIndexStore.appendDelta(delta.toDF("id", "vec"), dir)
-    // snapshot the delta dir attribute-preserving (fingerprint = name,
+    // snapshot the delta tree attribute-preserving (fingerprint = name,
     // len, mtime), so we can reconstruct the exact crash-window state
+    // (recursive: appendDelta lands in its own bid= dir)
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+      java.nio.file.Files.walk(from).forEach { p =>
+        val t = to.resolve(from.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      }
     val deltaDir = java.nio.file.Paths.get(AnnIndexStore.deltaPath(dir))
     val saved = Files.createTempDirectory("graft-delta-save")
-    java.nio.file.Files.list(deltaDir).forEach { p =>
-      java.nio.file.Files.copy(p, saved.resolve(p.getFileName.toString),
-        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
-    }
+    copyTree(deltaDir, saved)
     AnnIndexStore.compactDelta(spark, dir, numBuckets = 2)
     // simulate a crash between store promote and delta delete: the new
     // graphs already CONTAIN the delta rows, and the same delta is back
-    java.nio.file.Files.createDirectories(deltaDir)
-    java.nio.file.Files.list(saved).forEach { p =>
-      java.nio.file.Files.copy(p, deltaDir.resolve(p.getFileName.toString),
-        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
-    }
+    copyTree(saved, deltaDir)
     // the folded marker must classify it dead: fraction 0, and serving
     // must not emit duplicate (qid, nid) pairs from graph+delta
     assert(AnnIndexStore.deltaFraction(spark, dir) == 0.0)
@@ -125,8 +127,8 @@ class AnnIndexStoreSpec extends SparkSpec {
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == got.distinct.length, "duplicate (qid, nid) served")
     // read paths EXCLUDE but never delete (two readers can't race a
-    // delete against a scan): the stale files are still on disk
-    assert(new java.io.File(AnnIndexStore.deltaPath(dir), "_SUCCESS").exists())
+    // delete against a scan): the stale batch dir is still on disk
+    assert(new java.io.File(AnnIndexStore.deltaPath(dir), "bid=0/_SUCCESS").exists())
     // the next MAINTENANCE op repairs first, so new rows never blend
     // into the stale folded generation (whose fingerprint they'd change,
     // defeating the marker comparison forever)
