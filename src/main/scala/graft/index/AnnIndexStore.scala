@@ -771,10 +771,16 @@ object AnnIndexStore {
     val bands =
       if (efBands) resolveBands(path) else graft.operators.SearchParams.DefaultBands
     val bq = spark.sparkContext.broadcast(qBatch)
-    // widen the coarse prune one bucket low: floor(ts*scale) float
-    // rounding can file a boundary row one bucket down (ADVICE r2); the
-    // per-row in-filter keeps the extra bucket correct
-    val minB = math.floor(qBatch.map(_._2).min * scale).toLong - 1
+    // widen the coarse prune one bucket low ONLY when the batch's min
+    // lo sits exactly on a bucket boundary — the single case where a
+    // boundary row could be filed one bucket down by floor rounding
+    // AND still be in range (ts >= lo is monotone through the double
+    // multiply, so off-boundary lows can never have in-range rows
+    // below the nominal bucket; ADVICE r2). The per-row in-filter
+    // keeps the extra bucket correct when it is included.
+    val minLo = qBatch.map(_._2).min
+    val nominalB = math.floor(minLo * scale).toLong
+    val minB = if (minLo <= nominalB.toDouble / scale) nominalB - 1 else nominalB
     val maxB = math.floor(qBatch.map(_._3).max * scale).toLong
     // Query-shard the batch across replicated bucket scans: one task
     // per bucket row makes the stage wall the SLOWEST bucket (middle

@@ -17,13 +17,44 @@ import org.apache.spark.sql.functions._
   */
 object ContestBinaryIO {
 
-  private def readHeader(path: String): Int = {
-    val in = new FileInputStream(path)
-    try {
-      val b = new Array[Byte](4)
-      require(in.read(b) == 4, s"short read on $path")
-      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
-    } finally in.close()
+  // ONE header reader, shared with the V2 source: the count is uint32,
+  // and a signed getInt would wrap a file with N > Int.MaxValue into a
+  // negative bound — spark.range(0, n<0) silently yields an EMPTY
+  // DataFrame, data loss with no error at exactly the scale this repo
+  // targets. ContestBinarySource.readHeader reads it unsigned.
+  private def readHeader(path: String): Long =
+    ContestBinarySource.readHeader(path)
+
+  /** ONE definition of the per-partition row-range streamer readBase
+    * and readQueries share (skip to the partition's first row, fixed
+    * rowBytes records, short-read retry, close at exhaustion) — only
+    * the record decode differs. `skip` can legally return 0 before
+    * EOF; the require fails loudly instead of spinning. */
+  private def streamRows[T](path: String, rowBytes: Int,
+      ids: Array[Long])(decode: (Long, ByteBuffer) => T): Iterator[T] = {
+    if (ids.isEmpty) return Iterator.empty
+    val in = new BufferedInputStream(new FileInputStream(path), 1 << 20)
+    var skipped = 0L
+    val target = 4L + ids.head * rowBytes
+    while (skipped < target) {
+      val s = in.skip(target - skipped)
+      require(s > 0, s"skip stalled at $skipped/$target in $path")
+      skipped += s
+    }
+    val buf = new Array[Byte](rowBytes)
+    val out = ids.iterator.map { id =>
+      var off = 0
+      while (off < rowBytes) {
+        val r = in.read(buf, off, rowBytes - off)
+        require(r > 0, s"short read at row $id")
+        off += r
+      }
+      decode(id, ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN))
+    }
+    new Iterator[T] {
+      def hasNext: Boolean = { val h = out.hasNext; if (!h) in.close(); h }
+      def next(): T = out.next()
+    }
   }
 
   /** Base table: (id LONG, label LONG, ts DOUBLE, vec ARRAY<FLOAT>).
@@ -35,31 +66,11 @@ object ContestBinaryIO {
     val rowBytes = (2 + dim) * 4
     spark.range(0, n, 1, numPartitions)
       .mapPartitions { it =>
-        val ids = it.map(_.toLong).toArray
-        if (ids.isEmpty) Iterator.empty
-        else {
-          val in = new BufferedInputStream(new FileInputStream(path), 1 << 20)
-          var skipped = 0L
-          val target = 4L + ids.head * rowBytes
-          while (skipped < target) skipped += in.skip(target - skipped)
-          val buf = new Array[Byte](rowBytes)
-          val out = ids.iterator.map { id =>
-            var off = 0
-            while (off < rowBytes) {
-              val r = in.read(buf, off, rowBytes - off)
-              require(r > 0, s"short read at row $id")
-              off += r
-            }
-            val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
-            val label = bb.getFloat.toLong
-            val ts = bb.getFloat.toDouble
-            val vec = Array.fill(dim)(bb.getFloat)
-            (id, label, ts, vec)
-          }
-          new Iterator[(Long, Long, Double, Array[Float])] {
-            def hasNext: Boolean = { val h = out.hasNext; if (!h) in.close(); h }
-            def next(): (Long, Long, Double, Array[Float]) = out.next()
-          }
+        streamRows(path, rowBytes, it.map(_.toLong).toArray) { (id, bb) =>
+          val label = bb.getFloat.toLong
+          val ts = bb.getFloat.toDouble
+          val vec = Array.fill(dim)(bb.getFloat)
+          (id, label, ts, vec)
         }
       }
       .toDF("id", "label", "ts", "vec")
@@ -75,33 +86,13 @@ object ContestBinaryIO {
     val rowBytes = (4 + dim) * 4
     spark.range(0, n, 1, numPartitions)
       .mapPartitions { it =>
-        val ids = it.map(_.toLong).toArray
-        if (ids.isEmpty) Iterator.empty
-        else {
-          val in = new BufferedInputStream(new FileInputStream(path), 1 << 20)
-          var skipped = 0L
-          val target = 4L + ids.head * rowBytes
-          while (skipped < target) skipped += in.skip(target - skipped)
-          val buf = new Array[Byte](rowBytes)
-          val out = ids.iterator.map { id =>
-            var off = 0
-            while (off < rowBytes) {
-              val r = in.read(buf, off, rowBytes - off)
-              require(r > 0, s"short read at row $id")
-              off += r
-            }
-            val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
-            val qtype = bb.getFloat.toInt
-            val v = bb.getFloat.toLong
-            val l = bb.getFloat.toDouble
-            val r = bb.getFloat.toDouble
-            val vec = Array.fill(dim)(bb.getFloat)
-            (id, qtype, v, l, r, vec)
-          }
-          new Iterator[(Long, Int, Long, Double, Double, Array[Float])] {
-            def hasNext: Boolean = { val h = out.hasNext; if (!h) in.close(); h }
-            def next(): (Long, Int, Long, Double, Double, Array[Float]) = out.next()
-          }
+        streamRows(path, rowBytes, it.map(_.toLong).toArray) { (id, bb) =>
+          val qtype = bb.getFloat.toInt
+          val v = bb.getFloat.toLong
+          val l = bb.getFloat.toDouble
+          val r = bb.getFloat.toDouble
+          val vec = Array.fill(dim)(bb.getFloat)
+          (id, qtype, v, l, r, vec)
         }
       }
       .toDF("qid", "qtype", "v", "l", "r", "qvec")

@@ -21,21 +21,40 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * encoding cannot silently shift query semantics.
   */
 object Events {
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   def read(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The conf must be set BEFORE schema inference to know which
+    // encoding the corpus uses. If the corpus turns out NOT to be
+    // nanos-encoded, restore the caller's previous value — leaving it
+    // set would silently change how every later parquet read in the
+    // session decodes TIMESTAMP(NANOS) columns. A genuinely
+    // nanos-encoded corpus needs the conf at SCAN time too (the read
+    // is lazy), so for that one case it stays set — the session-wide
+    // requirement Spark 4 imposes for ns data, documented here.
+    val prev = s.conf.getOption(NanosConf)
+    s.conf.set(NanosConf, "true")
+    def restore(): Unit = prev match {
+      case Some(v) => s.conf.set(NanosConf, v)
+      case None    => s.conf.unset(NanosConf)
+    }
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => raw
-      case TimestampNTZType => raw.withColumn("ts",
-        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case TimestampNTZType =>
+        restore()
+        raw.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
       case TimestampType =>
         // isAdjustedToUTC=true micros (what Spark itself writes for
         // TimestampType): the value is an instant, so unix_micros is the
         // epoch directly — session-zone-independent by construction.
         // The NTZ timestampdiff form above would be WRONG here: the NTZ
         // literal gets zone-coerced against a TZ operand.
+        restore()
         raw.withColumn("ts", unix_micros(col("ts")) * 1000)
       case other =>
+        restore()
         throw new IllegalStateException(
           s"events.ts: unsupported encoding $other — extend Events.read")
     }

@@ -121,6 +121,7 @@ object AnnCatalog {
 
   def clear(): Unit = {
     registry.clear(); attrCache.clear(); centroidCache.clear()
+    nullFreeCache.clear()
     AnnTopKExec.clearScanFrames()
   }
 
@@ -146,18 +147,50 @@ object AnnCatalog {
   private val attrCache = TrieMap.empty[String, Option[String]]
 
   private[graft] def attrColOf(spark: SparkSession, indexPath: String): Option[String] =
-    attrCache.getOrElseUpdate(indexPath, {
-      try {
-        val df = spark.read.parquet(graft.index.AnnIndexStore.resolveStore(indexPath))
-        if (!df.columns.contains("attr_col")) None
-        else Option(df.select("attr_col").head.getString(0))
-      } catch {
-        // NonFatal only: an unreadable/absent index table means "no attr
-        // column, use the exact plan", but an OOM/fatal error swallowed
-        // into that fallback would be silently wrong — let it propagate.
-        case scala.util.control.NonFatal(_) => None
-      }
-    })
+    attrCache.get(indexPath) match {
+      case Some(v) => v
+      case None =>
+        try {
+          val df = spark.read.parquet(graft.index.AnnIndexStore.resolveStore(indexPath))
+          val v = if (!df.columns.contains("attr_col")) None
+            else Option(df.select("attr_col").head.getString(0))
+          attrCache.put(indexPath, v)
+          v
+        } catch {
+          // NonFatal only: an unreadable index table means "use the
+          // exact plan" for THIS statement — but the failure is NOT
+          // cached (a transient fs flicker memoized as None would
+          // disable ts-range routing for the whole session); genuine
+          // absence caches via the no-column branch above. Fatal errors
+          // propagate.
+          case scala.util.control.NonFatal(_) => None
+        }
+    }
+
+  // one MEASURED null-freedom probe per base path per session: a
+  // stats-pruned IsNull scan (parquet row groups with nullCount = 0
+  // skip on footer stats alone), consulted by the strategy's
+  // null-ordering guard for untrusted registrations. Cached like
+  // attrColOf — absence of nulls is a property of the registered
+  // corpus; post-probe drift falls under guard mode's documented
+  // freshness contract. Probe FAILURES are not cached.
+  private val nullFreeCache = TrieMap.empty[String, Boolean]
+
+  private[graft] def vecNullFree(spark: SparkSession, basePath: String,
+      vecCol: String): Boolean =
+    nullFreeCache.get(basePath) match {
+      case Some(v) => v
+      case None =>
+        try {
+          import org.apache.spark.sql.functions.col
+          val free = spark.read.parquet(basePath)
+            .filter(col(vecCol).isNull).limit(1).isEmpty
+          nullFreeCache.put(basePath, free)
+          free
+        } catch {
+          case scala.util.control.NonFatal(_) => false
+        }
+    }
 
   private[graft] def lookup(paths: Seq[org.apache.hadoop.fs.Path]): Option[IndexMeta] =
     paths.iterator.flatMap(p => registry.get(p.toUri.getPath)).nextOption()
@@ -219,9 +252,15 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
   }
 
   /** The predicates the index layer can answer: at most one integer
-    * equality (label) and at most one closed numeric interval (ts). */
+    * equality (label) and at most one closed numeric interval (ts).
+    * `notNull` carries the columns of user-written IS NOT NULL
+    * conjuncts that are NOT implied by the eq/range predicates — the
+    * route must prove it can honor each (only the vec column qualifies:
+    * a routed result never contains null-vec rows) or fall through to
+    * the exact plan. */
   private case class PredInfo(eq: Option[(AttributeReference, Long)] = None,
-      range: Option[(AttributeReference, Double, Double)] = None)
+      range: Option[(AttributeReference, Double, Double)] = None,
+      notNull: Set[String] = Set.empty)
 
   /** Strip pass-through projections and at most one index-answerable
     * filter (label equality and/or closed ts interval, plus the
@@ -254,6 +293,21 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
       val parts = conjuncts(cond)
       val eqs = parts.collect { case LongEquality(a, v) => (a, v) }
       val bounds = parts.collect { case Bound(a, lower, v) => (a, lower, v) }
+      // IsNotNull on an eq/range column is IMPLIED by that predicate
+      // (x = 5 / l <= x can never hold for NULL) — the optimizer infers
+      // these and dropping them is sound. IsNotNull on any OTHER column
+      // is a user predicate the route must account for: recorded in
+      // PredInfo.notNull, where the route keeps only statements whose
+      // every entry it can honor (the vec column — a routed result
+      // never contains null-vec rows). Dropping them all
+      // indiscriminately made the routed plan ignore part of the WHERE
+      // clause (e.g. `AND payload IS NOT NULL`).
+      val implied = (eqs.map(_._1.name) ++ bounds.map(_._1.name))
+        .map(_.toLowerCase).toSet
+      val extraNotNull = parts.collect {
+        case IsNotNull(a: AttributeReference)
+            if !implied.contains(a.name.toLowerCase) => a.name
+      }.toSet
       val residue = parts.filter {
         case LongEquality(_, _) => false
         case Bound(_, _, _) => false
@@ -272,9 +326,10 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
         case _ => None
       }
       range match {
-        case Some(r) if eqs.length <= 1 && residue.isEmpty && (eqs.nonEmpty || r.nonEmpty) =>
-          unwrap(child).collect { case (paths, PredInfo(None, None), subst) =>
-            (paths, PredInfo(eqs.headOption, r), subst)
+        case Some(r) if eqs.length <= 1 && residue.isEmpty &&
+            (eqs.nonEmpty || r.nonEmpty || extraNotNull.nonEmpty) =>
+          unwrap(child).collect { case (paths, PredInfo(None, None, nn), subst) =>
+            (paths, PredInfo(eqs.headOption, r, nn ++ extraNotNull), subst)
           }
         case _ => None
       }
@@ -331,20 +386,41 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
         }
         cur
       }
-      keys <- order.map(so => deref(so.child) -> so.direction) match {
-        case Seq((DistCall(v, q), Ascending)) =>
-          Some((v, q, None: Option[AttributeReference]))
+      keys <- order.map(so => (deref(so.child), so.direction, so.nullOrdering)) match {
+        case Seq((DistCall(v, q), Ascending, no)) =>
+          Some((v, q, None: Option[AttributeReference], no))
         // keys after the id tiebreak are redundant (the id is unique —
         // the later `tie == idCol` guard makes ignoring them sound)
-        case (DistCall(v, q), Ascending) +:
-             (tie: AttributeReference, Ascending) +: _ =>
-          Some((v, q, Some(tie)))
+        case (DistCall(v, q), Ascending, no) +:
+             (tie: AttributeReference, Ascending, _) +: _ =>
+          Some((v, q, Some(tie), no))
         case _ => None
       }
-      (vecAttr, qvec, tie) = keys
+      (vecAttr, qvec, tie, nullOrd) = keys
       meta <- AnnCatalog.lookup(rootPaths)
       if vecAttr.name.equalsIgnoreCase(meta.vecCol)
       if tie.forall(_.name.equalsIgnoreCase(meta.idCol))
+      // every surviving user IS NOT NULL must be one the route honors:
+      // only the vec column qualifies (a routed result never contains
+      // null-vec rows); any other column's IS NOT NULL falls through to
+      // the exact plan, which actually applies it
+      if preds.notNull.forall(_.equalsIgnoreCase(meta.vecCol))
+      // null-ordering: Spark's default ascending sort is NULLS FIRST,
+      // under which the exact plan returns null-distance (null-vec)
+      // rows BEFORE every real neighbor — rows a routed plan can never
+      // emit. Route only when the discrepancy is impossible: the sort
+      // says NULLS LAST, the statement filters `vec IS NOT NULL`, the
+      // vec attribute is non-nullable, the registration is trusted
+      // (the store covers the base by contract, and a null vector
+      // cannot be indexed), or the base is MEASURED null-free (one
+      // stats-pruned probe per path per session; post-check drift is
+      // excluded by the same freshness contract guard mode documents).
+      if nullOrd == org.apache.spark.sql.catalyst.expressions.NullsLast ||
+        !vecAttr.nullable ||
+        preds.notNull.exists(_.equalsIgnoreCase(meta.vecCol)) ||
+        meta.trusted ||
+        session.conf.get("spark.graft.ann.trustIndex", "false").toBoolean ||
+        AnnCatalog.vecNullFree(session, rootPaths.head.toString, meta.vecCol)
       // predicate → stored-index route: the reference's 4-type dispatch
       //   none        → hash-bucket table       (type 0)
       //   label = v   → per-label table         (type 1)
@@ -454,7 +530,11 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
     // GUARD mode (the default): the base table is the source of truth.
     // Fetch the k result rows by id (tiny scan, id-isin pushed to
     // parquet) INCLUDING the vector, drop ids the base no longer holds
-    // and null-vec rows (which the exact plan would sort last), and
+    // and rows whose vector went null since the index build (the
+    // strategy only routes when null-vec rows provably cannot affect
+    // the exact plan's output — NULLS LAST, a vec IS NOT NULL
+    // predicate, a non-nullable column, trusted, or a measured
+    // null-free base — so dropping here matches), and
     // re-distance/re-sort against the CURRENT base vectors — so even a
     // base row whose vector changed since the index build emits the
     // distance and rank the unrouted exact plan would.
@@ -612,9 +692,16 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
         searchStore(spark, path, Some(col("bucket") === bucket),
           labelWalk(qvec, k, effEf, tsRange), k)
       case RangeRoute(path, lo, hi) =>
-        // one bucket of slack low: floor(ts*10) float rounding can file a
-        // boundary row one decile down; the in-filter keeps it correct
-        val minB = math.floor(lo * 10).toLong - 1
+        // one bucket of slack low ONLY when lo sits exactly on a decile
+        // boundary — the single case where a boundary row could be
+        // filed one decile down by floor rounding AND still be in
+        // range (ts >= lo is monotone through the double multiply, so
+        // off-boundary queries can never have in-range rows below the
+        // nominal decile). The old unconditional -1 scanned and
+        // deserialized a bucket rangeWalk's overlap bail then
+        // discarded — one wasted blob per cold type-2 statement.
+        val nominal = math.floor(lo * 10).toLong
+        val minB = if (lo <= nominal / 10.0) nominal - 1 else nominal
         val maxB = math.floor(hi * 10).toLong
         searchStore(spark, path,
           Some(col("bucket") >= minB && col("bucket") <= maxB),

@@ -87,7 +87,11 @@ object Sq4Encode {
   /** code_d = round(clamp((x_d - min_d)/dif_d, [0,1]) · 15); dims 2j
     * (low nibble) and 2j+1 (high nibble) share byte j. */
   def encodeAll(vec: ArrayData, mins: ArrayData, difs: ArrayData): Array[Byte] = {
-    val n = math.min(vec.numElements(), mins.numElements())
+    // bound by ALL inputs: sq4_encode is SQL-registered, and an
+    // UnsafeArrayData read past difs' element count is an unchecked
+    // Platform.getDouble — nondeterministic garbage codes, no exception
+    val n = math.min(vec.numElements(),
+      math.min(mins.numElements(), difs.numElements()))
     val out = new Array[Byte]((n + 1) / 2)
     var d = 0
     while (d < n) {
@@ -129,7 +133,11 @@ case class Sq4AsymL2Sq(first: Expression, second: Expression,
 
 object Sq4AsymL2Sq {
   def distance(q: ArrayData, code: Array[Byte], mins: ArrayData, difs: ArrayData): Double = {
-    val n = math.min(q.numElements(), mins.numElements())
+    // bound by every input: a short code or difs array from hand-written
+    // SQL must not read past its end (AIOOBE on the byte array, silent
+    // unchecked read on UnsafeArrayData)
+    val n = math.min(math.min(q.numElements(), 2 * code.length),
+      math.min(mins.numElements(), difs.numElements()))
     var s = 0.0
     var d = 0
     while (d < n) {
@@ -174,7 +182,9 @@ case class Sq8AsymL2Sq(first: Expression, second: Expression,
 
 object Sq8AsymL2Sq {
   def distance(q: ArrayData, code: ArrayData, mins: ArrayData, difs: ArrayData): Double = {
-    val n = math.min(q.numElements(), mins.numElements())
+    // bound by every input — same out-of-bounds hole as the SQ4 form
+    val n = math.min(math.min(q.numElements(), code.numElements()),
+      math.min(mins.numElements(), difs.numElements()))
     var s = 0.0
     var d = 0
     while (d < n) {

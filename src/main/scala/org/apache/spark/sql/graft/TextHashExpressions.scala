@@ -90,6 +90,14 @@ object TextHashUtil {
     * consumes: band keys are subsets of elements (no shifting), and
     * Hamming distance is Σ bitCount(a(i) ^ b(i)) ([[blockHamming]]). */
   def simhashBlocks(hashes: ArrayData, bits: Int, blocks: Int): ArrayData = {
+    // simhash_blocks is SQL-registered with arbitrary user args: a
+    // non-dividing blocks would AIOOBE on the output array and a block
+    // width > 64 would silently wrap the shift into corrupt
+    // fingerprints — fail loudly instead (two int checks per row)
+    require(blocks > 0 && bits > 0 && bits % blocks == 0,
+      s"simhash_blocks: blocks ($blocks) must divide bits ($bits)")
+    require(bits / blocks <= 64,
+      s"simhash_blocks: block width ${bits / blocks} exceeds 64 bits — raise blocks")
     val n = hashes.numElements()
     val cnt = new Array[Int](bits)
     val nWords = (bits + 59) / 60

@@ -440,9 +440,21 @@ class AnnTopKStrategySpec extends SparkSpec {
       // guard mode (the default) — pin it in case another suite flipped
       // the session into trust-the-index serving mode
       spark.conf.set("spark.graft.ann.trustIndex", "false")
-      val got = spark.read.parquet(basePath)
+      // the base now CONTAINS a null-vec row, so the bare statement must
+      // NOT route (under default NULLS FIRST the exact plan ranks the
+      // null row first — a row no routed plan can emit); the null-safe
+      // form below is the one that routes and exercises the guard
+      val bare = spark.read.parquet(basePath)
         .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
-        .select("id").limit(300).collect().map(_.getLong(0))
+        .select("id").limit(300)
+      assert(!bare.queryExecution.executedPlan.toString.contains("AnnTopK"),
+        "a base with null vectors must refuse the route under NULLS FIRST")
+      val gotDf = spark.read.parquet(basePath)
+        .filter(col("vec").isNotNull)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id").limit(300)
+      assert(gotDf.queryExecution.executedPlan.toString.contains("AnnTopK"))
+      val got = gotDf.collect().map(_.getLong(0))
       assert(!got.contains(5L) && !got.contains(7L))
       assert(got.nonEmpty)
       // guard mode re-distances against the CURRENT base vectors: id 9
@@ -482,5 +494,79 @@ class AnnTopKStrategySpec extends SparkSpec {
         .limit(10)
       assert(!df2.queryExecution.executedPlan.toString.contains("AnnTopK"))
     } finally AnnCatalog.unregister(dirs._1)
+  }
+
+  test("user IS NOT NULL on a non-route column blocks routing; on the vec column it routes") {
+    val root = Files.createTempDirectory("graft_anntopk_nn").toFile
+    root.deleteOnExit()
+    val basePath = s"$root/base"
+    val indexPath = s"$root/index"
+    val rnd = new scala.util.Random(11)
+    Seq.tabulate(300) { i =>
+      (i.toLong, if (i % 3 == 0) null else s"p$i", Array.fill(dim)(rnd.nextFloat()))
+    }.toDF("id", "payload", "vec").write.mode("overwrite").parquet(basePath)
+    AnnIndexStore.build(
+      spark.read.parquet(basePath).select("id", "vec"), indexPath, numBuckets = 2)
+    AnnCatalog.register(basePath, indexPath, idCol = "id", vecCol = "vec", ef = 300)
+    try {
+      val qv = Array.fill(dim)(0.5f)
+      // `payload IS NOT NULL` is a predicate the route cannot honor —
+      // the old unwrap dropped EVERY IsNotNull and the routed plan
+      // silently ignored it, returning null-payload rows the exact
+      // plan excludes
+      val blocked = spark.read.parquet(basePath)
+        .filter(col("payload").isNotNull)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id").limit(10)
+      assert(!blocked.queryExecution.executedPlan.toString.contains("AnnTopK"),
+        "a non-vec IS NOT NULL must fall through to the exact plan")
+      assert(blocked.collect().map(_.getLong(0)).forall(_ % 3 != 0),
+        "the exact plan must actually apply the predicate")
+      // `vec IS NOT NULL` the route honors by construction (it never
+      // returns null-vec rows) — and it makes the statement null-safe,
+      // so it must still route
+      val routed = spark.read.parquet(basePath)
+        .filter(col("vec").isNotNull)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id").limit(10)
+      assert(routed.queryExecution.executedPlan.toString.contains("AnnTopK"),
+        "vec IS NOT NULL must keep the route")
+    } finally AnnCatalog.unregister(basePath)
+  }
+
+  test("a base containing null vectors refuses the route under default NULLS FIRST") {
+    val root = Files.createTempDirectory("graft_anntopk_nullvec").toFile
+    root.deleteOnExit()
+    val basePath = s"$root/base"
+    val indexPath = s"$root/index"
+    val rnd = new scala.util.Random(13)
+    (Seq((9999L, null: Array[Float])) ++ Seq.tabulate(300) { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat()))
+    }).toDF("id", "vec").write.mode("overwrite").parquet(basePath)
+    AnnIndexStore.build(
+      spark.read.parquet(basePath).filter(col("vec").isNotNull),
+      indexPath, numBuckets = 2)
+    AnnCatalog.register(basePath, indexPath, idCol = "id", vecCol = "vec", ef = 300)
+    try {
+      val qv = Array.fill(dim)(0.5f)
+      val stmt = spark.read.parquet(basePath)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id").limit(3)
+      // the exact plan under Spark's default ascending NULLS FIRST
+      // returns the null-vec row FIRST — a row no routed plan can emit;
+      // the measured null-freedom probe must refuse the route, and the
+      // exact plan must serve the statement (discrepancy proof below)
+      assert(!stmt.queryExecution.executedPlan.toString.contains("AnnTopK"),
+        "a null-vec base must not route under default null ordering")
+      assert(stmt.collect().map(_.getLong(0)).head == 9999L,
+        "NULLS FIRST: the exact plan's first row is the null-vec row")
+      // the explicit null filter restores routing
+      val routed = spark.read.parquet(basePath)
+        .filter(col("vec").isNotNull)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id").limit(3)
+      assert(routed.queryExecution.executedPlan.toString.contains("AnnTopK"))
+      assert(!routed.collect().map(_.getLong(0)).contains(9999L))
+    } finally AnnCatalog.unregister(basePath)
   }
 }
