@@ -61,6 +61,14 @@ object Multimodal {
   /** Deterministic fake "decoder features": FeatureDim floats in [-1,1)
     * derived from the md5 of the payload. STUB — replace with a real
     * codec + model forward pass. */
+  /** A NULL media payload (nullable binary column in a mixed corpus)
+    * behaves as an EMPTY payload: every real decoder already returns
+    * None on null, but the hash-stub fallbacks dereferenced it — the
+    * one NPE in a pipeline documented as total. Normalized once at
+    * each pipeline entry. */
+  private def nz(bytes: Array[Byte]): Array[Byte] =
+    if (bytes == null) Array.emptyByteArray else bytes
+
   def decodeFeaturesStub(bytes: Array[Byte]): Array[Float] = {
     val md = MessageDigest.getInstance("MD5")
     val out = new Array[Float](FeatureDim)
@@ -467,7 +475,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init point (a heavier codec would load here)
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytes0) =>
+          val bytes = nz(bytes0)
           val feats = decodeImageFeatures(bytes).map(_._4)
             .orElse(decodeAudioFeatures(bytes).map(_._4))
             .orElse(decodeVideoFeatures(bytes).map(_._5))
@@ -489,7 +498,8 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytes0) =>
+          val bytes = nz(bytes0)
           decodeImageFeatures(bytes) match {
             case Some((w, h, c, f)) => (id, bytes.length.toLong, w, h, c, f)
             case None => (id, bytes.length.toLong, -1, -1, -1, decodeFeaturesStub(bytes))
@@ -510,7 +520,8 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytes0) =>
+          val bytes = nz(bytes0)
           decodeAudioFeatures(bytes) match {
             case Some((ms, rate, ch, f)) => (id, bytes.length.toLong, ms, rate, ch, f)
             case None => (id, bytes.length.toLong, -1L, -1, -1, decodeFeaturesStub(bytes))
@@ -531,7 +542,8 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytes0) =>
+          val bytes = nz(bytes0)
           decodeVideoFeatures(bytes) match {
             case Some((w, h, n, ms, f)) => (id, bytes.length.toLong, w, h, n, ms, f)
             case None => (id, bytes.length.toLong, -1, -1, -1, -1L, decodeFeaturesStub(bytes))
@@ -552,7 +564,8 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
+        it.flatMap { case (id, bytes0) =>
+          val bytes = nz(bytes0)
           val offs = parseAvi(bytes).filter(_.frames.nonEmpty) match {
             case Some(info) =>
               Array.tabulate(framesPerItem) { i =>

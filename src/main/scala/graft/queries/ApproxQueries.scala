@@ -216,13 +216,7 @@ object ApproxQueries {
     // of a full scan — the reference's core premise surfaced in Catalyst
     "ann_sql_topk" -> ((s, dir) => {
       val basePath = s"$dir/embeddings.parquet"
-      val idxPath = StorePaths.taggedPath(s, "/tmp/graft_ann_sql", dir)
-      if (!new java.io.File(s"$idxPath/_SUCCESS").exists()) {
-        graft.index.AnnIndexStore.build(
-          emb(s, dir).select(col("vec_id").cast("long").as("id"),
-            col("embedding").as("vec")),
-          idxPath, numBuckets = 4)
-      }
+      val idxPath = StorePaths.ensureHashStore(s, dir)
       // trusted: the store was built THIS run from THIS base
       // (fingerprinted path), so serving skips the per-query
       // staleness-validation job — scoped to this basePath only
@@ -254,22 +248,10 @@ object ApproxQueries {
     // APPROXIMATE serving, not recall-floored.
     "ann_sql_ivf" -> ((s, dir) => {
       val basePath = s"$dir/embeddings.parquet"
-      val ivfPath = StorePaths.taggedPath(s, "/tmp/graft_ann_ivf_sql", dir)
-      if (!new java.io.File(s"$ivfPath/lists/_SUCCESS").exists()) {
-        graft.index.AnnIndexStore.buildIvfSeeded(
-          emb(s, dir).select(col("vec_id").cast("long").as("id"),
-            col("embedding").as("vec")),
-          ivfPath, nlist = 16)
-      }
+      val ivfPath = StorePaths.ensureIvfStore(s, dir)
       // hash store stays the registered non-type-0 fallback path (same
       // tag ann_sql_topk maintains); the type-0 route prefers the lists
-      val hashPath = StorePaths.taggedPath(s, "/tmp/graft_ann_sql", dir)
-      if (!new java.io.File(s"$hashPath/_SUCCESS").exists()) {
-        graft.index.AnnIndexStore.build(
-          emb(s, dir).select(col("vec_id").cast("long").as("id"),
-            col("embedding").as("vec")),
-          hashPath, numBuckets = 4)
-      }
+      val hashPath = StorePaths.ensureHashStore(s, dir)
       // ef 400: each probed list must be searched exhaustively-grade so
       // the serving top-k equals the oracle's exact re-rank over the
       // SAME candidate set (the approximation is WHICH lists, not the
@@ -294,19 +276,9 @@ object ApproxQueries {
     // injected planner strategy (AnnTopKStrategySpec proves the plans)
     "ann_sql_routed" -> ((s, dir) => {
       import graft.functions.{VectorFunctions => VF}
-      val root = StorePaths.taggedPath(s, "/tmp/graft_sql_route", dir)
+      val root = StorePaths.ensureRouteStores(s, dir)
       val basePath = s"$root/base"
-      if (!new java.io.File(s"$basePath/_SUCCESS").exists())
-        graft.SparkEntry.vecBase(s, dir).write.mode("overwrite").parquet(basePath)
       val b = s.read.parquet(basePath)
-      if (!new java.io.File(s"$root/by_hash/_SUCCESS").exists())
-        graft.index.AnnIndexStore.build(b.select(col("id"), col("vec")), s"$root/by_hash", 4)
-      if (!new java.io.File(s"$root/by_label/_SUCCESS").exists())
-        graft.index.AnnIndexStore.buildBy(b, s"$root/by_label", "label", attrCol = Some("ts"))
-      if (!new java.io.File(s"$root/by_decile/_SUCCESS").exists())
-        graft.index.AnnIndexStore.buildBy(
-          b.withColumn("decile", floor(col("ts") * 10).cast("long")),
-          s"$root/by_decile", "decile", attrCol = Some("ts"))
       // trusted: stores built this run from this base (see ann_sql_topk)
       org.apache.spark.sql.graft.AnnCatalog.register(basePath, s"$root/by_hash",
         idCol = "id", vecCol = "vec", ef = 200,

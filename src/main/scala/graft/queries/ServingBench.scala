@@ -27,30 +27,15 @@ object ServingBench {
     val embBase = s"$dir/embeddings.parquet"
     val emb = s.read.parquet(embBase)
 
-    // same stores, guards, and parameters as the ann_sql_* gate queries
-    val hashPath = StorePaths.taggedPath(s, "/tmp/graft_ann_sql", dir)
-    if (!new java.io.File(s"$hashPath/_SUCCESS").exists())
-      graft.index.AnnIndexStore.build(
-        emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("vec")),
-        hashPath, numBuckets = 4)
-    val ivfPath = StorePaths.taggedPath(s, "/tmp/graft_ann_ivf_sql", dir)
-    if (!new java.io.File(s"$ivfPath/lists/_SUCCESS").exists())
-      graft.index.AnnIndexStore.buildIvfSeeded(
-        emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("vec")),
-        ivfPath, nlist = 16)
-    val root = StorePaths.taggedPath(s, "/tmp/graft_sql_route", dir)
+    // SAME stores as the ann_sql_* gate queries, built through the one
+    // shared definition of their parameters (StorePaths) — whichever of
+    // the bench or the gates runs first materializes for both, so a
+    // second copy of the build blocks here could silently drift
+    val hashPath = StorePaths.ensureHashStore(s, dir)
+    val ivfPath = StorePaths.ensureIvfStore(s, dir)
+    val root = StorePaths.ensureRouteStores(s, dir)
     val basePath = s"$root/base"
-    if (!new java.io.File(s"$basePath/_SUCCESS").exists())
-      graft.SparkEntry.vecBase(s, dir).write.mode("overwrite").parquet(basePath)
     val b = s.read.parquet(basePath)
-    if (!new java.io.File(s"$root/by_hash/_SUCCESS").exists())
-      graft.index.AnnIndexStore.build(b.select(col("id"), col("vec")), s"$root/by_hash", 4)
-    if (!new java.io.File(s"$root/by_label/_SUCCESS").exists())
-      graft.index.AnnIndexStore.buildBy(b, s"$root/by_label", "label", attrCol = Some("ts"))
-    if (!new java.io.File(s"$root/by_decile/_SUCCESS").exists())
-      graft.index.AnnIndexStore.buildBy(
-        b.withColumn("decile", floor(col("ts") * 10).cast("long")),
-        s"$root/by_decile", "decile", attrCol = Some("ts"))
 
     // deterministic statement parameters: the first stmts+1 queries of
     // each type from the gate queries' own derived batch (head warms +

@@ -1,21 +1,73 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** The ONE definition of the query packs' derived-store addressing:
-  * tag = sanitized sf dir + "-" + source-generation fingerprint of the
-  * embeddings table, so a regenerated corpus can never hit a stale
-  * layout or index store (the trustIndex serving mode relies on this),
-  * and resolution GCs superseded generations at materialization
-  * ([[graft.sources.ParquetMeta.resolveTagged]]). Shared by the packs
-  * because a format drift between them would silently split the caches
-  * onto differently-keyed roots and defeat cross-generation GC. */
+/** The ONE definition of the query packs' derived-store addressing AND
+  * the shared stores' build parameters.
+  *
+  * Addressing: tag = [[graft.sources.ParquetMeta.storeTag]] over the
+  * embeddings table (sanitized dir_table + "_" + source-generation
+  * fingerprint) — delegated, not re-implemented, so the GC machinery's
+  * tag-parsing assumptions ([[graft.sources.ParquetMeta.gcSiblingTags]])
+  * are validated against exactly one format. A regenerated corpus can
+  * never hit a stale layout or index store (the trustIndex serving mode
+  * relies on this), and resolution GCs superseded generations at
+  * materialization ([[graft.sources.ParquetMeta.resolveTagged]]).
+  *
+  * Builds: ServingBench and the ann_sql_* gate queries serve from the
+  * SAME tagged store paths — whichever runs first materializes the
+  * store for both, so the build parameters (numBuckets, nlist, the
+  * by_label/by_decile defs) must live in one place: two drifted copies
+  * would silently measure — or serve — an index built with the other
+  * side's parameters, with no error. */
 private[queries] object StorePaths {
 
   def storeTag(s: SparkSession, dir: String): String =
-    dir.replaceAll("[^a-zA-Z0-9]", "_") + "-" +
-      graft.sources.ParquetMeta.fingerprint(s, s"$dir/embeddings.parquet")
+    graft.sources.ParquetMeta.storeTag(s, dir, "embeddings")
 
   def taggedPath(s: SparkSession, parent: String, dir: String): String =
     graft.sources.ParquetMeta.resolveTagged(parent, storeTag(s, dir))
+
+  private def embIdVec(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+
+  /** The embeddings hash-bucket store (ann_sql_topk / ann_sql_ivf /
+    * ServingBench t0): built if missing, path returned. */
+  def ensureHashStore(s: SparkSession, dir: String): String = {
+    val p = taggedPath(s, "/tmp/graft_ann_sql", dir)
+    if (!new java.io.File(s"$p/_SUCCESS").exists())
+      graft.index.AnnIndexStore.build(embIdVec(s, dir), p, numBuckets = 4)
+    p
+  }
+
+  /** The embeddings seeded-IVF store (ann_sql_ivf / ServingBench
+    * t0_ivf): built if missing, path returned. */
+  def ensureIvfStore(s: SparkSession, dir: String): String = {
+    val p = taggedPath(s, "/tmp/graft_ann_ivf_sql", dir)
+    if (!new java.io.File(s"$p/lists/_SUCCESS").exists())
+      graft.index.AnnIndexStore.buildIvfSeeded(embIdVec(s, dir), p, nlist = 16)
+    p
+  }
+
+  /** The 4-type route pack's base + by_hash/by_label/by_decile stores
+    * (ann_sql_routed / ServingBench t1-t3): built if missing, root
+    * returned — base at `<root>/base`, stores beside it. */
+  def ensureRouteStores(s: SparkSession, dir: String): String = {
+    val root = taggedPath(s, "/tmp/graft_sql_route", dir)
+    val basePath = s"$root/base"
+    if (!new java.io.File(s"$basePath/_SUCCESS").exists())
+      graft.SparkEntry.vecBase(s, dir).write.mode("overwrite").parquet(basePath)
+    val b = s.read.parquet(basePath)
+    if (!new java.io.File(s"$root/by_hash/_SUCCESS").exists())
+      graft.index.AnnIndexStore.build(b.select(col("id"), col("vec")), s"$root/by_hash", 4)
+    if (!new java.io.File(s"$root/by_label/_SUCCESS").exists())
+      graft.index.AnnIndexStore.buildBy(b, s"$root/by_label", "label", attrCol = Some("ts"))
+    if (!new java.io.File(s"$root/by_decile/_SUCCESS").exists())
+      graft.index.AnnIndexStore.buildBy(
+        b.withColumn("decile", floor(col("ts") * 10).cast("long")),
+        s"$root/by_decile", "decile", attrCol = Some("ts"))
+    root
+  }
 }

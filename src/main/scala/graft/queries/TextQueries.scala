@@ -187,9 +187,13 @@ object TextQueries {
             .cast("long"))
       }
       val m = greatest(TF.LangMarkers.map { case (l, _) => col(s"s_$l") }: _*)
-      val predicted = TF.LangMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
-        when(col(s"s_$lang") === m, lit(lang)).otherwise(acc)
-      }
+      // m === 0 guard: without it the 'und' seed is UNREACHABLE — the
+      // max is always attained by some language, so a zero-evidence doc
+      // would be labeled by first-wins order ('en') instead of unknown
+      val predicted = when(m === 0, lit("und")).otherwise(
+        TF.LangMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
+          when(col(s"s_$lang") === m, lit(lang)).otherwise(acc)
+        })
       // NOTE: foldRight builds first-match-wins in LangMarkers order
       scored.select(
         col("doc_id").cast("long").as("doc_id"),
@@ -289,8 +293,14 @@ object TextQueries {
     // rate table is #sources rows — broadcast by construction.
     "mixture_resample_temp" -> ((s, dir) => {
       val d = docs(s, dir)
+      // 1/sqrt, NOT pow(x, -0.5): sqrt and divide are CORRECTLY ROUNDED
+      // in IEEE-754 (identical in the JVM and DuckDB), while pow is
+      // allowed 1-ulp slack per engine — and the unrounded rate feeds a
+      // kept-set comparison, where a 1-ulp disagreement flips a doc's
+      // membership and splits the oracle hash (the same cross-engine
+      // libm rule bigram_logprob and tfidf_terms already follow)
       val bySrc = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-        .withColumn("w", pow(col("n_docs").cast("double"), lit(-0.5)))
+        .withColumn("w", lit(1.0) / sqrt(col("n_docs").cast("double")))
       val maxW = bySrc.agg(max(col("w")).as("wmax"))
       val rates = bySrc.crossJoin(broadcast(maxW))
         .select(col("source"), col("n_docs"), (col("w") / col("wmax")).as("rate"))
@@ -821,7 +831,7 @@ object TextQueries {
 
     "mixture_resample_temp" ->
       """WITH b AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
-        |w AS (SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), -0.5) AS w FROM b),
+        |w AS (SELECT source, n_docs, 1.0 / sqrt(CAST(n_docs AS DOUBLE)) AS w FROM b),
         |m AS (SELECT max(w) AS wmax FROM w),
         |r AS (SELECT source, n_docs, w / wmax AS rate FROM w CROSS JOIN m),
         |kept AS (
@@ -1189,7 +1199,7 @@ object TextQueries {
         |  SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens, toks
         |  FROM q1
         |  WHERE len(toks) >= 20
-        |    AND len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) >= 0.3
+        |    AND len(list_distinct(toks)) / CAST(nullif(len(toks), 0) AS DOUBLE) >= 0.3
         |), reps AS (
         |  SELECT min(doc_id) AS doc_id FROM q2 GROUP BY md5(text)
         |), dd AS (
@@ -1224,9 +1234,9 @@ object TextQueries {
         |), m AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |    CAST(len(toks) AS BIGINT) AS n_tokens,
-        |    len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS ttr,
+        |    len(list_distinct(toks)) / CAST(nullif(len(toks), 0) AS DOUBLE) AS ttr,
         |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
-        |      / CAST(len(toks) AS DOUBLE) AS stop_ratio
+        |      / CAST(nullif(len(toks), 0) AS DOUBLE) AS stop_ratio
         |  FROM t
         |)
         |SELECT doc_id, n_tokens, ttr, stop_ratio,
@@ -1247,10 +1257,10 @@ object TextQueries {
         |  FROM t
         |)
         |SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
-        |  CASE WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_de = m THEN 'de'
+        |  CASE WHEN m = 0 THEN 'und' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_de = m THEN 'de'
         |       WHEN s_fr = m THEN 'fr' WHEN s_zh = m THEN 'zh' ELSE 'und' END AS predicted,
         |  lang,
-        |  CAST(CASE WHEN (CASE WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_de = m THEN 'de'
+        |  CAST(CASE WHEN (CASE WHEN m = 0 THEN 'und' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_de = m THEN 'de'
         |       WHEN s_fr = m THEN 'fr' WHEN s_zh = m THEN 'zh' ELSE 'und' END) = lang
         |       THEN 1 ELSE 0 END AS BIGINT) AS correct
         |FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM sc)""".stripMargin,
@@ -1265,7 +1275,7 @@ object TextQueries {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(len(toks) AS BIGINT) AS ws_tokens,
         |  CAST(len(re_toks) AS BIGINT) AS bpe_tokens,
-        |  length(text) / CAST(len(re_toks) AS DOUBLE) AS chars_per_token
+        |  length(text) / CAST(nullif(len(re_toks), 0) AS DOUBLE) AS chars_per_token
         |FROM t""".stripMargin,
 
     "doc_winnow" ->
