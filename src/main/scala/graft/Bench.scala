@@ -24,6 +24,7 @@ object Bench {
     // min-of-3 is stable to ~10%.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // empty value = full suite, same as Verify
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.view.filterKeys(s).toMap)
     // One-time index-store builds are timed separately (the contest
@@ -94,7 +95,11 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def queriesJson(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries carry the -1.0 sentinel in `queries` (visible to
+    // the driver) but must NOT be summed — each crash would otherwise
+    // SUBTRACT a second from the headline total, reporting a broken
+    // suite as faster than a healthy one
+    val total = results.values.filter(_ >= 0.0).sum
     val servingJson =
       if (serving.isEmpty) ""
       else s""","serving_ms":${queriesJson(serving)}"""

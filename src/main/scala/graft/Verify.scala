@@ -16,8 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Dev-only subset knob (mirrors Bench): the driver never sets it.
-    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    // Dev-only subset knob (mirrors Bench, INCLUDING the trim/nonEmpty
+    // normalization — "a, b" or a trailing comma must select the same
+    // queries in both tools, and an empty value must mean "all" in
+    // both rather than silently dumping nothing here).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -9,6 +9,32 @@ object VectorFunctions {
   def l2Sq(a: Column, b: Column): Column =
     ExprBridge.column(L2SquaredDistance(ExprBridge.expression(a), ExprBridge.expression(b)))
 
+  /** The engine-canonical squared-L2 for DRIVER-side re-distancing:
+    * sequential double accumulation over float components, op-for-op
+    * identical to the [[L2SquaredDistance]] expression and
+    * `HnswIndex.exactDistTo` (which keep their own loops for their own
+    * input layouts — ArrayData codegen and the flat matrix — mirrored
+    * by spec). The routed SQL plan's bit-equality contract with the
+    * exact plan depends on every copy of this arithmetic staying
+    * identical; driver-side call sites share THIS definition. */
+  def l2SqJvm(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  /** [[l2SqJvm]] over a Row's Seq view (O(1) apply on the wrapped
+    * array — no copy per call). */
+  def l2SqJvm(a: Seq[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
   def dot(a: Column, b: Column): Column =
     ExprBridge.column(InnerProduct(ExprBridge.expression(a), ExprBridge.expression(b)))
 

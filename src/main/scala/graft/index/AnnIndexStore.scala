@@ -104,9 +104,18 @@ object AnnIndexStore {
   /** Resolve the data dir and its version token together — the serving
     * path's one coherent view of (where to scan, what to key the cache
     * on). A generation dir is immutable after its flip, so the pair can
-    * never be torn by a concurrent rebuild. */
-  def resolveVersioned(path: String): (String, Option[String]) = {
-    val d = resolveStore(path)
+    * never be torn by a concurrent rebuild.
+    *
+    * `subdir` addresses a store NESTED inside another store's layout
+    * (the IVF root's `lists`): resolution chains root generation →
+    * subdir → the subdir's OWN generation, so the serving retry loop
+    * can re-resolve the LOGICAL path after a maintenance swap at
+    * either level — an eagerly pre-resolved path would pin one
+    * generation and make the retry a no-op. */
+  def resolveVersioned(path: String,
+      subdir: Option[String] = None): (String, Option[String]) = {
+    val d0 = resolveStore(path)
+    val d = subdir.fold(d0)(sd => resolveStore(s"$d0/$sd"))
     val r = (d, versionAt(d))
     postResolveHook()
     r

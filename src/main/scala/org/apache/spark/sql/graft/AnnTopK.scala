@@ -89,6 +89,11 @@ object AnnCatalog {
       nprobe: Int = 4): Unit = {
     (labelIndex.map(_._2) ++ rangeIndex.map(_._2)).foreach(attrCache.remove)
     ivfIndex.foreach(centroidCache.remove)
+    // same staleness rule as the two caches above: a re-registration is
+    // the signal the base may have been regenerated, and a cached
+    // null-free verdict from the OLD corpus would let the null-ordering
+    // guard route a statement whose exact plan now emits null-vec rows
+    nullFreeCache.remove(norm(basePath))
     registry.put(norm(basePath),
       IndexMeta(indexPath, idCol, vecCol, ef, labelIndex, rangeIndex, trusted,
         ivfIndex, nprobe))
@@ -177,20 +182,26 @@ object AnnCatalog {
   private val nullFreeCache = TrieMap.empty[String, Boolean]
 
   private[graft] def vecNullFree(spark: SparkSession, basePath: String,
-      vecCol: String): Boolean =
-    nullFreeCache.get(basePath) match {
+      vecCol: String): Boolean = {
+    // keyed by norm() like the registry — the route site passes the
+    // scan's fs-qualified root ("file:/...") while register() passes
+    // the user's plain path, and a key mismatch would make register's
+    // staleness invalidation miss this cache
+    val key = norm(basePath)
+    nullFreeCache.get(key) match {
       case Some(v) => v
       case None =>
         try {
           import org.apache.spark.sql.functions.col
           val free = spark.read.parquet(basePath)
             .filter(col(vecCol).isNull).limit(1).isEmpty
-          nullFreeCache.put(basePath, free)
+          nullFreeCache.put(key, free)
           free
         } catch {
           case scala.util.control.NonFatal(_) => false
         }
     }
+  }
 
   private[graft] def lookup(paths: Seq[org.apache.hadoop.fs.Path]): Option[IndexMeta] =
     paths.iterator.flatMap(p => registry.get(p.toUri.getPath)).nextOption()
@@ -571,18 +582,9 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
         case _ => null
       }
     }
-    def baseDist(id: Long): Double = {
-      val v = fetched(id).getSeq[Float](colIndex(vecCol) + 1)
-      val n = math.min(v.length, qvec.length)
-      var s = 0.0
-      var i = 0
-      while (i < n) {
-        val d = v(i).toDouble - qvec(i).toDouble
-        s += d * d
-        i += 1
-      }
-      s
-    }
+    def baseDist(id: Long): Double =
+      graft.functions.VectorFunctions.l2SqJvm(
+        fetched(id).getSeq[Float](colIndex(vecCol) + 1), qvec)
     val outHits =
       if (!needFetch) hits
       else if (trustIndex) hits.filter { case (id, _) => fetched.contains(id) }
@@ -675,19 +677,18 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
         // oracle's replay.
         val cents = AnnCatalog.centroidsOf(spark, path)
         val scored = cents.map { case (li, cv) =>
-          val n = math.min(cv.length, qvec.length)
-          var s = 0.0
-          var i = 0
-          while (i < n) { val d = qvec(i).toDouble - cv(i).toDouble; s += d * d; i += 1 }
-          (s, li)
+          (graft.functions.VectorFunctions.l2SqJvm(cv, qvec), li)
         }.sortBy { case (d, li) => (d, li) }
         val lists = scored.take(math.min(nprobe, cents.length)).map(_._2.toLong).toIndexedSeq
         // salted oversized lists span several rows per bucket value; the
         // isin prunes to the probed lists via parquet min/max stats
-        searchStore(spark,
-          s"${graft.index.AnnIndexStore.resolveStore(path)}/lists",
+        // LOGICAL root + subdir, resolved inside searchStore's retry
+        // loop: an eagerly pre-resolved "<gen>/lists" path would pin
+        // one generation and make the version-swap retry a no-op for
+        // this route
+        searchStore(spark, path,
           Some(col("bucket").isin(lists: _*)),
-          plainWalk(qvec, k, effEf), k)
+          plainWalk(qvec, k, effEf), k, subdir = Some("lists"))
       case LabelRoute(path, bucket, tsRange) =>
         searchStore(spark, path, Some(col("bucket") === bucket),
           labelWalk(qvec, k, effEf, tsRange), k)
@@ -838,7 +839,7 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
 
   private def searchStore(spark: SparkSession, path: String,
       pred: Option[org.apache.spark.sql.Column], walk: Walk,
-      k: Int): Array[(Long, Double)] = {
+      k: Int, subdir: Option[String] = None): Array[(Long, Double)] = {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
     val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
@@ -917,7 +918,7 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
     // normally gets the full inter-maintenance interval; two ops inside
     // one statement is the corner this retry covers). A failure with NO
     // store change is a real error and propagates.
-    var (dataPath, ver) = graft.index.AnnIndexStore.resolveVersioned(path)
+    var (dataPath, ver) = graft.index.AnnIndexStore.resolveVersioned(path, subdir)
     var top: Array[(Double, Long)] = null
     var retries = 0
     while (top == null) {
@@ -925,13 +926,13 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
         try { top = onePass(ver, dataPath); true }
         catch {
           case scala.util.control.NonFatal(e) =>
-            val after = graft.index.AnnIndexStore.resolveVersioned(path)
+            val after = graft.index.AnnIndexStore.resolveVersioned(path, subdir)
             if (after == ((dataPath, ver)) || retries >= 2) throw e
             dataPath = after._1; ver = after._2; retries += 1
             false
         }
       if (passed) {
-        val after = graft.index.AnnIndexStore.resolveVersioned(path)
+        val after = graft.index.AnnIndexStore.resolveVersioned(path, subdir)
         if (after != ((dataPath, ver)) && retries < 2) {
           dataPath = after._1; ver = after._2; retries += 1
           top = null // straddled a swap: serve the new generation instead

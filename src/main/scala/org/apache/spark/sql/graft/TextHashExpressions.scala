@@ -45,6 +45,12 @@ object TextHashUtil {
     * than zeros among the hashes. Identical to the SQL
     * `aggregate(transform(sequence(0, bits-1), b -> ...), ...)` form. */
   def simhash(hashes: ArrayData, bits: Int): Long = {
+    // simhash_from_hashes is SQL-registered with arbitrary user args:
+    // bits > 60 would read past the 60-bit hash words (always-zero
+    // bits 61..63) and `1L << 64` wraps to bit 0, silently corrupting
+    // the fingerprint — same guard class as simhashBlocks
+    require(bits > 0 && bits <= 60,
+      s"simhash: bits ($bits) must be in 1..60 (hash words carry 60 bits)")
     val n = hashes.numElements()
     val cnt = new Array[Int](bits)
     var i = 0
