@@ -268,6 +268,13 @@ object ContestRun {
     // the 2M point, IvfScaleProbe). Separate result caches so the two
     // arms coexist and t1-t3 results are reused across arms.
     val resPath = s"$root/results"
+    // result stages are params-stamped (ProbeHarness): k/ef (and the
+    // t0 arm's nprobe) change the cached rows as much as the arm modes
+    // already encoded in the stage names — an unstamped resume would
+    // write output.bin and print recall from the PREVIOUS parameters
+    val t0Nprobe = sys.env.getOrElse("GRAFT_CONTEST_NPROBE", "8").toInt
+    val searchParams = s"k=$k ef=$ef"
+    import ProbeHarness.{freshFor, stamp}
     val t0Mode = sys.env.getOrElse("GRAFT_CONTEST_T0", "hash")
     val t0Name = if (t0Mode == "ivf") "t0_ivf" else "t0"
     // guard on lists/_SUCCESS: buildIvf writes parquet under
@@ -276,7 +283,8 @@ object ContestRun {
       AnnIndexStore.buildIvf(base.select(col("id"), col("vec")),
         s"$root/by_ivf", nlist = 128)
     }
-    if (!exists(s"$resPath/$t0Name")) timed(s"search_type0_$t0Mode") {
+    val t0Params = if (t0Mode == "ivf") s"$searchParams nprobe=$t0Nprobe" else searchParams
+    if (!freshFor(s"$resPath/$t0Name", t0Params)) timed(s"search_type0_$t0Mode") {
       val q0 = queries.filter(col("qtype") === 0).select(col("qid"), col("qvec"))
       // ...ChunkedTo: each chunk's narrow (qid, rank, nid) result goes
       // straight to parquet — no localCheckpoint blocks accumulate
@@ -284,18 +292,20 @@ object ContestRun {
       if (t0Mode == "ivf")
         AnnIndexStore.searchIvfChunkedTo(spark, s"$root/by_ivf", q0,
           s"$resPath/$t0Name", k, ef,
-          nprobe = sys.env.getOrElse("GRAFT_CONTEST_NPROBE", "8").toInt,
+          nprobe = t0Nprobe,
           chunkRows = 50000)
       else
         AnnIndexStore.searchChunkedTo(spark, s"$root/by_hash", q0,
           s"$resPath/$t0Name", k, ef, chunkRows = 50000)
+      stamp(s"$resPath/$t0Name", t0Params)
     }
-    if (!exists(s"$resPath/t1")) timed("search_type1_label") {
+    if (!freshFor(s"$resPath/t1", searchParams)) timed("search_type1_label") {
       AnnIndexStore.searchBy(spark, s"$root/by_label",
           queries.filter(col("qtype") === 1).select(col("qid"), col("v"), col("qvec")), k, ef)
         .write.mode("overwrite").parquet(s"$resPath/t1")
+      stamp(s"$resPath/t1", searchParams)
     }
-    if (!exists(s"$resPath/$t2Name")) timed(s"search_type2_$t2Mode") {
+    if (!freshFor(s"$resPath/$t2Name", searchParams)) timed(s"search_type2_$t2Mode") {
       val q2 = queries.filter(col("qtype") === 2)
         .select(col("qid"), col("l"), col("r"), col("qvec"))
       val r2 =
@@ -305,8 +315,9 @@ object ContestRun {
         else
           AnnIndexStore.searchDecileRange(spark, s"$root/by_decile", q2, k, ef)
       r2.write.mode("overwrite").parquet(s"$resPath/$t2Name")
+      stamp(s"$resPath/$t2Name", searchParams)
     }
-    if (!exists(s"$resPath/$t3Name")) timed(s"search_type3_$t3Mode") {
+    if (!freshFor(s"$resPath/$t3Name", searchParams)) timed(s"search_type3_$t3Mode") {
       val q3 = queries.filter(col("qtype") === 3)
         .select(col("qid"), col("v"), col("l"), col("r"), col("qvec"))
       val r3 =
@@ -316,6 +327,7 @@ object ContestRun {
         else
           AnnIndexStore.searchByRange(spark, s"$root/by_label", q3, k, ef)
       r3.write.mode("overwrite").parquet(s"$resPath/$t3Name")
+      stamp(s"$resPath/$t3Name", searchParams)
     }
     val results = spark.read.parquet(s"$resPath/$t0Name")
       .unionByName(spark.read.parquet(s"$resPath/t1"))

@@ -136,23 +136,31 @@ object ContestScaleProbe {
     println(s"ROUTES: $routeHist")
 
     // ---- per-type stored-index search, chunk-fed (each stage resumable:
-    // a crash or code iteration only repays the unfinished stages) ----
+    // a crash or code iteration only repays the unfinished stages).
+    // Result stages are params-stamped: k/ef change the cached rows as
+    // much as the arm modes already encoded in the stage names, and an
+    // unstamped resume would report the OLD parameters' results under
+    // the new run's labels (ProbeHarness) ----
     val outPath = s"$root/results"
-    if (!exists(s"$outPath/t0")) timed("search_type0_hash") {
+    val searchParams = s"k=$k ef=$ef"
+    import ProbeHarness.{freshFor, stamp}
+    if (!freshFor(s"$outPath/t0", searchParams)) timed("search_type0_hash") {
       // 50k chunks: per-chunk agg state (one bounded top-k heap per qid
       // per bucket task) is the heap high-water mark of the whole probe
       AnnIndexStore.searchChunked(spark, s"$root/by_hash",
           queries.filter(col("qtype") === 0).select(col("qid"), col("qvec")), k, ef,
           chunkRows = 50000)
         .write.mode("overwrite").parquet(s"$outPath/t0")
+      stamp(s"$outPath/t0", searchParams)
     }
-    if (!exists(s"$outPath/t1")) timed("search_type1_label") {
+    if (!freshFor(s"$outPath/t1", searchParams)) timed("search_type1_label") {
       AnnIndexStore.searchBy(spark, s"$root/by_label",
           queries.filter(col("qtype") === 1).select(col("qid"), col("v"), col("qvec")), k, ef)
         .write.mode("overwrite").parquet(s"$outPath/t1")
+      stamp(s"$outPath/t1", searchParams)
     }
     val t2Name = if (t2Mode == "range") s"t2_range$t2Scale" else "t2"
-    if (!exists(s"$outPath/$t2Name")) timed(s"search_type2_$t2Mode") {
+    if (!freshFor(s"$outPath/$t2Name", searchParams)) timed(s"search_type2_$t2Mode") {
       val q2 = queries.filter(col("qtype") === 2)
         .select(col("qid"), col("l"), col("r"), col("qvec"))
       val r2 =
@@ -162,6 +170,7 @@ object ContestScaleProbe {
         else
           AnnIndexStore.searchDecileRange(spark, s"$root/by_decile", q2, k, ef)
       r2.write.mode("overwrite").parquet(s"$outPath/$t2Name")
+      stamp(s"$outPath/$t2Name", searchParams)
     }
     // type-3 arm (see ContestRun.runScale): banded = ts-contiguous label
     // salting + banded searchByRange (default), plain = hash-salted
@@ -173,7 +182,7 @@ object ContestScaleProbe {
         s"$root/by_label_ts", "label", attrCol = Some("ts"), attrSalted = true)
     }
     if (t3Mode == "banded") tuneBandsOnce(s"$root/by_label_ts", "label_ts")
-    if (!exists(s"$outPath/$t3Name")) timed(s"search_type3_$t3Mode") {
+    if (!freshFor(s"$outPath/$t3Name", searchParams)) timed(s"search_type3_$t3Mode") {
       val q3 = queries.filter(col("qtype") === 3)
         .select(col("qid"), col("v"), col("l"), col("r"), col("qvec"))
       val r3 =
@@ -183,6 +192,7 @@ object ContestScaleProbe {
         else
           AnnIndexStore.searchByRange(spark, s"$root/by_label", q3, k, ef)
       r3.write.mode("overwrite").parquet(s"$outPath/$t3Name")
+      stamp(s"$outPath/$t3Name", searchParams)
     }
     val results = spark.read.parquet(s"$outPath/t0")
       .unionByName(spark.read.parquet(s"$outPath/t1"))

@@ -48,12 +48,10 @@ object DedupScaleProbe {
     r
   }
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  // ONE splitmix64 finalizer (byte-identical delegation, so cached
+  // corpora synthesized under the old private copy stay valid)
+  private def mix(z0: Long): Long =
+    org.apache.spark.sql.graft.TextHashUtil.mix64(z0)
 
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 10000000L

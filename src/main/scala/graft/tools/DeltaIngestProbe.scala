@@ -31,12 +31,10 @@ import graft.index.AnnIndexStore
   */
 object DeltaIngestProbe {
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  // ONE splitmix64 finalizer (byte-identical delegation, so cached
+  // corpora synthesized under the old private copy stay valid)
+  private def mix(z0: Long): Long =
+    org.apache.spark.sql.graft.TextHashUtil.mix64(z0)
 
   /** Deterministic unit-ish vector for id. */
   private def vecOf(id: Long, dim: Int): Array[Float] = {

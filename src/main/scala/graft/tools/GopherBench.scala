@@ -124,7 +124,20 @@ object GopherBench {
     }
     println(s"HOF    checksum: $csHof")
     println(s"NATIVE checksum: $csNat")
-    require(csHof == csNat, "arms disagree at scale")
+    // Long components compare exactly; the two Double components are
+    // sums of rounded per-row values aggregated by two INDEPENDENT
+    // jobs, and double addition is non-associative — the shuffle's
+    // partial-merge order can move the last ulp, so exact == here was
+    // a false-positive abort waiting to happen at scale. 1e-9 relative
+    // still catches any real semantic divergence (per-row parity is
+    // additionally spec-asserted exactly).
+    def close(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Double, y: Double) =>
+        math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+      case (x, y) => x == y
+    }
+    require(csHof.length == csNat.length && csHof.lazyZip(csNat).forall(close),
+      "arms disagree at scale")
     println("PARITY: ok")
     spark.stop()
   }

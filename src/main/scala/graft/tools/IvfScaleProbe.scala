@@ -61,17 +61,29 @@ object IvfScaleProbe {
     val queries0 = spark.read.parquet(s"$root/queries")
       .filter(col("qtype") === 0)
 
-    if (!exists(s"$root/by_ivf/lists")) timed(s"build_ivf_nlist$nlist") {
+    // params-stamped resumes (ProbeHarness): a cached store or result
+    // set is valid ONLY under the args that produced it — an unstamped
+    // exists() check let an nlist/nprobe/k/ef sweep print the previous
+    // parameters' numbers under the new labels. The store keeps its
+    // path (SqlServingProbe points at it); a changed nlist rebuilds it
+    // in place.
+    import ProbeHarness.{freshFor, stamp}
+    if (!freshFor(s"$root/by_ivf/lists", s"nlist=$nlist")) timed(s"build_ivf_nlist$nlist") {
+      graft.sources.ParquetMeta.deleteRecursively(new java.io.File(s"$root/by_ivf"))
       AnnIndexStore.buildIvf(base.select(col("id"), col("vec")),
         s"$root/by_ivf", nlist = nlist)
+      stamp(s"$root/by_ivf/lists", s"nlist=$nlist")
     }
-    if (!exists(s"$root/results_ivf/t0")) timed(s"search_type0_ivf_nprobe${nprobe}_chunk$chunkRows") {
-      // chunked: driver-side centroid routing per slice, flat heap
-      AnnIndexStore.searchIvfChunked(spark, s"$root/by_ivf",
-          queries0.select(col("qid"), col("qvec")), k, ef, nprobe,
-          chunkRows = chunkRows)
-        .write.mode("overwrite").parquet(s"$root/results_ivf/t0")
-    }
+    val searchParams = s"nlist=$nlist nprobe=$nprobe chunk=$chunkRows k=$k ef=$ef"
+    if (!freshFor(s"$root/results_ivf/t0", searchParams))
+      timed(s"search_type0_ivf_nprobe${nprobe}_chunk$chunkRows") {
+        // chunked: driver-side centroid routing per slice, flat heap
+        AnnIndexStore.searchIvfChunked(spark, s"$root/by_ivf",
+            queries0.select(col("qid"), col("qvec")), k, ef, nprobe,
+            chunkRows = chunkRows)
+          .write.mode("overwrite").parquet(s"$root/results_ivf/t0")
+        stamp(s"$root/results_ivf/t0", searchParams)
+      }
 
     timed("recall_sample_type0") {
       val sample = queries0.filter(col("qid") % 1009 === 0)

@@ -26,14 +26,17 @@ object RecallLadderProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val row = spark.read.parquet(path).select("graph").head()
+    val row = spark.read.parquet(graft.index.AnnIndexStore.resolveStore(path))
+      .select("graph").head()
     val idx = HnswIndex.fromBytes(row.getAs[Array[Byte]](0))
     println(s"bucket index: ${idx.size} rows, dim ${idx.dim}")
     spark.stop()
 
     val all = Array.tabulate(idx.size)(identity)
-    val stride = math.max(1, idx.size / nq)
-    val queries = Array.tabulate(nq)(i => idx.vectorOf(i * stride))
+    // clamp: a bucket smaller than nq would stride past the last row
+    val nqC = math.min(nq, idx.size)
+    val stride = math.max(1, idx.size / nqC)
+    val queries = Array.tabulate(nqC)(i => idx.vectorOf(math.min(i * stride, idx.size - 1)))
     val exact = queries.map(q => idx.exactOver(q, all, k).map(_._1).toSet)
 
     for (ef <- Seq(200, 400, 800, 1600, 3200)) {

@@ -101,22 +101,28 @@ object SemDedupScaleProbe {
       println(f"$tag PLANTED drop-recall=${row.getDouble(0)}%.4f same-center-collateral=${row.getDouble(1)}%.4f")
     }
 
-    // ---- exact path ----
+    // ---- exact path (params-stamped: minCos is a documented CLI arg
+    // and changes the drop set — an unstamped resume reported the OLD
+    // threshold's drops under the new run's labels; ProbeHarness) ----
+    import ProbeHarness.{freshFor, stamp}
+    val ddParams = s"minCos=$minCos"
     val exactPath = s"$root/exact_$nClusters"
-    if (!exists(exactPath)) timed(s"semdedup_exact_nc$nClusters") {
+    if (!freshFor(exactPath, ddParams)) timed(s"semdedup_exact_nc$nClusters") {
       Dedup.semanticDedup(emb, "id", "vec", nClusters = nClusters, minCosine = minCos)
         .write.mode("overwrite").parquet(exactPath)
       Dedup.releaseCaches(blocking = true)
+      stamp(exactPath, ddParams)
     }
     plantedMetrics("EXACT", exactPath)
 
     // ---- SRP path (in-cluster banded mining, same verify) ----
     val approxPath = s"$root/approx_$nClusters"
-    if (!exists(approxPath)) timed(s"semdedup_srp_nc$nClusters") {
+    if (!freshFor(approxPath, ddParams)) timed(s"semdedup_srp_nc$nClusters") {
       Dedup.semanticDedup(emb, "id", "vec", nClusters = nClusters, minCosine = minCos,
           lshAbove = 1, allowApprox = true, sizeHint = Some(n))
         .write.mode("overwrite").parquet(approxPath)
       Dedup.releaseCaches(blocking = true)
+      stamp(approxPath, ddParams)
     }
     plantedMetrics("SRP", approxPath)
 

@@ -64,7 +64,10 @@ object T2Probe {
     }
     // type-2 statements only: walk query ordinals, keep qtype==2 so the
     // width classes cycle exactly as in the contest feed
-    if (!exists(s"$root/q2")) timed("synthesize_queries") {
+    // params-stamped: the q2 batch size is a CLI arg and the root is
+    // keyed only by N — an unstamped resume ran every width arm over
+    // the previous run's batch (ProbeHarness)
+    if (!ProbeHarness.freshFor(s"$root/q2", s"nq=$nq")) timed("synthesize_queries") {
       spark.range(0, nq * 4, 1, cpus.toInt)
         .mapPartitions(_.flatMap { i =>
           val (qtype, _, l, rr, qvec) = ContestCorpus.queryRow(i)
@@ -73,6 +76,7 @@ object T2Probe {
         })
         .toDF("qid", "wclass", "l", "r", "qvec")
         .write.mode("overwrite").parquet(s"$root/q2")
+      ProbeHarness.stamp(s"$root/q2", s"nq=$nq")
     }
     val base = spark.read.parquet(s"$root/base")
     val q2 = spark.read.parquet(s"$root/q2")

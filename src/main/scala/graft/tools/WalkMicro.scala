@@ -22,7 +22,9 @@ object WalkMicro {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "4g").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val row = spark.read.parquet(path)
+    // resolveStore: a compacted store's data lives in a generation dir
+    // a whole-directory read of the root would miss (stale or empty)
+    val row = spark.read.parquet(graft.index.AnnIndexStore.resolveStore(path))
       .select(col("bucket"), col("ids"), col("attrs"), col("graph"))
       .filter(col("bucket") === 3).limit(1).collect()(0)
     val ts = row.getSeq[Double](2).toArray
