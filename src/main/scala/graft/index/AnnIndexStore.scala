@@ -1369,29 +1369,37 @@ object AnnIndexStore {
     * staleness (the delta side is brute-force, recall 1.0 by
     * construction).
     *
-    * Each append lands in its OWN `bid=` dir (the next unused root
-    * batch id above the fold watermark), never as loose flat files: a
+    * Each append lands in its OWN batch dir under the RESERVED batch
+    * epoch (`eid=_batch/bid=<next>`), never as loose flat files: a
     * `mode(append)` into the flat root would move this job's part
     * files into place one rename at a time UNDER the previous append's
     * still-standing `_SUCCESS`, so a racing read could list part of an
     * uncommitted batch as committed. A batch dir is gated by its own
-    * `_SUCCESS` (written last), so it becomes visible to
-    * [[committedBids]] all-or-nothing. Crash-before-commit replays
-    * clean (the uncommitted dir is invisible and the retry recomputes
-    * the same id and overwrites it); a COMMITTED append rerun by a
-    * retrying script still doubles its rows — such writers use
-    * [[replaceDelta]] or the explicit-id [[appendDeltaBatch]]. Shares
-    * the root `bid=` namespace with epoch-less appendDeltaBatch
-    * callers — same single-writer contract. */
+    * `_SUCCESS` (written last), so it becomes visible all-or-nothing.
+    * The reserved epoch keeps auto-assigned ids out of the ROOT `bid=`
+    * namespace: an auto-bid there could equal an ingesting stream's
+    * NEXT batch id, whose overwrite would silently destroy the
+    * appended rows — per-epoch subtrees and watermarks make the two id
+    * spaces disjoint by construction ("_batch" is unreachable by real
+    * epochs: query ids are UUIDs and a sanitized path fallback always
+    * carries a hash suffix). Crash-before-commit replays clean (the
+    * uncommitted dir is invisible and the retry recomputes the same
+    * id and overwrites it); a COMMITTED append rerun by a retrying
+    * script still doubles its rows — such writers use [[replaceDelta]]
+    * or the explicit-id [[appendDeltaBatch]]. */
+  private[index] val batchEpochToken = "_batch"
+
   def appendDelta(delta: DataFrame, path: String): Unit = {
     recoverStore(path)
     repairDelta(delta.sparkSession, path)
-    val afterMarker = readFoldMarker(path).filter(_.legacyFp.isEmpty)
-      .map(_.maxBid).getOrElse(-1L)
-    val nextBid = committedBids(path).map(_._1)
-      .foldLeft(afterMarker)(math.max) + 1
+    val wm = readFoldMarker(path).filter(_.legacyFp.isEmpty)
+      .map(_.eids.getOrElse(batchEpochToken, -1L)).getOrElse(-1L)
+    val nextBid = committedEidBids(path)
+      .collect { case (t, b, _) if t == batchEpochToken => b }
+      .foldLeft(wm)(math.max) + 1
     delta.select(col("id").cast("long"), col("vec"))
-      .write.mode("overwrite").parquet(s"${deltaPath(path)}/bid=$nextBid")
+      .write.mode("overwrite")
+      .parquet(s"${deltaPath(path)}/eid=$batchEpochToken/bid=$nextBid")
   }
 
   /** Idempotent form for build scripts that may retry: REPLACE the
@@ -1495,7 +1503,19 @@ object AnnIndexStore {
           }
         }
         val tok = epochToken(e)
-        val wm = marker.map(_.eids.getOrElse(tok, -1L)).getOrElse(-1L)
+        require(tok != batchEpochToken,
+          s"appendDeltaBatch: epoch '$e' collides with the reserved batch " +
+            "namespace — pass a checkpoint-derived epoch")
+        // legacy-token bridge: before tokens were made injective, a
+        // sanitize-needing epoch's watermark was keyed by the LOSSY
+        // character-replaced form — a folded batch recorded under that
+        // key must still replay-skip after the format change (its
+        // committed dirs keep serving and folding under their own
+        // dir-derived names; only the skip lookup needs both keys)
+        val lossy = e.replaceAll("[^A-Za-z0-9._-]", "_")
+        val wm = marker.map(m => math.max(
+          m.eids.getOrElse(tok, -1L),
+          if (lossy != tok) m.eids.getOrElse(lossy, -1L) else -1L)).getOrElse(-1L)
         if (batchId == wm) return
         if (batchId < wm) failBelow(wm)
         s"${deltaPath(path)}/eid=$tok/bid=$batchId"
@@ -1532,10 +1552,22 @@ object AnnIndexStore {
     * the SQL route applied it — the batch arms would silently answer
     * range predicates against all-zero attrs (empty results for ranges
     * missing 0, unfiltered for ranges containing it). Pre-stamp legacy
-    * stores (no column) are let through unchanged. */
+    * stores (no column) are let through unchanged. The verdict is
+    * cached per RESOLVED data dir (immutable once flipped), so repeated
+    * range calls don't pay a driver job to re-read a constant cell;
+    * failures are never cached — they keep throwing per call. */
+  private val attrStampOk =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def requireAttrStamped(spark: SparkSession, path: String,
       arm: String): Unit = {
-    val df = spark.read.parquet(resolveStore(path))
+    val dir = resolveStore(path)
+    // keyed by (dir, write-time version): an in-place rebuild bumps the
+    // token (file read, no job), so a store rebuilt WITHOUT attrCol
+    // after a stamped check re-checks instead of serving the stale pass
+    val key = dir + "@" + versionAt(dir).getOrElse("-")
+    if (attrStampOk.contains(key)) return
+    val df = spark.read.parquet(dir)
     if (df.columns.contains("attr_col")) {
       val row = df.select("attr_col").limit(1).collect()
       require(row.isEmpty || row(0).getString(0) != null,
@@ -1543,6 +1575,7 @@ object AnnIndexStore {
           "attrs are the 0.0 placeholder and cannot answer range " +
           "predicates; rebuild with buildBy(..., attrCol = Some(<ts column>))")
     }
+    attrStampOk.add(key)
   }
 
   /** Search the main graphs AND the delta in one plan: graph walks over

@@ -26,8 +26,29 @@ private[queries] object StorePaths {
   def storeTag(s: SparkSession, dir: String): String =
     graft.sources.ParquetMeta.storeTag(s, dir, "embeddings")
 
-  def taggedPath(s: SparkSession, parent: String, dir: String): String =
+  def taggedPath(s: SparkSession, parent: String, dir: String): String = {
+    gcLegacyTags(parent, dir)
     graft.sources.ParquetMeta.resolveTagged(parent, storeTag(s, dir))
+  }
+
+  /** One-time reclamation of stores tagged under the pre-unification
+    * format (`<sanitized dir>-<fp>`): the new `ParquetMeta.storeTag`
+    * format shares no prefix with it, so `gcSiblingTags` would never
+    * sweep the old generations — full index-store copies leaking under
+    * /tmp forever on machines that ran the older builds. Matches the
+    * exact legacy shape only (old sanitized dir + '-' + a trailing
+    * fingerprint-shaped hex run). */
+  private def gcLegacyTags(parent: String, dir: String): Unit = {
+    val legacyPrefix = dir.replaceAll("[^a-zA-Z0-9]", "_") + "-"
+    val p = new java.io.File(parent)
+    Option(p.listFiles()).foreach(_.foreach { f =>
+      val rest = f.getName.stripPrefix(legacyPrefix)
+      if (f.isDirectory && f.getName.startsWith(legacyPrefix) &&
+          rest.nonEmpty && rest.length <= 16 &&
+          rest.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+        graft.sources.ParquetMeta.deleteRecursively(f)
+    })
+  }
 
   private def embIdVec(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")

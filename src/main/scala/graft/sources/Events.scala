@@ -38,8 +38,16 @@ object Events {
       case Some(v) => s.conf.set(NanosConf, v)
       case None    => s.conf.unset(NanosConf)
     }
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
+    // restore on the THROW path too: a missing events.parquet or a
+    // schema without `ts` would otherwise leave the conf set
+    // session-wide — the exact side effect this dance exists to avoid
+    val raw =
+      try s.read.parquet(s"$dir/events.parquet")
+      catch { case t: Throwable => restore(); throw t }
+    val tsType =
+      try raw.schema("ts").dataType
+      catch { case t: Throwable => restore(); throw t }
+    tsType match {
       case LongType => raw
       case TimestampNTZType =>
         restore()

@@ -407,7 +407,7 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
           Some((v, q, Some(tie), no))
         case _ => None
       }
-      (vecAttr, qvec, tie, nullOrd) = keys
+      (vecAttr, qvec, tie, _) = keys
       meta <- AnnCatalog.lookup(rootPaths)
       if vecAttr.name.equalsIgnoreCase(meta.vecCol)
       if tie.forall(_.name.equalsIgnoreCase(meta.idCol))
@@ -416,19 +416,22 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
       // null-vec rows); any other column's IS NOT NULL falls through to
       // the exact plan, which actually applies it
       if preds.notNull.forall(_.equalsIgnoreCase(meta.vecCol))
-      // null-ordering: Spark's default ascending sort is NULLS FIRST,
-      // under which the exact plan returns null-distance (null-vec)
-      // rows BEFORE every real neighbor — rows a routed plan can never
-      // emit. Route only when the discrepancy is impossible: the sort
-      // says NULLS LAST, the statement filters `vec IS NOT NULL`, the
-      // vec attribute is non-nullable, the registration is trusted
-      // (the store covers the base by contract, and a null vector
-      // cannot be indexed), or the base is MEASURED null-free (one
-      // stats-pruned probe per path per session; post-check drift is
-      // excluded by the same freshness contract guard mode documents).
-      if nullOrd == org.apache.spark.sql.catalyst.expressions.NullsLast ||
+      // null safety: a null-vec row makes the exact plan diverge from
+      // any routed plan under BOTH null orderings — Spark's default
+      // ascending NULLS FIRST ranks null-distance rows before every
+      // real neighbor, and NULLS LAST pads them at the tail whenever
+      // the limit exceeds the non-null row count (the index holds only
+      // non-null rows, so the routed plan comes up short). Route only
+      // when nulls provably cannot exist in the scanned rows: the
+      // statement filters `vec IS NOT NULL`, the vec attribute is
+      // non-nullable, the registration is trusted (the store covers
+      // the base by contract, and a null vector cannot be indexed), or
+      // the base is MEASURED null-free (one stats-pruned probe per
+      // path per session, invalidated on re-registration; post-check
+      // drift is excluded by the same freshness contract guard mode
+      // documents).
+      if preds.notNull.exists(_.equalsIgnoreCase(meta.vecCol)) ||
         !vecAttr.nullable ||
-        preds.notNull.exists(_.equalsIgnoreCase(meta.vecCol)) ||
         meta.trusted ||
         session.conf.get("spark.graft.ann.trustIndex", "false").toBoolean ||
         AnnCatalog.vecNullFree(session, rootPaths.head.toString, meta.vecCol)
@@ -542,10 +545,10 @@ case class AnnTopKExec(output: Seq[Attribute], slots: Seq[AnnTopKExec.Slot],
     // Fetch the k result rows by id (tiny scan, id-isin pushed to
     // parquet) INCLUDING the vector, drop ids the base no longer holds
     // and rows whose vector went null since the index build (the
-    // strategy only routes when null-vec rows provably cannot affect
-    // the exact plan's output — NULLS LAST, a vec IS NOT NULL
-    // predicate, a non-nullable column, trusted, or a measured
-    // null-free base — so dropping here matches), and
+    // strategy only routes when null-vec rows provably cannot exist in
+    // the scanned rows — a vec IS NOT NULL predicate, a non-nullable
+    // column, trusted, or a measured null-free base — so dropping here
+    // matches), and
     // re-distance/re-sort against the CURRENT base vectors — so even a
     // base row whose vector changed since the index build emits the
     // distance and rank the unrouted exact plan would.

@@ -128,7 +128,8 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(got.length == got.distinct.length, "duplicate (qid, nid) served")
     // read paths EXCLUDE but never delete (two readers can't race a
     // delete against a scan): the stale batch dir is still on disk
-    assert(new java.io.File(AnnIndexStore.deltaPath(dir), "bid=0/_SUCCESS").exists())
+    assert(new java.io.File(AnnIndexStore.deltaPath(dir),
+      "eid=_batch/bid=0/_SUCCESS").exists())
     // the next MAINTENANCE op repairs first, so new rows never blend
     // into the stale folded generation (whose fingerprint they'd change,
     // defeating the marker comparison forever)
