@@ -1506,16 +1506,19 @@ object AnnIndexStore {
         require(tok != batchEpochToken,
           s"appendDeltaBatch: epoch '$e' collides with the reserved batch " +
             "namespace — pass a checkpoint-derived epoch")
-        // legacy-token bridge: before tokens were made injective, a
-        // sanitize-needing epoch's watermark was keyed by the LOSSY
-        // character-replaced form — a folded batch recorded under that
-        // key must still replay-skip after the format change (its
-        // committed dirs keep serving and folding under their own
-        // dir-derived names; only the skip lookup needs both keys)
-        val lossy = e.replaceAll("[^A-Za-z0-9._-]", "_")
-        val wm = marker.map(m => math.max(
-          m.eids.getOrElse(tok, -1L),
-          if (lossy != tok) m.eids.getOrElse(lossy, -1L) else -1L)).getOrElse(-1L)
+        // NO legacy-token bridge, deliberately: before tokens were made
+        // injective, a sanitize-needing epoch's watermark was keyed by
+        // the LOSSY character-replaced form — but that key can belong
+        // to a DIFFERENT stream (two paths lossy-colliding is the very
+        // bug injectivity fixed), so consulting it here could silently
+        // discard another stream's batches against a watermark it never
+        // earned. The residual exposure is upgrade-window-only and the
+        // safe direction: a lossy-keyed folded batch replayed by a
+        // moved checkpoint lands under the new token as a live batch
+        // (duplicate rows served until the delta is cleared — compact
+        // stores written by the interim lossy-token build BEFORE
+        // upgrading, which empties the delta and removes the case).
+        val wm = marker.map(_.eids.getOrElse(tok, -1L)).getOrElse(-1L)
         if (batchId == wm) return
         if (batchId < wm) failBelow(wm)
         s"${deltaPath(path)}/eid=$tok/bid=$batchId"

@@ -178,17 +178,29 @@ object EfTuner {
     * queries exercise exactly the banded arms being tuned) and the
     * recall bar (0.999, the lifecycle gate's own), so ContestRun and
     * ContestScaleProbe cannot drift apart. Tunes and persists the
-    * `_ef_bands` sidecar unless the store already has one; returns the
-    * freshly derived table (None = sidecar was present, nothing done). */
+    * `_ef_bands` sidecar unless the store already has one TUNED UNDER
+    * THE SAME (k, ef) — the table is a function of those args, and a
+    * k/ef sweep reusing the previous parameters' bands would feed the
+    * banded arms effort levels tuned for a different operating point
+    * (the bands-params sidecar mirrors the probes' stage stamps);
+    * returns the freshly derived table (None = a matching sidecar was
+    * present, nothing done). */
   def tuneAndPersistBands(spark: org.apache.spark.sql.SparkSession,
       storePath: String, queries: org.apache.spark.sql.DataFrame,
       k: Int, ef: Int): Option[graft.operators.EfBands] = {
     import org.apache.spark.sql.functions.col
-    if (AnnIndexStore.efBandsOf(storePath).isDefined) return None
+    val params = s"k=$k ef=$ef target=0.999"
+    val paramsFile = new java.io.File(
+      AnnIndexStore.resolveStore(storePath), "_ef_bands_params")
+    val matches = AnnIndexStore.efBandsOf(storePath).isDefined &&
+      paramsFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(paramsFile.toPath), "UTF-8") == params
+    if (matches) return None
     val qs = queries.filter(col("qtype") === 2).orderBy("qid").limit(32)
       .select("qvec").collect().map(_.getSeq[Float](0).toArray)
     val bands = tuneBands(spark, storePath, qs, k, targetRecall = 0.999, ef = ef)
     AnnIndexStore.writeEfBands(storePath, bands)
+    java.nio.file.Files.write(paramsFile.toPath, params.getBytes("UTF-8"))
     Some(bands)
   }
 

@@ -27,22 +27,32 @@ private[queries] object StorePaths {
     graft.sources.ParquetMeta.storeTag(s, dir, "embeddings")
 
   def taggedPath(s: SparkSession, parent: String, dir: String): String = {
-    gcLegacyTags(parent, dir)
-    graft.sources.ParquetMeta.resolveTagged(parent, storeTag(s, dir))
+    val tag = storeTag(s, dir)
+    // the legacy sweep runs ONLY at new-store materialization — the
+    // same deletes-at-materialization / pure-reads-otherwise split as
+    // resolveTagged itself (an unconditional sweep would both pay a
+    // listFiles per query and delete a legacy store out from under a
+    // still-serving old-build process on a mid-upgrade machine)
+    if (!new java.io.File(parent, tag).isDirectory) gcLegacyTags(parent, dir)
+    graft.sources.ParquetMeta.resolveTagged(parent, tag)
   }
 
   /** One-time reclamation of stores tagged under the pre-unification
-    * format (`<sanitized dir>-<fp>`): the new `ParquetMeta.storeTag`
-    * format shares no prefix with it, so `gcSiblingTags` would never
-    * sweep the old generations — full index-store copies leaking under
-    * /tmp forever on machines that ran the older builds. Matches the
-    * exact legacy shape only (old sanitized dir + '-' + a trailing
-    * fingerprint-shaped hex run). */
+    * format (`<sanitized dir>-<fp>`, plus their `.delta` sibling
+    * datasets — [[graft.index.AnnIndexStore.deltaPath]] appends the
+    * suffix, and `gcSiblingTags` needed the same second pass): the new
+    * `ParquetMeta.storeTag` format shares no prefix with the old one,
+    * so the standard sibling-GC would never sweep the old generations
+    * — full index-store copies leaking under /tmp forever on machines
+    * that ran the older builds. Matches the exact legacy shapes only
+    * (old sanitized dir + '-' + a trailing fingerprint-shaped hex run,
+    * optionally + ".delta"). */
   private def gcLegacyTags(parent: String, dir: String): Unit = {
     val legacyPrefix = dir.replaceAll("[^a-zA-Z0-9]", "_") + "-"
     val p = new java.io.File(parent)
     Option(p.listFiles()).foreach(_.foreach { f =>
-      val rest = f.getName.stripPrefix(legacyPrefix)
+      val rest0 = f.getName.stripPrefix(legacyPrefix)
+      val rest = rest0.stripSuffix(".delta")
       if (f.isDirectory && f.getName.startsWith(legacyPrefix) &&
           rest.nonEmpty && rest.length <= 16 &&
           rest.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
