@@ -197,15 +197,17 @@ object AnnIndexStore {
   // persists it here; the banded search arms (searchDecileRange /
   // searchByRange with efBands = true) load it per call and fall back
   // to the hand-derived SearchParams defaults when absent or corrupt.
-  // The sidecar lives INSIDE the resolved generation and deliberately
-  // dies with it at a fold: the table was measured against that
-  // generation's sub-indexes, and folded-in rows change the recall
-  // curve it encodes — the next [[EfTuner.tuneAndPersistBands]] entry
-  // (which tunes only when no sidecar is present) re-derives it
-  // against the new content instead of silently serving stale effort
-  // levels.
+  // The sidecar (and its `_ef_bands_params` companion recording the
+  // (k, ef) it was tuned under) lives INSIDE the resolved generation
+  // and deliberately dies with it at a fold: the table was measured
+  // against that generation's sub-indexes, and folded-in rows change
+  // the recall curve it encodes — the next
+  // [[EfTuner.tuneAndPersistBands]] entry (which reuses a stored table
+  // only when BOTH sidecars are present and the params match its own)
+  // re-derives it against the new content instead of silently serving
+  // stale effort levels.
 
-  private val efBandsFileName = "_ef_bands"
+  private[index] val efBandsFileName = "_ef_bands"
 
   def writeEfBands(path: String, bands: graft.operators.EfBands): Unit =
     java.nio.file.Files.write(

@@ -212,11 +212,14 @@ object ContestRun {
     // (EfTuner.tuneAndPersistBands — the reference's per-dataset
     // SearchParams sweep, tuned at the gate's own recall bar so the
     // tables can only trade effort at EQUAL recall target)
-    def tuneBandsOnce(store: String, tag: String): Unit =
-      if (AnnIndexStore.efBandsOf(store).isEmpty) timed(s"tune_bands_$tag") {
-        graft.index.EfTuner.tuneAndPersistBands(spark, store, queries, k, ef)
-          .foreach(b => println(s"BANDS $tag: ${b.serialize.linesIterator.mkString(" ")}"))
-      }
+    // no outer sidecar guard: tuneAndPersistBands itself decides
+    // whether the stored table is reusable (same (k, ef) stamp) — a
+    // caller-side efBandsOf check would skip the re-tune on parameter
+    // sweeps and serve bands tuned for the previous operating point
+    def tuneBandsOnce(store: String, tag: String): Unit = timed(s"tune_bands_$tag") {
+      graft.index.EfTuner.tuneAndPersistBands(spark, store, queries, k, ef)
+        .foreach(b => println(s"BANDS $tag: ${b.serialize.linesIterator.mkString(" ")}"))
+    }
 
     // ---- build-once stored indexes (baseline.cpp:66-96) ----
     if (!exists(s"$root/by_hash")) timed("build_by_hash") {

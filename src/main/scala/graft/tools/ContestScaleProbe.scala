@@ -120,11 +120,14 @@ object ContestScaleProbe {
         s"$root/by_range$t2Scale", "bucket", attrCol = Some("ts"))
     }
     // store-derived effort tables for the banded arms (see ContestRun)
-    def tuneBandsOnce(store: String, tag: String): Unit =
-      if (AnnIndexStore.efBandsOf(store).isEmpty) timed(s"tune_bands_$tag") {
-        graft.index.EfTuner.tuneAndPersistBands(spark, store, queries, k, ef)
-          .foreach(b => println(s"BANDS $tag: ${b.serialize.linesIterator.mkString(" ")}"))
-      }
+    // no outer sidecar guard: tuneAndPersistBands itself decides
+    // whether the stored table is reusable (same (k, ef) stamp) — a
+    // caller-side efBandsOf check would skip the re-tune on parameter
+    // sweeps and serve bands tuned for the previous operating point
+    def tuneBandsOnce(store: String, tag: String): Unit = timed(s"tune_bands_$tag") {
+      graft.index.EfTuner.tuneAndPersistBands(spark, store, queries, k, ef)
+        .foreach(b => println(s"BANDS $tag: ${b.serialize.linesIterator.mkString(" ")}"))
+    }
     if (t2Mode == "range") tuneBandsOnce(s"$root/by_range$t2Scale", "range")
 
     // ---- routing stats pass (selectivity grid + route decision) ----
