@@ -208,10 +208,20 @@ object AnnIndexStore {
   // stale effort levels.
 
   private[index] val efBandsFileName = "_ef_bands"
+  private[index] val efBandsParamsFileName = "_ef_bands_params"
 
   def writeEfBands(path: String, bands: graft.operators.EfBands): Unit =
+    writeEfBandsAt(new java.io.File(resolveStore(path)), bands)
+
+  /** Dir-PINNED write for callers that must keep the bands file
+    * coherent with other per-generation sidecars (EfTuner writes bands
+    * and its params stamp into ONE resolved dir — an independent
+    * re-resolve here could straddle a concurrent generation flip and
+    * split the pair). */
+  private[index] def writeEfBandsAt(dir: java.io.File,
+      bands: graft.operators.EfBands): Unit =
     java.nio.file.Files.write(
-      new java.io.File(resolveStore(path), efBandsFileName).toPath,
+      new java.io.File(dir, efBandsFileName).toPath,
       bands.serialize.getBytes("UTF-8"))
 
   def efBandsOf(path: String): Option[graft.operators.EfBands] = {

@@ -190,11 +190,21 @@ object EfTuner {
       k: Int, ef: Int): Option[graft.operators.EfBands] = {
     import org.apache.spark.sql.functions.col
     val params = s"k=$k ef=$ef target=0.999"
-    val entryParams = new java.io.File(
-      AnnIndexStore.resolveStore(storePath), "_ef_bands_params")
-    val matches = AnnIndexStore.efBandsOf(storePath).isDefined &&
-      entryParams.exists() &&
-      new String(java.nio.file.Files.readAllBytes(entryParams.toPath), "UTF-8") == params
+    // ONE generation resolve at entry, pinned for the check, the
+    // delete, and both writes: the table belongs to the GENERATION it
+    // was measured against, so if a concurrent fold flips the store
+    // mid-tune, the pair lands in (and dies with) the superseded dir
+    // and the next entry re-tunes against the new content — writing
+    // into a post-tune re-resolve instead could stamp bands measured
+    // on old content into the NEW generation with a valid params file,
+    // permanently serving stale effort levels.
+    val dataDir = new java.io.File(AnnIndexStore.resolveStore(storePath))
+    val bandsFile = new java.io.File(dataDir, AnnIndexStore.efBandsFileName)
+    val paramsFile = new java.io.File(dataDir, AnnIndexStore.efBandsParamsFileName)
+    val matches = bandsFile.exists() && paramsFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(paramsFile.toPath), "UTF-8") == params &&
+      graft.operators.EfBands.parse(
+        new String(java.nio.file.Files.readAllBytes(bandsFile.toPath), "UTF-8")).isDefined
     if (matches) return None
     // a MISMATCHED params file dies BEFORE the tune: a crash anywhere
     // between here and the final params write then leaves the store
@@ -202,21 +212,12 @@ object EfTuner {
     // re-tunes, the safe direction. (Bands-then-params with the stale
     // file left standing would let an old params file validate NEW
     // bands tuned under different parameters after a crash.)
-    java.nio.file.Files.deleteIfExists(entryParams.toPath)
+    java.nio.file.Files.deleteIfExists(paramsFile.toPath)
     val qs = queries.filter(col("qtype") === 2).orderBy("qid").limit(32)
       .select("qvec").collect().map(_.getSeq[Float](0).toArray)
     val bands = tuneBands(spark, storePath, qs, k, targetRecall = 0.999, ef = ef)
-    // resolve ONCE after the (long) tune and write both sidecars into
-    // that one data dir: independent re-resolves could straddle a
-    // concurrent generation flip and split the bands/params pair
-    // across generations
-    val dataDir = new java.io.File(AnnIndexStore.resolveStore(storePath))
-    java.nio.file.Files.write(
-      new java.io.File(dataDir, AnnIndexStore.efBandsFileName).toPath,
-      bands.serialize.getBytes("UTF-8"))
-    java.nio.file.Files.write(
-      new java.io.File(dataDir, "_ef_bands_params").toPath,
-      params.getBytes("UTF-8"))
+    AnnIndexStore.writeEfBandsAt(dataDir, bands)
+    java.nio.file.Files.write(paramsFile.toPath, params.getBytes("UTF-8"))
     Some(bands)
   }
 

@@ -28,20 +28,15 @@ private[queries] object StorePaths {
 
   def taggedPath(s: SparkSession, parent: String, dir: String): String = {
     val tag = storeTag(s, dir)
-    // the FULL legacy sweep runs only at new-store materialization —
-    // the same deletes-at-materialization / pure-reads-otherwise split
-    // as resolveTagged (an unconditional sweep would pay a listFiles
-    // per query and could delete a legacy STORE out from under a
-    // still-serving old-build process on a mid-upgrade machine). The
+    // the legacy sweep runs ONLY at new-store materialization — the
+    // same deletes-at-materialization / pure-reads-otherwise split as
+    // resolveTagged (an unconditional sweep would pay a listFiles per
+    // query forever AND could race a mid-upgrade machine's old-build
+    // process — e.g. delete a live legacy .delta while its companion
+    // store is transiently absent during an overwrite-rebuild). The
     // materialized-dir check mirrors resolveTagged's own gate — keep
     // the two in lockstep if 'materialized' ever changes meaning.
-    // ORPHANED legacy `.delta` dirs (companion store already gone —
-    // nothing can serve a delta through a deleted store path) sweep
-    // unconditionally: the interim build deleted legacy stores but
-    // missed their deltas, and a machine that already materialized the
-    // new tag would otherwise keep those leaks forever.
-    gcLegacyTags(parent, dir,
-      full = !new java.io.File(parent, tag).isDirectory)
+    if (!new java.io.File(parent, tag).isDirectory) gcLegacyTags(parent, dir)
     graft.sources.ParquetMeta.resolveTagged(parent, tag)
   }
 
@@ -54,20 +49,18 @@ private[queries] object StorePaths {
     * — full index-store copies leaking under /tmp forever on machines
     * that ran the older builds. Matches the exact legacy shapes only
     * (old sanitized dir + '-' + a trailing fingerprint-shaped hex run,
-    * optionally + ".delta"). `full = false` sweeps only `.delta` dirs
-    * whose companion store is already gone. */
-  private def gcLegacyTags(parent: String, dir: String, full: Boolean): Unit = {
+    * optionally + ".delta"). Runs at materialization only, so legacy
+    * leftovers on a machine whose tag dir already exists persist until
+    * the corpus next regenerates — bounded, and strictly safer than
+    * sweeping on the read path. */
+  private def gcLegacyTags(parent: String, dir: String): Unit = {
     val legacyPrefix = dir.replaceAll("[^a-zA-Z0-9]", "_") + "-"
     val p = new java.io.File(parent)
     Option(p.listFiles()).foreach(_.foreach { f =>
-      val isDelta = f.getName.endsWith(".delta")
       val rest = f.getName.stripPrefix(legacyPrefix).stripSuffix(".delta")
-      val legacyShape = f.isDirectory && f.getName.startsWith(legacyPrefix) &&
-        rest.nonEmpty && rest.length <= 16 &&
-        rest.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
-      val orphanDelta = isDelta &&
-        !new java.io.File(p, f.getName.stripSuffix(".delta")).exists()
-      if (legacyShape && (full || orphanDelta))
+      if (f.isDirectory && f.getName.startsWith(legacyPrefix) &&
+          rest.nonEmpty && rest.length <= 16 &&
+          rest.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
         graft.sources.ParquetMeta.deleteRecursively(f)
     })
   }

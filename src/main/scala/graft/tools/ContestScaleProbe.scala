@@ -120,13 +120,16 @@ object ContestScaleProbe {
         s"$root/by_range$t2Scale", "bucket", attrCol = Some("ts"))
     }
     // store-derived effort tables for the banded arms (see ContestRun)
-    // no outer sidecar guard: tuneAndPersistBands itself decides
-    // whether the stored table is reusable (same (k, ef) stamp) — a
-    // caller-side efBandsOf check would skip the re-tune on parameter
-    // sweeps and serve bands tuned for the previous operating point
-    def tuneBandsOnce(store: String, tag: String): Unit = timed(s"tune_bands_$tag") {
-      graft.index.EfTuner.tuneAndPersistBands(spark, store, queries, k, ef)
-        .foreach(b => println(s"BANDS $tag: ${b.serialize.linesIterator.mkString(" ")}"))
+    // reuse policy lives in EfTuner.tuneAndPersistBands (NO caller-side
+    // sidecar guard — see its scaladoc); the stage line prints only
+    // when a tune actually ran, so resumed runs' stage records stay
+    // comparable across rounds
+    def tuneBandsOnce(store: String, tag: String): Unit = {
+      val t0 = System.nanoTime()
+      graft.index.EfTuner.tuneAndPersistBands(spark, store, queries, k, ef).foreach { b =>
+        println(f"STAGE tune_bands_$tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        println(s"BANDS $tag: ${b.serialize.linesIterator.mkString(" ")}")
+      }
     }
     if (t2Mode == "range") tuneBandsOnce(s"$root/by_range$t2Scale", "range")
 
