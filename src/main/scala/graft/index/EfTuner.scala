@@ -66,11 +66,17 @@ object EfTuner {
       sample: Array[Array[Float]], k: Int, targetRecall: Double,
       ef: Int = 400,
       factorLadder: Seq[Double] = Seq(0.25, 0.35, 0.5, 0.75, 1.0),
-      capLadder: Seq[Double] = Seq(1.0, 1.5, 2.0, 3.0, 4.0)): graft.operators.EfBands = {
+      capLadder: Seq[Double] = Seq(1.0, 1.5, 2.0, 3.0, 4.0),
+      resolve: Boolean = true): graft.operators.EfBands = {
     import org.apache.spark.sql.functions._
     require(sample.nonEmpty, "empty tuning sample")
     val deflt = graft.operators.SearchParams.DefaultBands
-    val df = spark.read.parquet(AnnIndexStore.resolveStore(storePath))
+    // resolve = false: the caller has already PINNED a generation dir
+    // and needs the measurement to read exactly that dir (a re-resolve
+    // here could straddle a concurrent flip and measure content the
+    // caller's sidecar writes don't belong to)
+    val df = spark.read.parquet(
+      if (resolve) AnnIndexStore.resolveStore(storePath) else storePath)
     require(df.columns.contains("attrs"), s"tuneBands: $storePath has no attrs")
     val buckets = df.select(col("bucket").cast("long")).distinct()
       .orderBy("bucket").collect().map(_.getLong(0))
@@ -215,9 +221,25 @@ object EfTuner {
     java.nio.file.Files.deleteIfExists(paramsFile.toPath)
     val qs = queries.filter(col("qtype") === 2).orderBy("qid").limit(32)
       .select("qvec").collect().map(_.getSeq[Float](0).toArray)
-    val bands = tuneBands(spark, storePath, qs, k, targetRecall = 0.999, ef = ef)
-    AnnIndexStore.writeEfBandsAt(dataDir, bands)
-    java.nio.file.Files.write(paramsFile.toPath, params.getBytes("UTF-8"))
+    // resolve = false: measure the PINNED dir, so the sidecars written
+    // below are coherent with the content they were tuned against even
+    // if a fold flips the store mid-tune
+    val bands = tuneBands(spark, dataDir.getPath, qs, k,
+      targetRecall = 0.999, ef = ef, resolve = false)
+    try {
+      AnnIndexStore.writeEfBandsAt(dataDir, bands)
+      java.nio.file.Files.write(paramsFile.toPath, params.getBytes("UTF-8"))
+    } catch {
+      // the pinned generation was superseded AND GC'd during the tune
+      // (two maintenance ops inside one tuning run): the pair belongs
+      // to that dead generation, so discarding it IS the documented
+      // dies-with-its-generation semantics — the next entry resolves
+      // the live generation and re-tunes. Crashing the tool after the
+      // expensive tune would be strictly worse.
+      case _: java.nio.file.NoSuchFileException =>
+        System.err.println(s"[eftuner] $storePath: tuned generation GC'd " +
+          "mid-tune; discarding the sidecar pair (next entry re-tunes)")
+    }
     Some(bands)
   }
 

@@ -51,8 +51,10 @@ private[queries] object StorePaths {
     * (old sanitized dir + '-' + a trailing fingerprint-shaped hex run,
     * optionally + ".delta"). Runs at materialization only, so legacy
     * leftovers on a machine whose tag dir already exists persist until
-    * the corpus next regenerates — bounded, and strictly safer than
-    * sweeping on the read path. */
+    * the corpus next regenerates (on a static-corpus machine: until
+    * /tmp is cleared) — an accepted narrowing: sweeping them from the
+    * per-query read path could race a still-serving old-build process
+    * mid-rebuild, and a leaked dir is disk, not correctness. */
   private def gcLegacyTags(parent: String, dir: String): Unit = {
     val legacyPrefix = dir.replaceAll("[^a-zA-Z0-9]", "_") + "-"
     val p = new java.io.File(parent)
