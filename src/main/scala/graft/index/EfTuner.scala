@@ -223,23 +223,20 @@ object EfTuner {
       .select("qvec").collect().map(_.getSeq[Float](0).toArray)
     // resolve = false: measure the PINNED dir, so the sidecars written
     // below are coherent with the content they were tuned against even
-    // if a fold flips the store mid-tune
+    // if a fold flips the store mid-tune (the flip itself is benign:
+    // the pair lands in — and dies with — the superseded immutable
+    // dir, and the next entry re-tunes against the live generation).
+    // NO guard against the pinned dir being GC'd mid-tune, by
+    // contract: tuning is an OFFLINE calibration and store maintenance
+    // is single-writer — running a fold-plus-GC cycle concurrently
+    // with a tune is out of contract, and the resulting read/write
+    // failure is the loud signal, not a case to paper over (a partial
+    // guard would either leave the long tune scan itself unguarded or
+    // report tuned bands that were never persisted).
     val bands = tuneBands(spark, dataDir.getPath, qs, k,
       targetRecall = 0.999, ef = ef, resolve = false)
-    try {
-      AnnIndexStore.writeEfBandsAt(dataDir, bands)
-      java.nio.file.Files.write(paramsFile.toPath, params.getBytes("UTF-8"))
-    } catch {
-      // the pinned generation was superseded AND GC'd during the tune
-      // (two maintenance ops inside one tuning run): the pair belongs
-      // to that dead generation, so discarding it IS the documented
-      // dies-with-its-generation semantics — the next entry resolves
-      // the live generation and re-tunes. Crashing the tool after the
-      // expensive tune would be strictly worse.
-      case _: java.nio.file.NoSuchFileException =>
-        System.err.println(s"[eftuner] $storePath: tuned generation GC'd " +
-          "mid-tune; discarding the sidecar pair (next entry re-tunes)")
-    }
+    AnnIndexStore.writeEfBandsAt(dataDir, bands)
+    java.nio.file.Files.write(paramsFile.toPath, params.getBytes("UTF-8"))
     Some(bands)
   }
 
