@@ -1398,7 +1398,18 @@ object AnnIndexStore {
     * uncommitted dir is invisible and the retry recomputes the same
     * id and overwrites it); a COMMITTED append rerun by a retrying
     * script still doubles its rows — such writers use [[replaceDelta]]
-    * or the explicit-id [[appendDeltaBatch]]. */
+    * (which sweeps this epoch) or the explicit-id [[appendDeltaBatch]].
+    *
+    * SINGLE-APPENDER CONTRACT: the auto-bid is read-compute-write
+    * (list committed bids → max+1 → mode(overwrite)), so two appenders
+    * running CONCURRENTLY against the same store can compute the same
+    * bid and one silently overwrites the other's rows. Sequential
+    * appends from any number of writers are fine (each sees the
+    * previous commit); concurrent writers must coordinate externally
+    * or use [[appendDeltaBatch]] with caller-assigned disjoint
+    * (epoch, batchId) pairs, which collide only if the caller's own id
+    * assignment does. This matches the store's wider single-writer
+    * maintenance contract (compact/repair/tune). */
   private[index] val batchEpochToken = "_batch"
 
   def appendDelta(delta: DataFrame, path: String): Unit = {
@@ -1417,11 +1428,18 @@ object AnnIndexStore {
   /** Idempotent form for build scripts that may retry: REPLACE the
     * delta's FLAT layout instead of appending (a crashed-and-rerun
     * `appendDelta` would double its rows). Committed micro-batch dirs
-    * (`bid=` root-layout or `eid=` epoch-scoped) are a STREAM's
-    * not-yet-folded rows and survive — a whole-dir overwrite would
-    * silently lose them (their checkpoints have committed, so the
-    * stream never replays them). Crash-safe the same way as before: a
-    * write that dies mid-job leaves part files with no root `_SUCCESS`
+    * of REAL stream epochs (`bid=` root-layout or `eid=` epoch-scoped)
+    * are a STREAM's not-yet-folded rows and survive — a whole-dir
+    * overwrite would silently lose them (their checkpoints have
+    * committed, so the stream never replays them). The reserved
+    * `eid=_batch` subtree is DIFFERENT: it holds [[appendDelta]]'s
+    * auto-id batches, which are script-owned with no checkpoint behind
+    * them — and this method is the documented retry remedy for exactly
+    * those scripts, so an appended-then-crashed writer that reruns via
+    * replaceDelta must not keep its earlier committed append alive
+    * beside the replacement (duplicate rows, no error). It is swept
+    * with the flat layer. Crash-safe the same way as before: a write
+    * that dies mid-job leaves part files with no root `_SUCCESS`
     * (invisible to reads), and the retry's file-level sweep below
     * removes them before rewriting. */
   def replaceDelta(delta: DataFrame, path: String): Unit = {
@@ -1432,8 +1450,10 @@ object AnnIndexStore {
     // write's committed task outputs under _temporary would otherwise
     // be merged into the retry's commitJob (the committer commits ALL
     // on-disk task dirs of the attempt path), duplicating rows. bid=/
-    // eid= dirs (the stream's rows) and the epoch file survive.
+    // eid= dirs (the stream's rows) and the epoch file survive —
+    // except the script-owned eid=_batch subtree (see scaladoc).
     sweepUncommittedRoot(root)
+    deleteRecursively(new java.io.File(root, s"eid=$batchEpochToken"))
     crashPoint("replace.swept")
     delta.select(col("id").cast("long"), col("vec"))
       .write.mode("append").parquet(deltaPath(path))

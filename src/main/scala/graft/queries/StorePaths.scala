@@ -62,9 +62,39 @@ private[queries] object StorePaths {
       val rest = f.getName.stripPrefix(legacyPrefix).stripSuffix(".delta")
       if (f.isDirectory && f.getName.startsWith(legacyPrefix) &&
           rest.nonEmpty && rest.length <= 16 &&
-          rest.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+          rest.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')) &&
+          looksLikeGraftStore(f))
         graft.sources.ParquetMeta.deleteRecursively(f)
     })
+  }
+
+  /** Name-shape matching alone must not authorize a recursive delete:
+    * the legacy prefix is a sanitized path under a SHARED /tmp parent,
+    * so a foreign dir that happens to match `<sanitized dir>-<hex>` —
+    * another tool's cache, say — would be destroyed with no marker
+    * check. A graft store always carries a write artifact: the parquet
+    * job commit (`_SUCCESS`, possibly nested for multi-dataset roots),
+    * the serving version stamp (`_store_version`), the generation
+    * manifest (`_manifest`), or — for `.delta` datasets — exclusively
+    * store-shaped children (epoch/batch dirs, part files, markers).
+    * Anything else is left alone; a leaked legacy dir is disk, a
+    * deleted foreign dir is someone's data. */
+  private def looksLikeGraftStore(f: java.io.File): Boolean = {
+    def kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+    if (f.getName.endsWith(".delta"))
+      kids.nonEmpty && kids.forall { c =>
+        val n = c.getName
+        n.startsWith("_") || n.startsWith(".") ||
+          n.startsWith("bid=") || n.startsWith("eid=") ||
+          n.startsWith("part-") || n.endsWith(".parquet")
+      }
+    else
+      Seq("_SUCCESS", "_store_version", "_manifest")
+        .exists(m => new java.io.File(f, m).exists()) ||
+        // multi-dataset roots (route packs, IVF stores) commit per
+        // child dataset, not at the root
+        kids.exists(c => c.isDirectory &&
+          new java.io.File(c, "_SUCCESS").exists())
   }
 
   private def embIdVec(s: SparkSession, dir: String) =

@@ -48,7 +48,23 @@ object Events {
       try raw.schema("ts").dataType
       catch { case t: Throwable => restore(); throw t }
     tsType match {
-      case LongType => raw
+      case LongType =>
+        // a long `ts` is either TIMESTAMP(NANOS) decoded as long BY the
+        // conf (which must then stay set for the lazy scan) or a
+        // genuinely int64-encoded column the conf is irrelevant to —
+        // the inferred schema cannot tell them apart, so without this
+        // check a plain-int64 corpus would leave the conf set
+        // session-wide and every later read would silently decode
+        // TIMESTAMP(NANOS) columns as longs. The parquet footer's
+        // logical type disambiguates; a footer-read failure keeps the
+        // conf set (conservative: the scan still decodes correctly
+        // either way, only the session-wide hygiene is lost).
+        val nanosEncoded =
+          try ParquetMeta.logicalType(s, s"$dir/events.parquet", "ts")
+            .exists(t => t.startsWith("TIMESTAMP") && t.contains("NANOS"))
+          catch { case scala.util.control.NonFatal(_) => true }
+        if (!nanosEncoded) restore()
+        raw
       case TimestampNTZType =>
         restore()
         raw.withColumn("ts",

@@ -46,6 +46,43 @@ object ParquetMeta {
     }.sum
   }
 
+  /** The parquet LOGICAL type annotation of a top-level `column`, read
+    * from the footer of the first data file under `path` — e.g.
+    * "TIMESTAMP(NANOS,false)" — or None when the column is a plain
+    * primitive (no annotation) or absent. Spark's inferred schema
+    * cannot distinguish a genuine INT64 column from TIMESTAMP(NANOS)
+    * decoded as long under the `nanosAsLong` legacy conf; the footer
+    * can ([[Events.read]] needs exactly that to know whether the conf
+    * must stay set for the scan). One driver RPC, no Spark job. */
+  def logicalType(spark: SparkSession, path: String,
+      column: String): Option[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val first: Option[Path] =
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, true)
+        var found: Option[Path] = None
+        while (found.isEmpty && it.hasNext) {
+          val s = it.next()
+          val n = s.getPath.getName
+          if (s.isFile && s.getLen > 0 &&
+              n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+            found = Some(s.getPath)
+        }
+        found
+      } else Some(p)
+    first.flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        if (!schema.containsField(column)) None
+        else Option(schema.getType(schema.getFieldIndex(column))
+          .getLogicalTypeAnnotation).map(_.toString)
+      } finally reader.close()
+    }
+  }
+
   /** Cheap generation fingerprint of a source dataset: FNV hash of every
     * data file's (name, length, mtime). Derived stores (index tables,
     * clustered layouts) embed this in their path, so a REGENERATED

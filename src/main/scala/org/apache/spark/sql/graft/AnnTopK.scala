@@ -408,6 +408,13 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
         case _ => None
       }
       (vecAttr, qvec, tie, _) = keys
+      // single-root scans only: a registration matching ONE root of a
+      // multi-path scan would serve just that root's rows (basePath =
+      // rootPaths.head feeds the point-lookup scan and the serving
+      // cache framing), and the null-freedom probe below would measure
+      // the wrong dataset — the exact plan is the only one that reads
+      // all roots, so multi-root falls through to it
+      if rootPaths.length == 1
       meta <- AnnCatalog.lookup(rootPaths)
       if vecAttr.name.equalsIgnoreCase(meta.vecCol)
       if tie.forall(_.name.equalsIgnoreCase(meta.idCol))

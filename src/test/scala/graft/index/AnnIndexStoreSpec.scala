@@ -340,6 +340,29 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(nids.exists(_ >= 2000) && nids.exists(n => n >= 1000 && n < 2000))
   }
 
+  test("replaceDelta sweeps appendDelta's script-owned _batch epoch (retry remedy)") {
+    val indexed = Seq.tabulate(200)(i => (i.toLong, vec()))
+    val dir = Files.createTempDirectory("graft-anndelta-batchswp").toString + "/index"
+    AnnIndexStore.build(indexed.toDF("id", "vec"), dir, numBuckets = 2)
+    // the documented failure: a script appends, crashes AFTER the
+    // commit, and reruns via replaceDelta (the scaladoc's prescribed
+    // idempotent remedy) — the earlier committed _batch rows must not
+    // stay live beside the replacement, or the store serves duplicates
+    val rows = Seq.tabulate(25)(i => ((3000 + i).toLong, vec()))
+    AnnIndexStore.appendDelta(rows.toDF("id", "vec"), dir)
+    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 25.0 / 200) < 1e-9)
+    AnnIndexStore.replaceDelta(rows.toDF("id", "vec"), dir)
+    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 25.0 / 200) < 1e-9,
+      "rerun-as-replace must not double the appended rows")
+    // a REAL stream epoch beside it still survives the sweep
+    AnnIndexStore.appendDeltaBatch(
+      Seq.tabulate(10)(i => ((4000 + i).toLong, vec())).toDF("id", "vec"),
+      dir, batchId = 0, epoch = Some("q1"))
+    AnnIndexStore.replaceDelta(rows.toDF("id", "vec"), dir)
+    assert(math.abs(AnnIndexStore.deltaFraction(spark, dir) - 35.0 / 200) < 1e-9,
+      "stream-epoch rows must survive a script replace")
+  }
+
   test("legacy half-swapped compaction crash: maintenance entry rolls forward/back") {
     // the pre-generation layout swapped the store dir with two renames;
     // stores last compacted by that code can still be sitting in its

@@ -57,6 +57,27 @@ class AnnTopKStrategySpec extends SparkSpec {
     } finally AnnCatalog.unregister(dirs._1)
   }
 
+  test("multi-root scan refuses the route (one matching registration is not the whole scan)") {
+    AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec",
+      ef = 150, trusted = true)
+    try {
+      // a second root the index does NOT cover: routing would serve
+      // only dirs._1's rows and the extra root's would silently vanish
+      val extra = Files.createTempDirectory("graft_anntopk_extra").toString + "/p"
+      Seq((90001L, Array.fill(dim)(0.01f))).toDF("id", "vec")
+        .write.mode("overwrite").parquet(extra)
+      val qv = Array.fill(dim)(0.01f)
+      val df = spark.read.parquet(dirs._1, extra)
+        .orderBy(VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id").limit(5)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("AnnTopK"),
+        s"multi-root scan must keep the exact plan:\n$physical")
+      assert(df.collect().map(_.getLong(0)).contains(90001L),
+        "the un-indexed root's exact nearest row must be served")
+    } finally AnnCatalog.unregister(dirs._1)
+  }
+
   test("unregistered path keeps the built-in exact plan") {
     val physical = planOf(qvecOf(3L), 5).queryExecution.executedPlan.toString
     assert(!physical.contains("AnnTopK"))

@@ -131,4 +131,32 @@ class ParquetMetaSpec extends SparkSpec {
     assert(otherTable.exists(), "a name-extending different source must survive")
     assert(otherSuffix.exists(), "a different (key, buckets) config must survive")
   }
+
+  test("logicalType reads the footer annotation; Events restores the nanos conf for plain int64") {
+    import spark.implicits._
+    val dir = tmpDir("pqmeta_ltype")
+    // a genuinely int64-encoded ts (no logical annotation)
+    Seq((1L, 100L), (2L, 200L)).toDF("id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(ParquetMeta.logicalType(spark, s"$dir/events.parquet", "ts").isEmpty)
+    assert(ParquetMeta.logicalType(spark, s"$dir/events.parquet", "nope").isEmpty)
+    val conf = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(conf) // back to the registered default ("false")
+    val got = Events.read(spark, dir)
+    assert(got.schema("ts").dataType.typeName == "long")
+    assert(spark.conf.get(conf) == "false",
+      "a plain-int64 corpus must not leave the nanosAsLong conf set session-wide")
+    assert(got.count() == 2)
+    // an int64 TIMESTAMP column carries its annotation in the footer
+    // (the session default INT96 encoding carries none — pin int64)
+    val tdir = tmpDir("pqmeta_ltype_ts")
+    val outConf = "spark.sql.parquet.outputTimestampType"
+    val prevOut = spark.conf.get(outConf)
+    spark.conf.set(outConf, "TIMESTAMP_MICROS")
+    try Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "ts").write.mode("overwrite").parquet(s"$tdir/events.parquet")
+    finally spark.conf.set(outConf, prevOut)
+    val ann = ParquetMeta.logicalType(spark, s"$tdir/events.parquet", "ts")
+    assert(ann.exists(_.startsWith("TIMESTAMP")), s"got $ann")
+  }
 }
