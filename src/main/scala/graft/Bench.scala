@@ -78,13 +78,30 @@ object Bench {
     // regressions are tracked round-over-round — the r10 read-on-hit
     // tax was only visible because the batch suite happens to include
     // ann_sql_*. Skippable via SPARK_GRAFT_QUERIES (a narrowed dev run
-    // shouldn't pay the store builds).
-    val serving: Seq[(String, Double)] =
-      if (only.isDefined) Seq.empty
-      else try graft.queries.ServingBench.run(spark, sfDir)
+    // shouldn't pay the store builds). runDiag carries the cache
+    // hit/miss deltas, budget, and p99 beside each median — the r11
+    // t1_label 448-vs-59 ms discord was undiagnosable from a bare
+    // median with no view of the cache state behind it.
+    val serving: Option[graft.queries.ServingBench.Report] =
+      if (only.isDefined) None
+      else try Some(graft.queries.ServingBench.runDiag(spark, sfDir))
       catch {
         case NonFatal(e) =>
           System.err.println(s"[bench] serving bench failed: ${e.getClass.getName}: ${e.getMessage}")
+          None
+      }
+    // Fixed-work machine canary: two rounds of judge-vs-builder bench
+    // discord (r10 +11%, r11 +56%) were both bisected BY HAND to
+    // environment (re-running old trees on today's machine). The canary
+    // does the control run inside every bench: a deterministic
+    // single-thread CPU loop and a pinned 32-task parquet scan whose
+    // work never changes across rounds — query-time movement the canary
+    // moves WITH is machine, movement it doesn't is code.
+    val canary: Seq[(String, Double)] =
+      try Canary.run(spark)
+      catch {
+        case NonFatal(e) =>
+          System.err.println(s"[bench] canary failed: ${e.getClass.getName}: ${e.getMessage}")
           Seq.empty
       }
     // ms precision is plenty for second-scale timings and keeps the
@@ -100,11 +117,23 @@ object Bench {
     // SUBTRACT a second from the headline total, reporting a broken
     // suite as faster than a healthy one
     val total = results.values.filter(_ >= 0.0).sum
-    val servingJson =
-      if (serving.isEmpty) ""
-      else s""","serving_ms":${queriesJson(serving)}"""
+    val servingJson = serving.fold("") { rep =>
+      val medians = rep.routes.map { case (n, st) => (n, st.medianMs) }
+      val diag = rep.routes.map { case (n, st) =>
+        "\"" + n + "\":{\"p99\":" + fmt(st.p99Ms) +
+          ",\"cold\":" + fmt(st.coldMedianMs) +
+          ",\"hits\":" + st.hits + ",\"misses\":" + st.misses + "}"
+      }.mkString("{", ",", "}")
+      s""","serving_ms":${queriesJson(medians)}""" +
+        s""","serving_diag":{"cache_budget_mb":${rep.cacheBudgetBytes >> 20}""" +
+        s""","cache_used_mb":${rep.cacheUsedBytes >> 20}""" +
+        s""","entries":${rep.cacheEntries},"routes":$diag}"""
+    }
+    val canaryJson =
+      if (canary.isEmpty) ""
+      else s""","canary":${queriesJson(canary)}"""
     def wrap(qs: String, extra: String = ""): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index_build_sec":${fmt(buildSec)}$servingJson$extra,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index_build_sec":${fmt(buildSec)}$servingJson$canaryJson$extra,"queries":$qs,"sf":"$sfDir"}"""
     val fullJson = wrap(queriesJson(results))
     // The driver captures only a bounded TAIL of stdout (~2000 chars),
     // and sbt appends its own "[success] Total time" line after ours —

@@ -59,6 +59,14 @@ object ServingCache {
   val hits = new java.util.concurrent.atomic.AtomicLong()
   val misses = new java.util.concurrent.atomic.AtomicLong()
 
+  // sizing observability (the r11 t1_label 448-vs-59 ms discord was
+  // undiagnosable because the bench reported latency with no view of
+  // the cache state behind it): the effective byte budget, current
+  // residency, and entry count, for the bench's serving_diag block
+  def maxBytes: Long = MaxCachedBytes
+  def usedBytes: Long = cachedBytes.get()
+  def entryCount: Int = cache.size()
+
   def get(path: String, version: String, bucket: Long, sub: Int): Entry = {
     val e = cache.get(Key(path, version, bucket, sub))
     if (e != null) {

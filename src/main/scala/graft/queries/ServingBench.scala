@@ -22,7 +22,26 @@ import org.apache.spark.sql.functions._
   * gate queries' tagged /tmp stores, building any that are missing. */
 object ServingBench {
 
-  def run(s: SparkSession, dir: String, stmts: Int = 8): Seq[(String, Double)] = {
+  /** Per-route serving stats. `medianMs`/`p99Ms` are over the TIMED
+    * (second) cycle; `coldMedianMs` is over the first, cache-warming
+    * cycle — the cold/warm spread is the store-load cost the serving
+    * cache exists to eliminate. `hits`/`misses` are ServingCache
+    * counter deltas across the timed cycle: a warm route must show
+    * misses = 0; any other value names the r11-style latency discord
+    * (eviction thrash / budget starvation) that a bare median cannot. */
+  final case class RouteStat(medianMs: Double, p99Ms: Double,
+      coldMedianMs: Double, hits: Long, misses: Long)
+
+  /** The whole serving_diag block: routes plus the cache state that
+    * explains them (effective budget, residency, entry count). */
+  final case class Report(routes: Seq[(String, RouteStat)],
+      cacheBudgetBytes: Long, cacheUsedBytes: Long, cacheEntries: Int)
+
+  /** Back-compatible medians-only view (the bench JSON's serving_ms). */
+  def run(s: SparkSession, dir: String, stmts: Int = 8): Seq[(String, Double)] =
+    runDiag(s, dir, stmts).routes.map { case (n, st) => (n, st.medianMs) }
+
+  def runDiag(s: SparkSession, dir: String, stmts: Int = 8): Report = {
     import graft.functions.{VectorFunctions => VF}
     val embBase = s"$dir/embeddings.parquet"
     val emb = s.read.parquet(embBase)
@@ -59,7 +78,7 @@ object ServingBench {
     // asserts the routed plan.
     def msPerStmt(params: Array[(Long, Double, Double, Array[Float])],
         mustContain: String)(
-        mk: ((Long, Double, Double, Array[Float])) => DataFrame): Double = {
+        mk: ((Long, Double, Double, Array[Float])) => DataFrame): RouteStat = {
       require(params.length >= 2, s"serving bench: too few statements (${params.length})")
       val warm = mk(params.head)
       val plan = warm.queryExecution.executedPlan.toString
@@ -67,16 +86,24 @@ object ServingBench {
         s"serving bench: statement did not route (wanted $mustContain):\n$plan")
       warm.collect()
       val timed = params.tail
-      timed.foreach(p => mk(p).collect()) // warm every statement's buckets
-      val ms = timed.map { p =>
+      def cycle(): Array[Double] = timed.map { p =>
         val t0 = System.nanoTime()
         mk(p).collect()
         (System.nanoTime() - t0) / 1e6
       }.sorted
-      ms(ms.length / 2)
+      val cold = cycle() // warms every statement's buckets
+      val h0 = graft.index.ServingCache.hits.get()
+      val m0 = graft.index.ServingCache.misses.get()
+      val ms = cycle()
+      RouteStat(
+        medianMs = ms(ms.length / 2),
+        p99Ms = ms(math.min(ms.length - 1, (ms.length * 99) / 100)),
+        coldMedianMs = cold(cold.length / 2),
+        hits = graft.index.ServingCache.hits.get() - h0,
+        misses = graft.index.ServingCache.misses.get() - m0)
     }
 
-    val results = Seq.newBuilder[(String, Double)]
+    val results = Seq.newBuilder[(String, RouteStat)]
     val qe = qsOf(0)
 
     def t0Stmt(p: (Long, Double, Double, Array[Float])): DataFrame =
@@ -116,6 +143,7 @@ object ServingBench {
       org.apache.spark.sql.graft.AnnCatalog.unregister(embBase)
       org.apache.spark.sql.graft.AnnCatalog.unregister(basePath)
     }
-    results.result()
+    Report(results.result(), graft.index.ServingCache.maxBytes,
+      graft.index.ServingCache.usedBytes, graft.index.ServingCache.entryCount)
   }
 }
