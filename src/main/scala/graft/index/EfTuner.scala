@@ -46,11 +46,17 @@ object EfTuner {
     * (hybrid_graph.h:14-34) derived from the store instead of copied.
     *
     * Full-union factors: for each mFull threshold of the default table
-    * ({2, 4, 8}), load that many ADJACENT bucket rows (middle of the
+    * ({2, 4, 8}), measure that many ADJACENT buckets (middle of the
     * bucket-id range — middle buckets serve the most ranges), take the
     * exact top-k over their union as ground truth, and keep the
     * smallest factor whose unioned per-bucket walks (at
     * `unionWalkEf(ef, k, m)` with that factor) reach `targetRecall`.
+    * Buckets STREAM through the driver one at a time (load, measure at
+    * every rung, drop) — peak driver residency is one bucket's rows,
+    * the same bounded unit a serving task holds, and a store whose
+    * largest bucket exceeds the `graft.eftuner.maxBytes` budget
+    * (default max(256 MB, heap/4)) fails loudly with a sizing rule
+    * before any blob is collected.
     *
     * In-filter cap: on the largest single bucket, centered attr ranges
     * at coverage 0.70 and 0.85 (above the exact-scan line, where the
@@ -67,7 +73,8 @@ object EfTuner {
       ef: Int = 400,
       factorLadder: Seq[Double] = Seq(0.25, 0.35, 0.5, 0.75, 1.0),
       capLadder: Seq[Double] = Seq(1.0, 1.5, 2.0, 3.0, 4.0),
-      resolve: Boolean = true): graft.operators.EfBands = {
+      resolve: Boolean = true,
+      requireTarget: Boolean = false): graft.operators.EfBands = {
     import org.apache.spark.sql.functions._
     require(sample.nonEmpty, "empty tuning sample")
     val deflt = graft.operators.SearchParams.DefaultBands
@@ -82,42 +89,79 @@ object EfTuner {
       .orderBy("bucket").collect().map(_.getLong(0))
     require(buckets.nonEmpty, s"tuneBands: empty store at $storePath")
 
-    def loadBuckets(bs: Seq[Long]): Seq[(HnswIndex, Array[Long], Array[Double])] =
-      df.filter(col("bucket").isin(bs: _*))
+    def loadBucket(b: Long): Seq[(HnswIndex, Array[Long], Array[Double])] =
+      df.filter(col("bucket") === b)
         .select(col("ids"), col("attrs"), col("graph"))
         .collect().toSeq
         .map(r => (HnswIndex.fromBytes(r.getAs[Array[Byte]]("graph")),
           r.getSeq[Long](0).toArray, r.getSeq[Double](1).toArray))
 
-    def unionTopK(per: Seq[Array[(Double, Long)]]): Set[Long] =
-      per.flatten.sorted.take(k).map(_._2).toSet
+    // Driver-residency bound, checked BEFORE any blob lands on the
+    // driver: the union measurement below streams buckets one at a
+    // time (load, measure, drop), so peak residency is ONE bucket's
+    // rows — but a store whose single largest bucket outgrows the
+    // driver heap must still fail loudly with a sizing rule, not OOM
+    // mid-tune. Blob bytes come from footer-served lengths (tiny
+    // columns only; no blob is read for the check).
+    val tunerBudget = java.lang.Long.getLong("graft.eftuner.maxBytes",
+      math.max(256L << 20, Runtime.getRuntime.maxMemory() / 4))
+    val maxBucketBytes = df
+      .groupBy(col("bucket").cast("long").as("b"))
+      .agg(sum(length(col("graph")).cast("long")).as("bytes"))
+      .agg(max(col("bytes"))).head.getLong(0)
+    require(maxBucketBytes * 2 <= tunerBudget,
+      s"tuneBands: largest bucket holds $maxBucketBytes blob bytes; " +
+        s"with deserialization overhead (2x) that exceeds the tuner's " +
+        s"driver budget $tunerBudget. Tuning streams ONE bucket at a " +
+        "time, so either re-bucket the store below budget/2 bytes per " +
+        "bucket or raise -Dgraft.eftuner.maxBytes (and the driver heap " +
+        "with it).")
 
     // ---- full-union factors, one per mFull threshold ----
+    // Buckets stream one at a time: per-query candidate lists keep only
+    // k entries per (bucket row, rung), so accumulators are O(sample ·
+    // rungs · m · k) tuples while at most one bucket's graphs are
+    // resident — the 100×-store cliff the old all-m-buckets collect had
+    // is gone. Measuring every rung per bucket (instead of early-
+    // stopping the ladder) changes cost, not the chosen factor.
     val fullTuned = deflt.full.map(_._1).sorted.map { m =>
       val take = math.min(m, buckets.length)
       val start = math.max(0, buckets.length / 2 - take / 2)
-      val idxs = loadBuckets(buckets.slice(start, start + take))
-      val truth: Array[Set[Long]] = sample.map { q =>
-        unionTopK(idxs.map { case (idx, ids, _) =>
-          idx.exactOver(q, Array.tabulate(idx.size)(identity), k)
-            .map { case (n, d) => (d, ids(n)) }
-        })
+      val slice = buckets.slice(start, start + take)
+      val exact = Array.fill(sample.length)(List.empty[(Double, Long)])
+      val walked =
+        Array.fill(factorLadder.length, sample.length)(List.empty[(Double, Long)])
+      val rungEfs = factorLadder.map(f =>
+        deflt.copy(full = Seq(1 -> f)).unionWalkEf(ef, k, m))
+      slice.foreach { b =>
+        loadBucket(b).foreach { case (idx, ids, _) =>
+          val all = Array.tabulate(idx.size)(identity)
+          sample.zipWithIndex.foreach { case (q, qi) =>
+            exact(qi) = idx.exactOver(q, all, k)
+              .map { case (n, d) => (d, ids(n)) }.toList ::: exact(qi)
+            rungEfs.zipWithIndex.foreach { case (efB, fi) =>
+              walked(fi)(qi) = idx.search(q, k, efB)
+                .map { case (n, d) => (d, ids(n)) }.toList ::: walked(fi)(qi)
+            }
+          }
+        }
       }
-      val chosen = factorLadder.find { f =>
-        val table = deflt.copy(full = Seq(1 -> f))
-        val efB = table.unionWalkEf(ef, k, m)
+      val truth = exact.map(_.sorted.take(k).map(_._2).toSet)
+      val found = factorLadder.indices.find { fi =>
         var hit = 0L
         var total = 0L
-        sample.iterator.zipWithIndex.foreach { case (q, qi) =>
-          val got = unionTopK(idxs.map { case (idx, ids, _) =>
-            idx.search(q, k, efB).map { case (n, d) => (d, ids(n)) }
-          })
+        sample.indices.foreach { qi =>
+          val got = walked(fi)(qi).sorted.take(k).map(_._2).toSet
           hit += truth(qi).intersect(got).size
           total += truth(qi).size
         }
         total == 0 || hit.toDouble / total >= targetRecall
-      }.getOrElse(factorLadder.last)
-      (m, chosen)
+      }.map(factorLadder)
+      if (requireTarget) require(found.isDefined,
+        s"tuneBands: no full-union factor in $factorLadder reaches " +
+          s"recall $targetRecall for m=$m — tuning regression, not a " +
+          "silent fallback to the ladder max")
+      (m, found.getOrElse(factorLadder.last))
     }.sortBy(-_._1)
 
     // ---- in-filter widening cap, on the largest single ROW ----
@@ -172,9 +216,13 @@ object EfTuner {
     // shrinks, and the in-filter walk's hardest legal case sits just
     // above the exact-scan line (bruteCoverage 0.6) — tuning only at
     // easier bands would let an under-widening cap pass
-    val capTuned = capLadder.find { cap =>
+    val capFound = capLadder.find { cap =>
       Seq(0.62, 0.70, 0.85).forall(c => bandRecall(cap, c) >= targetRecall)
-    }.getOrElse(capLadder.last)
+    }
+    if (requireTarget) require(capFound.isDefined,
+      s"tuneBands: no in-filter cap in $capLadder reaches recall " +
+        s"$targetRecall — tuning regression, not a silent fallback")
+    val capTuned = capFound.getOrElse(capLadder.last)
 
     graft.operators.EfBands(fullTuned, deflt.floorExtra, capTuned, deflt.bruteCoverage)
   }

@@ -7,15 +7,20 @@ import graft.multimodal.Multimodal
 import graft.operators.{AnnJoin, SimilaritySearch}
 import graft.streaming.EventPipeline
 
-/** Approximate / streaming / multimodal coverage. Every entry except
-  * `ann_ef_tune` is hash-checked by a DuckDB oracle — including the
-  * approximate ones: deterministic seeding (hash-picked IVF lists and
-  * PQ codebooks, md5-derived LSH planes, exhaustive-grade walks at sf
-  * scale) makes the approximate pipelines exactly replayable in SQL.
-  * `ann_ef_tune` alone is rows-only (a measured-recall ladder no SQL
-  * engine can replay) and instead FAILS loudly if no rung reaches the
-  * recall target; quality floors for the non-seeded quality paths live
-  * in HnswSpec / SimilaritySearchSpec / CategoryAnnSpec.
+/** Approximate / streaming / multimodal coverage. EVERY entry is
+  * hash-checked by a DuckDB oracle — including the approximate ones:
+  * deterministic seeding (hash-picked IVF lists and PQ codebooks,
+  * md5-derived LSH planes, exhaustive-grade walks at sf scale) makes
+  * the approximate pipelines exactly replayable in SQL. The two tuner
+  * entries (`ann_ef_tune`, `ann_ef_bands`) measure recall ladders no
+  * SQL engine can replay; their oracles instead PIN the deterministic
+  * output as golden values (the reference's own golden-output testing,
+  * utils.h:168-221 — valid because tuning is a pure function of the
+  * pinned seed-42 corpus), while in-query requires keep the semantic
+  * teeth (recall target met at the chosen rung/factor, run-over-run
+  * determinism, sidecar codec round-trip). Quality floors for the
+  * non-seeded quality paths live in HnswSpec / SimilaritySearchSpec /
+  * CategoryAnnSpec.
   */
 object ApproxQueries {
 
@@ -205,9 +210,52 @@ object ApproxQueries {
       require(chosenRung.recall >= 0.95,
         s"ef tune regression: chosen ef ${res.chosenEf} recall ${chosenRung.recall} < 0.95")
       import s.implicits._
-      res.rungs.map(r => (r.ef.toLong, r.recall,
+      // recall rounded to 4dp so the golden oracle can pin it as a
+      // decimal literal (the loud ≥0.95 require above keeps the
+      // teeth; sub-1e-4 recall drift is not a signal)
+      res.rungs.map(r => (r.ef.toLong,
+          math.rint(r.recall * 10000) / 10000,
           if (r.ef == res.chosenEf) 1L else 0L))
         .toDF("ef", "recall", "chosen")
+    }),
+
+    // The tuner's derived effort-band table as a driver-gated rows
+    // query (the r11 verdict's task #4): tuneBands is a deterministic
+    // function of the store (seeded builds, id-ordered ties, fixed
+    // ladders) and the store is a deterministic function of the
+    // seed-42 corpus, so the tuned (band, value) rows are
+    // golden-stable and the oracle pins them as VALUES — the
+    // reference's own golden-output style (utils.h:168-221). Teeth
+    // beyond the hash: requireTarget makes a tuning regression (no
+    // ladder rung reaching the recall bar) throw instead of silently
+    // shipping the ladder max, the double-run require pins
+    // determinism itself, and the serialize→parse round-trip gates
+    // the `_ef_bands` sidecar codec the banded arms load.
+    "ann_ef_bands" -> ((s, dir) => {
+      val root = StorePaths.ensureRouteStores(s, dir)
+      val store = s"$root/by_decile"
+      // deterministic driver-bounded sample: same strided selection
+      // shape as ann_ef_tune (footer-count stride, vec_id order)
+      val maxSample = 32L
+      val n = graft.sources.ParquetMeta.rowCount(s, s"$dir/embeddings.parquet")
+      val stride = math.max(1L, n / maxSample)
+      val sample = emb(s, dir)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .filter(col("vec_id") % stride === 0)
+        .orderBy("vec_id").limit(maxSample.toInt)
+        .collect().map(_.getSeq[Float](1).toArray)
+      require(sample.nonEmpty, s"ann_ef_bands: embeddings at $dir is empty")
+      def tuneOnce() = graft.index.EfTuner.tuneBands(s, store, sample,
+        k = 10, targetRecall = 0.999, ef = 400, requireTarget = true)
+      val bands = tuneOnce()
+      require(tuneOnce() == bands,
+        "ann_ef_bands: band tuning must be deterministic run-over-run")
+      require(graft.operators.EfBands.parse(bands.serialize).contains(bands),
+        "ann_ef_bands: _ef_bands sidecar codec must round-trip the table")
+      import s.implicits._
+      (bands.full.map { case (m, f) => (s"full_$m", f) } :+
+        ("cap_infilter", bands.inFilterMaxFactor))
+        .toDF("band", "value")
     }),
 
     // SQL-level ANN auto-route (SURVEY §4's AnnJoinStrategy): the plain
@@ -749,6 +797,28 @@ object ApproxQueries {
         |  FROM j
         |)
         |SELECT qid, id AS nid FROM r WHERE rnk <= 10""".stripMargin,
+
+    // Golden-pinned tuning ladder: deterministic (seeded store build,
+    // vec_id-ordered sample, fixed ladder) over the pinned seed-42
+    // corpus, with recall rounded to 4dp. The measurement itself can't
+    // be replayed in SQL — the in-query require (chosen rung recall ≥
+    // 0.95) is the semantic gate; this hash pins the choice.
+    "ann_ef_tune" ->
+      """SELECT CAST(16 AS BIGINT) AS ef, CAST(0.9998 AS DOUBLE) AS recall,
+        |  CAST(1 AS BIGINT) AS chosen""".stripMargin,
+
+    // Golden-pinned band table (the reference's golden-output style,
+    // utils.h:168-221): tuneBands is deterministic and the seed-42
+    // corpus is pinned, so the tuned values are stable constants. At
+    // sf0.01 every band resolves to its ladder minimum (tiny graphs
+    // reach the 0.999 bar at the lowest effort) — the gate's teeth are
+    // the query-side requires (recall target met at the chosen rung,
+    // run-over-run determinism, sidecar codec round-trip) plus this
+    // hash, which moves if the tuner's choice drifts at all.
+    "ann_ef_bands" ->
+      """SELECT band, CAST(value AS DOUBLE) AS value FROM (VALUES
+        |  ('full_8', 0.25), ('full_4', 0.25), ('full_2', 0.25),
+        |  ('cap_infilter', 1.0)) AS t(band, value)""".stripMargin,
 
     // ANN SQL auto-route vs brute force: the routed plan re-sorts its
     // top-k by the exact double-loop distance, and at sf0.01 scale the

@@ -697,6 +697,18 @@ class AnnIndexStoreSpec extends SparkSpec {
       k = 10, ef = 128, efBands = true).count()
     assert(AnnIndexStore.lastBandsLoaded.contains((lblDir, b3)),
       "banded searchByRange must load the store's tuned table")
+    // driver-residency bound: tuning streams one bucket at a time, and
+    // a store whose largest bucket exceeds the tuner's byte budget must
+    // fail loudly with the sizing rule BEFORE any blob is collected
+    System.setProperty("graft.eftuner.maxBytes", "1024")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        EfTuner.tuneBands(spark, rngDir, sample, k = 10,
+          targetRecall = 0.9, ef = 128)
+      }
+      assert(e.getMessage.contains("graft.eftuner.maxBytes"),
+        s"budget failure must carry the sizing rule: ${e.getMessage}")
+    } finally System.clearProperty("graft.eftuner.maxBytes")
   }
 
   test("searchChunkedTo / searchIvfChunkedTo write the searchChunked result set") {
