@@ -144,6 +144,11 @@ object AnnIndexStore {
   private def flipManifest(root: java.io.File, gen: String): Unit = {
     val tmp = new java.io.File(root, manifestName + ".tmp")
     java.nio.file.Files.write(tmp.toPath, s"v1\ngen=$gen\n".getBytes("UTF-8"))
+    // a crash here leaves a fully-written .tmp orphan beside the live
+    // manifest — readers still resolve the OLD generation (the flip
+    // hasn't happened), and gcStaleGens sweeps the orphan at the next
+    // compaction entry
+    crashPoint("flip.tmp_written")
     // REPLACE_EXISTING rides along: every flip after the first replaces
     // the live manifest, and ATOMIC_MOVE onto an existing target alone
     // is implementation-specific (POSIX renames replace; other
@@ -1075,7 +1080,7 @@ object AnnIndexStore {
     * crash windows. */
   @volatile private[index] var crashHook: String => Unit = _ => ()
 
-  private def crashPoint(name: String): Unit = crashHook(name)
+  private[index] def crashPoint(name: String): Unit = crashHook(name)
 
   /** Sibling dataset holding not-yet-indexed rows (plain (id, vec)
     * parquet) — `<path>.delta`, NOT a subdirectory, so reading the main
@@ -1672,6 +1677,10 @@ object AnnIndexStore {
     deleteRecursively(new java.io.File(path.stripSuffix("/") + ".compact"))
     deleteRecursively(new java.io.File(path.stripSuffix("/") + ".old"))
     repairDelta(spark, path)
+    // the entry-time sweep (stale-generation GC + legacy-sibling
+    // deletes + delta repair) is itself a crash window: dying here
+    // must leave the live generation fully served
+    crashPoint("compact.entry_swept")
     val hadFlat = committedFlatFiles(path).nonEmpty
     // carry the PREVIOUS fold's watermarks forward: a compaction that
     // sees no (or lower) live bids must not regress a watermark — a

@@ -267,6 +267,11 @@ object EfTuner {
     // file left standing would let an old params file validate NEW
     // bands tuned under different parameters after a crash.)
     java.nio.file.Files.deleteIfExists(paramsFile.toPath)
+    // crash window: params gone, (possibly stale) bands still present —
+    // the banded arms may serve the old table until the re-tune, and
+    // the next tuneAndPersistBands entry sees no matching params and
+    // re-derives; a torn pair can never validate
+    AnnIndexStore.crashPoint("bands.params_deleted")
     val qs = queries.filter(col("qtype") === 2).orderBy("qid").limit(32)
       .select("qvec").collect().map(_.getSeq[Float](0).toArray)
     // resolve = false: measure the PINNED dir, so the sidecars written
@@ -284,6 +289,11 @@ object EfTuner {
     val bands = tuneBands(spark, dataDir.getPath, qs, k,
       targetRecall = 0.999, ef = ef, resolve = false)
     AnnIndexStore.writeEfBandsAt(dataDir, bands)
+    // crash window: NEW bands written, params not yet — the arms serve
+    // the fresh (correct) table, and the next entry re-tunes because
+    // the params stamp is absent (safe: the re-tune reproduces the
+    // same deterministic table)
+    AnnIndexStore.crashPoint("bands.written")
     java.nio.file.Files.write(paramsFile.toPath, params.getBytes("UTF-8"))
     Some(bands)
   }

@@ -111,7 +111,8 @@ class DeltaCrashPropertySpec extends SparkSpec {
     // must be exercised by the script (a renamed/added point fails here)
     val expectedPoints = Set(
       "append.root_replay_cleared", "replace.swept",
-      "compact.built", "compact.marked", "compact.flipped")
+      "compact.entry_swept", "compact.built", "compact.marked",
+      "flip.tmp_written", "compact.flipped")
     assert(visited.map(_._2).toSet == expectedPoints,
       s"script does not exercise: ${expectedPoints.diff(visited.map(_._2).toSet)}; " +
         s"unexpected: ${visited.map(_._2).toSet.diff(expectedPoints)}")
@@ -130,12 +131,53 @@ class DeltaCrashPropertySpec extends SparkSpec {
         catch { case CrashSim(_) => true }
         finally { AnnIndexStore.crashHook = _ => () }
       assert(crashed, s"[$crashStep/$crashAt] expected the injected crash to fire")
+      // "never neither": at EVERY crash point — including mid-flip —
+      // a reader must resolve a complete generation (old until the
+      // manifest rename, new after), never an absent or partial store
+      val probe = spark.read.parquet(AnnIndexStore.resolveStore(dir))
+      assert(probe.count() > 0,
+        s"[$crashStep/$crashAt] store unreadable right after the crash")
       // at-least-once replay for appends; compactions alternate between
       // a retry and skipping straight to the next op (recovery must not
       // depend on the crashed op being re-run)
       if (replayable || i % 2 == 0) op()
       steps.drop(idx + 1).foreach(_._2())
       assertServeSet(dir, s"$crashStep/$crashAt")
+    }
+  }
+
+  test("band-tuning sidecar writes recover at every crash point (torn pair never validates)") {
+    // a buildBy store with real attrs, the banded-arm shape tuneBands needs
+    val base = Seq.tabulate(600)(i => (i.toLong, (i % 100) / 100.0, vec()))
+      .toDF("id", "ts", "vec")
+    val queries = Seq.tabulate(40)(i =>
+      (i.toLong, 2, (i % 3) / 10.0, (i % 3) / 10.0 + 0.5, vec()))
+      .toDF("qid", "qtype", "l", "r", "qvec")
+    Seq("bands.params_deleted", "bands.written").foreach { crashAt =>
+      val dir = Files.createTempDirectory("graft-crashbands").toString + "/by_decile"
+      AnnIndexStore.buildBy(
+        base.withColumn("bucket", floor(col("ts") * 10).cast("long")),
+        dir, "bucket", attrCol = Some("ts"))
+      AnnIndexStore.crashHook = p => if (p == crashAt) throw CrashSim(p)
+      val crashed =
+        try { EfTuner.tuneAndPersistBands(spark, dir, queries, k = 10, ef = 128); false }
+        catch { case CrashSim(_) => true }
+        finally { AnnIndexStore.crashHook = _ => () }
+      assert(crashed, s"[$crashAt] expected the injected crash to fire")
+      // post-crash serving: the sidecar resolution must yield a VALID
+      // table or the defaults — never throw, never a torn pair taken
+      // as authoritative
+      AnnIndexStore.efBandsOf(dir) // parses or None; must not throw
+      // recovery = the next tuning entry: a torn pair cannot validate
+      // (params deleted first / written last), so it must RE-TUNE …
+      val retuned = EfTuner.tuneAndPersistBands(spark, dir, queries, k = 10, ef = 128)
+      assert(retuned.isDefined,
+        s"[$crashAt] post-crash entry must re-tune, not trust a torn pair")
+      // … and leave a coherent pair a further entry recognizes as done
+      assert(AnnIndexStore.efBandsOf(dir).contains(retuned.get),
+        s"[$crashAt] recovered sidecar must hold the re-tuned table")
+      assert(EfTuner.tuneAndPersistBands(spark, dir, queries, k = 10, ef = 128).isEmpty,
+        s"[$crashAt] a matching pair must be reused, not re-tuned forever")
     }
   }
 }
