@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * by_label/by_decile defs) must live in one place: two drifted copies
   * would silently measure — or serve — an index built with the other
   * side's parameters, with no error. */
-private[queries] object StorePaths {
+private[graft] object StorePaths {
 
   def storeTag(s: SparkSession, dir: String): String =
     graft.sources.ParquetMeta.storeTag(s, dir, "embeddings")

@@ -225,7 +225,15 @@ object ContestRun {
     }
 
     // ---- build-once stored indexes (baseline.cpp:66-96) ----
-    if (!exists(s"$root/by_hash")) timed("build_by_hash") {
+    // Type-0 default is the IVF arm: the walk-every-bucket hash arm is
+    // 5.5× slower at the same config (1543.6 vs 281.5 s at 10M,
+    // BASELINE.md) and its amplification grows with bucket count — the
+    // reference never walks all sub-indexes for type 0 either, it
+    // pools bounded candidates per decile (hybrid_graph.cpp:306-333).
+    // GRAFT_CONTEST_T0=hash keeps the exhaustive arm as opt-in A/B;
+    // its store is only built when that arm is selected.
+    val t0Mode = sys.env.getOrElse("GRAFT_CONTEST_T0", "ivf")
+    if (t0Mode != "ivf" && !exists(s"$root/by_hash")) timed("build_by_hash") {
       AnnIndexStore.build(base.select(col("id"), col("vec")),
         s"$root/by_hash", numBuckets = cpus)
     }
@@ -267,12 +275,12 @@ object ContestRun {
 
     // ---- per-type stored-index search, chunk-fed (each stage
     // resumable; same composition as ContestScaleProbe) ----
-    // Type-0 routing arm: the hash store mirrors the reference's
-    // single-full-graph composition (walk every bucket); GRAFT_CONTEST_T0
-    // =ivf serves type-0 through a Lloyd-trained IVF store instead
-    // (centroid-probed, nprobe lists per query — the measured 3.3× at
-    // the 2M point, IvfScaleProbe). Separate result caches so the two
-    // arms coexist and t1-t3 results are reused across arms.
+    // Type-0 routing arm: IVF by default (centroid-probed, nprobe
+    // lists per query — 5.5× over the hash arm at 10M, BASELINE.md);
+    // GRAFT_CONTEST_T0=hash opts into the walk-every-bucket exhaustive
+    // arm (the reference's single-full-graph composition) for A/B.
+    // Separate result caches so the two arms coexist and t1-t3 results
+    // are reused across arms.
     val resPath = s"$root/results"
     // result stages are params-stamped (ProbeHarness): k/ef (and the
     // t0 arm's nprobe) change the cached rows as much as the arm modes
@@ -281,7 +289,6 @@ object ContestRun {
     val t0Nprobe = sys.env.getOrElse("GRAFT_CONTEST_NPROBE", "8").toInt
     val searchParams = s"k=$k ef=$ef"
     import ProbeHarness.{freshFor, stamp}
-    val t0Mode = sys.env.getOrElse("GRAFT_CONTEST_T0", "hash")
     val t0Name = if (t0Mode == "ivf") "t0_ivf" else "t0"
     // guard on lists/_SUCCESS: buildIvf writes parquet under
     // centroids/ and lists/, never at the store root itself

@@ -94,6 +94,16 @@ object AnnCatalog {
     // null-free verdict from the OLD corpus would let the null-ordering
     // guard route a statement whose exact plan now emits null-vec rows
     nullFreeCache.remove(norm(basePath))
+    // an unfiltered (type-0) statement against this registration will
+    // walk EVERY hash bucket — amplification that grows with bucket
+    // count (5.5× slower than centroid routing at the 10M contest
+    // point, BASELINE.md). Loud enough to act on, not fatal: small
+    // stores and exhaustive-recall use cases legitimately skip the IVF.
+    if (ivfIndex.isEmpty)
+      System.err.println(s"[graft] AnnCatalog.register($basePath): no " +
+        "ivfIndex — unfiltered top-k statements will walk every hash " +
+        "bucket of the index (O(buckets) amplification); pass ivfIndex " +
+        "= Some(buildIvf(...)) for centroid-routed type-0 serving")
     registry.put(norm(basePath),
       IndexMeta(indexPath, idCol, vecCol, ef, labelIndex, rangeIndex, trusted,
         ivfIndex, nprobe))
