@@ -96,9 +96,14 @@ object Bench {
     // does the control run inside every bench: a deterministic
     // single-thread CPU loop and a pinned 32-task parquet scan whose
     // work never changes across rounds — query-time movement the canary
-    // moves WITH is machine, movement it doesn't is code.
+    // moves WITH is machine, movement it doesn't is code. Skipped on
+    // SPARK_GRAFT_QUERIES-narrowed dev runs for the same reason the
+    // serving bench is: a single-query iteration shouldn't pay the
+    // pinned-table generation + min-of-3 loops, and nobody compares a
+    // narrowed run's canary.
     val canary: Seq[(String, Double)] =
-      try Canary.run(spark)
+      if (only.isDefined) Seq.empty
+      else try Canary.run(spark)
       catch {
         case NonFatal(e) =>
           System.err.println(s"[bench] canary failed: ${e.getClass.getName}: ${e.getMessage}")

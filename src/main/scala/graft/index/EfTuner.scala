@@ -101,14 +101,16 @@ object EfTuner {
     // time (load, measure, drop), so peak residency is ONE bucket's
     // rows — but a store whose single largest bucket outgrows the
     // driver heap must still fail loudly with a sizing rule, not OOM
-    // mid-tune. Blob bytes come from footer-served lengths (tiny
-    // columns only; no blob is read for the check).
+    // mid-tune. Bytes come from FOOTER column-chunk metadata keyed by
+    // the bucket column's row-group statistics — genuinely no blob is
+    // read for the check (a length() aggregate would scan every graph
+    // blob, a multi-GB pass on a lifecycle store).
     val tunerBudget = java.lang.Long.getLong("graft.eftuner.maxBytes",
       math.max(256L << 20, Runtime.getRuntime.maxMemory() / 4))
-    val maxBucketBytes = df
-      .groupBy(col("bucket").cast("long").as("b"))
-      .agg(sum(length(col("graph")).cast("long")).as("bytes"))
-      .agg(max(col("bytes"))).head.getLong(0)
+    val storeDataDir =
+      if (resolve) AnnIndexStore.resolveStore(storePath) else storePath
+    val maxBucketBytes = graft.sources.ParquetMeta.maxKeyedColumnBytes(
+      spark, storeDataDir, "graph", "bucket")
     require(maxBucketBytes * 2 <= tunerBudget,
       s"tuneBands: largest bucket holds $maxBucketBytes blob bytes; " +
         s"with deserialization overhead (2x) that exceeds the tuner's " +

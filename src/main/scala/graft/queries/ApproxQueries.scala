@@ -27,6 +27,30 @@ object ApproxQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The tuner gates' ONE deterministic driver-bounded vector sample:
+    * a vec_id stride sized from the parquet footer count (no gating
+    * job), with an ordered-top-N fallback for sparse/offset id spaces
+    * where the modulo filter goes thin — two drifted copies of this
+    * selection would tune the two gates on different samples with no
+    * error. Sorted by vec_id so the sample is independent of
+    * partition/file enumeration order. */
+  private def stridedSample(s: SparkSession, dir: String,
+      maxSample: Long): Array[Array[Float]] = {
+    val n = graft.sources.ParquetMeta.rowCount(s, s"$dir/embeddings.parquet")
+    val stride = math.max(1L, (n + maxSample - 1) / maxSample)
+    val strided = emb(s, dir)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id") % stride === 0)
+      .collect()
+    val picked =
+      if (strided.length >= math.min(64L, maxSample)) strided
+      else emb(s, dir).select(col("vec_id").cast("long"), col("embedding"))
+        .orderBy(col("vec_id")).limit(maxSample.toInt).collect()
+    require(picked.nonEmpty, s"tuner sample: embeddings table at $dir is empty")
+    picked.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+  }
+
   private def evq(s: SparkSession, dir: String): DataFrame =
     graft.sources.Events.read(s, dir)
 
@@ -185,21 +209,7 @@ object ApproxQueries {
             col("embedding").as("vec")),
           idxPath, numBuckets = 4)
       }
-      val maxSample = 2048L
-      val n = graft.sources.ParquetMeta.rowCount(s, s"$dir/embeddings.parquet")
-      val stride = math.max(1L, (n + maxSample - 1) / maxSample)
-      val strided = emb(s, dir).select(col("vec_id").cast("long"), col("embedding"))
-        .filter(col("vec_id") % stride === 0)
-        .collect()
-      val picked =
-        if (strided.length >= 64) strided
-        else emb(s, dir).select(col("vec_id").cast("long"), col("embedding"))
-          .orderBy(col("vec_id")).limit(maxSample.toInt).collect()
-      require(picked.nonEmpty, s"ann_ef_tune: embeddings table at $dir is empty")
-      // sort by vec_id so the sample does not depend on partition/file
-      // enumeration order
-      val sample = picked.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1).map(_._2)
+      val sample = stridedSample(s, dir, maxSample = 2048L)
       val res = graft.index.EfTuner.tuneStored(s, idxPath, sample, k = 10,
         targetRecall = 0.95, ladder = Seq(16, 32, 64, 128, 256))
       // gate teeth for the one rows-only entry: a tuning regression
@@ -234,17 +244,10 @@ object ApproxQueries {
     "ann_ef_bands" -> ((s, dir) => {
       val root = StorePaths.ensureRouteStores(s, dir)
       val store = s"$root/by_decile"
-      // deterministic driver-bounded sample: same strided selection
-      // shape as ann_ef_tune (footer-count stride, vec_id order)
-      val maxSample = 32L
-      val n = graft.sources.ParquetMeta.rowCount(s, s"$dir/embeddings.parquet")
-      val stride = math.max(1L, n / maxSample)
-      val sample = emb(s, dir)
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .filter(col("vec_id") % stride === 0)
-        .orderBy("vec_id").limit(maxSample.toInt)
-        .collect().map(_.getSeq[Float](1).toArray)
-      require(sample.nonEmpty, s"ann_ef_bands: embeddings at $dir is empty")
+      // deterministic driver-bounded sample: THE shared tuner-gate
+      // selection (footer-count stride, sparse-id fallback, vec_id
+      // order) — not a diverged copy
+      val sample = stridedSample(s, dir, maxSample = 32L)
       def tuneOnce() = graft.index.EfTuner.tuneBands(s, store, sample,
         k = 10, targetRecall = 0.999, ef = 400, requireTarget = true)
       val bands = tuneOnce()

@@ -97,7 +97,11 @@ object ServingBench {
       val ms = cycle()
       RouteStat(
         medianMs = ms(ms.length / 2),
-        p99Ms = ms(math.min(ms.length - 1, (ms.length * 99) / 100)),
+        // nearest-rank p99 (ceil(0.99n)-1); at the default 7-8 timed
+        // statements this IS the max — one GC-pause outlier reads as a
+        // p99 spike by construction, which is what the triage rule in
+        // BASELINE.md wants surfaced (cross-check against the canary)
+        p99Ms = ms(math.max(0, math.ceil(0.99 * ms.length).toInt - 1)),
         coldMedianMs = cold(cold.length / 2),
         hits = graft.index.ServingCache.hits.get() - h0,
         misses = graft.index.ServingCache.misses.get() - m0)

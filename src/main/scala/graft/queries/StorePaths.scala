@@ -81,13 +81,23 @@ private[graft] object StorePaths {
     * deleted foreign dir is someone's data. */
   private def looksLikeGraftStore(f: java.io.File): Boolean = {
     def kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
-    if (f.getName.endsWith(".delta"))
-      kids.nonEmpty && kids.forall { c =>
+    if (f.getName.endsWith(".delta")) {
+      // shape alone is not authorization: a foreign parquet dataset
+      // (part files + a _delta_log, say) passes a loose forall — a
+      // graft delta always carries a POSITIVE marker too: the flat
+      // layer's job commit (_SUCCESS), an epoch/batch dir, or the
+      // legacy stream-epoch file
+      val ks = kids
+      ks.exists { c =>
+        c.getName == "_SUCCESS" || c.getName == "_stream_epoch" ||
+          c.getName.startsWith("bid=") || c.getName.startsWith("eid=")
+      } && ks.forall { c =>
         val n = c.getName
         n.startsWith("_") || n.startsWith(".") ||
           n.startsWith("bid=") || n.startsWith("eid=") ||
           n.startsWith("part-") || n.endsWith(".parquet")
       }
+    }
     else
       Seq("_SUCCESS", "_store_version", "_manifest")
         .exists(m => new java.io.File(f, m).exists()) ||

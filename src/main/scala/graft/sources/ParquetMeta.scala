@@ -18,6 +18,32 @@ import org.apache.spark.sql.SparkSession
   */
 object ParquetMeta {
 
+  /** Committed-looking data files under `path`, recursively: skips any
+    * file whose path ENTERS a `_`- or `.`-prefixed directory component
+    * (`_temporary` job-attempt trees, `_gen-*` siblings, hidden dirs) —
+    * a crashed write's uncommitted task outputs must never answer a
+    * metadata question for the committed dataset — plus `_`/`.`-leaf
+    * markers. One shared definition for every footer-serving helper
+    * here (rowCount / logicalType), so the exclusion rule cannot
+    * drift between them. */
+  private def dataParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[Path] = {
+    val rootUri = root.toUri.getPath
+    val it = fs.listFiles(root, true)
+    val acc = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      val rel = s.getPath.toUri.getPath.stripPrefix(rootUri)
+      val hiddenDir = rel.split("/").dropRight(1)
+        .exists(c => c.startsWith("_") || c.startsWith("."))
+      if (s.isFile && s.getLen > 0 && !hiddenDir &&
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        acc += s.getPath
+    }
+    acc.result()
+  }
+
   /** Exact row count of a parquet file or directory of part files,
     * summed from footer metadata on the driver. No Spark job. */
   def rowCount(spark: SparkSession, path: String): Long = {
@@ -25,25 +51,62 @@ object ParquetMeta {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val files: Seq[Path] =
-      if (fs.getFileStatus(p).isDirectory) {
-        // Recursive: partitioned layouts nest part files under key=value
-        // subdirectories — a flat listStatus would silently undercount.
-        val it = fs.listFiles(p, true)
-        val acc = Seq.newBuilder[Path]
-        while (it.hasNext) {
-          val s = it.next()
-          val n = s.getPath.getName
-          if (s.isFile && s.getLen > 0 &&
-              n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-            acc += s.getPath
-        }
-        acc.result()
-      } else Seq(p)
+      // Recursive: partitioned layouts nest part files under key=value
+      // subdirectories — a flat listStatus would silently undercount.
+      if (fs.getFileStatus(p).isDirectory) dataParquetFiles(fs, p)
+      else Seq(p)
     files.iterator.map { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try reader.getRecordCount
       finally reader.close()
     }.sum
+  }
+
+  /** Upper bound on the largest per-key byte footprint of `column`,
+    * from FOOTER metadata alone (no blob bytes read, no Spark job):
+    * for each row group, the `column` chunk's total uncompressed size
+    * is attributed to the row group's `keyColumn` value when its
+    * min/max statistics pin a single key; row groups spanning keys (or
+    * missing stats) are summed into EVERY candidate — a deliberate
+    * over-estimate, safe for budget checks (fails early, never admits
+    * an oversized key). Store rows here are near-row-group-sized blobs,
+    * so spanning groups are rare in practice. */
+  def maxKeyedColumnBytes(spark: SparkSession, path: String,
+      column: String, keyColumn: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory) dataParquetFiles(fs, p)
+      else Seq(p)
+    val perKey = scala.collection.mutable.Map.empty[Any, Long]
+    var spanning = 0L
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        reader.getFooter.getBlocks.forEach { block =>
+          var bytes = 0L
+          var key: Option[Any] = None
+          var pinned = false
+          block.getColumns.forEach { cc =>
+            val name = cc.getPath.toDotString
+            if (name == column || name.startsWith(column + "."))
+              bytes += cc.getTotalUncompressedSize
+            if (name == keyColumn) {
+              val st = cc.getStatistics
+              if (st != null && st.hasNonNullValue &&
+                  st.genericGetMin == st.genericGetMax) {
+                key = Some(st.genericGetMin)
+                pinned = true
+              }
+            }
+          }
+          if (pinned) perKey(key.get) = perKey.getOrElse(key.get, 0L) + bytes
+          else spanning += bytes
+        }
+      } finally reader.close()
+    }
+    (perKey.values.maxOption.getOrElse(0L)) + spanning
   }
 
   /** The parquet LOGICAL type annotation of a top-level `column`, read
@@ -59,19 +122,12 @@ object ParquetMeta {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
+    // committed files only (dataParquetFiles skips _temporary trees):
+    // a crashed regeneration's stale attempt file must not decide the
+    // session-wide ts encoding
     val first: Option[Path] =
-      if (fs.getFileStatus(p).isDirectory) {
-        val it = fs.listFiles(p, true)
-        var found: Option[Path] = None
-        while (found.isEmpty && it.hasNext) {
-          val s = it.next()
-          val n = s.getPath.getName
-          if (s.isFile && s.getLen > 0 &&
-              n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-            found = Some(s.getPath)
-        }
-        found
-      } else Some(p)
+      if (fs.getFileStatus(p).isDirectory) dataParquetFiles(fs, p).headOption
+      else Some(p)
     first.flatMap { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {

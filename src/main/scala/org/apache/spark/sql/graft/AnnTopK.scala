@@ -94,20 +94,29 @@ object AnnCatalog {
     // null-free verdict from the OLD corpus would let the null-ordering
     // guard route a statement whose exact plan now emits null-vec rows
     nullFreeCache.remove(norm(basePath))
-    // an unfiltered (type-0) statement against this registration will
-    // walk EVERY hash bucket — amplification that grows with bucket
-    // count (5.5× slower than centroid routing at the 10M contest
-    // point, BASELINE.md). Loud enough to act on, not fatal: small
-    // stores and exhaustive-recall use cases legitimately skip the IVF.
-    if (ivfIndex.isEmpty)
-      System.err.println(s"[graft] AnnCatalog.register($basePath): no " +
-        "ivfIndex — unfiltered top-k statements will walk every hash " +
-        "bucket of the index (O(buckets) amplification); pass ivfIndex " +
-        "= Some(buildIvf(...)) for centroid-routed type-0 serving")
     registry.put(norm(basePath),
       IndexMeta(indexPath, idCol, vecCol, ef, labelIndex, rangeIndex, trusted,
         ivfIndex, nprobe))
   }
+
+  // Warn — once per index path, at the ROUTE DECISION, not at
+  // register(): an unfiltered (type-0) statement served by the hash
+  // route walks EVERY bucket of the index, amplification that grows
+  // with bucket count (5.5× slower than centroid routing at the 10M
+  // contest point, BASELINE.md). Warning at registration would fire on
+  // every label/range-only registration and every deliberate
+  // exhaustive-mode A/B — cry-wolf noise exactly where the reader must
+  // stay alert; here it fires only when a statement actually takes the
+  // amplified path.
+  private val hashRouteWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def warnHashRouteOnce(indexPath: String): Unit =
+    if (hashRouteWarned.add(indexPath))
+      System.err.println(s"[graft] type-0 statement served by the " +
+        s"walk-every-bucket hash route of $indexPath (no ivfIndex " +
+        "registered — O(buckets) amplification); pass ivfIndex = " +
+        "Some(buildIvf(...)) for centroid-routed type-0 serving")
 
   /** Tune-then-serve: measure the recall-optimal ef on the REAL stored
     * sub-index ([[graft.index.EfTuner.tuneStored]] — the reference's
@@ -465,7 +474,9 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
             val np = session.conf.getOption("spark.graft.ann.nprobe")
               .map(_.toInt).getOrElse(meta.nprobe)
             AnnTopKExec.IvfRoute(ivfPath, np)
-          case None => AnnTopKExec.HashRoute(meta.indexPath)
+          case None =>
+            AnnCatalog.warnHashRouteOnce(meta.indexPath)
+            AnnTopKExec.HashRoute(meta.indexPath)
         })
         case (Some((attr, v)), None) => meta.labelIndex.collect {
           case (labelCol, p) if attr.name.equalsIgnoreCase(labelCol) =>
