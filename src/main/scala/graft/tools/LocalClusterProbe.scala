@@ -177,6 +177,44 @@ object LocalClusterProbe {
       require(j.collect().length > 0, "broadcast join returned no rows")
       println("PROBE broadcast join: BroadcastHashJoin, rows OK")
 
+      // the banded dedup shuffle under real multi-executor exchange:
+      // band keys hash-partition ACROSS executor JVMs — the result must
+      // be deterministic under whatever task placement the scheduler
+      // picks (two runs, identical rows), or banding has a
+      // merge-ordering dependence a single JVM would mask
+      val pairs1 = graft.queries.TextQueries.queries("dedup_minhash_lsh")(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      val pairs2 = graft.queries.TextQueries.queries("dedup_minhash_lsh")(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      require(pairs1.nonEmpty && pairs1 == pairs2,
+        s"minhash banding not deterministic across executor scheduling " +
+          s"(${pairs1.length} vs ${pairs2.length} rows)")
+      println(s"PROBE minhash banding: ${pairs1.length} pairs, " +
+        "deterministic across two multi-executor runs")
+
+      // bucketed co-located join: the zero-SHUFFLE claim must hold when
+      // the co-located scan tasks are split across executors. Broadcast
+      // is disabled for the check — at probe scale Catalyst would
+      // (correctly) broadcast the small side, which answers a different
+      // question than bucket co-location
+      val bcThresh = "spark.sql.autoBroadcastJoinThreshold"
+      val prevBc = spark.conf.get(bcThresh)
+      val rev =
+        try {
+          spark.conf.set(bcThresh, "-1")
+          val df = graft.operators.Bucketing.revenuePerOrder(spark, dir, buckets = 8)
+          val rPlan = df.queryExecution.executedPlan.toString
+          require(!rPlan.contains("Exchange hashpartitioning") &&
+              !rPlan.contains("ShuffleExchange"),
+            s"bucketed join re-shuffled under local-cluster:\n$rPlan")
+          require(rPlan.contains("SortMergeJoin"),
+            s"bucketed join did not plan as co-located sort-merge:\n$rPlan")
+          df.collect()
+        } finally spark.conf.set(bcThresh, prevBc)
+      require(rev.length > 0, "bucketed join returned no rows")
+      println("PROBE bucketed join: co-located SortMergeJoin, zero shuffle " +
+        "Exchange under local-cluster, rows OK")
+
       println("PROBE local-cluster: ALL CHECKS PASSED")
     } finally {
       AnnCatalog.unregister(embBase)
