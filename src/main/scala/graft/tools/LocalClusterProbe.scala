@@ -177,6 +177,40 @@ object LocalClusterProbe {
       require(j.collect().length > 0, "broadcast join returned no rows")
       println("PROBE broadcast join: BroadcastHashJoin, rows OK")
 
+      // cache-locality-aware warm scheduling: with placements learned
+      // (the route cycles above), a warm statement's walk tasks must
+      // schedule onto the executor that holds each graph
+      // (ExecutorCacheTaskLocation hint) — a further warm cycle then
+      // misses NOWHERE in the fleet. Contrast cycle with the hint
+      // disabled recorded for the honest comparison (it may get lucky).
+      def cacheTotals(): (Long, Long) = {
+        val m = executorCaches()
+        (m.values.map(_._1).sum, m.values.map(_._2).sum)
+      }
+      def cycle(params: Array[(Long, Double, Double, Array[Float])])(
+          mk: ((Long, Double, Double, Array[Float])) => DataFrame): (Long, Long) = {
+        val (h0, m0) = cacheTotals()
+        params.foreach(p => mk(p).collect())
+        val (h1, m1) = cacheTotals()
+        (h1 - h0, m1 - m0)
+      }
+      def t2Stmt(p: (Long, Double, Double, Array[Float])): DataFrame =
+        ranked(b.filter(col("ts") >= p._2 && col("ts") <= p._3), p._4)
+      val warm1 = cycle(qsOf(2))(t2Stmt) // learns any remaining placements
+      val warm2 = cycle(qsOf(2))(t2Stmt) // fully placed cycle
+      require(org.apache.spark.sql.graft.AnnTopKExec.lastWarmPath == "placed",
+        "locality-aware warm path did not engage under local-cluster")
+      require(warm2._2 == 0,
+        s"fully-placed warm cycle still missed ${warm2._2} rows " +
+          "(locality hint not honored)")
+      System.setProperty("graft.serving.localityAware", "false")
+      val warmOff =
+        try cycle(qsOf(2))(t2Stmt)
+        finally System.clearProperty("graft.serving.localityAware")
+      println(s"PROBE locality stickiness (t2): placed cycles " +
+        s"misses=${warm1._2}→${warm2._2} (hits ${warm1._1}→${warm2._1}); " +
+        s"hint-off contrast cycle hits=${warmOff._1} misses=${warmOff._2}")
+
       // the banded dedup shuffle under real multi-executor exchange:
       // band keys hash-partition ACROSS executor JVMs — the result must
       // be deterministic under whatever task placement the scheduler

@@ -844,7 +844,55 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
   private val scanFrames = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), org.apache.spark.sql.DataFrame]
 
-  private[graft] def clearScanFrames(): Unit = scanFrames.clear()
+  private[graft] def clearScanFrames(): Unit = {
+    scanFrames.clear()
+    placements.clear()
+  }
+
+  // Cache-locality-aware warm scheduling: a ServingCache entry lives in
+  // ONE executor JVM, but Spark schedules the warm pass's tasks by file
+  // split locality, which knows nothing about where a graph is cached —
+  // under multi-executor masters the LocalClusterProbe measured warm
+  // statements landing on the wrong executor and paying the cold blob
+  // load again. This registry records, per (store path, version), which
+  // executor served each (bucket, sub) — learned from task emissions
+  // after every pass — and later statements schedule their walk tasks
+  // with an ExecutorCacheTaskLocation preference for that executor
+  // (`executor_<host>_<id>`, the same mechanism Spark's own block
+  // manager uses for cached RDD blocks). Strictly a HINT: a task that
+  // runs elsewhere (executor lost, cluster rebalanced, locality-wait
+  // expired) misses, falls to the cold pass, repopulates THAT executor,
+  // and the emission overwrites the placement — self-healing, results
+  // identical by construction. Inert under local[*] masters (one JVM,
+  // nothing to place) and disableable via -Dgraft.serving.localityAware
+  // =false. Version-keyed like the serving cache, so a rebuilt store
+  // can never inherit stale placements; size-bounded like scanFrames.
+  private val placements = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.ConcurrentHashMap[(Long, Int), String]]
+
+  private def placementsFor(path: String, ver: String):
+      java.util.concurrent.ConcurrentHashMap[(Long, Int), String] = {
+    if (placements.size() >= 256) placements.clear()
+    placements.computeIfAbsent((path, ver),
+      _ => new java.util.concurrent.ConcurrentHashMap[(Long, Int), String])
+  }
+
+  /** The executor-side self-location string, in TaskLocation's
+    * executor-cache syntax. */
+  private def hereLoc(): String = {
+    val env = org.apache.spark.SparkEnv.get
+    s"executor_${env.blockManager.blockManagerId.host}_${env.executorId}"
+  }
+
+  private def localityAware(sc: org.apache.spark.SparkContext): Boolean =
+    !sc.isLocal &&
+      java.lang.Boolean.parseBoolean(
+        System.getProperty("graft.serving.localityAware", "true"))
+
+  /** Test observability (probes/specs only): which warm path served
+    * the last versioned pass — "placed" (locality-scheduled makeRDD)
+    * or "scan". */
+  @volatile var lastWarmPath: String = ""
 
   /** `dataPath` is the store's RESOLVED data dir (the current
     * generation for flipped stores) — the frame scans it, while the
@@ -895,48 +943,100 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
           }
         }.rdd.takeOrdered(k)(ord)
       case Some(v) =>
-        val missAcc = spark.sparkContext
-          .collectionAccumulator[(Long, Int)]("graft.serving.miss")
-        val warmTop = df
-          .select(col("bucket").cast("long").as("bucket"), subCol)
-          .as[(Long, Int)]
-          .mapPartitions { it =>
-            it.flatMap { case (bucket, sub) =>
-              val e = graft.index.ServingCache.get(path, v, bucket, sub)
-              if (e == null) { missAcc.add((bucket, sub)); Iterator.empty }
-              else walk(bucket, e)
-            }
-          }.rdd.takeOrdered(k)(ord)
+        val sc = spark.sparkContext
+        val missAcc = sc.collectionAccumulator[(Long, Int)]("graft.serving.miss")
+        // placement emissions: which executor HOLDS each served row's
+        // graph after this pass (hits confirm, cold puts establish)
+        val placeAcc = sc.collectionAccumulator[((Long, Int), String)](
+          "graft.serving.place")
+        val placed = AnnTopKExec.placementsFor(path, v)
+        def warmServe(bucket: Long, sub: Int): Iterator[(Double, Long)] = {
+          val e = graft.index.ServingCache.get(path, v, bucket, sub)
+          if (e == null) { missAcc.add((bucket, sub)); Iterator.empty }
+          else {
+            placeAcc.add(((bucket, sub), AnnTopKExec.hereLoc()))
+            walk(bucket, e)
+          }
+        }
+        val warmTop =
+          if (AnnTopKExec.localityAware(sc) && !placed.isEmpty) {
+            // locality-scheduled warm pass: the statement's tiny
+            // (bucket, sub) work list is collected driver-side (rows =
+            // store rows the predicate keeps — bounded by the route:
+            // one label bucket, a few range buckets, nprobe lists, or
+            // the bucket count), grouped by the cached-at executor,
+            // chunked so one executor's group still parallelizes, and
+            // dispatched via makeRDD with ExecutorCacheTaskLocation
+            // preferences — the reference keeps its index resident and
+            // serves from it (hybrid_graph.cpp:47-89); on a cluster,
+            // "resident" is a specific executor, so the task must go
+            // TO the graph, not the graph to the task
+            AnnTopKExec.lastWarmPath = "placed"
+            val items = df
+              .select(col("bucket").cast("long").as("bucket"), subCol)
+              .as[(Long, Int)].collect()
+            val parts: Seq[(Seq[(Long, Int)], Seq[String])] = items
+              .groupBy(it => Option(placed.get(it)).getOrElse(""))
+              .toSeq.flatMap { case (loc, group) =>
+                group.grouped(4).map(chunk =>
+                  (chunk.toSeq, if (loc.isEmpty) Nil else Seq(loc)))
+              }
+            if (parts.isEmpty) Array.empty[(Double, Long)] // pred kept no rows
+            else sc.makeRDD(parts.map { case (chunk, locs) => (chunk, locs) })
+              .flatMap(chunk => chunk.iterator.flatMap {
+                case (b, s) => warmServe(b, s)
+              })
+              .takeOrdered(k)(ord)
+          } else {
+            AnnTopKExec.lastWarmPath = "scan"
+            df.select(col("bucket").cast("long").as("bucket"), subCol)
+              .as[(Long, Int)]
+              .mapPartitions(_.flatMap { case (b, s) => warmServe(b, s) })
+              .rdd.takeOrdered(k)(ord)
+          }
         val missed = {
           import scala.jdk.CollectionConverters._
           missAcc.value.asScala.toSet
         }
-        if (missed.isEmpty) warmTop
-        else {
-          val missBuckets = missed.map(_._1).toSeq
-          val coldTop = coldScan(df.filter(col("bucket").isin(missBuckets: _*)))
-            .mapPartitions { it =>
-              it.flatMap { case (bucket, sub, ids, attrs, bytes) =>
-                if (!missed.contains((bucket, sub))) Iterator.empty
-                // fromBytesCached, not fromBytes: when the ServingCache
-                // is under-budgeted for the store's working set, every
-                // statement re-misses the evicted rows — the
-                // fingerprint-keyed deserialization cache then still
-                // shares the parsed graph (one hash of the bytes vs a
-                // full re-parse per statement), so the degraded path
-                // costs what the r10 fingerprint path did, not more.
-                // Both caches hold the SAME immutable index object, so
-                // double-residency costs one reference, not one copy.
-                else walk(bucket, graft.index.ServingCache.put(path, v,
-                  bucket, sub, HnswIndex.fromBytesCached(bytes), ids, attrs))
-              }
-            }.rdd.takeOrdered(k)(ord)
-          // a speculative/retried warm task can record a miss for a row
-          // another attempt served — identical (dist, id) duplicates,
-          // removed before the final cut (an id lives in exactly one
-          // store row, so distinct pairs are distinct ids)
-          (warmTop ++ coldTop).distinct.sorted(ord).take(k)
+        val result =
+          if (missed.isEmpty) warmTop
+          else {
+            val missBuckets = missed.map(_._1).toSeq
+            val coldTop = coldScan(df.filter(col("bucket").isin(missBuckets: _*)))
+              .mapPartitions { it =>
+                it.flatMap { case (bucket, sub, ids, attrs, bytes) =>
+                  if (!missed.contains((bucket, sub))) Iterator.empty
+                  // fromBytesCached, not fromBytes: when the ServingCache
+                  // is under-budgeted for the store's working set, every
+                  // statement re-misses the evicted rows — the
+                  // fingerprint-keyed deserialization cache then still
+                  // shares the parsed graph (one hash of the bytes vs a
+                  // full re-parse per statement), so the degraded path
+                  // costs what the r10 fingerprint path did, not more.
+                  // Both caches hold the SAME immutable index object, so
+                  // double-residency costs one reference, not one copy.
+                  else {
+                    val e = graft.index.ServingCache.put(path, v,
+                      bucket, sub, HnswIndex.fromBytesCached(bytes), ids, attrs)
+                    placeAcc.add(((bucket, sub), AnnTopKExec.hereLoc()))
+                    walk(bucket, e)
+                  }
+                }
+              }.rdd.takeOrdered(k)(ord)
+            // a speculative/retried warm task can record a miss for a row
+            // another attempt served — identical (dist, id) duplicates,
+            // removed before the final cut (an id lives in exactly one
+            // store row, so distinct pairs are distinct ids)
+            (warmTop ++ coldTop).distinct.sorted(ord).take(k)
+          }
+        // fold this pass's placements: latest emission wins, so a row
+        // re-cached on a different executor (migration, eviction +
+        // re-load) redirects the NEXT statement there
+        locally {
+          import scala.jdk.CollectionConverters._
+          placeAcc.value.asScala.foreach { case (key, loc) => placed.put(key, loc) }
         }
+        result
       }
     }
 
