@@ -1031,9 +1031,15 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
           }
         // fold this pass's placements: latest emission wins, so a row
         // re-cached on a different executor (migration, eviction +
-        // re-load) redirects the NEXT statement there
+        // re-load) redirects the NEXT statement there. Per-store bound:
+        // the map grows with TOUCHED rows, and on a store whose
+        // statements eventually touch millions of rows an unbounded map
+        // is a driver-heap leak — past the cap it resets and re-learns
+        // (placements are hints; forgetting costs one cold reload per
+        // row, never correctness)
         locally {
           import scala.jdk.CollectionConverters._
+          if (placed.size() >= (1 << 18)) placed.clear()
           placeAcc.value.asScala.foreach { case (key, loc) => placed.put(key, loc) }
         }
         result

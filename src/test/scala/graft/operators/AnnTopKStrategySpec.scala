@@ -57,6 +57,23 @@ class AnnTopKStrategySpec extends SparkSpec {
     } finally AnnCatalog.unregister(dirs._1)
   }
 
+  test("local master serves the versioned warm pass via the scan path (locality machinery inert)") {
+    AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec",
+      ef = 150, trusted = true)
+    try {
+      val qv = qvecOf(11L)
+      planOf(qv, 5).collect() // first pass may be cold either way
+      org.apache.spark.sql.graft.AnnTopKExec.lastWarmPath = ""
+      planOf(qv, 5).collect()
+      // one JVM: ExecutorCacheTaskLocation scheduling buys nothing and
+      // would cost an extra per-statement collect job — the guard must
+      // keep local masters on the distributed-scan warm pass
+      assert(org.apache.spark.sql.graft.AnnTopKExec.lastWarmPath == "scan",
+        s"expected the scan warm path under local[*], got " +
+          s"'${org.apache.spark.sql.graft.AnnTopKExec.lastWarmPath}'")
+    } finally AnnCatalog.unregister(dirs._1)
+  }
+
   test("multi-root scan refuses the route (one matching registration is not the whole scan)") {
     AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec",
       ef = 150, trusted = true)
