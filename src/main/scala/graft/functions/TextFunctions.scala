@@ -36,6 +36,31 @@ object TextFunctions {
   def arrayEqCount(a: Column, b: Column): Column =
     ExprBridge.column(ArrayEqCount(ExprBridge.expression(a), ExprBridge.expression(b)))
 
+  /** Hashed-linear classifier inference (the fastText-style model-based
+    * quality filter real pretraining pipelines run after rule-based
+    * scoring): each token maps to a bounded feature index by the
+    * hashing trick (`hash60 mod dim` — collisions are the model's own
+    * semantics), the index looks up a weight, and the document score is
+    * the mean token weight. Weights here are INTEGER millis derived
+    * deterministically from the index (`hash60(idx) mod 2001 − 1000` ∈
+    * [−1000, 1000]) so (a) the DuckDB oracle recomputes them inline —
+    * no weight table to ship across engines — and (b) the document sum
+    * is exact long arithmetic, order-independent, hash-gate safe where
+    * a double dot product is not. At scale the md5-derived weight
+    * stands in for a trained model's broadcast weight array; the
+    * lookup SHAPE (token → bounded index → weight, one pass, no
+    * shuffle) is the real one — swap `wm` for
+    * `element_at(broadcastWeights, idx + 1)` to serve a real model.
+    * Returns the raw milli-sum; callers divide by `1000 · n_tokens`
+    * for the mean and threshold in integer space for exact keeps. */
+  def classifierScoreMilli(toks: Column, dim: Int): Column = {
+    def wm(t: Column): Column = {
+      val idx = pmod(hash60(t, 131), lit(dim.toLong))
+      pmod(hash60(idx.cast("string"), 137), lit(2001L)) - lit(1000L)
+    }
+    aggregate(transform(toks, t => wm(t)), lit(0L), (acc, w) => acc + w)
+  }
+
   /** All per-document Gopher-rule statistics in one codegen byte-scan —
     * 9-slot array<long>; see
     * [[org.apache.spark.sql.graft.GopherStatsUtil]] for the slot layout

@@ -178,6 +178,29 @@ object TextQueries {
           (col("ttr") * lit(0.4) + (lit(1.0) - col("stop_ratio")) * lit(0.3) +
             least(size(col("toks")) / lit(100.0), lit(1.0)) * lit(0.3)).as("quality_score"))),
 
+    // model-based quality filtering: hashed-linear classifier inference
+    // (the fastText-style stage pipelines run AFTER rule-based scoring
+    // — text_quality / quality_gopher_* are the rules, this is the
+    // model). Integer milli-weights derived from the feature index keep
+    // the score an exact long sum, so the keep decision thresholds in
+    // integer space and the DuckDB oracle replays every bit; the
+    // broadcast-weights serving shape is documented on
+    // TextFunctions.classifierScoreMilli.
+    "quality_classifier" -> ((s, dir) => {
+      val dim = 4096
+      docs(s, dir)
+        .withColumn("toks", TF.tokens(col("text")))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("score_milli", TF.classifierScoreMilli(col("toks"), dim))
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          col("n").as("n_tokens"),
+          round(when(col("n") > 0, col("score_milli") / (col("n") * 1000.0))
+            .otherwise(0.0), 6).as("score"),
+          when(col("score_milli") >= 0 && col("n") > 0, 1L).otherwise(0L)
+            .as("keep"))
+    }),
+
     // n-gram-marker language ID heuristic (scores + argmax prediction)
     "text_langid" -> ((s, dir) => {
       val base = docs(s, dir).withColumn("toks", TF.tokens(col("text")))
@@ -1242,6 +1265,24 @@ object TextQueries {
         |SELECT doc_id, n_tokens, ttr, stop_ratio,
         |  ttr * 0.4 + (1.0 - stop_ratio) * 0.3 + least(n_tokens / 100.0, 1.0) * 0.3 AS quality_score
         |FROM m""".stripMargin,
+
+    "quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(list_sum(list_transform(toks, x ->
+        |      CAST(('0x' || substr(md5('137:' ||
+        |        CAST(CAST(('0x' || substr(md5('131:' || x), 1, 15)) AS UBIGINT) % 4096 AS VARCHAR)
+        |      ), 1, 15)) AS UBIGINT)::BIGINT % 2001 - 1000)), 0) AS BIGINT) AS score_milli
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens,
+        |  round(CASE WHEN n_tokens > 0 THEN score_milli / (n_tokens * 1000.0) ELSE 0.0 END, 6) AS score,
+        |  CAST(CASE WHEN score_milli >= 0 AND n_tokens > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM w""".stripMargin,
 
     "text_langid" ->
       """WITH t AS (
