@@ -58,7 +58,10 @@ object TextFunctions {
       val idx = pmod(hash60(t, 131), lit(dim.toLong))
       pmod(hash60(idx.cast("string"), 137), lit(2001L)) - lit(1000L)
     }
-    aggregate(transform(toks, t => wm(t)), lit(0L), (acc, w) => acc + w)
+    // fold the weight computation straight into the aggregate — a
+    // transform() first would materialize a per-document weights array
+    // just to sum it
+    aggregate(toks, lit(0L), (acc, t) => acc + wm(t))
   }
 
   /** All per-document Gopher-rule statistics in one codegen byte-scan —

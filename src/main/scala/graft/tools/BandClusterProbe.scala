@@ -42,13 +42,11 @@ object BandClusterProbe {
     import spark.implicits._
 
     // ---- deterministic grouped corpus (DedupScaleProbe's shape,
-    // uniform law): groups of 20, offsets 0-5 near-identical ----
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    // uniform law): groups of 20, offsets 0-5 near-identical. ONE
+    // splitmix64 finalizer (byte-identical delegation, same rule as
+    // DedupScaleProbe — a drifted copy would silently diverge this
+    // probe's cached corpus from the others') ----
+    def mix(z0: Long): Long = org.apache.spark.sql.graft.TextHashUtil.mix64(z0)
     val docsPath = s"$root/docs"
     if (!new java.io.File(s"$docsPath/_SUCCESS").exists()) {
       spark.range(0, n, 1, 64).mapPartitions { it =>
@@ -72,28 +70,74 @@ object BandClusterProbe {
     }
     val docs = spark.read.parquet(docsPath)
 
-    // ---- disk high-water sampler over every spark scratch dir the
-    // driver AND both executor JVMs write (blockmgr-* shuffle/cache
-    // files, spark-* temp) ----
+    // ---- disk high-water sampler, PER scratch dir: blockmgr-*/spark-*
+    // dirs are per-JVM (driver + one per executor), so the per-dir
+    // peak is the per-executor scratch the claim is actually about — a
+    // fleet-total sum would mask a skewed executor individually
+    // exceeding the cap ----
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
-    def scratchBytes(): Long = {
+    def scratchByDir(): Map[String, Long] = {
       def du(f: java.io.File): Long =
         if (f.isFile) f.length()
         else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
-      Option(tmp.listFiles()).map(_.toSeq).getOrElse(Nil)
+      // standalone/local-cluster nests every JVM's scratch under ONE
+      // /tmp/spark-<app>/ dir — per-JVM attribution needs the
+      // blockmgr-<uuid> dirs inside it (one per block manager = one
+      // per JVM; shuffle files and disk-cached blocks both live
+      // there). Residue outside any blockmgr (broadcast staging,
+      // userFiles) is lumped per top dir as "<top>/other".
+      def blockMgrs(d: java.io.File, depth: Int): Seq[java.io.File] =
+        if (d.getName.startsWith("blockmgr-")) Seq(d)
+        else if (depth >= 3 || !d.isDirectory) Nil
+        else Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+          .filter(_.isDirectory).flatMap(blockMgrs(_, depth + 1))
+      val tops = Option(tmp.listFiles()).map(_.toSeq).getOrElse(Nil)
         .filter(f => f.isDirectory &&
           (f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-")))
-        .map(du).sum
+      tops.flatMap { top =>
+        val bms = blockMgrs(top, 0)
+        val bmSizes = bms.map(b => b.getName -> du(b))
+        val rest = du(top) - bmSizes.map(_._2).sum
+        bmSizes :+ (s"${top.getName}/other" -> math.max(0L, rest))
+      }.toMap
     }
+    def totalOf(m: Map[String, Long]): Long = m.values.sum
     @volatile var sampling = false
-    @volatile var peak = 0L
 
-    def measure(tag: String, bandGroups: Int): (Long, Long, Long, Double) = {
-      val base = scratchBytes() // corpus-independent floor
-      peak = 0L; sampling = true
+    // ContextCleaner unlinks a finished mode's shuffle files
+    // asynchronously (GC-driven) — measuring the next mode against a
+    // baseline that still CONTAINS them would understate its peak by
+    // whatever the cleaner removes mid-run. Settle until the scratch
+    // total is stable across consecutive samples before baselining.
+    def settle(): Unit = {
+      graft.operators.CacheRegistry.releaseAll(blocking = true)
+      var last = -1L
+      var stable = 0
+      var i = 0
+      while (stable < 4 && i < 60) {
+        System.gc()
+        Thread.sleep(250)
+        val b = totalOf(scratchByDir())
+        if (b == last) stable += 1 else { stable = 0; last = b }
+        i += 1
+      }
+    }
+
+    case class Meas(pairs: Long, setHash: Long, peakTotal: Long,
+      peakPerJvm: Long, wall: Double)
+
+    def measure(tag: String, bandGroups: Int): Meas = {
+      settle()
+      val base = scratchByDir()
+      val peaks = scala.collection.concurrent.TrieMap.empty[String, Long]
+      sampling = true
       val t = new Thread(() => {
         while (sampling) {
-          val b = scratchBytes(); if (b > peak) peak = b; Thread.sleep(250)
+          scratchByDir().foreach { case (d, b) =>
+            val delta = math.max(0L, b - base.getOrElse(d, 0L))
+            if (delta > peaks.getOrElse(d, 0L)) peaks(d) = delta
+          }
+          Thread.sleep(250)
         }
       })
       t.start()
@@ -110,21 +154,36 @@ object BandClusterProbe {
       val wall = (System.nanoTime() - t0) / 1e9
       sampling = false
       t.join()
-      graft.operators.CacheRegistry.releaseAll(blocking = true)
-      System.gc(); Thread.sleep(500)
-      val p = math.max(0L, peak - base)
-      println(f"PROBE band_g$bandGroups%d ($tag): pairs=${agg.getLong(0)} " +
-        f"setHash=${agg.getLong(1)} peakScratchMB=${p / 1048576}%d wall=$wall%.1f s")
-      (agg.getLong(0), agg.getLong(1), p, wall)
+      val perJvm = peaks.toMap
+      val m = Meas(agg.getLong(0), agg.getLong(1),
+        perJvm.values.sum, perJvm.values.foldLeft(0L)(math.max), wall)
+      println(f"PROBE band_g$bandGroups%d ($tag): pairs=${m.pairs} " +
+        f"setHash=${m.setHash} peakTotalMB=${m.peakTotal / 1048576}%d " +
+        f"peakPerJvmMB=${m.peakPerJvm / 1048576}%d wall=$wall%.1f s")
+      println("PROBE   per-dir peaks: " + perJvm.toSeq.sortBy(-_._2)
+        .take(5).map { case (d, b) => s"$d=${b / 1048576}MB" }.mkString("  "))
+      m
     }
+
+    // discarded warm-up: the first job pays executor launch, codegen,
+    // and cold parquet reads — letting the one-shot arm absorb that
+    // would bias the wall comparison in the sequential arm's favor
+    graft.operators.Dedup.minhashLshCandidates(
+      docs.limit(50000), "doc_id", "text", numHashes = 16, bands = 4,
+      shingleSize = 3).count()
+    graft.operators.CacheRegistry.releaseAll(blocking = true)
 
     val one = measure("one-shot", 1)
     val grp = measure(s"$g-pass", g)
-    require(one._1 == grp._1 && one._2 == grp._2,
-      s"band-sequential pair set diverged: ${one._1}/${one._2} vs ${grp._1}/${grp._2}")
-    val ratio = one._3.toDouble / math.max(1L, grp._3)
+    require(one.pairs == grp.pairs && one.setHash == grp.setHash,
+      s"band-sequential pair set diverged: ${one.pairs}/${one.setHash} " +
+        s"vs ${grp.pairs}/${grp.setHash}")
+    val rTotal = one.peakTotal.toDouble / math.max(1L, grp.peakTotal)
+    val rJvm = one.peakPerJvm.toDouble / math.max(1L, grp.peakPerJvm)
     println(f"PROBE band groups: identical pair sets; peak scratch " +
-      f"${one._3 / 1048576}%d MB -> ${grp._3 / 1048576}%d MB ($ratio%.2fx reduction at g=$g)")
+      f"total ${one.peakTotal / 1048576}%d -> ${grp.peakTotal / 1048576}%d MB " +
+      f"($rTotal%.2fx), worst single JVM ${one.peakPerJvm / 1048576}%d -> " +
+      f"${grp.peakPerJvm / 1048576}%d MB ($rJvm%.2fx) at g=$g")
     spark.stop()
   }
 }
