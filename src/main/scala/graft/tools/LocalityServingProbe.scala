@@ -1,0 +1,118 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.AnnCatalog
+
+/** LATENCY measurement for cache-locality-aware warm serving at a
+  * realistic store size — [[LocalClusterProbe]] proves the mechanism
+  * (hit/miss counts, placement engagement) on tiny sf stores where a
+  * cross-executor miss costs little; here the 2M-row IVF store's
+  * sub-graphs are ~MBs each, so a warm statement scheduled onto the
+  * wrong executor pays a real blob reload and the hint's value shows
+  * up in milliseconds, not counters.
+  *
+  * Reuses ContestScaleProbe/IvfScaleProbe's cached 2M stores (run them
+  * first). Two warm phases over the same statements, same stores, same
+  * session: locality hint ON vs OFF (driver-side toggle), each after
+  * its own full warm cycle. Needs SPARK_SCALA_VERSION=2.13.
+  *
+  * Usage: runMain graft.tools.LocalityServingProbe [N] [NQ] [stmts]
+  */
+object LocalityServingProbe {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 2000000L
+    val nq = if (args.length > 1) args(1).toLong else 100000L
+    val nStmts = if (args.length > 2) args(2).toInt else 20
+    val root = s"/tmp/graft_contest_scale_c_${n}_$nq"
+    require(new java.io.File(s"$root/by_hash/_SUCCESS").exists(),
+      s"run ContestScaleProbe/IvfScaleProbe first to populate $root")
+
+    val spark = graft.GraftConf.tuned(SparkSession.builder())
+      .master("local-cluster[2,8,5120]")
+      .config("spark.executor.memory", "4g")
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      // cache budget sized to the store (BASELINE.md sizing rule): the
+      // default heap/8 = 512 MB starves the 2M store's ~936 MB list
+      // working set — evictions then dominate BOTH phases and the
+      // measurement answers "how bad is capacity starvation" instead
+      // of "what does scheduling locality buy" (first run of this
+      // probe measured exactly that: p50 ~1.3 s both phases)
+      .config("spark.executor.extraJavaOptions",
+        "--add-modules=jdk.incubator.vector " +
+          "-Dgraft.serving.cacheBytes=2147483648 " +
+          "-Dgraft.hnsw.cacheBytes=1073741824")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val basePath = s"$root/base"
+    val qvs = spark.read.parquet(s"$root/queries")
+      .filter(col("qtype") === 0).orderBy("qid").limit(nStmts)
+      .select("qvec").collect().map(_.getSeq[Float](0).toArray)
+    require(qvs.nonEmpty, "no type-0 queries cached")
+
+    def stmt(qv: Array[Float]): Array[Long] =
+      spark.read.parquet(basePath)
+        .orderBy(graft.functions.VectorFunctions.l2Sq(col("vec"), typedLit(qv)), col("id"))
+        .select("id").limit(100)
+        .collect().map(_.getLong(0))
+
+    def cacheTotals(): (Long, Long) = {
+      val m = spark.sparkContext.parallelize(0 until 64, 64).mapPartitions { _ =>
+        Iterator((org.apache.spark.SparkEnv.get.executorId,
+          (graft.index.ServingCache.hits.get(), graft.index.ServingCache.misses.get())))
+      }.collect().toMap
+      (m.values.map(_._1).sum, m.values.map(_._2).sum)
+    }
+
+    def phase(tag: String): (Double, Double, Long, Long, Array[Array[Long]]) = {
+      qvs.foreach(stmt) // warm cycle: populate/replace placements + caches
+      val (h0, m0) = cacheTotals()
+      val ms = qvs.map { qv =>
+        val t0 = System.nanoTime()
+        val r = stmt(qv)
+        ((System.nanoTime() - t0) / 1e6, r)
+      }
+      val (h1, m1) = cacheTotals()
+      val sorted = ms.map(_._1).sorted
+      val p50 = sorted(sorted.length / 2)
+      val p99 = sorted(math.max(0, math.ceil(0.99 * sorted.length).toInt - 1))
+      println(f"PROBE locality=$tag%-3s warm: p50 $p50%.0f ms/stmt, p99 $p99%.0f ms, " +
+        f"hits=+${h1 - h0} misses=+${m1 - m0}")
+      (p50, p99, h1 - h0, m1 - m0, ms.map(_._2))
+    }
+
+    try {
+      AnnCatalog.register(basePath, s"$root/by_hash", idCol = "id",
+        vecCol = "vec", ef = 400, trusted = true,
+        ivfIndex = Some(s"$root/by_ivf"), nprobe = 8)
+      // plan sanity once
+      val plan = spark.read.parquet(basePath)
+        .orderBy(graft.functions.VectorFunctions.l2Sq(col("vec"),
+          typedLit(qvs.head)), col("id")).select("id").limit(100)
+        .queryExecution.executedPlan.toString
+      require(plan.contains("AnnTopK") && plan.contains("ivf="),
+        s"statement did not route:\n$plan")
+
+      val on = phase("on")
+      System.setProperty("graft.serving.localityAware", "false")
+      val off =
+        try phase("off")
+        finally System.clearProperty("graft.serving.localityAware")
+      // results must be identical regardless of scheduling
+      require(on._5.zip(off._5).forall { case (a, b) => a.sameElements(b) },
+        "locality on/off served different rows")
+      println(f"PROBE locality value at the 2M store: p50 ${on._1}%.0f vs " +
+        f"${off._1}%.0f ms/stmt (off misses=${off._4}, on misses=${on._4}); " +
+        "rows identical")
+    } finally {
+      AnnCatalog.unregister(basePath)
+      spark.stop()
+    }
+  }
+}
