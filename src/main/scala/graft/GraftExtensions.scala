@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => org.apache.spark.sql.graft.BlockHamming(es(0), es(1))))
     e.injectFunction(fn("gopher_stats", "9-slot Gopher quality-rule statistics of a document",
       es => org.apache.spark.sql.graft.GopherStats(es(0))))
+    e.injectFunction(fn("classifier_milli_sum",
+      "hashed-linear classifier milli-weight sum over a token array",
+      es => org.apache.spark.sql.graft.ClassifierMilliSum(es(0),
+        foldableInt(es(1), "dim"))))
     // `ORDER BY l2_sq(vec, :qvec) LIMIT k` over an AnnCatalog-registered
     // table auto-routes to the bucketed HNSW index (SURVEY §4's optional
     // AnnJoinStrategy). Opt-out: spark.graft.ann.autoRoute=false.

@@ -53,16 +53,15 @@ object TextFunctions {
     * `element_at(broadcastWeights, idx + 1)` to serve a real model.
     * Returns the raw milli-sum; callers divide by `1000 · n_tokens`
     * for the mean and threshold in integer space for exact keeps. */
-  def classifierScoreMilli(toks: Column, dim: Int): Column = {
-    def wm(t: Column): Column = {
-      val idx = pmod(hash60(t, 131), lit(dim.toLong))
-      pmod(hash60(idx.cast("string"), 137), lit(2001L)) - lit(1000L)
-    }
-    // fold the weight computation straight into the aggregate — a
-    // transform() first would materialize a per-document weights array
-    // just to sum it
-    aggregate(toks, lit(0L), (acc, t) => acc + wm(t))
-  }
+  def classifierScoreMilli(toks: Column, dim: Int): Column =
+    // native kernel: one codegen call per document with a precomputed
+    // weight table, vs two interpreted HOF lambdas per TOKEN for the
+    // equivalent `aggregate(toks, 0L, (acc, t) => acc +
+    // (pmod(hash60(pmod(hash60(t, 131), dim).cast("string"), 137),
+    // 2001) - 1000))` — value-identical (spec + DuckDB oracle pin it);
+    // A/B in tools/KernelBench
+    ExprBridge.column(org.apache.spark.sql.graft.ClassifierMilliSum(
+      ExprBridge.expression(toks), dim))
 
   /** All per-document Gopher-rule statistics in one codegen byte-scan —
     * 9-slot array<long>; see

@@ -134,6 +134,28 @@ object TextHashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Hashed-linear classifier milli-weight sum over a token array:
+    * per token, feature index = hash60(token, seed 131) mod dim, then
+    * the caller-precomputed `weights(index)` (the broadcast-weights
+    * serving shape — for the oracle-replayable model the table itself
+    * is derived from the index, see [[ClassifierMilliSum]]). Exact
+    * long arithmetic; value-identical to the HOF composition
+    * `aggregate(toks, 0L, (acc, t) -> acc + weight(idx(t)))`, without
+    * the per-token interpreted lambda evals. */
+  def classifierMilliSum(toks: ArrayData, dim: Long,
+      seedTok: Array[Byte], weights: Array[Long]): Long = {
+    val n = toks.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val idx = java.lang.Math.floorMod(
+        hash60(toks.getUTF8String(i), seedTok), dim).toInt
+      sum += weights(idx)
+      i += 1
+    }
+    sum
+  }
+
   /** Hamming distance between two equal-length block-value arrays. */
   def blockHamming(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
@@ -192,6 +214,50 @@ case class ArrayEqCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayEqCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** Hashed-linear classifier inference kernel (see
+  * [[TextHashUtil.classifierMilliSum]]): one codegen call per document
+  * instead of two interpreted HOF lambdas per TOKEN. The integer
+  * milli-weight table is precomputed once per expression instance from
+  * the feature index (`hash60(idx, 137) mod 2001 − 1000` — the
+  * oracle-replayable stand-in for a trained model's weights; dim md5
+  * calls at plan time, then one md5 + one array read per token at row
+  * time, exactly the broadcast-weights serving shape). Value-identical
+  * to the HOF composition in
+  * [[graft.functions.TextFunctions.classifierScoreMilli]]'s scaladoc;
+  * the A/B lives in `tools/ClassifierBench` (2.1× at 2M docs — md5 dominates both arms; the removed cost is the per-token lambda machinery). */
+case class ClassifierMilliSum(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "classifier_milli_sum"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  require(dim > 0 && dim <= (1 << 22),
+    s"classifier_milli_sum: dim ($dim) must be in 1..2^22 (the weight " +
+      "table is driver/plan-resident)")
+
+  @transient private lazy val seedTok: Array[Byte] = "131:".getBytes("UTF-8")
+  @transient private lazy val weights: Array[Long] = {
+    val seedW = "137:".getBytes("UTF-8")
+    Array.tabulate(dim)(i => java.lang.Math.floorMod(
+      TextHashUtil.hash60(UTF8String.fromString(i.toString), seedW), 2001L) - 1000L)
+  }
+
+  override def nullSafeEval(toks: Any): Any =
+    TextHashUtil.classifierMilliSum(
+      toks.asInstanceOf[ArrayData], dim.toLong, seedTok, weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val st = ctx.addReferenceObj("seedTok", seedTok, "byte[]")
+    val w = ctx.addReferenceObj("weights", weights, "long[]")
+    nullSafeCodeGen(ctx, ev, toks =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextHashUtil" +
+        s".classifierMilliSum($toks, ${dim}L, $st, $w);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ClassifierMilliSum =
+    copy(child = newChild)
 }
 
 /** 60-bit seeded md5 hash of a string (see [[TextHashUtil.hash60]]). */

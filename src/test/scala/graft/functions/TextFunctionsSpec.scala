@@ -118,6 +118,33 @@ class TextFunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
 
+  test("native classifierScoreMilli equals the HOF composition it replaced") {
+    val dim = 4096
+    val texts = Seq.fill(120)(randText()) ++ Seq("", " ", "one", "the the the")
+    val df = texts.toDF("text")
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+    // the interpreted HOF twin (the scaladoc'd equivalence and the
+    // DuckDB oracle's exact shape)
+    def wm(t: org.apache.spark.sql.Column) = {
+      val idx = pmod(TextFunctions.hash60(t, 131), lit(dim.toLong))
+      pmod(TextFunctions.hash60(idx.cast("string"), 137), lit(2001L)) - lit(1000L)
+    }
+    val got = df.select(
+      TextFunctions.classifierScoreMilli(col("toks"), dim).as("native"),
+      aggregate(col("toks"), lit(0L), (acc, t) => acc + wm(t)).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native ${r.getLong(0)} != hof ${r.getLong(1)}"))
+    // SQL-registered and codegen-reachable
+    val viaSql = spark.sql(
+      "SELECT classifier_milli_sum(array('the', 'a', 'spark'), 4096)")
+      .head.getLong(0)
+    val viaCol = Seq(Seq("the", "a", "spark")).toDF("toks")
+      .select(TextFunctions.classifierScoreMilli(col("toks"), 4096))
+      .head.getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("minhash universal-hash constants are in range and distinct") {
     val as = (0 until 16).map(TextFunctions.minhashA)
     val bs = (0 until 16).map(TextFunctions.minhashB)
