@@ -81,9 +81,12 @@ object EfTuner {
     // resolve = false: the caller has already PINNED a generation dir
     // and needs the measurement to read exactly that dir (a re-resolve
     // here could straddle a concurrent flip and measure content the
-    // caller's sidecar writes don't belong to)
-    val df = spark.read.parquet(
-      if (resolve) AnnIndexStore.resolveStore(storePath) else storePath)
+    // caller's sidecar writes don't belong to). Resolved ONCE for the
+    // whole tune — the budget check below must inspect the same
+    // generation the bucket streaming reads.
+    val storeDataDir =
+      if (resolve) AnnIndexStore.resolveStore(storePath) else storePath
+    val df = spark.read.parquet(storeDataDir)
     require(df.columns.contains("attrs"), s"tuneBands: $storePath has no attrs")
     val buckets = df.select(col("bucket").cast("long")).distinct()
       .orderBy("bucket").collect().map(_.getLong(0))
@@ -107,8 +110,6 @@ object EfTuner {
     // blob, a multi-GB pass on a lifecycle store).
     val tunerBudget = java.lang.Long.getLong("graft.eftuner.maxBytes",
       math.max(256L << 20, Runtime.getRuntime.maxMemory() / 4))
-    val storeDataDir =
-      if (resolve) AnnIndexStore.resolveStore(storePath) else storePath
     val maxBucketBytes = graft.sources.ParquetMeta.maxKeyedColumnBytes(
       spark, storeDataDir, "graph", "bucket")
     require(maxBucketBytes * 2 <= tunerBudget,

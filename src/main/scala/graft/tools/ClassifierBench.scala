@@ -68,8 +68,10 @@ object ClassifierBench {
       (r.getLong(0), r.getLong(1))
     }
 
-    // warm both paths untimed (codegen compile, parquet cache)
+    // warm BOTH arms untimed (each pays its own one-time Catalyst
+    // analysis / codegen compile; parquet page cache shared)
     checksum(graft.functions.TextFunctions.classifierScoreMilli(col("toks"), dim))
+    checksum(aggregate(col("toks"), lit(0L), (acc, t) => acc + wm(t)))
 
     val native = timed("native_kernel") {
       checksum(graft.functions.TextFunctions.classifierScoreMilli(col("toks"), dim))

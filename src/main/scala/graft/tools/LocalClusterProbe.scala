@@ -68,7 +68,16 @@ object LocalClusterProbe {
             graft.index.ServingCache.entryCount)))
       }.collect().toMap
 
-    val execs0 = executorCaches()
+    // executors register ASYNCHRONOUSLY after getOrCreate, and the
+    // probe tasks are sub-millisecond — the first-registered executor
+    // can drain all 64 before the second JVM comes up, failing the
+    // assert on a healthy cluster. Await registration, then probe.
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var execs0 = executorCaches()
+    while (execs0.size < 2 && System.nanoTime() < deadline) {
+      Thread.sleep(500)
+      execs0 = executorCaches()
+    }
     println(s"PROBE executors: ${execs0.keys.toSeq.sorted.mkString(",")}")
     require(execs0.size >= 2, s"expected >=2 executors, got $execs0")
 

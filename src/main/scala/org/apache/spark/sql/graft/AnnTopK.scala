@@ -972,16 +972,22 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
         // map nothing consults would be pure hot-path waste
         val track = AnnTopKExec.localityAware(sc)
         // placement emissions: which executor HOLDS each served row's
-        // graph after this pass (hits confirm, cold puts establish)
-        val placeAcc = sc.collectionAccumulator[((Long, Int), String)](
-          "graft.serving.place")
+        // graph after this pass (hits confirm, cold puts establish).
+        // Only materialized when tracking — an accumulator created
+        // unconditionally would still be registered and serialized
+        // into every warm task under local[*], the exact bookkeeping
+        // the track guard exists to skip
+        val placeAcc =
+          if (track) Some(sc.collectionAccumulator[((Long, Int), String)](
+            "graft.serving.place"))
+          else None
         val placed =
           if (track) AnnTopKExec.placementsFor(spark, path, v) else null
         def warmServe(bucket: Long, sub: Int): Iterator[(Double, Long)] = {
           val e = graft.index.ServingCache.get(path, v, bucket, sub)
           if (e == null) { missAcc.add((bucket, sub)); Iterator.empty }
           else {
-            if (track) placeAcc.add(((bucket, sub), AnnTopKExec.hereLoc()))
+            placeAcc.foreach(_.add(((bucket, sub), AnnTopKExec.hereLoc())))
             walk(bucket, e)
           }
         }
@@ -1045,7 +1051,7 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
                   else {
                     val e = graft.index.ServingCache.put(path, v,
                       bucket, sub, HnswIndex.fromBytesCached(bytes), ids, attrs)
-                    if (track) placeAcc.add(((bucket, sub), AnnTopKExec.hereLoc()))
+                    placeAcc.foreach(_.add(((bucket, sub), AnnTopKExec.hereLoc())))
                     walk(bucket, e)
                   }
                 }
@@ -1061,14 +1067,14 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
         // re-load) redirects the NEXT statement there; the global entry
         // bound keeps the registry a bounded hint cache, never a
         // driver-heap leak
-        if (track) {
+        placeAcc.foreach { acc =>
           import scala.jdk.CollectionConverters._
           AnnTopKExec.boundPlacements()
           // re-fetch: the bound (or a concurrent statement's bound) may
           // have evicted `placed` from the registry — folding into the
           // orphaned map would silently discard this pass's learning
           val target = AnnTopKExec.placementsFor(spark, path, v)
-          placeAcc.value.asScala.foreach { case (key, loc) => target.put(key, loc) }
+          acc.value.asScala.foreach { case (key, loc) => target.put(key, loc) }
         }
         result
       }

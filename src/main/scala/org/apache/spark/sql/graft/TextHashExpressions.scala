@@ -143,17 +143,21 @@ object TextHashUtil {
     * `aggregate(toks, 0L, (acc, t) -> acc + weight(idx(t)))`, without
     * the per-token interpreted lambda evals. */
   def classifierMilliSum(toks: ArrayData, dim: Long,
-      seedTok: Array[Byte], weights: Array[Long]): Long = {
+      seedTok: Array[Byte], weights: Array[Long]): java.lang.Long = {
     val n = toks.numElements()
     var sum = 0L
     var i = 0
     while (i < n) {
+      // a null element nulls the whole sum — the HOF twin's semantics
+      // (acc + NULL = NULL); skipping it instead would silently score
+      // a different document than the oracle does
+      if (toks.isNullAt(i)) return null
       val idx = java.lang.Math.floorMod(
         hash60(toks.getUTF8String(i), seedTok), dim).toInt
       sum += weights(idx)
       i += 1
     }
-    sum
+    java.lang.Long.valueOf(sum)
   }
 
   /** Hamming distance between two equal-length block-value arrays. */
@@ -226,13 +230,16 @@ case class ArrayEqCount(left: Expression, right: Expression)
   * time, exactly the broadcast-weights serving shape). Value-identical
   * to the HOF composition in
   * [[graft.functions.TextFunctions.classifierScoreMilli]]'s scaladoc;
-  * the A/B lives in `tools/ClassifierBench` (2.1× at 2M docs — md5 dominates both arms; the removed cost is the per-token lambda machinery). */
+  * the A/B lives in `tools/ClassifierBench` (1.8× at 2M docs with both arms warmed — md5 dominates both; the removed cost is the per-token lambda machinery). */
 case class ClassifierMilliSum(child: Expression, dim: Int)
     extends UnaryExpression with ExpectsInputTypes {
   override def prettyName: String = "classifier_milli_sum"
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // nullable beyond the child: a null ELEMENT nulls the sum (the HOF
+  // twin's acc + NULL = NULL semantics)
+  override def nullable: Boolean = true
   require(dim > 0 && dim <= (1 << 22),
     s"classifier_milli_sum: dim ($dim) must be in 1..2^22 (the weight " +
       "table is driver/plan-resident)")
@@ -251,9 +258,15 @@ case class ClassifierMilliSum(child: Expression, dim: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val st = ctx.addReferenceObj("seedTok", seedTok, "byte[]")
     val w = ctx.addReferenceObj("weights", weights, "long[]")
-    nullSafeCodeGen(ctx, ev, toks =>
-      s"${ev.value} = org.apache.spark.sql.graft.TextHashUtil" +
-        s".classifierMilliSum($toks, ${dim}L, $st, $w);")
+    nullSafeCodeGen(ctx, ev, toks => {
+      val r = ctx.freshName("milli")
+      s"""
+         |java.lang.Long $r = org.apache.spark.sql.graft.TextHashUtil
+         |  .classifierMilliSum($toks, ${dim}L, $st, $w);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): ClassifierMilliSum =

@@ -135,6 +135,12 @@ class TextFunctionsSpec extends SparkSpec {
       .collect()
     got.foreach(r => assert(r.getLong(0) == r.getLong(1),
       s"native ${r.getLong(0)} != hof ${r.getLong(1)}"))
+    // a null ELEMENT nulls the sum — the HOF twin's acc + NULL = NULL
+    // semantics, not an NPE and not a silently-skipped token
+    val withNull = spark.sql(
+      "SELECT classifier_milli_sum(array('a', CAST(NULL AS STRING)), 4096)")
+      .head
+    assert(withNull.isNullAt(0), "null token must null the sum, not crash")
     // SQL-registered and codegen-reachable
     val viaSql = spark.sql(
       "SELECT classifier_milli_sum(array('the', 'a', 'spark'), 4096)")
