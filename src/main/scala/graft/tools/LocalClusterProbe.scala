@@ -225,6 +225,35 @@ object LocalClusterProbe {
         s"misses=${warm1._2}→${warm2._2} (hits ${warm1._1}→${warm2._1}); " +
         s"hint-off contrast cycle hits=${warmOff._1} misses=${warmOff._2}")
 
+      // concurrent statements through the PLACED warm path: the
+      // placement registry and serving cache are shared driver/executor
+      // state — four threads racing the same store must all serve the
+      // exact answer (the local-mode ServingConcurrencySpec covers the
+      // scan path; this is the locality path's concurrency proof)
+      locally {
+        val params = qsOf(1)
+        val expected = params.map { p =>
+          ranked(b.filter(col("label") === p._1), p._4)
+            .collect().map(_.getLong(0)).toSeq
+        }
+        val errs = new java.util.concurrent.atomic.AtomicInteger()
+        val threads = (0 until 4).map { _ =>
+          new Thread(() => {
+            params.zipWithIndex.foreach { case (p, i) =>
+              val got = ranked(b.filter(col("label") === p._1), p._4)
+                .collect().map(_.getLong(0)).toSeq
+              if (got != expected(i)) errs.incrementAndGet()
+            }
+          })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        require(errs.get() == 0,
+          s"${errs.get()} concurrent placed-path statements diverged")
+        println(s"PROBE concurrent placed path: 4 threads x ${params.length} " +
+          "statements, all exact")
+      }
+
       // the banded dedup shuffle under real multi-executor exchange:
       // band keys hash-partition ACROSS executor JVMs — the result must
       // be deterministic under whatever task placement the scheduler
