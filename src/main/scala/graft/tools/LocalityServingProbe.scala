@@ -30,8 +30,12 @@ object LocalityServingProbe {
     require(new java.io.File(s"$root/by_hash/_SUCCESS").exists(),
       s"run ContestScaleProbe/IvfScaleProbe first to populate $root")
 
+    // executor count via GRAFT_EXECUTORS (default 2): the placement
+    // registry's convergence is worth checking past two JVMs — more
+    // executors = more wrong places a task can land without the hint
+    val nExec = sys.env.getOrElse("GRAFT_EXECUTORS", "2").toInt
     val spark = graft.GraftConf.tuned(SparkSession.builder())
-      .master("local-cluster[2,8,5120]")
+      .master(s"local-cluster[$nExec,${math.max(2, 16 / nExec)},5120]")
       .config("spark.executor.memory", "4g")
       .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
       // cache budget sized to the store (BASELINE.md sizing rule): the
