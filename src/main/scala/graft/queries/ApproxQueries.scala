@@ -220,13 +220,16 @@ object ApproxQueries {
       require(chosenRung.recall >= 0.95,
         s"ef tune regression: chosen ef ${res.chosenEf} recall ${chosenRung.recall} < 0.95")
       import s.implicits._
-      // recall rounded to 4dp so the golden oracle can pin it as a
-      // decimal literal (the loud ≥0.95 require above keeps the
-      // teeth; sub-1e-4 recall drift is not a signal)
+      // output = the chosen operating point, NOT the measured recall
+      // decimal: the golden oracle pins (ef, chosen), which is stable
+      // across corpus SCALES (sf0.01 and sf0.1 both tune to rung 16),
+      // while the recall value is corpus-dependent and would fail any
+      // replay at a different sf. The ≥0.95 recall floor is enforced
+      // by the loud require above — the measurement's teeth — and the
+      // full ladder is still inspectable via EfTuner directly.
       res.rungs.map(r => (r.ef.toLong,
-          math.rint(r.recall * 10000) / 10000,
           if (r.ef == res.chosenEf) 1L else 0L))
-        .toDF("ef", "recall", "chosen")
+        .toDF("ef", "chosen")
     }),
 
     // The tuner's derived effort-band table as a driver-gated rows
@@ -801,14 +804,14 @@ object ApproxQueries {
         |)
         |SELECT qid, id AS nid FROM r WHERE rnk <= 10""".stripMargin,
 
-    // Golden-pinned tuning ladder: deterministic (seeded store build,
+    // Golden-pinned tuning choice: deterministic (seeded store build,
     // vec_id-ordered sample, fixed ladder) over the pinned seed-42
-    // corpus, with recall rounded to 4dp. The measurement itself can't
-    // be replayed in SQL — the in-query require (chosen rung recall ≥
-    // 0.95) is the semantic gate; this hash pins the choice.
+    // corpus, and scale-stable (sf0.01 and sf0.1 both choose rung 16).
+    // The measurement itself can't be replayed in SQL — the in-query
+    // require (chosen rung recall ≥ 0.95) is the semantic gate; this
+    // hash pins the chosen operating point.
     "ann_ef_tune" ->
-      """SELECT CAST(16 AS BIGINT) AS ef, CAST(0.9998 AS DOUBLE) AS recall,
-        |  CAST(1 AS BIGINT) AS chosen""".stripMargin,
+      "SELECT CAST(16 AS BIGINT) AS ef, CAST(1 AS BIGINT) AS chosen",
 
     // Golden-pinned band table (the reference's golden-output style,
     // utils.h:168-221): tuneBands is deterministic and the seed-42

@@ -195,8 +195,15 @@ object TextQueries {
         .select(
           col("doc_id").cast("long").as("doc_id"),
           col("n").as("n_tokens"),
-          round(when(col("n") > 0, col("score_milli") / (col("n") * 1000.0))
-            .otherwise(0.0), 6).as("score"),
+          // RAW division, deliberately un-rounded: both engines compute
+          // the identical IEEE double from identical integer operands,
+          // while round() DIVERGES on exact-decimal halfway values
+          // (Spark rounds the double's Double.toString decimal via
+          // BigDecimal.valueOf + HALF_UP; DuckDB rounds the binary
+          // value — measured on sf0.1 doc 4783, -1017/16000 =
+          // -0.0635625 exactly: -0.063563 vs -0.063562)
+          when(col("n") > 0, col("score_milli") / (col("n") * 1000.0))
+            .otherwise(0.0).as("score"),
           when(col("score_milli") >= 0 && col("n") > 0, 1L).otherwise(0L)
             .as("keep"))
     }),
@@ -1280,7 +1287,7 @@ object TextQueries {
         |  FROM t
         |)
         |SELECT doc_id, n_tokens,
-        |  round(CASE WHEN n_tokens > 0 THEN score_milli / (n_tokens * 1000.0) ELSE 0.0 END, 6) AS score,
+        |  CASE WHEN n_tokens > 0 THEN score_milli / (n_tokens * 1000.0) ELSE 0.0 END AS score,
         |  CAST(CASE WHEN score_milli >= 0 AND n_tokens > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM w""".stripMargin,
 
