@@ -124,10 +124,19 @@ object Bench {
     val total = results.values.filter(_ >= 0.0).sum
     val servingJson = serving.fold("") { rep =>
       val medians = rep.routes.map { case (n, st) => (n, st.medianMs) }
+      // max_ms, not "p99": over 7-8 timed statements the nearest-rank
+      // p99 IS the max — naming it that stops consumers treating one
+      // outlier as a tail statistic (r12 advisory). "ms" is the full
+      // statement-ORDERED timed cycle, so a recurring max at a fixed
+      // position names per-statement work (skew), not noise.
+      def fmt1(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
       val diag = rep.routes.map { case (n, st) =>
-        "\"" + n + "\":{\"p99\":" + fmt(st.p99Ms) +
+        "\"" + n + "\":{\"max_ms\":" + fmt(st.maxMs) +
           ",\"cold\":" + fmt(st.coldMedianMs) +
-          ",\"hits\":" + st.hits + ",\"misses\":" + st.misses + "}"
+          ",\"hits\":" + st.hits + ",\"misses\":" + st.misses +
+          ",\"placed\":" + st.placed + ",\"scanned\":" + st.scanned +
+          ",\"ms\":" + st.timedMs.map(fmt1).mkString("[", ",", "]") + "}"
       }.mkString("{", ",", "}")
       s""","serving_ms":${queriesJson(medians)}""" +
         s""","serving_diag":{"cache_budget_mb":${rep.cacheBudgetBytes >> 20}""" +

@@ -27,7 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object Canary {
 
-  private val ScanPath = "/tmp/graft_canary_v1"
+  // Per-user path under the JVM's tmpdir: a world-shared fixed /tmp
+  // path collides across users on shared hosts (one user's table is
+  // unreadable/unwritable by the next) — derive from user.name so each
+  // user owns their pinned table. Times stay comparable per-machine
+  // because the work is pinned, not the absolute path.
+  private val ScanPath = {
+    val tmp = System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/")
+    val user = Option(System.getProperty("user.name")).filter(_.nonEmpty).getOrElse("anon")
+    s"$tmp/graft_canary_v1_$user"
+  }
   private val ScanRows = 8L * 1000 * 1000
   private val ScanTasks = 32
   private val CpuIters = 400 * 1000 * 1000
@@ -80,7 +89,11 @@ object Canary {
     ensureTable(s)
     val cpu = (1 to 3).map(_ => cpuOnce()).min
     val scans = (1 to 3).map(_ => scanOnce(s)).filter(_ >= 0)
-    Seq("canary_cpu_sec" -> cpu,
-      "canary_scan_sec" -> (if (scans.nonEmpty) scans.min else -1.0))
+    // An all-corrupt run previously emitted -1.0 as a sentinel mixed
+    // into the bench JSON's seconds, which naive round-over-round
+    // diffing ingests as a timing. Omit the metric instead — a missing
+    // key is unambiguous to every consumer.
+    Seq("canary_cpu_sec" -> cpu) ++
+      (if (scans.nonEmpty) Seq("canary_scan_sec" -> scans.min) else Nil)
   }
 }

@@ -1458,7 +1458,21 @@ object AnnIndexStore {
     // eid= dirs (the stream's rows) and the epoch file survive —
     // except the script-owned eid=_batch subtree (see scaladoc).
     sweepUncommittedRoot(root)
-    deleteRecursively(new java.io.File(root, s"eid=$batchEpochToken"))
+    val batchDir = new java.io.File(root, s"eid=$batchEpochToken")
+    // the sweep is the documented retry remedy, but it is also a
+    // BEHAVIOR CHANGE vs pre-r12 releases (which preserved appended
+    // batches) — a caller who mixed appendDelta-committed rows with a
+    // later replaceDelta refresh loses them here BY DESIGN, so say so
+    // loudly instead of silently (README "Upgrade notes" records the
+    // change; this line makes the individual occurrence visible)
+    if (Option(batchDir.list()).exists(_.exists(_.startsWith("bid=")))) {
+      System.err.println(s"[graft] replaceDelta($path): sweeping " +
+        s"committed appendDelta batches under eid=$batchEpochToken — " +
+        "replaceDelta REPLACES the script-owned delta layer (retry " +
+        "remedy); use appendDeltaBatch with caller-assigned ids if " +
+        "those rows were meant to survive a refresh")
+    }
+    deleteRecursively(batchDir)
     crashPoint("replace.swept")
     delta.select(col("id").cast("long"), col("vec"))
       .write.mode("append").parquet(deltaPath(path))

@@ -110,15 +110,27 @@ object EfTuner {
     // blob, a multi-GB pass on a lifecycle store).
     val tunerBudget = java.lang.Long.getLong("graft.eftuner.maxBytes",
       math.max(256L << 20, Runtime.getRuntime.maxMemory() / 4))
-    val maxBucketBytes = graft.sources.ParquetMeta.maxKeyedColumnBytes(
-      spark, storeDataDir, "graph", "bucket")
+    val (attributedBytes, spanningBytes) =
+      graft.sources.ParquetMeta.maxKeyedColumnBytesSplit(
+        spark, storeDataDir, "graph", "bucket")
+    val maxBucketBytes = attributedBytes + spanningBytes
+    // the failure message decomposes the conservative bound: spanning
+    // bytes (row groups packing multiple buckets, or lacking bucket
+    // stats) are charged to EVERY bucket, so a large spanning share
+    // means the layout — not any actual bucket — is what's oversized,
+    // and the remedy is a rewrite with bucket-aligned row groups
     require(maxBucketBytes * 2 <= tunerBudget,
-      s"tuneBands: largest bucket holds $maxBucketBytes blob bytes; " +
-        s"with deserialization overhead (2x) that exceeds the tuner's " +
-        s"driver budget $tunerBudget. Tuning streams ONE bucket at a " +
-        "time, so either re-bucket the store below budget/2 bytes per " +
-        "bucket or raise -Dgraft.eftuner.maxBytes (and the driver heap " +
-        "with it).")
+      s"tuneBands: largest bucket bound is $maxBucketBytes blob bytes " +
+        s"($attributedBytes attributed to a single bucket by row-group " +
+        s"stats + $spanningBytes unattributable spanning/stat-less row-" +
+        s"group bytes charged to every bucket); with deserialization " +
+        s"overhead (2x) that exceeds the tuner's driver budget " +
+        s"$tunerBudget. Tuning streams ONE bucket at a time, so if the " +
+        "attributed share dominates, re-bucket the store below budget/2 " +
+        "bytes per bucket or raise -Dgraft.eftuner.maxBytes (and the " +
+        "driver heap with it); if the spanning share dominates, the " +
+        "bound is a row-group-layout artifact — rewrite the store so " +
+        "row groups don't pack multiple buckets.")
 
     // ---- full-union factors, one per mFull threshold ----
     // Buckets stream one at a time: per-query candidate lists keep only

@@ -22,15 +22,29 @@ import org.apache.spark.sql.functions._
   * gate queries' tagged /tmp stores, building any that are missing. */
 object ServingBench {
 
-  /** Per-route serving stats. `medianMs`/`p99Ms` are over the TIMED
+  /** Per-route serving stats. `medianMs`/`maxMs` are over the TIMED
     * (second) cycle; `coldMedianMs` is over the first, cache-warming
     * cycle — the cold/warm spread is the store-load cost the serving
-    * cache exists to eliminate. `hits`/`misses` are ServingCache
-    * counter deltas across the timed cycle: a warm route must show
-    * misses = 0; any other value names the r11-style latency discord
-    * (eviction thrash / budget starvation) that a bare median cannot. */
-  final case class RouteStat(medianMs: Double, p99Ms: Double,
-      coldMedianMs: Double, hits: Long, misses: Long)
+    * cache exists to eliminate. `maxMs` is named for what it IS at the
+    * default 7-8 timed statements: the max, not a tail percentile — a
+    * p99-named field over single-digit samples invites downstream
+    * round-over-round triage to treat one GC-pause outlier as a
+    * distribution statistic. `timedMs` carries the full per-statement
+    * STATEMENT-ORDERED timed cycle (not sorted), so a max spike is
+    * attributable: always the same position across rounds → that
+    * statement's work (e.g. IVF centroid/list skew); first position →
+    * warm-up; random position → GC/scheduler noise. `hits`/`misses`
+    * are ServingCache counter deltas across the timed cycle: a warm
+    * route must show misses = 0; any other value names the r11-style
+    * latency discord (eviction thrash / budget starvation) that a bare
+    * median cannot. `placed`/`scanned` are warm-pass attribution
+    * deltas (locality-scheduled vs scan-dispatched) — under local[*]
+    * the placed path is inert by design, so placed = 0 there reads as
+    * "inert-local", and a placed→scanned flip on a cluster flags a
+    * locality regression in the gate JSON itself. */
+  final case class RouteStat(medianMs: Double, maxMs: Double,
+      coldMedianMs: Double, hits: Long, misses: Long,
+      placed: Long, scanned: Long, timedMs: Seq[Double])
 
   /** The whole serving_diag block: routes plus the cache state that
     * explains them (effective budget, residency, entry count). */
@@ -90,21 +104,23 @@ object ServingBench {
         val t0 = System.nanoTime()
         mk(p).collect()
         (System.nanoTime() - t0) / 1e6
-      }.sorted
-      val cold = cycle() // warms every statement's buckets
+      }
+      val cold = cycle().sorted // warms every statement's buckets
       val h0 = graft.index.ServingCache.hits.get()
       val m0 = graft.index.ServingCache.misses.get()
-      val ms = cycle()
+      val p0 = org.apache.spark.sql.graft.AnnTopKExec.warmPlacedPasses.get()
+      val s0 = org.apache.spark.sql.graft.AnnTopKExec.warmScanPasses.get()
+      val raw = cycle() // statement order preserved for attribution
+      val ms = raw.sorted
       RouteStat(
         medianMs = ms(ms.length / 2),
-        // nearest-rank p99 (ceil(0.99n)-1); at the default 7-8 timed
-        // statements this IS the max — one GC-pause outlier reads as a
-        // p99 spike by construction, which is what the triage rule in
-        // BASELINE.md wants surfaced (cross-check against the canary)
-        p99Ms = ms(math.max(0, math.ceil(0.99 * ms.length).toInt - 1)),
+        maxMs = ms.last,
         coldMedianMs = cold(cold.length / 2),
         hits = graft.index.ServingCache.hits.get() - h0,
-        misses = graft.index.ServingCache.misses.get() - m0)
+        misses = graft.index.ServingCache.misses.get() - m0,
+        placed = org.apache.spark.sql.graft.AnnTopKExec.warmPlacedPasses.get() - p0,
+        scanned = org.apache.spark.sql.graft.AnnTopKExec.warmScanPasses.get() - s0,
+        timedMs = raw.toSeq)
     }
 
     val results = Seq.newBuilder[(String, RouteStat)]

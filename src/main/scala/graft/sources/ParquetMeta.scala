@@ -73,6 +73,22 @@ object ParquetMeta {
     * so spanning groups are rare in practice. */
   def maxKeyedColumnBytes(spark: SparkSession, path: String,
       column: String, keyColumn: String): Long = {
+    val (attributed, spanning) =
+      maxKeyedColumnBytesSplit(spark, path, column, keyColumn)
+    attributed + spanning
+  }
+
+  /** [[maxKeyedColumnBytes]] with the over-estimate decomposed:
+    * `(attributed, spanning)` where `attributed` is the largest total
+    * pinned to a single key by row-group statistics and `spanning` is
+    * the bytes of row groups that span keys (or lack stats) — charged
+    * to EVERY key by the conservative bound. Callers that fail a budget
+    * check should surface both numbers: a large `spanning` share means
+    * the failure is a row-group-layout artifact (multiple buckets
+    * packed per row group), fixable by rewriting the layout, not by
+    * shrinking any actual bucket. */
+  def maxKeyedColumnBytesSplit(spark: SparkSession, path: String,
+      column: String, keyColumn: String): (Long, Long) = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -106,7 +122,7 @@ object ParquetMeta {
         }
       } finally reader.close()
     }
-    (perKey.values.maxOption.getOrElse(0L)) + spanning
+    (perKey.values.maxOption.getOrElse(0L), spanning)
   }
 
   /** The parquet LOGICAL type annotation of a top-level `column`, read

@@ -847,7 +847,28 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
 
   private[graft] def clearScanFrames(): Unit = scanFrames.clear()
 
-  private[graft] def clearPlacements(): Unit = placements.clear()
+  private[graft] def clearPlacements(): Unit = placements.synchronized {
+    placements.clear(); placementEntries.set(0)
+  }
+
+  // test/probe observability: registry shape without exposing the maps
+  private[graft] def placementStoreCount: Int =
+    placements.synchronized(placements.size())
+  private[graft] def placementEntryCount: Long = placementEntries.get()
+  private[graft] def placementsContains(spark: SparkSession, path: String,
+      ver: String): Boolean =
+    placements.synchronized(placements.containsKey((spark, path, ver)))
+  // test-only direct insert, so eviction specs can fill past both
+  // bounds without building thousands of real stores
+  private[graft] def placementsInsertForTest(spark: SparkSession,
+      path: String, ver: String, entries: Int): Unit = {
+    val m = placementsFor(spark, path, ver)
+    var i = 0
+    while (i < entries) {
+      if (m.put((i.toLong, 0), "executor_test_0") == null) placementRecorded()
+      i += 1
+    }
+  }
 
   // Cache-locality-aware warm scheduling: a ServingCache entry lives in
   // ONE executor JVM, but Spark schedules the warm pass's tasks by file
@@ -871,32 +892,84 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
   // — old placements name that context's executor ids, and scheduling
   // a fresh cluster's tasks toward dead executors would cost the
   // locality wait on every chunk until misses re-teach the map.
-  // Size-bounded two ways: at 256 store keys (stopped sessions evicted
-  // first, like scanFrames) and at ~1M TOTAL entries across all maps
-  // (the per-store and store-count caps compose multiplicatively, so a
-  // global entry bound is the one that actually limits driver heap).
-  private val placements = new java.util.concurrent.ConcurrentHashMap[
+  // Size-bounded two ways: at 256 store keys and at ~1M TOTAL entries
+  // across all maps (the per-store and store-count caps compose
+  // multiplicatively, so a global entry bound is the one that actually
+  // limits driver heap). Both bounds evict PER ENTRY in LRU order —
+  // stopped sessions first, then least-recently-served (path, version)
+  // maps — never wholesale: a clear-all would cold every store's placed
+  // path at once because one runaway session overflowed the registry.
+  // Access-ordered LinkedHashMap, all access under its own lock (a few
+  // driver-side touches per warm statement — contention-free); the
+  // INNER maps stay concurrent because fold puts race across statements.
+  private val placements = new java.util.LinkedHashMap[
     (SparkSession, String, String),
-    java.util.concurrent.ConcurrentHashMap[(Long, Int), String]]
+    java.util.concurrent.ConcurrentHashMap[(Long, Int), String]](16, 0.75f, true)
+
+  // Global entry count, tracked incrementally (fold puts increment via
+  // [[placementRecorded]], evictions subtract the evicted map's size) —
+  // the previous per-statement sum over ALL maps was a registry-sized
+  // scan on every warm statement. A fold racing an eviction can
+  // increment for an already-evicted map (bounded by one statement's
+  // work list, direction = overcount = earlier eviction), so the rare
+  // bound-trigger path recomputes the exact total before evicting.
+  private val placementEntries = new java.util.concurrent.atomic.AtomicLong(0)
+  private val MaxPlacementStores = 256
+  private val MaxPlacementEntries = 1L << 20
 
   private def placementsFor(spark: SparkSession, path: String, ver: String):
-      java.util.concurrent.ConcurrentHashMap[(Long, Int), String] = {
-    if (placements.size() >= 256) {
-      placements.keySet.removeIf(_._1.sparkContext.isStopped)
-      if (placements.size() >= 256) placements.clear()
+      java.util.concurrent.ConcurrentHashMap[(Long, Int), String] =
+    placements.synchronized {
+      val key = (spark, path, ver)
+      val hit = placements.get(key) // get() records the LRU touch
+      if (hit != null) hit
+      else {
+        if (placements.size() >= MaxPlacementStores) {
+          val it = placements.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getKey._1.sparkContext.isStopped) {
+              placementEntries.addAndGet(-e.getValue.size()); it.remove()
+            }
+          }
+          val eldest = placements.entrySet().iterator()
+          while (placements.size() >= MaxPlacementStores && eldest.hasNext) {
+            val e = eldest.next()
+            placementEntries.addAndGet(-e.getValue.size()); eldest.remove()
+          }
+        }
+        val m = new java.util.concurrent.ConcurrentHashMap[(Long, Int), String]
+        placements.put(key, m)
+        m
+      }
     }
-    placements.computeIfAbsent((spark, path, ver),
-      _ => new java.util.concurrent.ConcurrentHashMap[(Long, Int), String])
-  }
+
+  /** Fold-side bookkeeping for a NEW (bucket, sub) placement. */
+  private def placementRecorded(): Unit = placementEntries.incrementAndGet()
 
   /** Global placement-entry bound, applied at fold time: hints only, so
-    * forgetting costs one cold reload per row, never correctness. */
-  private def boundPlacements(): Unit = {
-    var total = 0L
-    val it = placements.values().iterator()
-    while (it.hasNext) total += it.next().size()
-    if (total >= (1L << 20)) placements.clear()
-  }
+    * forgetting costs one cold reload per row, never correctness.
+    * Evicts least-recently-served maps until ~7/8 of the bound (the
+    * slack stops a statement-by-statement evict/insert thrash at the
+    * exact boundary); the store folding right now was just touched by
+    * its own placementsFor, so it is the LAST candidate. */
+  private[graft] def boundPlacements(): Unit =
+    if (placementEntries.get() >= MaxPlacementEntries) placements.synchronized {
+      // reconcile the incremental counter first: orphaned-map folds can
+      // only ever drift it UPWARD, so the recompute (rare — bound
+      // triggers only, never per statement) keeps drift from turning
+      // into perpetual eviction
+      var exact = 0L
+      val sumIt = placements.values().iterator()
+      while (sumIt.hasNext) exact += sumIt.next().size()
+      placementEntries.set(exact)
+      val target = MaxPlacementEntries - (MaxPlacementEntries >> 3)
+      val it = placements.entrySet().iterator()
+      while (placementEntries.get() >= target && it.hasNext) {
+        val e = it.next()
+        placementEntries.addAndGet(-e.getValue.size()); it.remove()
+      }
+    }
 
   /** The executor-side self-location string, in TaskLocation's
     * executor-cache syntax. */
@@ -914,6 +987,25 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
     * the last versioned pass — "placed" (locality-scheduled makeRDD)
     * or "scan". */
   @volatile var lastWarmPath: String = ""
+
+  /** Cumulative warm-pass attribution counters, so a locality
+    * regression shows in the gate bench's `serving_diag` (per-route
+    * deltas) rather than only in LocalityServingProbe reruns. Under
+    * `local[*]` the placed branch is unreachable by design, so the
+    * bench records placed=0 there — that reading means "inert-local",
+    * not "regressed". */
+  val warmPlacedPasses = new java.util.concurrent.atomic.AtomicLong(0)
+  val warmScanPasses = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Work-list cap for the placed warm path: the locality dispatch
+    * collects the statement's (bucket, sub) rows driver-side, which is
+    * bounded by the route on filtered statements (one label bucket, a
+    * few range buckets, nprobe lists) but is EVERY store row on the
+    * unfiltered hash route — past the cap the statement falls to the
+    * scan path, whose file-split scheduling is the right shape for a
+    * work list that large anyway. */
+  private def placedMaxItems: Int =
+    Integer.getInteger("graft.serving.placedMaxItems", 4096)
 
   /** `dataPath` is the store's RESOLVED data dir (the current
     * generation for flipped stores) — the frame scans it, while the
@@ -991,23 +1083,34 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
             walk(bucket, e)
           }
         }
-        val warmTop =
-          if (track && !placed.isEmpty) {
-            // locality-scheduled warm pass: the statement's tiny
-            // (bucket, sub) work list is collected driver-side (rows =
-            // store rows the predicate keeps — bounded by the route:
-            // one label bucket, a few range buckets, nprobe lists, or
-            // the bucket count), grouped by the cached-at executor,
-            // chunked so one executor's group still parallelizes, and
-            // dispatched via makeRDD with ExecutorCacheTaskLocation
-            // preferences — the reference keeps its index resident and
-            // serves from it (hybrid_graph.cpp:47-89); on a cluster,
-            // "resident" is a specific executor, so the task must go
-            // TO the graph, not the graph to the task
-            AnnTopKExec.lastWarmPath = "placed"
+        // locality-scheduled warm pass: the statement's tiny
+        // (bucket, sub) work list is collected driver-side (rows =
+        // store rows the predicate keeps — bounded by the route:
+        // one label bucket, a few range buckets, nprobe lists),
+        // grouped by the cached-at executor, chunked so one
+        // executor's group still parallelizes, and dispatched via
+        // makeRDD with ExecutorCacheTaskLocation preferences — the
+        // reference keeps its index resident and serves from it
+        // (hybrid_graph.cpp:47-89); on a cluster, "resident" is a
+        // specific executor, so the task must go TO the graph, not
+        // the graph to the task. CAPPED both ways: a fully-learned
+        // placement map bigger than the cap skips the collect job
+        // outright (O(1) size check), and a partially-learned map
+        // over an unexpectedly large work list is caught by the
+        // limit(cap+1) collect — either way the statement falls to
+        // the scan path, never an unbounded driver collect.
+        val cap = AnnTopKExec.placedMaxItems
+        val itemsOpt: Option[Array[(Long, Int)]] =
+          if (track && !placed.isEmpty && placed.size() <= cap) {
             val items = df
               .select(col("bucket").cast("long").as("bucket"), subCol)
-              .as[(Long, Int)].collect()
+              .as[(Long, Int)].limit(cap + 1).collect()
+            if (items.length > cap) None else Some(items)
+          } else None
+        val warmTop = itemsOpt match {
+          case Some(items) =>
+            AnnTopKExec.lastWarmPath = "placed"
+            AnnTopKExec.warmPlacedPasses.incrementAndGet()
             val parts: Seq[(Seq[(Long, Int)], Seq[String])] = items
               .groupBy(it => Option(placed.get(it)).getOrElse(""))
               .toSeq.flatMap { case (loc, group) =>
@@ -1020,13 +1123,14 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
                 case (b, s) => warmServe(b, s)
               })
               .takeOrdered(k)(ord)
-          } else {
+          case None =>
             AnnTopKExec.lastWarmPath = "scan"
+            AnnTopKExec.warmScanPasses.incrementAndGet()
             df.select(col("bucket").cast("long").as("bucket"), subCol)
               .as[(Long, Int)]
               .mapPartitions(_.flatMap { case (b, s) => warmServe(b, s) })
               .rdd.takeOrdered(k)(ord)
-          }
+        }
         val missed = {
           import scala.jdk.CollectionConverters._
           missAcc.value.asScala.toSet
@@ -1074,7 +1178,9 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
           // have evicted `placed` from the registry — folding into the
           // orphaned map would silently discard this pass's learning
           val target = AnnTopKExec.placementsFor(spark, path, v)
-          acc.value.asScala.foreach { case (key, loc) => target.put(key, loc) }
+          acc.value.asScala.foreach { case (key, loc) =>
+            if (target.put(key, loc) == null) AnnTopKExec.placementRecorded()
+          }
         }
         result
       }
