@@ -63,6 +63,16 @@ object TextFunctions {
     ExprBridge.column(org.apache.spark.sql.graft.ClassifierMilliSum(
       ExprBridge.expression(toks), dim))
 
+  /** [[classifierScoreMilli]] with a REAL trained model's integer
+    * milli-weight table (the broadcast-weights serving shape its
+    * scaladoc documents): weights ride the plan as a reference object
+    * — one copy per executor, a broadcast variable's distribution —
+    * and scoring stays one codegen pass, one md5 + one array read per
+    * token. Train with [[graft.operators.QualityClassifier]]. */
+  def classifierScoreMilliTrained(toks: Column, weights: Array[Long]): Column =
+    ExprBridge.column(org.apache.spark.sql.graft.ClassifierMilliSumWeights(
+      ExprBridge.expression(toks), weights.toIndexedSeq))
+
   /** All per-document Gopher-rule statistics in one codegen byte-scan —
     * 9-slot array<long>; see
     * [[org.apache.spark.sql.graft.GopherStatsUtil]] for the slot layout

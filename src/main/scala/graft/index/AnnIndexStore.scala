@@ -215,6 +215,56 @@ object AnnIndexStore {
   private[index] val efBandsFileName = "_ef_bands"
   private[index] val efBandsParamsFileName = "_ef_bands_params"
 
+  // ---- `_nprobe` sidecar: the IVF route's tuned probe count ----
+  // Same pair contract as `_ef_bands`: the value file plus a params
+  // stamp, written value-then-params with the stale params deleted
+  // FIRST (EfTuner.tuneAndPersistNprobe), so a torn pair can never
+  // validate and the safe direction is always a re-tune.
+  private[index] val nprobeFileName = "_nprobe"
+  private[index] val nprobeParamsFileName = "_nprobe_params"
+
+  /** The caller-facing "use the store's tuned `_nprobe` sidecar if
+    * present" sentinel for the IVF search entries' `nprobe` params. */
+  val AutoNprobe: Int = -1
+
+  /** The untuned IVF probe-count default (the hand-set value the r12
+    * contest arm shipped with; the tuner exists to replace it). */
+  val DefaultNprobe: Int = 8
+
+  def writeNprobe(path: String, nprobe: Int): Unit =
+    writeNprobeAt(new java.io.File(resolveStore(path)), nprobe)
+
+  private[index] def writeNprobeAt(dir: java.io.File, nprobe: Int): Unit =
+    java.nio.file.Files.write(
+      new java.io.File(dir, nprobeFileName).toPath,
+      nprobe.toString.getBytes("UTF-8"))
+
+  /** The store's tuned probe count, when a valid `_nprobe` sidecar is
+    * present (positive integer; anything else reads as absent — the
+    * safe direction is the default, never a garbage probe count). */
+  def nprobeOf(path: String): Option[Int] = {
+    val f = new java.io.File(resolveStore(path), nprobeFileName)
+    if (!f.exists()) None
+    else scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .trim.toInt).toOption.filter(_ > 0)
+  }
+
+  /** Test observability (mirrors [[lastBandsLoaded]]): the last
+    * (store path, nprobe) an IVF search arm resolved from a sidecar. */
+  @volatile private[index] var lastNprobeLoaded: Option[(String, Int)] = None
+
+  /** The IVF arms' probe-count resolution: an explicit caller value
+    * wins; [[AutoNprobe]] loads the store's tuned sidecar when present,
+    * else [[DefaultNprobe]]. Recorded for specs when a sidecar decided. */
+  def resolveNprobe(path: String, requested: Int): Int =
+    if (requested != AutoNprobe) requested
+    else {
+      val loaded = nprobeOf(path)
+      lastNprobeLoaded = loaded.map(path -> _)
+      loaded.getOrElse(DefaultNprobe)
+    }
+
   def writeEfBands(path: String, bands: graft.operators.EfBands): Unit =
     writeEfBandsAt(new java.io.File(resolveStore(path)), bands)
 
@@ -569,13 +619,14 @@ object AnnIndexStore {
     * the bounded top-k ([[searchBy]] machinery — several rows per list
     * when the build salted an oversized one). (qid, rank, nid). */
   def searchIvf(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, ef: Int = 200, nprobe: Int = 4): DataFrame = {
+      k: Int, ef: Int = 200, nprobe: Int = AutoNprobe): DataFrame = {
     val store = resolveStore(path)
     val cents = loadCentroids(spark, store)
     val centsFlat = typedLit(cents.flatten)
+    val np = math.min(resolveNprobe(path, nprobe), cents.length)
     val probed = queries.select(col("qid"),
         explode(graft.functions.VectorFunctions.nearestCentroids(
-          col("qvec"), centsFlat, lit(math.min(nprobe, cents.length)))).as("probe"),
+          col("qvec"), centsFlat, lit(np))).as("probe"),
         col("qvec"))
       .select(col("qid"), col("probe").cast("long").as("v"), col("qvec"))
     searchBy(spark, s"$store/lists", probed, k, ef)
@@ -590,11 +641,12 @@ object AnnIndexStore {
     * eagerly-materialized per-chunk results. Peak driver memory is one
     * chunk, independent of total batch size. */
   def searchIvfChunked(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, ef: Int = 200, nprobe: Int = 4, chunkRows: Int = 100000): DataFrame = {
+      k: Int, ef: Int = 200, nprobe: Int = AutoNprobe,
+      chunkRows: Int = 100000): DataFrame = {
     import spark.implicits._
     val store = resolveStore(path)
     val cents = loadCentroids(spark, store)
-    val np = math.min(nprobe, cents.length)
+    val np = math.min(resolveNprobe(path, nprobe), cents.length)
     val results = queryChunks(queries, chunkRows).map { chunk =>
       val qByBucket = chunk.iterator.flatMap { case (qid, qvec) =>
         nearestLists(cents, np, qvec).iterator.map(l => (l, (qid, qvec)))
@@ -629,11 +681,11 @@ object AnnIndexStore {
     * promoted by rename) instead of accumulating as localCheckpoint
     * blocks. */
   def searchIvfChunkedTo(spark: SparkSession, path: String, queries: DataFrame,
-      outPath: String, k: Int, ef: Int = 200, nprobe: Int = 4,
+      outPath: String, k: Int, ef: Int = 200, nprobe: Int = AutoNprobe,
       chunkRows: Int = 100000): Unit = {
     val store = resolveStore(path)
     val cents = loadCentroids(spark, store)
-    val np = math.min(nprobe, cents.length)
+    val np = math.min(resolveNprobe(path, nprobe), cents.length)
     writeChunkedResults(spark, outPath,
       queryChunks(queries, chunkRows).map { chunk =>
         val qByBucket = chunk.iterator.flatMap { case (qid, qvec) =>
@@ -1041,7 +1093,7 @@ object AnnIndexStore {
   /** The `centroids` sidecar as a list-ordered centroid array — ONE
     * definition of the coarse-quantizer load every IVF search arm
     * shares (the nlist-row collect is driver-trivial by contract). */
-  private def loadCentroids(spark: SparkSession, store: String): Array[Array[Float]] =
+  private[index] def loadCentroids(spark: SparkSession, store: String): Array[Array[Float]] =
     spark.read.parquet(s"$store/centroids")
       .select(col("list").cast("int"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))

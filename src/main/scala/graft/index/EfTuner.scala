@@ -313,6 +313,123 @@ object EfTuner {
     Some(bands)
   }
 
+  /** One measured nprobe rung: achieved mean routing recall@k. */
+  final case class NprobeRung(nprobe: Int, recall: Double)
+
+  /** `chosen` = smallest ladder rung whose ROUTING recall meets the
+    * target (ladder max if none); rungs in measured (ladder) order. */
+  final case class NprobeResult(chosen: Int, target: Double,
+      rungs: Seq[NprobeRung]) {
+    def chosenRecall: Double = rungs.find(_.nprobe == chosen).map(_.recall)
+      .getOrElse(rungs.last.recall)
+  }
+
+  val DefaultNprobeLadder: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)
+
+  /** Measured-recall nprobe auto-tune for a [[AnnIndexStore.buildIvf]]
+    * store — the IVF route's analog of [[tune]]: the reference
+    * hand-tunes every arm's effort in its per-dataset `SearchParams`
+    * table (hybrid_graph.h:14-34); this derives the probe count from
+    * the store itself.
+    *
+    * What is measured: ROUTING recall — each rung's nprobe-probed
+    * candidate top-k against the all-lists top-k at the SAME `ef`.
+    * nprobe controls WHICH lists are walked; ef controls the walk
+    * inside each list — measuring against the all-lists ceiling
+    * isolates exactly the loss this knob governs (an exact-over-base
+    * truth would fold the walk's own ef loss into every rung and tune
+    * two knobs with one ladder). As nprobe → nlist the recall is 1.0
+    * by construction, so the ladder always terminates meaningfully.
+    *
+    * Fully distributed: each rung is one [[AnnIndexStore.searchIvf]]
+    * job over the probed lists (executors hold one sub-index each);
+    * the driver holds only sample×k ids per rung. The all-lists truth
+    * pass costs one hash-route-shaped job over the SAMPLE (bounded,
+    * offline calibration — the reference's own sweeps walk far more).
+    * Deterministic for a deterministic store (seeded centroids/builds,
+    * (dist, id) ties, fixed ladder, ordered sample). */
+  def tuneNprobe(spark: org.apache.spark.sql.SparkSession, storePath: String,
+      sample: Array[Array[Float]], k: Int, targetRecall: Double,
+      ef: Int = 400, ladder: Seq[Int] = DefaultNprobeLadder): NprobeResult = {
+    require(sample.nonEmpty, "empty tuning sample")
+    require(ladder.nonEmpty && ladder == ladder.sorted, "ladder must be ascending")
+    val spark2 = spark
+    import spark2.implicits._
+    val queries = sample.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toSeq.toDF("qid", "qvec")
+    val nlist = AnnIndexStore.loadCentroids(spark,
+      AnnIndexStore.resolveStore(storePath)).length
+    def topIds(nprobe: Int): Map[Long, Set[Long]] =
+      AnnIndexStore.searchIvf(spark, storePath, queries, k, ef, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, xs) => (q, xs.map(_._2).toSet) }
+    val truth = topIds(nlist)
+    val rungs = scala.collection.mutable.ArrayBuffer.empty[NprobeRung]
+    var chosen = -1
+    val it = ladder.iterator
+    while (chosen < 0 && it.hasNext) {
+      val np = it.next()
+      val got = topIds(np)
+      var hit = 0L
+      var total = 0L
+      truth.foreach { case (q, t) =>
+        hit += t.intersect(got.getOrElse(q, Set.empty)).size
+        total += t.size
+      }
+      val recall = if (total == 0) 1.0 else hit.toDouble / total
+      rungs += NprobeRung(np, recall)
+      if (recall >= targetRecall) chosen = np
+    }
+    NprobeResult(if (chosen < 0) ladder.last else chosen, targetRecall,
+      rungs.toSeq)
+  }
+
+  /** The lifecycle tools' tune-once entry for the IVF probe count —
+    * the exact [[tuneAndPersistBands]] contract on the `_nprobe`
+    * sidecar pair: ONE definition of the sample (first 32 type-0 query
+    * vectors — unfiltered queries exercise exactly the arm being
+    * tuned) and the routing-recall bar (0.996: the 0.995 END-recall
+    * lifecycle bar decomposed across the two tuned knobs — end ≈
+    * routing × walk, the band tuner holds walk at 0.999, so routing
+    * carries 0.995/0.999 ≈ 0.996; measured at the 10M point: routing
+    * 0.9978 at nprobe=8 × walk ≈ 0.9997 → end 0.9975 ≥ 0.995 ✓, while
+    * a routing bar above 0.998 would double the probe count for
+    * recall the gate does not require); params-stamped,
+    * single-writer, crash-safe in the
+    * params-deleted → value-written → params-written order (a torn
+    * pair can never validate; every crash direction re-tunes).
+    * Returns the freshly tuned result (None = matching sidecar
+    * present, nothing done). */
+  def tuneAndPersistNprobe(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, queries: org.apache.spark.sql.DataFrame,
+      k: Int, ef: Int): Option[NprobeResult] = {
+    import org.apache.spark.sql.functions.col
+    val params = s"k=$k ef=$ef target=0.996"
+    val dataDir = new java.io.File(AnnIndexStore.resolveStore(storePath))
+    val valueFile = new java.io.File(dataDir, AnnIndexStore.nprobeFileName)
+    val paramsFile = new java.io.File(dataDir, AnnIndexStore.nprobeParamsFileName)
+    val matches = valueFile.exists() && paramsFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(paramsFile.toPath), "UTF-8") == params &&
+      AnnIndexStore.nprobeOf(dataDir.getPath).isDefined
+    if (matches) return None
+    java.nio.file.Files.deleteIfExists(paramsFile.toPath)
+    // crash window: params gone, (possibly stale) value still present —
+    // the IVF arms may serve the old probe count until the re-tune;
+    // the next entry sees no matching params and re-derives
+    AnnIndexStore.crashPoint("nprobe.params_deleted")
+    val qs = queries.filter(col("qtype") === 0).orderBy("qid").limit(32)
+      .select("qvec").collect().map(_.getSeq[Float](0).toArray)
+    val res = tuneNprobe(spark, dataDir.getPath, qs, k,
+      targetRecall = 0.996, ef = ef)
+    AnnIndexStore.writeNprobeAt(dataDir, res.chosen)
+    // crash window: NEW value written, params not yet — the arms serve
+    // the fresh (correct) count; the next entry re-tunes (safe: the
+    // re-tune reproduces the same deterministic value)
+    AnnIndexStore.crashPoint("nprobe.written")
+    java.nio.file.Files.write(paramsFile.toPath, params.getBytes("UTF-8"))
+    Some(res)
+  }
+
   /** One measured rung: achieved mean recall@k at `ef`. */
   final case class Rung(ef: Int, recall: Double)
 

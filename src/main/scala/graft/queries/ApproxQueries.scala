@@ -264,6 +264,42 @@ object ApproxQueries {
         .toDF("band", "value")
     }),
 
+    // The IVF route's probe count, measured instead of hand-set (the
+    // r12 verdict's task #1 — the last hand-tuned effort knob on the
+    // slowest arm): tuneNprobe ladders ROUTING recall (nprobe-probed
+    // candidate top-k vs the all-lists top-k at the same ef — the loss
+    // this knob governs, isolated from the walk's ef loss) on the
+    // seeded IVF store, so the measurement is a deterministic function
+    // of the pinned corpus and the oracle pins the chosen operating
+    // point as golden values. Teeth beyond the hash: the chosen-rung
+    // recall floor, the double-run determinism require, and the
+    // `_nprobe` sidecar round-trip — the exact value tuned here is the
+    // value AutoNprobe resolution hands the serving arms.
+    "ann_nprobe_tune" -> ((s, dir) => {
+      val ivfPath = StorePaths.ensureIvfStore(s, dir)
+      val sample = stridedSample(s, dir, maxSample = 32L)
+      // 0.996 = the lifecycle tuner's own routing bar (the 0.995
+      // end-recall gate decomposed across the two tuned knobs; see
+      // EfTuner.tuneAndPersistNprobe) — one bar, no gate-only constant
+      def tuneOnce() = graft.index.EfTuner.tuneNprobe(s, ivfPath, sample,
+        k = 10, targetRecall = 0.996, ef = 400)
+      val res = tuneOnce()
+      require(tuneOnce() == res,
+        "ann_nprobe_tune: nprobe tuning must be deterministic run-over-run")
+      require(res.chosenRecall >= 0.996,
+        s"nprobe tune regression: chosen nprobe ${res.chosen} routing " +
+          s"recall ${res.chosenRecall} < 0.996")
+      graft.index.AnnIndexStore.writeNprobe(ivfPath, res.chosen)
+      require(graft.index.AnnIndexStore.resolveNprobe(ivfPath,
+          graft.index.AnnIndexStore.AutoNprobe) == res.chosen,
+        "ann_nprobe_tune: _nprobe sidecar round-trip must hand the " +
+          "serving arms the tuned value")
+      import s.implicits._
+      res.rungs.map(r => (r.nprobe.toLong,
+          if (r.nprobe == res.chosen) 1L else 0L))
+        .toDF("nprobe", "chosen")
+    }),
+
     // SQL-level ANN auto-route (SURVEY §4's AnnJoinStrategy): the plain
     // `ORDER BY l2_sq(vec, :qvec) LIMIT k` shape over a registered
     // parquet path plans as an HNSW index search (AnnTopKExec) instead
@@ -825,6 +861,24 @@ object ApproxQueries {
       """SELECT band, CAST(value AS DOUBLE) AS value FROM (VALUES
         |  ('full_8', 0.25), ('full_4', 0.25), ('full_2', 0.25),
         |  ('cap_infilter', 1.0)) AS t(band, value)""".stripMargin,
+
+    // Golden-pinned nprobe choice (same contract as ann_ef_tune): the
+    // routing-recall ladder on the seeded 16-list gate store is a
+    // deterministic function of the pinned corpus, and scale-stable —
+    // sf0.01 and sf0.1 both measure ~0.75 routing recall at nprobe=8
+    // and choose the probe-all rung 16 (the synthetic embeddings are
+    // near-uniform, so no list subset can contain 99.8% of true
+    // neighbors; the tuner correctly refuses to skip lists rather than
+    // shipping a hand-set nprobe that silently drops recall — the
+    // DEFENSIVE half of the knob). The interior-choice half is
+    // measured on the clustered 10M k-means store (BASELINE.md round
+    // 13, NprobeProbe ladder). Teeth: chosen-rung recall floor,
+    // double-run determinism, `_nprobe` sidecar round-trip into the
+    // AutoNprobe serving resolution.
+    "ann_nprobe_tune" ->
+      """SELECT CAST(nprobe AS BIGINT) AS nprobe, CAST(chosen AS BIGINT) AS chosen
+        |FROM (VALUES (1, 0), (2, 0), (4, 0), (8, 0), (16, 1))
+        |  AS t(nprobe, chosen)""".stripMargin,
 
     // ANN SQL auto-route vs brute force: the routed plan re-sorts its
     // top-k by the exact double-loop distance, and at sf0.01 scale the

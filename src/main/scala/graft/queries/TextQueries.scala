@@ -208,6 +208,54 @@ object TextQueries {
             .as("keep"))
     }),
 
+    // the REAL-model half of model-based quality filtering (the r12
+    // verdict's task #2 — the one "documented, not gated" shape):
+    // train integer milli-weights from Gopher-rule labels in one Spark
+    // pass (operators/QualityClassifier — smoothed class-purity
+    // surrogate, non-negative integer division so Spark div == DuckDB
+    // //), persist them as a corpus-fingerprint-tagged parquet
+    // artifact, and score through the broadcast-weights codegen kernel
+    // (ClassifierMilliSumWeights — the serving shape the hash-derived
+    // twin's scaladoc documents). The DuckDB oracle REPLAYS TRAINING
+    // AND SERVING bit-for-bit; in-query teeth: a fresh retrain must
+    // equal the persisted artifact (determinism + artifact integrity),
+    // and the trained model must actually separate its training
+    // labels (mean milli-score of pass docs > fail docs).
+    "quality_classifier_trained" -> ((s, dir) => {
+      import graft.operators.QualityClassifier
+      val dim = QualityClassifier.DefaultDim
+      val path = graft.queries.StorePaths.taggedPath(s, "/tmp/graft_clf", dir)
+      val weights = QualityClassifier.trainAndPersist(docs(s, dir), path, dim)
+      require(java.util.Arrays.equals(
+          QualityClassifier.train(docs(s, dir), dim), weights),
+        "quality_classifier_trained: fresh retrain must equal the " +
+          "persisted artifact (training is a deterministic function of " +
+          "the corpus; a mismatch means a stale or corrupt artifact)")
+      val scored = docs(s, dir)
+        .withColumn("toks", TF.tokens(col("text")))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("score_milli",
+          QualityClassifier.scoreMilli(col("toks"), weights))
+        .withColumn("label", QualityClassifier.gopherPasses(col("text")))
+      val sep = scored.filter(col("n") > 0)
+        .groupBy("label")
+        .agg(avg(col("score_milli") / col("n")).as("m"))
+        .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+      require(sep.getOrElse(true, -1.0) > sep.getOrElse(false, 1.0),
+        s"quality_classifier_trained: trained weights do not separate " +
+          s"the training labels (pass mean ${sep.get(true)} vs fail " +
+          s"mean ${sep.get(false)}) — training regression")
+      scored.select(
+        col("doc_id").cast("long").as("doc_id"),
+        col("n").as("n_tokens"),
+        // raw division, un-rounded: identical IEEE double from
+        // identical integer operands (see quality_classifier's note)
+        when(col("n") > 0, col("score_milli") / (col("n") * 1000.0))
+          .otherwise(0.0).as("score"),
+        when(col("score_milli") >= 0 && col("n") > 0, 1L).otherwise(0L)
+          .as("keep"))
+    }),
+
     // n-gram-marker language ID heuristic (scores + argmax prediction)
     "text_langid" -> ((s, dir) => {
       val base = docs(s, dir).withColumn("toks", TF.tokens(col("text")))
@@ -1290,6 +1338,51 @@ object TextQueries {
         |  CASE WHEN n_tokens > 0 THEN score_milli / (n_tokens * 1000.0) ELSE 0.0 END AS score,
         |  CAST(CASE WHEN score_milli >= 0 AND n_tokens > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM w""".stripMargin,
+
+    // Full replay of TRAINING + SERVING for the trained classifier:
+    // labels = the Gopher passes rule (the quality_gopher_rules
+    // oracle's own predicate), features = hash60 mod 4096, weights =
+    // (2000·pos) // (tot+1) − 1000 (non-negative operands — DuckDB //
+    // floors, Spark div truncates, equal here), score = per-doc sum of
+    // the token weights. Bit-for-bit: every stage is integer except
+    // the final division of identical integer operands.
+    "quality_classifier_trained" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), lab AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) BETWEEN 50 AND 100000
+        |      AND (CASE WHEN len(toks) > 0 THEN
+        |            CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+        |              / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+        |      AND (CASE WHEN len(toks) > 0 THEN
+        |            CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+        |              / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) > 0.8
+        |      AND len(list_filter(toks, x -> lower(x) IN
+        |            ('the','of','and','to','in','a','is','that'))) >= 2
+        |    THEN 1 ELSE 0 END AS label
+        |  FROM t
+        |), tok AS (
+        |  SELECT lab.doc_id, lab.label,
+        |    CAST(CAST(('0x' || substr(md5('131:' || u.x), 1, 15)) AS UBIGINT) % 4096 AS BIGINT) AS idx
+        |  FROM lab, unnest(lab.toks) AS u(x)
+        |), w AS (
+        |  SELECT idx,
+        |    (2000 * sum(label)) // (count(*) + 1) - 1000 AS wm
+        |  FROM tok GROUP BY idx
+        |), sc AS (
+        |  SELECT tok.doc_id, CAST(sum(w.wm) AS BIGINT) AS score_milli
+        |  FROM tok JOIN w USING (idx) GROUP BY tok.doc_id
+        |)
+        |SELECT CAST(lab.doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(lab.toks) AS BIGINT) AS n_tokens,
+        |  CASE WHEN len(lab.toks) > 0
+        |    THEN coalesce(sc.score_milli, 0) / (len(lab.toks) * 1000.0)
+        |    ELSE 0.0 END AS score,
+        |  CAST(CASE WHEN coalesce(sc.score_milli, 0) >= 0 AND len(lab.toks) > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM lab LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     "text_langid" ->
       """WITH t AS (

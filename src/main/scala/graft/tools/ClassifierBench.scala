@@ -81,6 +81,25 @@ object ClassifierBench {
     }
     require(native == hof, s"value divergence: native $native vs hof $hof")
     println(s"CHECKSUMS agree: $native over $n docs")
+
+    // broadcast-weights arm: the REAL trained model's serving shape
+    // (ClassifierMilliSumWeights — plan-resident long[dim] reference
+    // object instead of the hash-derived table; the per-row work is
+    // one md5 + one array read per token EITHER way, so this measures
+    // the shape's cost, not a different algorithm). Train cost is
+    // timed separately — it's the one-time pass a real pipeline pays
+    // per model version, not per scoring run.
+    val weights = timed("train_gopher_labels") {
+      graft.operators.QualityClassifier.train(
+        spark.read.parquet(docsPath), dim)
+    }
+    // warm untimed, then measure
+    checksum(graft.functions.TextFunctions.classifierScoreMilliTrained(col("toks"), weights))
+    val trained = timed("broadcast_weights_kernel") {
+      checksum(graft.functions.TextFunctions.classifierScoreMilliTrained(col("toks"), weights))
+    }
+    println(s"TRAINED checksum: $trained over $n docs " +
+      s"(nonzero weights: ${weights.count(_ != 0L)}/$dim)")
     spark.stop()
   }
 }

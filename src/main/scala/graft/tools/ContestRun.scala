@@ -286,7 +286,6 @@ object ContestRun {
     // t0 arm's nprobe) change the cached rows as much as the arm modes
     // already encoded in the stage names — an unstamped resume would
     // write output.bin and print recall from the PREVIOUS parameters
-    val t0Nprobe = sys.env.getOrElse("GRAFT_CONTEST_NPROBE", "8").toInt
     val searchParams = s"k=$k ef=$ef"
     import ProbeHarness.{freshFor, stamp}
     val t0Name = if (t0Mode == "ivf") "t0_ivf" else "t0"
@@ -295,6 +294,22 @@ object ContestRun {
     if (t0Mode == "ivf" && !exists(s"$root/by_ivf/lists")) timed("build_by_ivf") {
       AnnIndexStore.buildIvf(base.select(col("id"), col("vec")),
         s"$root/by_ivf", nlist = 128)
+    }
+    // nprobe: tuned from the store's own lists by default (the last
+    // hand-set effort knob on the slowest arm — mirrors tuneBandsOnce;
+    // measured routing-recall ladder, `_nprobe` sidecar, tune-once).
+    // GRAFT_CONTEST_NPROBE=<n> stays as the explicit A/B override.
+    val t0Nprobe = sys.env.get("GRAFT_CONTEST_NPROBE").map(_.toInt).getOrElse {
+      if (t0Mode == "ivf") {
+        val t0 = System.nanoTime()
+        graft.index.EfTuner.tuneAndPersistNprobe(spark, s"$root/by_ivf",
+            queries, k, ef).foreach { r =>
+          println(f"STAGE tune_nprobe: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          println(s"NPROBE chosen=${r.chosen} " +
+            r.rungs.map(x => f"${x.nprobe}:${x.recall}%.4f").mkString(" "))
+        }
+        AnnIndexStore.resolveNprobe(s"$root/by_ivf", AnnIndexStore.AutoNprobe)
+      } else AnnIndexStore.DefaultNprobe
     }
     val t0Params = if (t0Mode == "ivf") s"$searchParams nprobe=$t0Nprobe" else searchParams
     if (!freshFor(s"$resPath/$t0Name", t0Params)) timed(s"search_type0_$t0Mode") {

@@ -48,7 +48,7 @@ object AnnCatalog {
       rangeIndex: Option[(String, String)] = None,
       trusted: Boolean = false,
       ivfIndex: Option[String] = None,
-      nprobe: Int = 4)
+      nprobe: Int = graft.index.AnnIndexStore.AutoNprobe)
 
   private val registry = TrieMap.empty[String, IndexMeta]
 
@@ -79,14 +79,18 @@ object AnnCatalog {
     * nearest centroids driver-side and only those lists are read and
     * walked — the reference's "don't scan what routing can skip"
     * (hybrid_graph.cpp:306-333). `nprobe` is the per-registration
-    * recall/latency knob (session override: `spark.graft.ann.nprobe`). */
+    * recall/latency knob; left at [[graft.index.AnnIndexStore.AutoNprobe]]
+    * it resolves to the store's measured `_nprobe` sidecar
+    * ([[graft.index.EfTuner.tuneNprobe]]) when present, else the
+    * untuned default (session override: `spark.graft.ann.nprobe`
+    * beats both). */
   def register(basePath: String, indexPath: String,
       idCol: String = "id", vecCol: String = "vec", ef: Int = 200,
       labelIndex: Option[(String, String)] = None,
       rangeIndex: Option[(String, String)] = None,
       trusted: Boolean = false,
       ivfIndex: Option[String] = None,
-      nprobe: Int = 4): Unit = {
+      nprobe: Int = graft.index.AnnIndexStore.AutoNprobe): Unit = {
     (labelIndex.map(_._2) ++ rangeIndex.map(_._2)).foreach(attrCache.remove)
     ivfIndex.foreach(centroidCache.remove)
     // same staleness rule as the two caches above: a re-registration is
@@ -133,7 +137,7 @@ object AnnCatalog {
       rangeIndex: Option[(String, String)] = None,
       trusted: Boolean = false,
       ivfIndex: Option[String] = None,
-      nprobe: Int = 4): graft.index.EfTuner.Result = {
+      nprobe: Int = graft.index.AnnIndexStore.AutoNprobe): graft.index.EfTuner.Result = {
     val res = graft.index.EfTuner.tuneStored(spark, indexPath, sample, k,
       targetRecall, ladder)
     register(basePath, indexPath, idCol, vecCol, math.max(res.chosenEf, k),
@@ -472,8 +476,12 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
         // lists), hash-bucket walk-all otherwise
         case (None, None) => Some(meta.ivfIndex match {
           case Some(ivfPath) =>
+            // precedence: session conf > explicit registration value >
+            // the store's tuned `_nprobe` sidecar > untuned default
             val np = session.conf.getOption("spark.graft.ann.nprobe")
-              .map(_.toInt).getOrElse(meta.nprobe)
+              .map(_.toInt)
+              .getOrElse(graft.index.AnnIndexStore.resolveNprobe(
+                ivfPath, meta.nprobe))
             AnnTopKExec.IvfRoute(ivfPath, np)
           case None =>
             AnnCatalog.warnHashRouteOnce(meta.indexPath)

@@ -273,6 +273,52 @@ case class ClassifierMilliSum(child: Expression, dim: Int)
     copy(child = newChild)
 }
 
+/** [[ClassifierMilliSum]] with a CALLER-SUPPLIED integer milli-weight
+  * table — the broadcast-weights serving shape for a REAL trained
+  * model (the shape ClassifierMilliSum's scaladoc documents): the
+  * weight array rides the serialized plan as a reference object (one
+  * copy per executor, exactly a broadcast variable's distribution for
+  * a plan-resident table), and row time is one md5 + one array read
+  * per token — identical to the hash-derived twin, so the A/B in
+  * `tools/ClassifierBench` measures the serving-cost question
+  * directly. Same null semantics, same kernel
+  * ([[TextHashUtil.classifierMilliSum]]). `dim` = weights.length. */
+case class ClassifierMilliSumWeights(child: Expression, weights: Seq[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "classifier_milli_sum_weights"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  require(weights.nonEmpty && weights.length <= (1 << 22),
+    s"classifier_milli_sum_weights: dim (${weights.length}) must be in " +
+      "1..2^22 (the weight table is driver/plan-resident)")
+
+  @transient private lazy val seedTok: Array[Byte] = "131:".getBytes("UTF-8")
+  @transient private lazy val wArr: Array[Long] = weights.toArray
+
+  override def nullSafeEval(toks: Any): Any =
+    TextHashUtil.classifierMilliSum(
+      toks.asInstanceOf[ArrayData], weights.length.toLong, seedTok, wArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val st = ctx.addReferenceObj("seedTok", seedTok, "byte[]")
+    val w = ctx.addReferenceObj("weights", wArr, "long[]")
+    nullSafeCodeGen(ctx, ev, toks => {
+      val r = ctx.freshName("milli")
+      s"""
+         |java.lang.Long $r = org.apache.spark.sql.graft.TextHashUtil
+         |  .classifierMilliSum($toks, ${weights.length}L, $st, $w);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ClassifierMilliSumWeights =
+    copy(child = newChild)
+}
+
 /** 60-bit seeded md5 hash of a string (see [[TextHashUtil.hash60]]). */
 case class Md5Hash60(child: Expression, seed: Int)
     extends UnaryExpression with ExpectsInputTypes {

@@ -180,4 +180,40 @@ class DeltaCrashPropertySpec extends SparkSpec {
         s"[$crashAt] a matching pair must be reused, not re-tuned forever")
     }
   }
+
+  test("nprobe sidecar writes recover at every crash point (torn pair never validates)") {
+    val base = Seq.tabulate(600)(i => (i.toLong, vec())).toDF("id", "vec")
+    val queries = Seq.tabulate(20)(i =>
+      (i.toLong, 0, 0.0, 1.0, vec())).toDF("qid", "qtype", "l", "r", "qvec")
+    Seq("nprobe.params_deleted", "nprobe.written").foreach { crashAt =>
+      val dir = Files.createTempDirectory("graft-crashnprobe").toString + "/by_ivf"
+      AnnIndexStore.buildIvfSeeded(base, dir, nlist = 4)
+      AnnIndexStore.crashHook = p => if (p == crashAt) throw CrashSim(p)
+      val crashed =
+        try { EfTuner.tuneAndPersistNprobe(spark, dir, queries, k = 10, ef = 128); false }
+        catch { case CrashSim(_) => true }
+        finally { AnnIndexStore.crashHook = _ => () }
+      assert(crashed, s"[$crashAt] expected the injected crash to fire")
+      // post-crash serving must never see a torn pair as authoritative:
+      // nprobeOf parses a valid value or None, and AutoNprobe resolution
+      // always yields a servable positive count
+      AnnIndexStore.nprobeOf(dir)
+      assert(AnnIndexStore.resolveNprobe(dir, AnnIndexStore.AutoNprobe) > 0,
+        s"[$crashAt] AutoNprobe resolution must stay servable after a crash")
+      // recovery = the next tuning entry re-tunes (params deleted first /
+      // written last — a torn pair cannot validate) …
+      val retuned = EfTuner.tuneAndPersistNprobe(spark, dir, queries, k = 10, ef = 128)
+      assert(retuned.isDefined,
+        s"[$crashAt] post-crash entry must re-tune, not trust a torn pair")
+      // … leaves the re-tuned value where the serving arms load it …
+      assert(AnnIndexStore.nprobeOf(dir).contains(retuned.get.chosen),
+        s"[$crashAt] recovered sidecar must hold the re-tuned value")
+      assert(AnnIndexStore.resolveNprobe(dir, AnnIndexStore.AutoNprobe) ==
+        retuned.get.chosen,
+        s"[$crashAt] AutoNprobe must resolve to the recovered value")
+      // … and a matching pair is reused, not re-tuned forever
+      assert(EfTuner.tuneAndPersistNprobe(spark, dir, queries, k = 10, ef = 128).isEmpty,
+        s"[$crashAt] a matching pair must be reused, not re-tuned forever")
+    }
+  }
 }

@@ -199,6 +199,19 @@ class AnnTopKStrategySpec extends SparkSpec {
       spark.conf.set("spark.graft.ann.nprobe", "5")
       try assert(planOf(qv, 10).queryExecution.executedPlan.toString.contains("nprobe=5"))
       finally spark.conf.unset("spark.graft.ann.nprobe")
+
+      // AutoNprobe (the default) resolves the store's tuned `_nprobe`
+      // sidecar at the route decision — the serving arms consume what
+      // the tuner persisted, with no caller plumbing
+      AnnIndexStore.writeNprobe(ivfPath, 3)
+      AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec",
+        ef = 600, ivfIndex = Some(ivfPath))
+      assert(planOf(qv, 10).queryExecution.executedPlan.toString.contains("nprobe=3"),
+        "AutoNprobe registration must route with the sidecar's tuned value")
+      // an explicit registration value still beats the sidecar
+      AnnCatalog.register(dirs._1, dirs._2, idCol = "id", vecCol = "vec",
+        ef = 600, ivfIndex = Some(ivfPath), nprobe = 2)
+      assert(planOf(qv, 10).queryExecution.executedPlan.toString.contains("nprobe=2"))
     } finally AnnCatalog.unregister(dirs._1)
   }
 
