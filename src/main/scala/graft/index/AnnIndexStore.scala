@@ -227,17 +227,34 @@ object AnnIndexStore {
     * present" sentinel for the IVF search entries' `nprobe` params. */
   val AutoNprobe: Int = -1
 
-  /** The untuned IVF probe-count default (the hand-set value the r12
-    * contest arm shipped with; the tuner exists to replace it). */
-  val DefaultNprobe: Int = 8
+  /** The untuned IVF probe-count fallback for [[AutoNprobe]] callers
+    * whose store has no `_nprobe` sidecar — kept at the value the
+    * search entries' signatures defaulted to before the tuner existed,
+    * so "no sidecar" behaves exactly like the old API default (the
+    * tuner exists to replace this hand-set constant, not to nudge it). */
+  val DefaultNprobe: Int = 4
 
   def writeNprobe(path: String, nprobe: Int): Unit =
     writeNprobeAt(new java.io.File(resolveStore(path)), nprobe)
 
+  /** Atomic tiny-sidecar write (temp + rename): a crash mid-write of a
+    * plain Files.write can leave a TORN value — "16" truncated to "1"
+    * parses as a valid (and recall-collapsing) probe count, the one
+    * torn state the pair protocol's params stamp cannot catch because
+    * serving reads the value file alone. Rename is the same
+    * all-or-nothing primitive the stores' `_manifest` flips rely on. */
+  private[index] def writeSidecarAtomic(dir: java.io.File, name: String,
+      content: String): Unit = {
+    val tmp = new java.io.File(dir, s"._${name}_tmp")
+    java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private[index] def writeNprobeAt(dir: java.io.File, nprobe: Int): Unit =
-    java.nio.file.Files.write(
-      new java.io.File(dir, nprobeFileName).toPath,
-      nprobe.toString.getBytes("UTF-8"))
+    writeSidecarAtomic(dir, nprobeFileName, nprobe.toString)
 
   /** The store's tuned probe count, when a valid `_nprobe` sidecar is
     * present (positive integer; anything else reads as absent — the
@@ -275,9 +292,10 @@ object AnnIndexStore {
     * split the pair). */
   private[index] def writeEfBandsAt(dir: java.io.File,
       bands: graft.operators.EfBands): Unit =
-    java.nio.file.Files.write(
-      new java.io.File(dir, efBandsFileName).toPath,
-      bands.serialize.getBytes("UTF-8"))
+    // atomic for the same torn-value reason as writeNprobeAt: a
+    // truncated band table can still PARSE (a prefix of valid lines),
+    // and efBandsOf reads the value file alone
+    writeSidecarAtomic(dir, efBandsFileName, bands.serialize)
 
   def efBandsOf(path: String): Option[graft.operators.EfBands] = {
     val f = new java.io.File(resolveStore(path), efBandsFileName)

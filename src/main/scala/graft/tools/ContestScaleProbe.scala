@@ -94,11 +94,28 @@ object ContestScaleProbe {
     val queries = spark.read.parquet(queryPath)
 
     // ---- index builds (the build-once lifecycle) ----
-    if (!exists(s"$root/by_hash")) timed("build_by_hash") {
+    // Type-0 arm mirrors ContestRun.runScale: IVF by default (centroid
+    // routing + tuned `_nprobe`; the walk-every-bucket hash arm is the
+    // measured 5.5× scale-killer), GRAFT_CONTEST_T0=hash for A/B.
+    // nlist scales with n to hold rows/list ≈ 80k (the 10M point's
+    // 128-list geometry): constant per-probe walk cost is exactly the
+    // IVF scale thesis the ladder exists to measure.
+    val t0Mode = sys.env.getOrElse("GRAFT_CONTEST_T0", "ivf")
+    val nlist = math.max(32, (n / 80000L).toInt)
+    if (t0Mode != "ivf" && !exists(s"$root/by_hash")) timed("build_by_hash") {
       AnnIndexStore.build(base.select(col("id"), col("vec")),
         s"$root/by_hash", numBuckets = cpus.toInt)
     }
-    if (!exists(s"$root/by_label")) timed("build_by_label") {
+    if (t0Mode == "ivf" && !exists(s"$root/by_ivf/lists")) timed("build_by_ivf") {
+      AnnIndexStore.buildIvf(base.select(col("id"), col("vec")),
+        s"$root/by_ivf", nlist = nlist)
+    }
+    // GRAFT_CONTEST_SKIP_T1=1 drops the per-label store + its search +
+    // its recall slice — the disk-bounded big-N ladder runs the three
+    // arms the r12 verdict asked to scale (IVF t0, banded t2/t3); the
+    // skip is recorded in the RESULTS/RECALL lines, never silent.
+    val skipT1 = sys.env.get("GRAFT_CONTEST_SKIP_T1").contains("1")
+    if (!skipT1 && !exists(s"$root/by_label")) timed("build_by_label") {
       AnnIndexStore.buildBy(base.select(col("id"), col("label"), col("ts"), col("vec")),
         s"$root/by_label", "label", attrCol = Some("ts"))
     }
@@ -150,16 +167,36 @@ object ContestScaleProbe {
     val outPath = s"$root/results"
     val searchParams = s"k=$k ef=$ef"
     import ProbeHarness.{freshFor, stamp}
-    if (!freshFor(s"$outPath/t0", searchParams)) timed("search_type0_hash") {
+    // tuned `_nprobe` sidecar on the IVF arm (mirrors ContestRun;
+    // GRAFT_CONTEST_NPROBE stays the explicit A/B override)
+    val t0Nprobe = sys.env.get("GRAFT_CONTEST_NPROBE").map(_.toInt).getOrElse {
+      if (t0Mode == "ivf") {
+        val t0 = System.nanoTime()
+        graft.index.EfTuner.tuneAndPersistNprobe(spark, s"$root/by_ivf",
+            queries, k, ef).foreach { r =>
+          println(f"STAGE tune_nprobe: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          println(s"NPROBE chosen=${r.chosen} " +
+            r.rungs.map(x => f"${x.nprobe}:${x.recall}%.4f").mkString(" "))
+        }
+        AnnIndexStore.resolveNprobe(s"$root/by_ivf", AnnIndexStore.AutoNprobe)
+      } else AnnIndexStore.DefaultNprobe
+    }
+    val t0Name = if (t0Mode == "ivf") "t0_ivf" else "t0"
+    val t0Params = if (t0Mode == "ivf") s"$searchParams nprobe=$t0Nprobe" else searchParams
+    if (!freshFor(s"$outPath/$t0Name", t0Params)) timed(s"search_type0_$t0Mode") {
       // 50k chunks: per-chunk agg state (one bounded top-k heap per qid
       // per bucket task) is the heap high-water mark of the whole probe
-      AnnIndexStore.searchChunked(spark, s"$root/by_hash",
-          queries.filter(col("qtype") === 0).select(col("qid"), col("qvec")), k, ef,
-          chunkRows = 50000)
-        .write.mode("overwrite").parquet(s"$outPath/t0")
-      stamp(s"$outPath/t0", searchParams)
+      val q0 = queries.filter(col("qtype") === 0).select(col("qid"), col("qvec"))
+      (if (t0Mode == "ivf")
+        AnnIndexStore.searchIvfChunked(spark, s"$root/by_ivf", q0, k, ef,
+          nprobe = t0Nprobe, chunkRows = 50000)
+      else
+        AnnIndexStore.searchChunked(spark, s"$root/by_hash", q0, k, ef,
+          chunkRows = 50000))
+        .write.mode("overwrite").parquet(s"$outPath/$t0Name")
+      stamp(s"$outPath/$t0Name", t0Params)
     }
-    if (!freshFor(s"$outPath/t1", searchParams)) timed("search_type1_label") {
+    if (!skipT1 && !freshFor(s"$outPath/t1", searchParams)) timed("search_type1_label") {
       AnnIndexStore.searchBy(spark, s"$root/by_label",
           queries.filter(col("qtype") === 1).select(col("qid"), col("v"), col("qvec")), k, ef)
         .write.mode("overwrite").parquet(s"$outPath/t1")
@@ -200,16 +237,19 @@ object ContestScaleProbe {
       r3.write.mode("overwrite").parquet(s"$outPath/$t3Name")
       stamp(s"$outPath/$t3Name", searchParams)
     }
-    val results = spark.read.parquet(s"$outPath/t0")
-      .unionByName(spark.read.parquet(s"$outPath/t1"))
-      .unionByName(spark.read.parquet(s"$outPath/$t2Name"))
-      .unionByName(spark.read.parquet(s"$outPath/$t3Name"))
+    val results = Seq(
+        Some(s"$outPath/$t0Name"),
+        if (skipT1) None else Some(s"$outPath/t1"),
+        Some(s"$outPath/$t2Name"), Some(s"$outPath/$t3Name"))
+      .flatten.map(spark.read.parquet(_)).reduce(_.unionByName(_))
     val nRes = results.count()
-    println(s"RESULTS: $nRes rows (${nRes / math.max(k, 1)} answered queries)")
+    println(s"RESULTS: $nRes rows (${nRes / math.max(k, 1)} answered queries)" +
+      (if (skipT1) " [t1 SKIPPED: GRAFT_CONTEST_SKIP_T1]" else ""))
 
     // ---- recall vs the exact oracle on a deterministic sample ----
     timed("recall_sample") {
       val sample = queries.filter(col("qid") % 1009 === 0)
+        .filter(if (skipT1) col("qtype") =!= 1 else lit(true))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nSample = sample.count()
       // persist the brute-force oracle: the overall + 4 per-type recall

@@ -93,6 +93,7 @@ object AnnCatalog {
       nprobe: Int = graft.index.AnnIndexStore.AutoNprobe): Unit = {
     (labelIndex.map(_._2) ++ rangeIndex.map(_._2)).foreach(attrCache.remove)
     ivfIndex.foreach(centroidCache.remove)
+    ivfIndex.foreach(nprobeCache.remove)
     // same staleness rule as the two caches above: a re-registration is
     // the signal the base may have been regenerated, and a cached
     // null-free verdict from the OLD corpus would let the null-ordering
@@ -149,7 +150,7 @@ object AnnCatalog {
 
   def clear(): Unit = {
     registry.clear(); attrCache.clear(); centroidCache.clear()
-    nullFreeCache.clear()
+    nullFreeCache.clear(); nprobeCache.clear()
     AnnTopKExec.clearScanFrames()
     AnnTopKExec.clearPlacements()
   }
@@ -158,6 +159,11 @@ object AnnCatalog {
   // store path. Registration paths embed the source-generation
   // fingerprint, so a regenerated corpus can never hit a stale entry.
   private val centroidCache = TrieMap.empty[String, Array[(Int, Array[Float])]]
+
+  // AutoNprobe sidecar resolution per ivf path — invalidated on
+  // register(), same staleness rule as centroidCache (a re-registration
+  // is the signal the store may have been rebuilt or re-tuned)
+  private[graft] val nprobeCache = TrieMap.empty[String, Int]
 
   private[graft] def centroidsOf(spark: org.apache.spark.sql.SparkSession,
       ivfPath: String): Array[(Int, Array[Float])] =
@@ -477,11 +483,23 @@ case class AnnTopKStrategy(session: SparkSession) extends SparkStrategy {
         case (None, None) => Some(meta.ivfIndex match {
           case Some(ivfPath) =>
             // precedence: session conf > explicit registration value >
-            // the store's tuned `_nprobe` sidecar > untuned default
+            // the store's tuned `_nprobe` sidecar > untuned default.
+            // The sidecar resolution is CACHED per ivf path (register()
+            // invalidates, like centroidCache): an uncached read would
+            // be one exists + readAllBytes per planned statement on the
+            // ms-latency serving path. A tuner that re-stamps a LIVE
+            // registration's sidecar is picked up at re-registration —
+            // registerTuned's own order (tune, then register) already
+            // does this, and the session conf remains the no-restart
+            // override.
             val np = session.conf.getOption("spark.graft.ann.nprobe")
               .map(_.toInt)
-              .getOrElse(graft.index.AnnIndexStore.resolveNprobe(
-                ivfPath, meta.nprobe))
+              .getOrElse {
+                if (meta.nprobe != graft.index.AnnIndexStore.AutoNprobe) meta.nprobe
+                else AnnCatalog.nprobeCache.getOrElseUpdate(ivfPath,
+                  graft.index.AnnIndexStore.resolveNprobe(
+                    ivfPath, graft.index.AnnIndexStore.AutoNprobe))
+              }
             AnnTopKExec.IvfRoute(ivfPath, np)
           case None =>
             AnnCatalog.warnHashRouteOnce(meta.indexPath)
@@ -955,6 +973,19 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
   /** Fold-side bookkeeping for a NEW (bucket, sub) placement. */
   private def placementRecorded(): Unit = placementEntries.incrementAndGet()
 
+  /** Fold a pass's placement emissions atomically with the registry's
+    * eviction/recount machinery: the map fetch (which may evict) and
+    * the counted puts happen under the one lock, so the entry counter
+    * can never lose an increment to a racing bound-trigger recompute
+    * (drift, if any, is strictly upward — the safe direction). */
+  private def foldPlacements(spark: SparkSession, path: String, ver: String,
+      emissions: Seq[((Long, Int), String)]): Unit = placements.synchronized {
+    val target = placementsFor(spark, path, ver)
+    emissions.foreach { case (key, loc) =>
+      if (target.put(key, loc) == null) placementRecorded()
+    }
+  }
+
   /** Global placement-entry bound, applied at fold time: hints only, so
     * forgetting costs one cold reload per row, never correctness.
     * Evicts least-recently-served maps until ~7/8 of the bound (the
@@ -1108,8 +1139,17 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
         // limit(cap+1) collect — either way the statement falls to
         // the scan path, never an unbounded driver collect.
         val cap = AnnTopKExec.placedMaxItems
+        // the O(1) size pre-check only applies to UNFILTERED statements,
+        // where work list = every store row ⊇ the learned placements
+        // (placed.size() > cap proves the list exceeds the cap without
+        // running the collect job). A filtered statement's work list is
+        // bounded by its route regardless of how many placements the
+        // whole store has accumulated — gating it on placed.size()
+        // would permanently cold the placed path on exactly the
+        // filtered routes it exists for.
         val itemsOpt: Option[Array[(Long, Int)]] =
-          if (track && !placed.isEmpty && placed.size() <= cap) {
+          if (track && !placed.isEmpty &&
+              (pred.nonEmpty || placed.size() <= cap)) {
             val items = df
               .select(col("bucket").cast("long").as("bucket"), subCol)
               .as[(Long, Int)].limit(cap + 1).collect()
@@ -1182,13 +1222,13 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
         placeAcc.foreach { acc =>
           import scala.jdk.CollectionConverters._
           AnnTopKExec.boundPlacements()
-          // re-fetch: the bound (or a concurrent statement's bound) may
-          // have evicted `placed` from the registry — folding into the
-          // orphaned map would silently discard this pass's learning
-          val target = AnnTopKExec.placementsFor(spark, path, v)
-          acc.value.asScala.foreach { case (key, loc) =>
-            if (target.put(key, loc) == null) AnnTopKExec.placementRecorded()
-          }
+          // the whole fold runs under the registry lock (driver-side,
+          // ≤cap map puts — microseconds): an unlocked fold racing a
+          // bound-trigger recompute could erase its own increments,
+          // drifting the entry counter BELOW reality and weakening the
+          // driver-heap bound it enforces; under the lock, re-fetch and
+          // puts are atomic with every eviction/recount
+          AnnTopKExec.foldPlacements(spark, path, v, acc.value.asScala.toSeq)
         }
         result
       }
