@@ -245,7 +245,12 @@ object AnnIndexStore {
     * all-or-nothing primitive the stores' `_manifest` flips rely on. */
   private[index] def writeSidecarAtomic(dir: java.io.File, name: String,
       content: String): Unit = {
-    val tmp = new java.io.File(dir, s"._${name}_tmp")
+    // unique temp per write: a FIXED temp name would turn two
+    // out-of-contract concurrent writers' benign last-write-wins race
+    // into a NoSuchFileException crash (B overwrites A's temp, A's
+    // move consumes it, B's move finds nothing)
+    val tmp = new java.io.File(dir,
+      s"._${name}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath,
       new java.io.File(dir, name).toPath,

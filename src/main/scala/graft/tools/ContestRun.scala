@@ -216,13 +216,8 @@ object ContestRun {
     // sidecar guard — see its scaladoc); the stage line prints only
     // when a tune actually ran, so resumed runs' stage records stay
     // comparable across rounds
-    def tuneBandsOnce(store: String, tag: String): Unit = {
-      val t0 = System.nanoTime()
-      graft.index.EfTuner.tuneAndPersistBands(spark, store, queries, k, ef).foreach { b =>
-        println(f"STAGE tune_bands_$tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-        println(s"BANDS $tag: ${b.serialize.linesIterator.mkString(" ")}")
-      }
-    }
+    def tuneBandsOnce(store: String, tag: String): Unit =
+      ProbeHarness.tuneBandsOnce(spark, store, tag, queries, k, ef)
 
     // ---- build-once stored indexes (baseline.cpp:66-96) ----
     // Type-0 default is the IVF arm: the walk-every-bucket hash arm is
@@ -296,21 +291,11 @@ object ContestRun {
         s"$root/by_ivf", nlist = 128)
     }
     // nprobe: tuned from the store's own lists by default (the last
-    // hand-set effort knob on the slowest arm — mirrors tuneBandsOnce;
-    // measured routing-recall ladder, `_nprobe` sidecar, tune-once).
-    // GRAFT_CONTEST_NPROBE=<n> stays as the explicit A/B override.
-    val t0Nprobe = sys.env.get("GRAFT_CONTEST_NPROBE").map(_.toInt).getOrElse {
-      if (t0Mode == "ivf") {
-        val t0 = System.nanoTime()
-        graft.index.EfTuner.tuneAndPersistNprobe(spark, s"$root/by_ivf",
-            queries, k, ef).foreach { r =>
-          println(f"STAGE tune_nprobe: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-          println(s"NPROBE chosen=${r.chosen} " +
-            r.rungs.map(x => f"${x.nprobe}:${x.recall}%.4f").mkString(" "))
-        }
-        AnnIndexStore.resolveNprobe(s"$root/by_ivf", AnnIndexStore.AutoNprobe)
-      } else AnnIndexStore.DefaultNprobe
-    }
+    // hand-set effort knob on the slowest arm — measured routing-recall
+    // ladder, `_nprobe` sidecar, tune-once; shared protocol in
+    // ProbeHarness.tunedNprobe so ContestScaleProbe's receipts match).
+    val t0Nprobe = ProbeHarness.tunedNprobe(spark, s"$root/by_ivf",
+      t0Mode, queries, k, ef)
     val t0Params = if (t0Mode == "ivf") s"$searchParams nprobe=$t0Nprobe" else searchParams
     if (!freshFor(s"$resPath/$t0Name", t0Params)) timed(s"search_type0_$t0Mode") {
       val q0 = queries.filter(col("qtype") === 0).select(col("qid"), col("qvec"))

@@ -141,13 +141,8 @@ object ContestScaleProbe {
     // sidecar guard — see its scaladoc); the stage line prints only
     // when a tune actually ran, so resumed runs' stage records stay
     // comparable across rounds
-    def tuneBandsOnce(store: String, tag: String): Unit = {
-      val t0 = System.nanoTime()
-      graft.index.EfTuner.tuneAndPersistBands(spark, store, queries, k, ef).foreach { b =>
-        println(f"STAGE tune_bands_$tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-        println(s"BANDS $tag: ${b.serialize.linesIterator.mkString(" ")}")
-      }
-    }
+    def tuneBandsOnce(store: String, tag: String): Unit =
+      ProbeHarness.tuneBandsOnce(spark, store, tag, queries, k, ef)
     if (t2Mode == "range") tuneBandsOnce(s"$root/by_range$t2Scale", "range")
 
     // ---- routing stats pass (selectivity grid + route decision) ----
@@ -167,20 +162,11 @@ object ContestScaleProbe {
     val outPath = s"$root/results"
     val searchParams = s"k=$k ef=$ef"
     import ProbeHarness.{freshFor, stamp}
-    // tuned `_nprobe` sidecar on the IVF arm (mirrors ContestRun;
-    // GRAFT_CONTEST_NPROBE stays the explicit A/B override)
-    val t0Nprobe = sys.env.get("GRAFT_CONTEST_NPROBE").map(_.toInt).getOrElse {
-      if (t0Mode == "ivf") {
-        val t0 = System.nanoTime()
-        graft.index.EfTuner.tuneAndPersistNprobe(spark, s"$root/by_ivf",
-            queries, k, ef).foreach { r =>
-          println(f"STAGE tune_nprobe: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-          println(s"NPROBE chosen=${r.chosen} " +
-            r.rungs.map(x => f"${x.nprobe}:${x.recall}%.4f").mkString(" "))
-        }
-        AnnIndexStore.resolveNprobe(s"$root/by_ivf", AnnIndexStore.AutoNprobe)
-      } else AnnIndexStore.DefaultNprobe
-    }
+    // tuned `_nprobe` sidecar on the IVF arm (shared protocol —
+    // ProbeHarness.tunedNprobe — so this probe's and ContestRun's
+    // receipts cannot drift)
+    val t0Nprobe = ProbeHarness.tunedNprobe(spark, s"$root/by_ivf",
+      t0Mode, queries, k, ef)
     val t0Name = if (t0Mode == "ivf") "t0_ivf" else "t0"
     val t0Params = if (t0Mode == "ivf") s"$searchParams nprobe=$t0Nprobe" else searchParams
     if (!freshFor(s"$outPath/$t0Name", t0Params)) timed(s"search_type0_$t0Mode") {
@@ -271,7 +257,11 @@ object ContestScaleProbe {
             exact.join(broadcast(idsDf), "qid"))
           f"type$t=$r%.4f(${rows.length})"
         }.mkString(" ")
-      println(f"RECALL@$k over $nSample queries: ${recall}%.4f [$perType]")
+      // the skip marker rides the RECALL line too: the headline number
+      // over a 3-type mix must never be compared to a 4-type round's
+      // without the flag in view
+      println(f"RECALL@$k over $nSample queries: ${recall}%.4f [$perType]" +
+        (if (skipT1) " [t1 SKIPPED: GRAFT_CONTEST_SKIP_T1]" else ""))
       sample.unpersist(); exact.unpersist(); approx.unpersist()
     }
     println(s"FINAL driver heap: ${heapMb()} MB")

@@ -32,4 +32,44 @@ private[tools] object ProbeHarness {
   def stamp(dir: String, params: String): Unit =
     java.nio.file.Files.write(
       new java.io.File(dir, "_stage_params").toPath, params.getBytes("UTF-8"))
+
+  /** ONE definition of the lifecycle tools' tune-once protocols
+    * (ContestRun + ContestScaleProbe): a hand-maintained copy in each
+    * tool would let the bar/ladder/logging silently diverge between
+    * the two tools' receipts the day one is edited. */
+
+  /** Band tune-once: reuse policy lives in
+    * [[graft.index.EfTuner.tuneAndPersistBands]]; the stage line
+    * prints only when a tune actually ran, so resumed runs' stage
+    * records stay comparable across rounds. */
+  def tuneBandsOnce(spark: org.apache.spark.sql.SparkSession, store: String,
+      tag: String, queries: org.apache.spark.sql.DataFrame,
+      k: Int, ef: Int): Unit = {
+    val t0 = System.nanoTime()
+    graft.index.EfTuner.tuneAndPersistBands(spark, store, queries, k, ef).foreach { b =>
+      println(f"STAGE tune_bands_$tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(s"BANDS $tag: ${b.serialize.linesIterator.mkString(" ")}")
+    }
+  }
+
+  /** nprobe for the type-0 arm: `GRAFT_CONTEST_NPROBE` is the explicit
+    * A/B override; the ivf arm otherwise tunes-once
+    * ([[graft.index.EfTuner.tuneAndPersistNprobe]]) and serves the
+    * store's `_nprobe` sidecar; the hash arm does not probe. */
+  def tunedNprobe(spark: org.apache.spark.sql.SparkSession, ivfStore: String,
+      t0Mode: String, queries: org.apache.spark.sql.DataFrame,
+      k: Int, ef: Int): Int =
+    sys.env.get("GRAFT_CONTEST_NPROBE").map(_.toInt).getOrElse {
+      if (t0Mode == "ivf") {
+        val t0 = System.nanoTime()
+        graft.index.EfTuner.tuneAndPersistNprobe(spark, ivfStore, queries, k, ef)
+          .foreach { r =>
+            println(f"STAGE tune_nprobe: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+            println(s"NPROBE chosen=${r.chosen} " +
+              r.rungs.map(x => f"${x.nprobe}:${x.recall}%.4f").mkString(" "))
+          }
+        graft.index.AnnIndexStore.resolveNprobe(ivfStore,
+          graft.index.AnnIndexStore.AutoNprobe)
+      } else graft.index.AnnIndexStore.DefaultNprobe
+    }
 }

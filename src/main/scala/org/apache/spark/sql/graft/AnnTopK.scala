@@ -977,12 +977,29 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
     * eviction/recount machinery: the map fetch (which may evict) and
     * the counted puts happen under the one lock, so the entry counter
     * can never lose an increment to a racing bound-trigger recompute
-    * (drift, if any, is strictly upward — the safe direction). */
+    * (drift, if any, is strictly upward — the safe direction).
+    *
+    * Chunked: placed-path passes emit ≤cap rows, but a SCAN-path pass
+    * emits one placement per warm-served store row — holding the
+    * registry lock for a very large store's whole fold would block
+    * every concurrent statement's placementsFor at pass start.
+    * Dedup-then-chunk keeps each critical section bounded; the
+    * re-fetch per chunk keeps orphaned-map folds impossible across
+    * the chunk boundaries too. */
   private def foldPlacements(spark: SparkSession, path: String, ver: String,
-      emissions: Seq[((Long, Int), String)]): Unit = placements.synchronized {
-    val target = placementsFor(spark, path, ver)
-    emissions.foreach { case (key, loc) =>
-      if (target.put(key, loc) == null) placementRecorded()
+      emissions: Seq[((Long, Int), String)]): Unit = {
+    // latest emission per key wins (same rule as map puts in order)
+    val deduped = emissions.foldLeft(
+      scala.collection.mutable.LinkedHashMap.empty[(Long, Int), String]) {
+      case (m, (k, loc)) => m += (k -> loc)
+    }
+    deduped.toSeq.grouped(4096).foreach { chunk =>
+      placements.synchronized {
+        val target = placementsFor(spark, path, ver)
+        chunk.foreach { case (key, loc) =>
+          if (target.put(key, loc) == null) placementRecorded()
+        }
+      }
     }
   }
 
