@@ -252,10 +252,20 @@ object AnnIndexStore {
     val tmp = new java.io.File(dir,
       s"._${name}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(dir, name).toPath,
+    val dst = new java.io.File(dir, name).toPath
+    try java.nio.file.Files.move(tmp.toPath, dst,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      // ATOMIC_MOVE onto an existing target is implementation-specific
+      // off POSIX; the common re-tune path overwrites an existing
+      // sidecar, so fall back to a plain replace there rather than
+      // turning tuning into a one-shot operation on such filesystems
+      // (the fallback loses only the atomicity hardening, never data)
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   private[index] def writeNprobeAt(dir: java.io.File, nprobe: Int): Unit =
@@ -272,20 +282,14 @@ object AnnIndexStore {
         .trim.toInt).toOption.filter(_ > 0)
   }
 
-  /** Test observability (mirrors [[lastBandsLoaded]]): the last
-    * (store path, nprobe) an IVF search arm resolved from a sidecar. */
-  @volatile private[index] var lastNprobeLoaded: Option[(String, Int)] = None
-
   /** The IVF arms' probe-count resolution: an explicit caller value
     * wins; [[AutoNprobe]] loads the store's tuned sidecar when present,
-    * else [[DefaultNprobe]]. Recorded for specs when a sidecar decided. */
+    * else [[DefaultNprobe]]. Wiring is spec-asserted behaviorally
+    * (AnnTopKStrategySpec: the planned route carries the sidecar's
+    * value) rather than through a mutable observability hook. */
   def resolveNprobe(path: String, requested: Int): Int =
     if (requested != AutoNprobe) requested
-    else {
-      val loaded = nprobeOf(path)
-      lastNprobeLoaded = loaded.map(path -> _)
-      loaded.getOrElse(DefaultNprobe)
-    }
+    else nprobeOf(path).getOrElse(DefaultNprobe)
 
   def writeEfBands(path: String, bands: graft.operators.EfBands): Unit =
     writeEfBandsAt(new java.io.File(resolveStore(path)), bands)

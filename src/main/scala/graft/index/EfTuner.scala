@@ -326,6 +326,15 @@ object EfTuner {
 
   val DefaultNprobeLadder: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)
 
+  /** THE routing-recall bar (one constant: the params stamp, the tune
+    * target, and the gate query's require all read it — a drift
+    * between the stamp literal and the target would let stores tuned
+    * under an old bar "match" forever): the lifecycle's 0.995
+    * END-recall gate decomposed across the two tuned knobs — end ≈
+    * routing × walk, the band tuner holds walk at 0.999, so routing
+    * carries 0.995/0.999 ≈ 0.996. */
+  val NprobeRoutingBar: Double = 0.996
+
   /** Measured-recall nprobe auto-tune for a [[AnnIndexStore.buildIvf]]
     * store — the IVF route's analog of [[tune]]: the reference
     * hand-tunes every arm's effort in its per-dataset `SearchParams`
@@ -404,7 +413,7 @@ object EfTuner {
       storePath: String, queries: org.apache.spark.sql.DataFrame,
       k: Int, ef: Int): Option[NprobeResult] = {
     import org.apache.spark.sql.functions.col
-    val params = s"k=$k ef=$ef target=0.996"
+    val params = s"k=$k ef=$ef target=$NprobeRoutingBar"
     val dataDir = new java.io.File(AnnIndexStore.resolveStore(storePath))
     val valueFile = new java.io.File(dataDir, AnnIndexStore.nprobeFileName)
     val paramsFile = new java.io.File(dataDir, AnnIndexStore.nprobeParamsFileName)
@@ -420,7 +429,7 @@ object EfTuner {
     val qs = queries.filter(col("qtype") === 0).orderBy("qid").limit(32)
       .select("qvec").collect().map(_.getSeq[Float](0).toArray)
     val res = tuneNprobe(spark, dataDir.getPath, qs, k,
-      targetRecall = 0.996, ef = ef)
+      targetRecall = NprobeRoutingBar, ef = ef)
     AnnIndexStore.writeNprobeAt(dataDir, res.chosen)
     // crash window: NEW value written, params not yet — the arms serve
     // the fresh (correct) count; the next entry re-tunes (safe: the

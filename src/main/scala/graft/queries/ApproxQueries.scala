@@ -34,7 +34,9 @@ object ApproxQueries {
     * selection would tune the two gates on different samples with no
     * error. Sorted by vec_id so the sample is independent of
     * partition/file enumeration order. */
-  private def stridedSample(s: SparkSession, dir: String,
+  // shared with tools/NprobeProbe: the probe's "receipts behind the
+  // sidecar's choice" must measure the SAME sample the gate pins
+  private[graft] def stridedSample(s: SparkSession, dir: String,
       maxSample: Long): Array[Array[Float]] = {
     val n = graft.sources.ParquetMeta.rowCount(s, s"$dir/embeddings.parquet")
     val stride = math.max(1L, (n + maxSample - 1) / maxSample)
@@ -278,17 +280,18 @@ object ApproxQueries {
     "ann_nprobe_tune" -> ((s, dir) => {
       val ivfPath = StorePaths.ensureIvfStore(s, dir)
       val sample = stridedSample(s, dir, maxSample = 32L)
-      // 0.996 = the lifecycle tuner's own routing bar (the 0.995
-      // end-recall gate decomposed across the two tuned knobs; see
-      // EfTuner.tuneAndPersistNprobe) — one bar, no gate-only constant
+      // the lifecycle tuner's own routing bar (the 0.995 end-recall
+      // gate decomposed across the two tuned knobs) — ONE shared
+      // constant, so the gate and the stamp cannot drift
+      val bar = graft.index.EfTuner.NprobeRoutingBar
       def tuneOnce() = graft.index.EfTuner.tuneNprobe(s, ivfPath, sample,
-        k = 10, targetRecall = 0.996, ef = 400)
+        k = 10, targetRecall = bar, ef = 400)
       val res = tuneOnce()
       require(tuneOnce() == res,
         "ann_nprobe_tune: nprobe tuning must be deterministic run-over-run")
-      require(res.chosenRecall >= 0.996,
+      require(res.chosenRecall >= bar,
         s"nprobe tune regression: chosen nprobe ${res.chosen} routing " +
-          s"recall ${res.chosenRecall} < 0.996")
+          s"recall ${res.chosenRecall} < $bar")
       graft.index.AnnIndexStore.writeNprobe(ivfPath, res.chosen)
       require(graft.index.AnnIndexStore.resolveNprobe(ivfPath,
           graft.index.AnnIndexStore.AutoNprobe) == res.chosen,

@@ -70,16 +70,10 @@ object ParquetMeta {
     * missing stats) are summed into EVERY candidate — a deliberate
     * over-estimate, safe for budget checks (fails early, never admits
     * an oversized key). Store rows here are near-row-group-sized blobs,
-    * so spanning groups are rare in practice. */
-  def maxKeyedColumnBytes(spark: SparkSession, path: String,
-      column: String, keyColumn: String): Long = {
-    val (attributed, spanning) =
-      maxKeyedColumnBytesSplit(spark, path, column, keyColumn)
-    attributed + spanning
-  }
-
-  /** [[maxKeyedColumnBytes]] with the over-estimate decomposed:
-    * `(attributed, spanning)` where `attributed` is the largest total
+    * so spanning groups are rare in practice.
+    *
+    * Returned decomposed as
+    * `(attributed, spanning)`: `attributed` is the largest total
     * pinned to a single key by row-group statistics and `spanning` is
     * the bytes of row groups that span keys (or lack stats) — charged
     * to EVERY key by the conservative bound. Callers that fail a budget

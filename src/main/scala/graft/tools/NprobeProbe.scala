@@ -52,13 +52,9 @@ object NprobeProbe {
         (target, qs)
       } else {
         val p = graft.queries.StorePaths.ensureIvfStore(spark, target)
-        val n = graft.sources.ParquetMeta.rowCount(spark, s"$target/embeddings.parquet")
-        val stride = math.max(1L, (n + 31) / 32)
-        val qs = spark.read.parquet(s"$target/embeddings.parquet")
-          .select(col("vec_id").cast("long"), col("embedding"))
-          .filter(col("vec_id") % stride === 0)
-          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-          .sortBy(_._1).map(_._2)
+        // THE gate's sample definition (shared), not a re-implementation
+        val qs = graft.queries.ApproxQueries.stridedSample(spark, target,
+          maxSample = 32L)
         (p, qs)
       }
     // targetRecall > 1 defeats the early stop: every rung is measured
