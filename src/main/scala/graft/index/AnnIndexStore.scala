@@ -326,6 +326,19 @@ object AnnIndexStore {
     loaded.getOrElse(graft.operators.SearchParams.DefaultBands)
   }
 
+  /** Row-group size target for graph-blob store writes: SMALLER than
+    * one typical sub-index blob, so parquet closes a row group after
+    * every blob row and the `bucket` column's row-group min/max stats
+    * pin exactly one bucket. At the default 128 MB target a ~93 MB
+    * blob row leaves room for a second row, so nearly EVERY row group
+    * spans two buckets — the 30M ladder measured 98 MB genuinely
+    * attributed vs 14.57 GB spanning artifact in
+    * [[graft.sources.ParquetMeta.maxKeyedColumnBytesSplit]]'s bound,
+    * tripping EfTuner's driver-budget require at a residency that was
+    * actually fine. Blobs are read whole either way, so the smaller
+    * group costs nothing on the scan path. */
+  private val storeBlockSizeBytes = (32L << 20).toString
+
   /** Build and persist the bucketed index table.
     * base: (id LONG, vec ARRAY<FLOAT>). */
   def build(base: DataFrame, path: String, numBuckets: Int,
@@ -357,7 +370,8 @@ object AnnIndexStore {
       // uncompressed output), which is what exhausted
       // MaxDirectMemorySize=20g at 32 threads in the r9/r10 full-scale
       // runs. Uncompressed pages read through plain heap buffers.
-      .write.mode("overwrite").option("compression", "uncompressed").parquet(path)
+      .write.mode("overwrite").option("compression", "uncompressed")
+      .option("parquet.block.size", storeBlockSizeBytes).parquet(path)
     stampVersion(new java.io.File(path.stripSuffix("/")))
   }
 
@@ -443,8 +457,10 @@ object AnnIndexStore {
       // index built without attrCol would otherwise silently answer
       // type-3 statements wrong — ADVICE r2)
       .withColumn("attr_col", lit(attrCol.orNull))
-      // uncompressed for the same direct-memory reason as [[build]]
-      .write.mode("overwrite").option("compression", "uncompressed").parquet(path)
+      // uncompressed for the same direct-memory reason as [[build]];
+      // block size below one blob so row-group stats pin one bucket
+      .write.mode("overwrite").option("compression", "uncompressed")
+      .option("parquet.block.size", storeBlockSizeBytes).parquet(path)
     stampVersion(new java.io.File(path.stripSuffix("/")))
   }
 

@@ -69,8 +69,13 @@ object ParquetMeta {
     * min/max statistics pin a single key; row groups spanning keys (or
     * missing stats) are summed into EVERY candidate — a deliberate
     * over-estimate, safe for budget checks (fails early, never admits
-    * an oversized key). Store rows here are near-row-group-sized blobs,
-    * so spanning groups are rare in practice.
+    * an oversized key). Spanning is NOT rare by accident: at parquet's
+    * default 128 MB row-group target a ~93 MB blob row leaves room for
+    * a second row, so un-tuned store layouts span on nearly every
+    * group (measured: 98 MB attributed vs 14.57 GB spanning at the 30M
+    * ladder store) — [[graft.index.AnnIndexStore]] therefore writes
+    * blob stores with a block size below one blob so each row group
+    * pins exactly one key.
     *
     * Returned decomposed as
     * `(attributed, spanning)`: `attributed` is the largest total
