@@ -339,13 +339,30 @@ object AnnIndexStore {
     * group costs nothing on the scan path. */
   private val storeBlockSizeBytes = (32L << 20).toString
 
+  /** Write options every graph-blob store shares. `parquet.block.size`
+    * alone is NOT enough for one-row-per-group: the writer's block
+    * check runs only every `parquet.page.size.row.check.min` records
+    * (default 100), so a 32-file layout of ~12 blob rows each packs a
+    * WHOLE file into one row group regardless of block size — the 30M
+    * probe's vectorized reader then materialized an 8-row ≈773 MB
+    * columnar batch and OOM'd. Checking after every record costs one
+    * buffered-size query per row (trivial at blob row sizes) and
+    * guarantees a row group closes as soon as a blob crosses the
+    * block target. */
+  private def blobStoreWriter(df: org.apache.spark.sql.DataFrame) =
+    df.write.mode("overwrite")
+      .option("compression", "uncompressed")
+      .option("parquet.block.size", storeBlockSizeBytes)
+      .option("parquet.page.size.row.check.min", "1")
+      .option("parquet.page.size.row.check.max", "1")
+
   /** Build and persist the bucketed index table.
     * base: (id LONG, vec ARRAY<FLOAT>). */
   def build(base: DataFrame, path: String, numBuckets: Int,
       m: Int = 16, efConstruction: Int = 200): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
-    base.select(col("id").cast("long"), col("vec"),
+    val table = base.select(col("id").cast("long"), col("vec"),
         pmod(hash(col("id")), lit(numBuckets)).cast("int").as("bucket"))
       .as[(Long, Array[Float], Int)]
       .repartition(numBuckets, col("bucket"))
@@ -362,16 +379,15 @@ object AnnIndexStore {
         }
       }
       .toDF("bucket", "ids", "graph")
-      // UNCOMPRESSED: a graph blob is packed fp32 + int8 codes +
-      // adjacency — snappy saves almost nothing on it, and parquet's
-      // snappy codec (NonBlockedDecompressor) stages every page through
-      // DIRECT ByteBuffers sized to the page: a ~200 MB blob costs each
-      // scan task ~650 MB of direct memory (compressed input +
-      // uncompressed output), which is what exhausted
-      // MaxDirectMemorySize=20g at 32 threads in the r9/r10 full-scale
-      // runs. Uncompressed pages read through plain heap buffers.
-      .write.mode("overwrite").option("compression", "uncompressed")
-      .option("parquet.block.size", storeBlockSizeBytes).parquet(path)
+    // UNCOMPRESSED: a graph blob is packed fp32 + int8 codes +
+    // adjacency — snappy saves almost nothing on it, and parquet's
+    // snappy codec (NonBlockedDecompressor) stages every page through
+    // DIRECT ByteBuffers sized to the page: a ~200 MB blob costs each
+    // scan task ~650 MB of direct memory (compressed input +
+    // uncompressed output), which is what exhausted
+    // MaxDirectMemorySize=20g at 32 threads in the r9/r10 full-scale
+    // runs. Uncompressed pages read through plain heap buffers.
+    blobStoreWriter(table).parquet(path)
     stampVersion(new java.io.File(path.stripSuffix("/")))
   }
 
@@ -427,7 +443,7 @@ object AnnIndexStore {
         val splitsCol = element_at(typedLit(splits), col("bucket"))
         keyed.withColumn("sub", pmod(hash(col("id")), splitsCol).cast("int"))
       }
-    salted
+    val table = salted
       .as[(Long, Long, Double, Array[Float], Int)]
       .repartition(col("bucket"), col("sub"))
       .mapPartitions { it =>
@@ -457,10 +473,10 @@ object AnnIndexStore {
       // index built without attrCol would otherwise silently answer
       // type-3 statements wrong — ADVICE r2)
       .withColumn("attr_col", lit(attrCol.orNull))
-      // uncompressed for the same direct-memory reason as [[build]];
-      // block size below one blob so row-group stats pin one bucket
-      .write.mode("overwrite").option("compression", "uncompressed")
-      .option("parquet.block.size", storeBlockSizeBytes).parquet(path)
+    // uncompressed for the same direct-memory reason as [[build]];
+    // blobStoreWriter: one blob row per row group (stats pin one
+    // bucket; the reader batches one blob at a time)
+    blobStoreWriter(table).parquet(path)
     stampVersion(new java.io.File(path.stripSuffix("/")))
   }
 

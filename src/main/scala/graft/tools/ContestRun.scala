@@ -170,6 +170,16 @@ object ContestRun {
       // the r9 run to 16 threads. The non-vectored path reads via plain
       // byte[] — no direct staging, same data.
       .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
+      // GRAFT_VECTORIZED_READER=false: row-by-row parquet reads for the
+      // whole session — the rescue knob for blob stores written BEFORE
+      // the one-row-per-row-group layout (their multi-blob row groups
+      // make the vectorized reader materialize multi-hundred-MB
+      // columnar batches; the 30M probe measured an 8-row 773 MB batch
+      // request OOM). Costs ~2-3x on wide base scans, nothing on blob
+      // scans (blobs are materialized whole either way). New-layout
+      // stores don't need it.
+      .config("spark.sql.parquet.enableVectorizedReader",
+        sys.env.getOrElse("GRAFT_VECTORIZED_READER", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
