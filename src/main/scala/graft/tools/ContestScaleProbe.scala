@@ -216,12 +216,18 @@ object ContestScaleProbe {
     // exact-effort arm for A/B
     val t3Mode = sys.env.getOrElse("GRAFT_CONTEST_T3", "banded")
     val t3Name = if (t3Mode == "banded") "t3_banded" else "t3"
-    if (t3Mode == "banded" && !exists(s"$root/by_label_ts")) timed("build_by_label_ts") {
+    // GRAFT_CONTEST_SKIP_T3=1: same disk-bounded contract as skipT1 —
+    // the biggest-N ladder points may not fit base + four blob stores
+    // + build-sort spill on one box (the 30M run had 5 GB free when
+    // the label_ts build's window sort started); the skip is marked on
+    // every results/recall line, never silent.
+    val skipT3 = sys.env.get("GRAFT_CONTEST_SKIP_T3").contains("1")
+    if (!skipT3 && t3Mode == "banded" && !exists(s"$root/by_label_ts")) timed("build_by_label_ts") {
       AnnIndexStore.buildBy(base.select(col("id"), col("label"), col("ts"), col("vec")),
         s"$root/by_label_ts", "label", attrCol = Some("ts"), attrSalted = true)
     }
-    if (t3Mode == "banded") tuneBandsOnce(s"$root/by_label_ts", "label_ts")
-    if (!freshFor(s"$outPath/$t3Name", searchParams)) timed(s"search_type3_$t3Mode") {
+    if (!skipT3 && t3Mode == "banded") tuneBandsOnce(s"$root/by_label_ts", "label_ts")
+    if (!skipT3 && !freshFor(s"$outPath/$t3Name", searchParams)) timed(s"search_type3_$t3Mode") {
       val q3 = queries.filter(col("qtype") === 3)
         .select(col("qid"), col("v"), col("l"), col("r"), col("qvec"))
       val r3 =
@@ -236,16 +242,19 @@ object ContestScaleProbe {
     val results = Seq(
         Some(s"$outPath/$t0Name"),
         if (skipT1) None else Some(s"$outPath/t1"),
-        Some(s"$outPath/$t2Name"), Some(s"$outPath/$t3Name"))
+        Some(s"$outPath/$t2Name"),
+        if (skipT3) None else Some(s"$outPath/$t3Name"))
       .flatten.map(spark.read.parquet(_)).reduce(_.unionByName(_))
     val nRes = results.count()
     println(s"RESULTS: $nRes rows (${nRes / math.max(k, 1)} answered queries)" +
-      (if (skipT1) " [t1 SKIPPED: GRAFT_CONTEST_SKIP_T1]" else ""))
+      (if (skipT1) " [t1 SKIPPED: GRAFT_CONTEST_SKIP_T1]" else "") +
+      (if (skipT3) " [t3 SKIPPED: GRAFT_CONTEST_SKIP_T3]" else ""))
 
     // ---- recall vs the exact oracle on a deterministic sample ----
     timed("recall_sample") {
       val sample = queries.filter(col("qid") % 1009 === 0)
         .filter(if (skipT1) col("qtype") =!= 1 else lit(true))
+        .filter(if (skipT3) col("qtype") =!= 3 else lit(true))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nSample = sample.count()
       // persist the brute-force oracle: the overall + 4 per-type recall
@@ -271,7 +280,8 @@ object ContestScaleProbe {
       // over a 3-type mix must never be compared to a 4-type round's
       // without the flag in view
       println(f"RECALL@$k over $nSample queries: ${recall}%.4f [$perType]" +
-        (if (skipT1) " [t1 SKIPPED: GRAFT_CONTEST_SKIP_T1]" else ""))
+        (if (skipT1) " [t1 SKIPPED: GRAFT_CONTEST_SKIP_T1]" else "") +
+        (if (skipT3) " [t3 SKIPPED: GRAFT_CONTEST_SKIP_T3]" else ""))
       sample.unpersist(); exact.unpersist(); approx.unpersist()
     }
     println(s"FINAL driver heap: ${heapMb()} MB")
