@@ -395,9 +395,11 @@ object EfTuner {
 
   /** The lifecycle tools' tune-once entry for the IVF probe count —
     * the exact [[tuneAndPersistBands]] contract on the `_nprobe`
-    * sidecar pair: ONE definition of the sample (first 32 type-0 query
-    * vectors — unfiltered queries exercise exactly the arm being
-    * tuned) and the routing-recall bar (0.996: the 0.995 END-recall
+    * sidecar pair: ONE definition of the sample (64 qid-STRIDED type-0
+    * query vectors — unfiltered queries exercise exactly the arm being
+    * tuned, and striding keeps the sample representative of the whole
+    * batch; the head of the qid order measured 0.9972 where the true
+    * distribution routed ~0.985 at the 30M point) and the routing-recall bar (0.996: the 0.995 END-recall
     * lifecycle bar decomposed across the two tuned knobs — end ≈
     * routing × walk, the band tuner holds walk at 0.999, so routing
     * carries 0.995/0.999 ≈ 0.996; measured at the 10M point: routing
@@ -412,8 +414,15 @@ object EfTuner {
   def tuneAndPersistNprobe(spark: org.apache.spark.sql.SparkSession,
       storePath: String, queries: org.apache.spark.sql.DataFrame,
       k: Int, ef: Int): Option[NprobeResult] = {
-    import org.apache.spark.sql.functions.col
-    val params = s"k=$k ef=$ef target=$NprobeRoutingBar"
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // "s64" names the SAMPLE protocol (64 qid-STRIDED type-0 queries):
+    // the original first-32 pick measured 0.9972 routing recall on the
+    // 30M store where a strided 495-query end-recall sample showed
+    // ~0.985 — the head of the qid order is not distribution-
+    // representative at scale, and an over-optimistic sample tunes an
+    // under-probing operating point. Bumping the stamp re-tunes stores
+    // sidecar'd under the old protocol.
+    val params = s"s64 k=$k ef=$ef target=$NprobeRoutingBar"
     val dataDir = new java.io.File(AnnIndexStore.resolveStore(storePath))
     val valueFile = new java.io.File(dataDir, AnnIndexStore.nprobeFileName)
     val paramsFile = new java.io.File(dataDir, AnnIndexStore.nprobeParamsFileName)
@@ -426,7 +435,14 @@ object EfTuner {
     // the IVF arms may serve the old probe count until the re-tune;
     // the next entry sees no matching params and re-derives
     AnnIndexStore.crashPoint("nprobe.params_deleted")
-    val qs = queries.filter(col("qtype") === 0).orderBy("qid").limit(32)
+    // stride over the WHOLE type-0 batch, then take the first 64 in
+    // qid order: deterministic, driver-bounded, and representative of
+    // the full query distribution rather than its head
+    val q0 = queries.filter(col("qtype") === 0)
+    val nQ0 = q0.count()
+    val stride = math.max(1L, nQ0 / 64)
+    val qs = q0.filter(pmod(col("qid"), lit(stride)) === 0)
+      .orderBy("qid").limit(64)
       .select("qvec").collect().map(_.getSeq[Float](0).toArray)
     val res = tuneNprobe(spark, dataDir.getPath, qs, k,
       targetRecall = NprobeRoutingBar, ef = ef)
