@@ -251,21 +251,27 @@ object AnnIndexStore {
     // move consumes it, B's move finds nothing)
     val tmp = new java.io.File(dir,
       s"._${name}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
-    val dst = new java.io.File(dir, name).toPath
-    try java.nio.file.Files.move(tmp.toPath, dst,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    catch {
-      // ATOMIC_MOVE onto an existing target is implementation-specific
-      // off POSIX; the common re-tune path overwrites an existing
-      // sidecar, so fall back to a plain replace there rather than
-      // turning tuning into a one-shot operation on such filesystems
-      // (the fallback loses only the atomicity hardening, never data)
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
-        java.nio.file.Files.move(tmp.toPath, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    try {
+      java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+      val dst = new java.io.File(dir, name).toPath
+      try java.nio.file.Files.move(tmp.toPath, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        // ATOMIC_MOVE onto an existing target is implementation-specific
+        // off POSIX; the common re-tune path overwrites an existing
+        // sidecar, so fall back to a plain replace there rather than
+        // turning tuning into a one-shot operation on such filesystems
+        // (the fallback loses only the atomicity hardening, never data)
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally
+      // no-op after a successful move (the temp is gone); on a failed
+      // write or move it reclaims the orphan so repeated failures do
+      // not accumulate ._<name>_tmp_* files in the store directory
+      java.nio.file.Files.deleteIfExists(tmp.toPath)
   }
 
   private[index] def writeNprobeAt(dir: java.io.File, nprobe: Int): Unit =

@@ -375,9 +375,7 @@ object EfTuner {
     val truth = topIds(nlist)
     val rungs = scala.collection.mutable.ArrayBuffer.empty[NprobeRung]
     var chosen = -1
-    val it = ladder.iterator
-    while (chosen < 0 && it.hasNext) {
-      val np = it.next()
+    def measure(np: Int): Unit = {
       val got = topIds(np)
       var hit = 0L
       var total = 0L
@@ -388,6 +386,20 @@ object EfTuner {
       val recall = if (total == 0) 1.0 else hit.toDouble / total
       rungs += NprobeRung(np, recall)
       if (recall >= targetRecall) chosen = np
+    }
+    val it = ladder.iterator
+    while (chosen < 0 && it.hasNext) measure(it.next())
+    // Ladder exhausted under the bar: extend toward nlist by doubling
+    // rather than silently shipping the under-bar ladder max — the
+    // nlist rung probes every list and is 1.0 vs the same-ef truth by
+    // construction, so the extension always terminates AT the bar and
+    // an operating point below targetRecall can never be persisted.
+    // (Large stores scale nlist past any fixed ladder — the one case
+    // where the old fallback served an unreceipted under-bar count.)
+    var ext = ladder.last
+    while (chosen < 0 && ext < nlist) {
+      ext = math.min(ext * 2, nlist)
+      measure(ext)
     }
     NprobeResult(if (chosen < 0) ladder.last else chosen, targetRecall,
       rungs.toSeq)
@@ -414,15 +426,20 @@ object EfTuner {
   def tuneAndPersistNprobe(spark: org.apache.spark.sql.SparkSession,
       storePath: String, queries: org.apache.spark.sql.DataFrame,
       k: Int, ef: Int): Option[NprobeResult] = {
-    import org.apache.spark.sql.functions.{col, lit, pmod}
-    // "s64" names the SAMPLE protocol (64 qid-STRIDED type-0 queries):
-    // the original first-32 pick measured 0.9972 routing recall on the
-    // 30M store where a strided 495-query end-recall sample showed
-    // ~0.985 — the head of the qid order is not distribution-
-    // representative at scale, and an over-optimistic sample tunes an
-    // under-probing operating point. Bumping the stamp re-tunes stores
-    // sidecar'd under the old protocol.
-    val params = s"s64 k=$k ef=$ef target=$NprobeRoutingBar"
+    import org.apache.spark.sql.functions.{col, lit, pmod, row_number}
+    // "s64r" names the SAMPLE protocol (64 RANK-strided type-0
+    // queries): the original first-32 pick measured 0.9972 routing
+    // recall on the 30M store where a strided 495-query end-recall
+    // sample showed ~0.985 — the head of the qid order is not
+    // distribution-representative at scale, and an over-optimistic
+    // sample tunes an under-probing operating point. The stride runs
+    // over the type-0 ROW RANK, not the raw qid: qids interleave all
+    // four query types (type-0 is every 4th id in the contest corpus),
+    // so a qid-modulus stride with an even stride value beat against
+    // that interleave and kept only the head quarter-to-half of the
+    // range — the exact bias the protocol exists to remove. Bumping
+    // the stamp re-tunes stores sidecar'd under the old protocol.
+    val params = s"s64r k=$k ef=$ef target=$NprobeRoutingBar"
     val dataDir = new java.io.File(AnnIndexStore.resolveStore(storePath))
     val valueFile = new java.io.File(dataDir, AnnIndexStore.nprobeFileName)
     val paramsFile = new java.io.File(dataDir, AnnIndexStore.nprobeParamsFileName)
@@ -430,22 +447,38 @@ object EfTuner {
       new String(java.nio.file.Files.readAllBytes(paramsFile.toPath), "UTF-8") == params &&
       AnnIndexStore.nprobeOf(dataDir.getPath).isDefined
     if (matches) return None
+    // Collect the sample BEFORE touching the sidecar pair: a batch
+    // with no type-0 queries has nothing to measure the unfiltered arm
+    // with — skip (leaving any existing pair intact) instead of
+    // tearing the pair and then throwing on the empty sample.
+    val q0 = queries.filter(col("qtype") === 0)
+    val nQ0 = q0.count()
+    if (nQ0 == 0) {
+      println(s"WARN tuneAndPersistNprobe: no type-0 queries in the " +
+        s"batch — nprobe not tuned for $storePath")
+      return None
+    }
+    val stride = math.max(1L, nQ0 / 64)
+    // rank-stride over the type-0 rows in qid order: exactly ~64
+    // samples spanning the whole range regardless of how qids
+    // interleave across query types; deterministic and driver-bounded
+    val w = org.apache.spark.sql.expressions.Window.orderBy("qid")
+    val qs = q0.withColumn("_r", row_number().over(w) - lit(1))
+      .filter(pmod(col("_r"), lit(stride)) === 0)
+      .orderBy("qid").limit(64)
+      .select("qvec").collect().map(_.getSeq[Float](0).toArray)
     java.nio.file.Files.deleteIfExists(paramsFile.toPath)
     // crash window: params gone, (possibly stale) value still present —
     // the IVF arms may serve the old probe count until the re-tune;
     // the next entry sees no matching params and re-derives
     AnnIndexStore.crashPoint("nprobe.params_deleted")
-    // stride over the WHOLE type-0 batch, then take the first 64 in
-    // qid order: deterministic, driver-bounded, and representative of
-    // the full query distribution rather than its head
-    val q0 = queries.filter(col("qtype") === 0)
-    val nQ0 = q0.count()
-    val stride = math.max(1L, nQ0 / 64)
-    val qs = q0.filter(pmod(col("qid"), lit(stride)) === 0)
-      .orderBy("qid").limit(64)
-      .select("qvec").collect().map(_.getSeq[Float](0).toArray)
     val res = tuneNprobe(spark, dataDir.getPath, qs, k,
       targetRecall = NprobeRoutingBar, ef = ef)
+    if (res.chosenRecall < NprobeRoutingBar)
+      println(f"WARN tuneAndPersistNprobe: chosen nprobe ${res.chosen} " +
+        f"routing recall ${res.chosenRecall}%.4f is BELOW the " +
+        f"$NprobeRoutingBar bar (ladder and nlist extension exhausted) " +
+        s"— persisting an under-bar operating point for $storePath")
     AnnIndexStore.writeNprobeAt(dataDir, res.chosen)
     // crash window: NEW value written, params not yet — the arms serve
     // the fresh (correct) count; the next entry re-tunes (safe: the

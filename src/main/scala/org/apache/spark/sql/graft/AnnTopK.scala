@@ -887,14 +887,18 @@ object AnnTopKExec extends org.apache.spark.internal.Logging {
   // test-only direct insert, so eviction specs can fill past both
   // bounds without building thousands of real stores
   private[graft] def placementsInsertForTest(spark: SparkSession,
-      path: String, ver: String, entries: Int): Unit = {
-    val m = placementsFor(spark, path, ver)
-    var i = 0
-    while (i < entries) {
-      if (m.put((i.toLong, 0), "executor_test_0") == null) placementRecorded()
-      i += 1
+      path: String, ver: String, entries: Int): Unit =
+    // same locking invariant as foldPlacements: counted puts happen
+    // under placements.synchronized so a concurrent boundPlacements
+    // recount can never observe puts the counter hasn't absorbed
+    placements.synchronized {
+      val m = placementsFor(spark, path, ver)
+      var i = 0
+      while (i < entries) {
+        if (m.put((i.toLong, 0), "executor_test_0") == null) placementRecorded()
+        i += 1
+      }
     }
-  }
 
   // Cache-locality-aware warm scheduling: a ServingCache entry lives in
   // ONE executor JVM, but Spark schedules the warm pass's tasks by file
