@@ -760,6 +760,122 @@ object AnnIndexStore {
       })
   }
 
+  /** Per-assignment broadcast footprint estimate for the list-major
+    * grouping: dim floats + array header + the (qid, vec) tuple and
+    * boxing overhead. Deliberately generous — over-estimating splits
+    * one group into two (each still reads only its own lists, zero
+    * re-reads); under-estimating blows the driver collect. */
+  private def assignmentBytes(dim: Int): Long = 4L * dim + 96L
+
+  /** `-Dgraft.ivf.groupBytes` — the driver/broadcast residency bound
+    * one list-major group may occupy (assignment rows × vec footprint).
+    * Default 256 MB: the 250k-query batch measured driver-flat at
+    * ~100 MB of vectors (BASELINE.md round 13), so a 256 MB group holds
+    * a full contest-scale type-0 batch in ONE group while staying far
+    * from driver-heap pressure on executor-shaped JVMs. */
+  private def ivfGroupBytes: Long =
+    java.lang.Long.getLong("graft.ivf.groupBytes", 256L * 1024 * 1024)
+
+  /** LIST-MAJOR batched [[searchIvf]]: reads each probed list's blob
+    * exactly ONCE per batch, however large the batch.
+    *
+    * The chunked form is QUERY-major — every `chunkRows` slice re-scans
+    * ~all probed lists, so a B-chunk batch reads the store ~B times
+    * (the 30M ladder measured ~70 GB of blob reloads against a 14 GB
+    * store). This is the reference's own locality order inverted into
+    * the batch loop: its per-category search iterates INDEX-major for
+    * exactly this reason (hybrid_graph.cpp:239-298). Here:
+    *
+    *  1. one distributed routing pass assigns every query its `nprobe`
+    *     nearest lists (persisted MEMORY_AND_DISK — qids + vecs spill
+    *     to local disk, never the driver);
+    *  2. the per-list assignment COUNTS (≤ nlist rows) come to the
+    *     driver and first-fit-decreasing bin-pack the lists into groups
+    *     whose assignment footprint fits [[ivfGroupBytes]];
+    *  3. each group collects ONLY its own assignments (≤ the bound by
+    *     construction), broadcasts them, and scans ONLY its own lists —
+    *     every blob is deserialized once, for all the queries that
+    *     probe it;
+    *  4. per-group per-qid partial top-k rows (dist kept) stage to
+    *     `<out>.cand.tmp`, and one global [[rankTopK]] merges a query's
+    *     groups exactly — a query whose probed lists span groups gets
+    *     the same (dist, id)-ordered result the single-pass form
+    *     produces.
+    *
+    * A single list whose own assignments exceed the bound (hot-list
+    * skew) degrades gracefully: its group streams query slices at the
+    * bound, re-reading just that one blob per slice — amplification
+    * proportional to the skew, never to the batch. Results are
+    * bit-identical to [[searchIvfChunked]] (same walks, same (dist, id)
+    * merge order). */
+  def searchIvfListMajorTo(spark: SparkSession, path: String, queries: DataFrame,
+      outPath: String, k: Int, ef: Int = 200, nprobe: Int = AutoNprobe,
+      groupBytes: Long = -1L): Unit = {
+    import spark.implicits._
+    val store = resolveStore(path)
+    val cents = loadCentroids(spark, store)
+    val np = math.min(resolveNprobe(path, nprobe), cents.length)
+    val capRows = math.max(1L,
+      (if (groupBytes > 0) groupBytes else ivfGroupBytes) /
+        assignmentBytes(cents(0).length))
+    val centsFlat = typedLit(cents.flatten)
+    val routed = queries
+      .select(col("qid").cast("long").as("qid"),
+        explode(graft.functions.VectorFunctions.nearestCentroids(
+          col("qvec"), centsFlat, lit(np))).as("probe"),
+        col("qvec"))
+      .select(col("qid"), col("probe").cast("long").as("bucket"), col("qvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = routed.groupBy("bucket").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // first-fit-decreasing: oversized lists land alone (handled
+      // chunked below); everything else packs under capRows
+      val groups = scala.collection.mutable.ArrayBuffer.empty[
+        (scala.collection.mutable.ArrayBuffer[Long], Long)]
+      counts.sortBy { case (b, c) => (-c, b) }.foreach { case (b, c) =>
+        val fit = groups.indexWhere { case (_, used) => used + c <= capRows }
+        if (fit >= 0) {
+          val (ls, used) = groups(fit)
+          ls += b
+          groups(fit) = (ls, used + c)
+        } else groups += ((scala.collection.mutable.ArrayBuffer(b), c))
+      }
+      val candTmp = outPath.stripSuffix("/") + ".cand.tmp"
+      deleteRecursively(new java.io.File(candTmp))
+      var any = false
+      groups.foreach { case (lists, used) =>
+        val rows = routed.filter(col("bucket")
+          .isin(lists.map(java.lang.Long.valueOf).toSeq: _*))
+        val parts: Iterator[Map[Long, Array[(Long, Array[Float])]]] =
+          if (used <= capRows) {
+            val qByBucket = rows.select(col("bucket"), col("qid"), col("qvec"))
+              .collect()
+              .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Float](2).toArray)))
+              .groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2)) }
+            Iterator.single(qByBucket)
+          } else {
+            // hot-list skew: one list alone exceeds the bound — stream
+            // its queries at the bound; only THIS blob re-reads
+            val b = lists.head
+            val sliceRows = math.min(capRows, Int.MaxValue.toLong).toInt
+            queryChunks(rows.select(col("qid"), col("qvec")), sliceRows)
+              .map(chunk => Map(b -> chunk))
+          }
+        parts.foreach { qByBucket =>
+          searchByBatchCandidates(spark, s"$store/lists", qByBucket, k, ef)
+            .write.mode("append").parquet(candTmp)
+          any = true
+        }
+      }
+      val merged =
+        if (any) rankTopK(spark.read.parquet(candTmp), k)
+        else spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+      writeChunkedResults(spark, outPath, Iterator.single(merged))
+      deleteRecursively(new java.io.File(candTmp))
+    } finally routed.unpersist(blocking = false)
+  }
+
   /** Type-3 search over a per-label [[buildBy]] table built with
     * `attrCol = ts`: each query walks ONLY its label's sub-index with
     * the ts in-filter — the stored-index form of the reference's
@@ -1027,6 +1143,35 @@ object AnnIndexStore {
       k: Int, ef: Int): DataFrame = {
     import spark.implicits._
     if (qByBucket.isEmpty) return spark.emptyDataset[(Long, Long, Long)].toDF("qid", "rank", "nid")
+    rawSearchByBatch(spark, path, qByBucket, k, ef).transform(rankTopK(_, k))
+  }
+
+  /** [[searchByBatch]] in its PARTIAL form for two-level merges: the
+    * per-qid top-k here covers only the buckets this call scanned, so
+    * the eval keeps the distances — (qid, id, dist), k rows per qid —
+    * and a later global [[rankTopK]] over the union of several calls'
+    * outputs merges them exactly (the partial reduce preserves each
+    * scope's k best, a superset of its contribution to the global k). */
+  private def searchByBatchCandidates(spark: SparkSession, path: String,
+      qByBucket: Map[Long, Array[(Long, Array[Float])]],
+      k: Int, ef: Int): DataFrame = {
+    import spark.implicits._
+    if (qByBucket.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "id", "dist")
+    rawSearchByBatch(spark, path, qByBucket, k, ef)
+      .groupBy("qid")
+      .agg(graft.operators.TopKAggregate.topkPairs(k, col("dist"), col("id")).as("nb"))
+      .select(col("qid"), explode(col("nb")).as("p"))
+      .select(col("qid"), col("p.id").as("id"), col("p.dist").as("dist"))
+  }
+
+  /** Per-candidate (qid, id, dist) rows from walking each requested
+    * bucket's sub-indices against its broadcast query slice — the
+    * shared core of [[searchByBatch]] and [[searchByBatchCandidates]]. */
+  private def rawSearchByBatch(spark: SparkSession, path: String,
+      qByBucket: Map[Long, Array[(Long, Array[Float])]],
+      k: Int, ef: Int): DataFrame = {
+    import spark.implicits._
     val bq = spark.sparkContext.broadcast(qByBucket)
     val wanted = qByBucket.keys.toSeq
     spark.read.parquet(resolveStore(path))
@@ -1046,7 +1191,6 @@ object AnnIndexStore {
         }
       }
       .toDF("qid", "id", "dist")
-      .transform(rankTopK(_, k))
   }
 
   /** Search a persisted index table: every bucket row searches the

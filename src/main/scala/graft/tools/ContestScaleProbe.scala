@@ -178,18 +178,29 @@ object ContestScaleProbe {
     val t0Nprobe = ProbeHarness.tunedNprobe(spark, s"$root/by_ivf",
       t0Mode, queries, k, ef)
     val t0Name = if (t0Mode == "ivf") "t0_ivf" else "t0"
-    val t0Params = if (t0Mode == "ivf") s"$searchParams nprobe=$t0Nprobe" else searchParams
+    // GRAFT_CONTEST_T0_BATCH=chunk keeps the query-major feed for A/B
+    // (ContestRun's switch — same default: list-major reads each blob
+    // once per batch instead of once per 50k slice)
+    val t0Batch = sys.env.getOrElse("GRAFT_CONTEST_T0_BATCH", "listmajor")
+    val t0Params =
+      if (t0Mode == "ivf") s"$searchParams nprobe=$t0Nprobe batch=$t0Batch"
+      else searchParams
     if (!freshFor(s"$outPath/$t0Name", t0Params)) timed(s"search_type0_$t0Mode") {
       // 50k chunks: per-chunk agg state (one bounded top-k heap per qid
       // per bucket task) is the heap high-water mark of the whole probe
       val q0 = queries.filter(col("qtype") === 0).select(col("qid"), col("qvec"))
-      (if (t0Mode == "ivf")
-        AnnIndexStore.searchIvfChunked(spark, s"$root/by_ivf", q0, k, ef,
-          nprobe = t0Nprobe, chunkRows = 50000)
-      else
-        AnnIndexStore.searchChunked(spark, s"$root/by_hash", q0, k, ef,
-          chunkRows = 50000))
-        .write.mode("overwrite").parquet(s"$outPath/$t0Name")
+      if (t0Mode == "ivf" && t0Batch == "listmajor") {
+        AnnIndexStore.searchIvfListMajorTo(spark, s"$root/by_ivf", q0,
+          s"$outPath/$t0Name", k, ef, nprobe = t0Nprobe)
+      } else {
+        (if (t0Mode == "ivf")
+          AnnIndexStore.searchIvfChunked(spark, s"$root/by_ivf", q0, k, ef,
+            nprobe = t0Nprobe, chunkRows = 50000)
+        else
+          AnnIndexStore.searchChunked(spark, s"$root/by_hash", q0, k, ef,
+            chunkRows = 50000))
+          .write.mode("overwrite").parquet(s"$outPath/$t0Name")
+      }
       stamp(s"$outPath/$t0Name", t0Params)
     }
     if (!skipT1 && !freshFor(s"$outPath/t1", searchParams)) timed("search_type1_label") {

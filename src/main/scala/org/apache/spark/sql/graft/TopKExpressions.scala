@@ -158,3 +158,65 @@ case class TopKIdsAgg(
     copy(dist = newChildren(0), id = newChildren(1))
 }
 
+/** `topk_pairs(dist, id, k)`: [[TopKIdsAgg]]'s heap, but the eval keeps
+  * the distances — array of `struct<dist, id>` sorted ascending by
+  * `(dist, id)`. The dist-carrying form exists for TWO-LEVEL top-k
+  * merges (list-major IVF batches): each partial scope reduces to its
+  * own k best pairs map-side, and a later global `topk_ids` over the
+  * exploded pairs merges scopes exactly — the id-only form would drop
+  * the key the outer merge orders by. */
+case class TopKPairsAgg(
+    dist: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKHeap] with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(dist, id)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("dist", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "topk_pairs"
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+  override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
+    val d = dist.eval(input)
+    val i = id.eval(input)
+    if (d != null && i != null) {
+      buf.insert(d.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(buf: TopKHeap, other: TopKHeap): TopKHeap = {
+    buf.mergeFrom(other)
+    buf
+  }
+
+  override def eval(buf: TopKHeap): Any =
+    new GenericArrayData(buf.sortedPairs.map { case (d, i) =>
+      InternalRow(d, i)
+    })
+
+  override def serialize(buf: TopKHeap): Array[Byte] = buf.serialize()
+
+  override def deserialize(storage: Array[Byte]): TopKHeap =
+    TopKHeap.deserialize(k, storage)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(dist = newChildren(0), id = newChildren(1))
+}
+

@@ -732,6 +732,20 @@ class AnnIndexStoreSpec extends SparkSpec {
     AnnIndexStore.searchIvfChunkedTo(spark, s"$root/by_ivf", queries,
       s"$root/t0_ivf", k = 5, ef = 128, nprobe = 2, chunkRows = 4)
     assert(set(spark.read.parquet(s"$root/t0_ivf")) == set(ivfMem))
+
+    // list-major batch form: same result set as the query-major paths —
+    // (a) default bound: the whole batch fits one group, every blob
+    // read once; (b) a bound tiny enough that every list overflows it,
+    // driving both the multi-group packing AND the hot-list slice path
+    // (per-group partial top-k rows merged by the global rankTopK)
+    AnnIndexStore.searchIvfListMajorTo(spark, s"$root/by_ivf", queries,
+      s"$root/t0_lm", k = 5, ef = 128, nprobe = 2)
+    assert(set(spark.read.parquet(s"$root/t0_lm")) == set(ivfMem))
+    AnnIndexStore.searchIvfListMajorTo(spark, s"$root/by_ivf", queries,
+      s"$root/t0_lm_tiny", k = 5, ef = 128, nprobe = 2, groupBytes = 500)
+    assert(set(spark.read.parquet(s"$root/t0_lm_tiny")) == set(ivfMem))
+    assert(!new java.io.File(s"$root/t0_lm_tiny.cand.tmp").exists(),
+      "candidate staging dir must be cleaned up after the merge")
   }
 
   test("decile ANN join: range predicate holds, recall >= 0.85 vs exact") {
