@@ -40,6 +40,34 @@ object EfTuner {
     tune(idx, sample, k, targetRecall, ladder)
   }
 
+  /** Candidate brute-coverage thresholds for the crossover sweep —
+    * coarse on purpose: the wall curves cross shallowly, so adjacent
+    * rungs differ by a few percent of wall while a coarse grid keeps
+    * the tuned value stable against store-content jitter. */
+  val DefaultBruteLadder: Seq[Double] = Seq(0.15, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+  /** Wall-cost advantage of one CONTIGUOUS int8 slice-scan eval over
+    * one filtered-walk eval of the same [[HnswIndex]] `qdistTo` unit
+    * (the walk pays random access + heap bookkeeping per eval; the
+    * scan streams with hardware prefetch). Measured, not assumed:
+    * WalkMicro's per-eval section on the 6M t2 store's bucket-3
+    * sub-graph (ns/eval ratio, coverage 0.10-0.75 — see BASELINE.md
+    * round 14). A CODE constant rather than a per-store measurement so
+    * the crossover tuner stays deterministic (gate-pinnable): the
+    * ratio is a property of the eval loops and the hardware class, not
+    * of store content — across the measured coverages it moved far
+    * less than the eval-count curves the tuner derives per store.
+    * Measured on the 30M ladder's by_range150 bucket-3 sub-graph
+    * (99,894 rows, dim 100): walk 187-311 ns/eval vs scan 30-38
+    * ns/eval → ratio 4.9-9.0 across coverage 0.10-0.75, ≈6.7 in the
+    * crossover-relevant 0.45-0.75 band; 6.0 sits at its conservative
+    * edge (under-estimating shrinks the scan region — the walk side
+    * meets the recall bar by the cap tuner, so the failure mode is a
+    * few-percent wall loss, never recall). With 6.0 the count model
+    * reproduces the measured wall crossover on that sub-graph
+    * (scan wins through 0.6, walk from 0.7). */
+  val ScanPerEvalAdvantage: Double = 6.0
+
   /** Derive a store's own effort-band table ([[graft.operators.EfBands]])
     * by measured recall — the banded search arms' analog of [[tune]]:
     * the reference's per-dataset `SearchParams` table
@@ -73,6 +101,7 @@ object EfTuner {
       ef: Int = 400,
       factorLadder: Seq[Double] = Seq(0.25, 0.35, 0.5, 0.75, 1.0),
       capLadder: Seq[Double] = Seq(1.0, 1.5, 2.0, 3.0, 4.0),
+      bruteLadder: Seq[Double] = DefaultBruteLadder,
       resolve: Boolean = true,
       requireTarget: Boolean = false): graft.operators.EfBands = {
     import org.apache.spark.sql.functions._
@@ -227,19 +256,69 @@ object EfTuner {
       }
       if (total == 0) 1.0 else hit.toDouble / total
     }
-    // 0.62 is the BINDING band: recall at fixed ef degrades as coverage
-    // shrinks, and the in-filter walk's hardest legal case sits just
-    // above the exact-scan line (bruteCoverage 0.6) — tuning only at
-    // easier bands would let an under-widening cap pass
+    // ---- brute-coverage crossover, on the same largest row ----
+    // The scan-vs-walk dispatch line, MEASURED instead of copied from
+    // the reference's hand value (hybrid_graph.cpp:117-124,355-364
+    // draw it at 0.5-0.6 per dataset): both sides evaluate the same
+    // int8 qdistTo unit, so the crossover derives from DETERMINISTIC
+    // work counts — the scan's work is the slice length (contiguous)
+    // plus its fp32 refine, the walk's is its counted coded-distance
+    // evaluations (lastFilteredWalkVisits) plus the fp32 re-rank of
+    // its pool. fp32 evals weigh 4× (4× the memory traffic of packed
+    // int8 — second-order: both adders are O(100) against slices of
+    // O(10k)). [[ScanPerEvalAdvantage]] converts eval counts to wall:
+    // the scan's sequential evals are that factor cheaper than the
+    // walk's random-access + heap-bookkeeping evals (measured,
+    // WalkMicro). The chosen threshold is the FIRST ladder rung where
+    // the walk's converted work undercuts the scan's — below it the
+    // slice is scanned, at/above it walked; scan-wins-everywhere emits
+    // the ladder max, walk-wins-everywhere the ladder min (a sliver
+    // scan region always remains — the boosted walk's 1/cover ef
+    // growth guarantees a scan-favored regime exists at some scale,
+    // and the measurement, not the prior, decides where).
+    val fp32W = 4.0
+    val bruteTuned = {
+      val walkEfDeflt = deflt // default cap: the widening cap only
+      // binds below cover ≈ 1/inFilterMaxFactor, under the ladder's
+      // crossover region — tuning order (crossover first, cap second)
+      // is therefore not circular
+      val n = sortedTs.length
+      val rung = bruteLadder.find { c =>
+        val lo = sortedTs(math.min(n - 1, math.max(0, ((1 - c) / 2 * n).toInt)))
+        val hi = sortedTs(math.max(0, math.min(n - 1, (((1 + c) / 2) * n).toInt - 1)))
+        val slice = tsIdx.inRange(lo, hi)
+        val refineK = math.min(slice.length, math.max(k + 40, 140))
+        val scanWork = slice.length + fp32W * refineK
+        val efW = walkEfDeflt.inFilterEf(ef, c)
+        val allowed: Int => Boolean = i => bigTs(i) >= lo && bigTs(i) <= hi
+        var visits = 0L
+        sample.foreach { q =>
+          bigIdx.search(q, k, efW, allowed,
+            seeds = tsIdx.seeds(lo, hi, graft.operators.SearchParams.FilterSeeds))
+          visits += bigIdx.lastFilteredWalkVisits
+        }
+        val walkWork = visits.toDouble / sample.length +
+          fp32W * math.min(efW, math.max(slice.length, 1))
+        ScanPerEvalAdvantage * walkWork < scanWork // walk wins here
+      }
+      rung.getOrElse(bruteLadder.last)
+    }
+
+    // The BINDING band sits just above the tuned exact-scan line:
+    // recall at fixed ef degrades as coverage shrinks, so the
+    // in-filter walk's hardest legal case is the narrowest slice it
+    // still serves — tuning only at easier bands would let an
+    // under-widening cap pass
     val capFound = capLadder.find { cap =>
-      Seq(0.62, 0.70, 0.85).forall(c => bandRecall(cap, c) >= targetRecall)
+      (math.min(0.85, bruteTuned + 0.02) +: Seq(0.70, 0.85))
+        .distinct.forall(c => bandRecall(cap, c) >= targetRecall)
     }
     if (requireTarget) require(capFound.isDefined,
       s"tuneBands: no in-filter cap in $capLadder reaches recall " +
         s"$targetRecall — tuning regression, not a silent fallback")
     val capTuned = capFound.getOrElse(capLadder.last)
 
-    graft.operators.EfBands(fullTuned, deflt.floorExtra, capTuned, deflt.bruteCoverage)
+    graft.operators.EfBands(fullTuned, deflt.floorExtra, capTuned, bruteTuned)
   }
 
   /** The lifecycle tools' tune-once entry: ONE definition of the
@@ -258,7 +337,10 @@ object EfTuner {
       storePath: String, queries: org.apache.spark.sql.DataFrame,
       k: Int, ef: Int): Option[graft.operators.EfBands] = {
     import org.apache.spark.sql.functions.col
-    val params = s"k=$k ef=$ef target=0.999"
+    // "v2bc": the table now carries a MEASURED brute-coverage crossover
+    // (work-count sweep) — bumping the stamp re-tunes stores sidecar'd
+    // under the copied-constant protocol
+    val params = s"v2bc k=$k ef=$ef target=0.999"
     // ONE generation resolve at entry, pinned for the check, the
     // delete, and both writes: the table belongs to the GENERATION it
     // was measured against, so if a concurrent fold flips the store

@@ -731,7 +731,18 @@ final class HnswIndex(
         }
       }
     }
+    ws.lastVisits = visits
     res
+  }
+
+  /** Coded-distance evaluations of THIS THREAD's most recent filtered
+    * walk (thread-confined like the visited set): the deterministic
+    * work counter the brute-coverage crossover tuner compares against
+    * a slice scan's element count — both sides evaluate the same
+    * [[qdistTo]] unit, so the counts are directly comparable. */
+  private[graft] def lastFilteredWalkVisits: Int = {
+    val tl = walkTL
+    if (tl == null) 0 else tl.get().lastVisits
   }
 
   /** Top-k (internal id, dist) ascending (dist, id); `dist` is the EXACT
@@ -851,6 +862,10 @@ object HnswIndex {
     var mark: Array[Int] = _
     var gen = 0
     var hops: Array[Byte] = _
+    // coded-distance evaluations of this thread's most recent filtered
+    // walk — the deterministic WORK counter the brute-coverage
+    // crossover tuner reads (one store at walk end, zero hot-path cost)
+    var lastVisits: Int = 0
   }
 
   // shared supplier: a per-call lambda would capture nothing either, but

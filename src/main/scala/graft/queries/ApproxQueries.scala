@@ -262,7 +262,8 @@ object ApproxQueries {
         "ann_ef_bands: _ef_bands sidecar codec must round-trip the table")
       import s.implicits._
       (bands.full.map { case (m, f) => (s"full_$m", f) } :+
-        ("cap_infilter", bands.inFilterMaxFactor))
+        ("cap_infilter", bands.inFilterMaxFactor) :+
+        ("brute_coverage", bands.bruteCoverage))
         .toDF("band", "value")
     }),
 
@@ -860,10 +861,18 @@ object ApproxQueries {
     // the query-side requires (recall target met at the chosen rung,
     // run-over-run determinism, sidecar codec round-trip) plus this
     // hash, which moves if the tuner's choice drifts at all.
+    // brute_coverage 0.8 = the crossover ladder max: on the gate
+    // store's small sub-graphs the deterministic work-count sweep has
+    // the quantized slice scan winning at every rung (walk bookkeeping
+    // dominates at small n), so the scan region extends to the ladder's
+    // top — scale-stable (sf0.01 and sf0.1 both emit 0.8); the
+    // interior-crossover half of the tuner is measured on the 30M
+    // ladder's 100k-row sub-graphs (BASELINE.md round 14: scan wins
+    // through 0.6, walk from 0.7).
     "ann_ef_bands" ->
       """SELECT band, CAST(value AS DOUBLE) AS value FROM (VALUES
         |  ('full_8', 0.25), ('full_4', 0.25), ('full_2', 0.25),
-        |  ('cap_infilter', 1.0)) AS t(band, value)""".stripMargin,
+        |  ('cap_infilter', 1.0), ('brute_coverage', 0.8)) AS t(band, value)""".stripMargin,
 
     // Golden-pinned nprobe choice (same contract as ann_ef_tune): the
     // routing-recall ladder on the seeded 16-list gate store is a

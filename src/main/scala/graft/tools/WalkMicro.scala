@@ -74,5 +74,42 @@ object WalkMicro {
         index.exactOver(q, tsIdx.inRange(l, r), k)
       }
     }
+
+    // ---- per-eval cost ratio (feeds EfTuner.ScanPerEvalAdvantage) ----
+    // Both sides evaluate the same qdistTo int8 unit; the scan walks a
+    // contiguous slice (sequential prefetch) while the walk's evals are
+    // random-access + heap bookkeeping. ratio = (walk ns/eval) /
+    // (scan ns/eval) — the constant that converts the tuner's
+    // deterministic eval-count crossover into a wall-clock crossover.
+    println("\nside          cover   ms/query   evals/query   ns/eval")
+    Seq(0.1, 0.2, 0.3, 0.45, 0.6, 0.75).foreach { cover =>
+      val l = lo + (0.5 - cover / 2) * span
+      val r = lo + (0.5 + cover / 2) * span
+      val allowed: Int => Boolean = i => ts(i) >= l && ts(i) <= r
+      val efW = graft.operators.SearchParams.inFilterEf(400, cover)
+      def wall(f: => Unit): Double = {
+        f // warm
+        val reps = 3
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < reps) { f; i += 1 }
+        (System.nanoTime() - t0).toDouble / reps / nq
+      }
+      var walkEvals = 0L
+      val walkNs = wall {
+        walkEvals = 0L
+        queries.foreach { q =>
+          index.search(q, k, efW, allowed, seeds = tsIdx.seeds(l, r, 10))
+          walkEvals += index.lastFilteredWalkVisits
+        }
+      }
+      val slice = tsIdx.inRange(l, r)
+      val scanEvals = slice.length.toLong
+      val scanNs = wall(queries.foreach(q => index.exactOverQ(q, slice, k)))
+      val walkPer = walkNs / math.max(1L, walkEvals / nq)
+      val scanPer = scanNs / math.max(1L, scanEvals)
+      println(f"walk ef=$efW%-6d $cover%.2f ${walkNs / 1e6}%10.3f ${walkEvals / nq}%13d $walkPer%9.1f")
+      println(f"scanQ         $cover%.2f ${scanNs / 1e6}%10.3f $scanEvals%13d $scanPer%9.1f  ratio=${walkPer / scanPer}%.2f")
+    }
   }
 }

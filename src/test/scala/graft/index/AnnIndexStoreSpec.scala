@@ -663,6 +663,11 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(b1 == b2, "band tuning must be deterministic")
     assert(b1.full.map(_._1).sorted == Seq(2, 4, 8))
     assert(b1.full.forall { case (_, f) => f > 0 && f <= 1.0 })
+    // the scan-vs-walk crossover is MEASURED (work-count sweep), lands
+    // on a ladder rung, and round-trips through the sidecar like every
+    // other tuned field (it participates in the b1 equality above)
+    assert(EfTuner.DefaultBruteLadder.contains(b1.bruteCoverage),
+      s"tuned bruteCoverage ${b1.bruteCoverage} must be a ladder rung")
     // sidecar round-trip
     AnnIndexStore.writeEfBands(rngDir, b1)
     assert(AnnIndexStore.efBandsOf(rngDir).contains(b1))
