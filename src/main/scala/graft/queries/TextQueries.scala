@@ -164,6 +164,66 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"))
     }),
 
+    // The composed pipeline with the TRAINED classifier's keep decision
+    // threaded through as a stage (model runs AFTER the rule filter —
+    // the fastText-style order quality_classifier documents): train →
+    // score → threshold → exact dedup → near-dedup → sample, one
+    // chain, every stage replayed by the oracle. The weights come from
+    // the same fingerprint-tagged artifact quality_classifier_trained
+    // gates (trainAndPersist reuses it; that gate's retrain-equals-
+    // artifact require is the integrity tooth for BOTH queries).
+    //
+    // The keep bar is SELF-CALIBRATED, not hand-set: keep docs whose
+    // mean token weight clears the corpus mean — the integer-exact
+    // analog of the keep-top-slice-by-classifier-score selection real
+    // pipelines run (CCNet/GPT-3 keep by score quantile; an absolute
+    // bar is vacuous here because the trained weights are
+    // corpus-relative by construction). thr = max(0, Σ score_milli)
+    // div (Σ n_tokens) over the FULL corpus: non-negative integer
+    // operands, so Spark's truncating div and DuckDB's flooring //
+    // agree bit-for-bit, and the max(0,·) clamp keeps a junk-dominated
+    // corpus (negative total) at the standalone gate's sm >= 0 rule.
+    "corpus_pipeline_clf" -> ((s, dir) => {
+      import graft.operators.QualityClassifier
+      val dim = QualityClassifier.DefaultDim
+      val path = graft.queries.StorePaths.taggedPath(s, "/tmp/graft_clf", dir)
+      val weights = QualityClassifier.trainAndPersist(docs(s, dir), path, dim)
+      val scoredAll = docs(s, dir)
+        .withColumn("toks", TF.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("score_milli",
+          QualityClassifier.scoreMilli(col("toks"), weights))
+      val tot = scoredAll
+        .agg(sum(col("score_milli")).as("s"), sum(col("n_tokens")).as("n"))
+        .collect()(0)
+      val thr =
+        if (tot.isNullAt(1) || tot.getLong(1) <= 0) 0L
+        else math.max(0L, tot.getLong(0)) / tot.getLong(1)
+      val quality = scoredAll
+        .withColumn("ttr", TF.typeTokenRatio(col("toks")))
+        .filter(col("n_tokens") >= 20 && col("ttr") >= 0.3)
+        // the model keep decision: mean token weight >= the corpus mean
+        .filter(col("score_milli") >= lit(thr) * col("n_tokens"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("n_tokens"), col("score_milli"))
+      val reps = quality
+        .groupBy(md5(col("text").cast("binary")).as("th"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val deduped = quality.join(reps, "doc_id")
+      val nearPairs = Dedup.jaccardPairsAuto(deduped, "doc_id", "text",
+        shingleSize = 3, minJaccard = 0.5, sizeHint = Some(docCount(s, dir)))
+      val survivors = deduped
+        .join(nearPairs.select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      survivors
+        .withColumn("h",
+          conv(substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long"))
+        .filter(col("h") % 2 === 0)
+        .select(col("doc_id"), col("n_tokens"), col("score_milli"))
+    }),
+
     // quality scoring: lexical diversity, stopword ratio, length
     "text_quality" -> ((s, dir) =>
       docs(s, dir)
@@ -1302,6 +1362,81 @@ object TextQueries {
         |  ) WHERE jac >= 0.5
         |)
         |SELECT doc_id, n_tokens FROM dd
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |  AND CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 = 0""".stripMargin,
+
+    // corpus_pipeline with the TRAINED classifier stage in the chain:
+    // the quality_classifier_trained oracle's train+score CTEs (labels
+    // from the Gopher rule over the FULL corpus, hashed features,
+    // integer milli-weights, per-doc integer score) composed with
+    // corpus_pipeline's dedup+sample CTEs — train → score → threshold
+    // → dedup → sample replayed end-to-end in one statement.
+    "corpus_pipeline_clf" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), lab AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) BETWEEN 50 AND 100000
+        |      AND (CASE WHEN len(toks) > 0 THEN
+        |            CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+        |              / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+        |      AND (CASE WHEN len(toks) > 0 THEN
+        |            CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+        |              / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) > 0.8
+        |      AND len(list_filter(toks, x -> lower(x) IN
+        |            ('the','of','and','to','in','a','is','that'))) >= 2
+        |    THEN 1 ELSE 0 END AS label
+        |  FROM t
+        |), tok AS (
+        |  SELECT lab.doc_id, lab.label,
+        |    CAST(CAST(('0x' || substr(md5('131:' || u.x), 1, 15)) AS UBIGINT) % 4096 AS BIGINT) AS idx
+        |  FROM lab, unnest(lab.toks) AS u(x)
+        |), w AS (
+        |  SELECT idx,
+        |    (2000 * sum(label)) // (count(*) + 1) - 1000 AS wm
+        |  FROM tok GROUP BY idx
+        |), sc AS (
+        |  SELECT tok.doc_id, CAST(sum(w.wm) AS BIGINT) AS score_milli
+        |  FROM tok JOIN w USING (idx) GROUP BY tok.doc_id
+        |), q0 AS (
+        |  SELECT t.doc_id, t.text, CAST(len(t.toks) AS BIGINT) AS n_tokens, t.toks,
+        |    coalesce(sc.score_milli, 0) AS score_milli
+        |  FROM t LEFT JOIN sc USING (doc_id)
+        |), thr AS (
+        |  SELECT CASE WHEN coalesce(sum(n_tokens), 0) <= 0 THEN 0
+        |    ELSE greatest(0, sum(score_milli)) // sum(n_tokens) END AS v
+        |  FROM q0
+        |), q2 AS (
+        |  SELECT q0.* FROM q0, thr
+        |  WHERE n_tokens >= 20
+        |    AND len(list_distinct(toks)) / CAST(nullif(len(toks), 0) AS DOUBLE) >= 0.3
+        |    AND score_milli >= thr.v * n_tokens
+        |), reps AS (
+        |  SELECT min(doc_id) AS doc_id FROM q2 GROUP BY md5(text)
+        |), dd AS (
+        |  SELECT q2.* FROM q2 JOIN reps ON q2.doc_id = reps.doc_id
+        |), shl AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [] END) AS sh
+        |  FROM dd
+        |), ex AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
+        |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), dropped AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM (
+        |    SELECT doc_a, doc_b, inter / (x.n + y.n - inter) AS jac
+        |    FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+        |  ) WHERE jac >= 0.5
+        |)
+        |SELECT doc_id, n_tokens, score_milli FROM dd
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |  AND CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 = 0""".stripMargin,
 
