@@ -353,6 +353,38 @@ object TextQueries {
           size(col("re_toks")).cast("long").as("bpe_tokens"),
           (length(col("text")) / size(col("re_toks")).cast("double")).as("chars_per_token"))),
 
+    // REAL subword counting (the r13 verdict's task #7 — token_count's
+    // regex pre-tokens approximate a budget; pipeline budgets are BPE
+    // tokens): a tiny exact byte-pair-merge vocabulary trained in-repo
+    // on the gate corpus (operators/BpeTokenizer — 16 most-frequent
+    // adjacent-pair merges, lexicographic tie-breaks), persisted as a
+    // fingerprint-tagged (rank, left, right) artifact, and scored by
+    // one codegen pass (BpeTokenCount — the merge table rides the plan
+    // like the classifier's weights). The DuckDB oracle REPLAYS
+    // TRAINING (all 16 iterations as chained materialized CTEs: pair
+    // count → lexicographic best → the identical left-to-right merge
+    // fold as a list_reduce lambda) and scores by joining each word to
+    // its trained final state. In-query teeth: retrain-equals-artifact
+    // and the full merge count (the gate corpus never exhausts 16).
+    "token_count_bpe" -> ((s, dir) => {
+      import graft.operators.BpeTokenizer
+      val path = graft.queries.StorePaths.taggedPath(s, "/tmp/graft_bpe", dir)
+      val merges = BpeTokenizer.trainAndPersist(docs(s, dir), path)
+      require(merges == BpeTokenizer.train(docs(s, dir)),
+        "token_count_bpe: fresh retrain must equal the persisted " +
+          "artifact (training is a deterministic function of the corpus)")
+      require(merges.length == BpeTokenizer.DefaultMerges,
+        s"token_count_bpe: expected ${BpeTokenizer.DefaultMerges} merges, " +
+          s"got ${merges.length} — the gate corpus exhausted the pair " +
+          "supply (corpus regression)")
+      docs(s, dir)
+        .withColumn("toks", TF.tokens(col("text")))
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          size(col("toks")).cast("long").as("ws_tokens"),
+          BpeTokenizer.tokenCount(col("text"), merges).as("bpe_tokens"))
+    }),
+
     // winnowing fingerprints: char 8-gram rolling hashes, window-4 minima
     "doc_winnow" -> ((s, dir) => {
       val spark = s
@@ -813,6 +845,47 @@ object TextQueries {
     (0 until 16).map(j =>
       s"list_min(list_transform(sh, s -> (${TF.minhashA(j)} * $h28 + ${TF.minhashB(j)}) % ${TF.MinhashP}))")
       .mkString("[", ",\n       ", "]")
+
+  /** The `token_count_bpe` oracle, generated for `n` merges — one CTE
+    * triple per training iteration (see the map entry's note; the fold
+    * lambda is [[org.apache.spark.sql.graft.BpeUtil.applyMerge]]'s
+    * exact rule over chr(31)-joined symbol strings). */
+  private def bpeOracle(n: Int): String = {
+    val sb = new StringBuilder(
+      """WITH t AS MATERIALIZED (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), w0 AS MATERIALIZED (
+        |  SELECT w, count(*) AS cnt,
+        |    array_to_string(string_split_regex(w, ''), chr(31)) AS s
+        |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+        |)""".stripMargin)
+    (1 to n).foreach { i =>
+      sb.append(
+        s""", p$i AS (
+           |  SELECT sy[j] AS l, sy[j+1] AS r, sum(cnt) AS c
+           |  FROM (SELECT cnt, string_split(s, chr(31)) AS sy FROM w${i - 1}),
+           |    unnest(range(1, len(sy))) AS u(j)
+           |  GROUP BY 1, 2
+           |), b$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY c DESC, l, r LIMIT 1
+           |), w$i AS MATERIALIZED (
+           |  SELECT w, cnt, list_reduce(string_split(s, chr(31)),
+           |    (acc, x) -> CASE WHEN x = b$i.r AND (acc = b$i.l OR ends_with(acc, chr(31) || b$i.l))
+           |      THEN acc || b$i.r ELSE acc || chr(31) || x END) AS s
+           |  FROM w${i - 1}, b$i
+           |)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS ws_tokens,
+         |  CAST(coalesce(sc.bpe, 0) AS BIGINT) AS bpe_tokens
+         |FROM t LEFT JOIN (
+         |  SELECT doc_id, sum(len(string_split(w$n.s, chr(31)))) AS bpe
+         |  FROM (SELECT doc_id, unnest(toks) AS w FROM t) d JOIN w$n USING (w)
+         |  GROUP BY doc_id) sc USING (doc_id)""".stripMargin)
+    sb.toString
+  }
 
   val oracles: Map[String, String] = Map(
     "unpivot_lineitem" ->
@@ -1553,6 +1626,16 @@ object TextQueries {
         |  CAST(len(re_toks) AS BIGINT) AS bpe_tokens,
         |  length(text) / CAST(nullif(len(re_toks), 0) AS DOUBLE) AS chars_per_token
         |FROM t""".stripMargin,
+
+    // Full replay of BPE TRAINING + SCORING: the merge loop unrolled as
+    // chained CTE triples (pair counts over the current symbol states →
+    // lexicographic best pair → the identical left-to-right merge fold
+    // as a list_reduce lambda over chr(31)-joined symbols), then each
+    // document's words joined to their trained final state. MATERIALIZED
+    // is load-bearing: each stage is referenced twice (pair pass + apply
+    // pass), so default CTE inlining would expand the 16-stage chain
+    // into 2^16 scans of the corpus.
+    "token_count_bpe" -> bpeOracle(graft.operators.BpeTokenizer.DefaultMerges),
 
     "doc_winnow" ->
       """WITH h AS (
