@@ -111,12 +111,22 @@ object ContestScaleProbe {
     // 128-list geometry): constant per-probe walk cost is exactly the
     // IVF scale thesis the ladder exists to measure.
     val t0Mode = sys.env.getOrElse("GRAFT_CONTEST_T0", "ivf")
+    // GRAFT_CONTEST_ONLY=<t0|t1|t2|t3>: run ONLY that arm's
+    // build/tune/search flow, skipping even the OTHER arms' store
+    // builds and tuner entries — the disk-frugal ladder mode the r13
+    // verdict asked for (arms run sequentially across probe
+    // invocations, each dropping its stores before the next, while the
+    // cached per-arm RESULT parquet from earlier invocations still
+    // joins the RESULTS/RECALL union below). The included-arm set is
+    // printed on both lines, never silent.
+    val onlyArm = sys.env.get("GRAFT_CONTEST_ONLY")
+    def armOn(a: String): Boolean = onlyArm.forall(_ == a)
     val nlist = math.max(32, (n / 80000L).toInt)
-    if (t0Mode != "ivf" && !exists(s"$root/by_hash")) timed("build_by_hash") {
+    if (armOn("t0") && t0Mode != "ivf" && !exists(s"$root/by_hash")) timed("build_by_hash") {
       AnnIndexStore.build(base.select(col("id"), col("vec")),
         s"$root/by_hash", numBuckets = cpus.toInt)
     }
-    if (t0Mode == "ivf" && !exists(s"$root/by_ivf/lists")) timed("build_by_ivf") {
+    if (armOn("t0") && t0Mode == "ivf" && !exists(s"$root/by_ivf/lists")) timed("build_by_ivf") {
       AnnIndexStore.buildIvf(base.select(col("id"), col("vec")),
         s"$root/by_ivf", nlist = nlist)
     }
@@ -124,7 +134,7 @@ object ContestScaleProbe {
     // its recall slice — the disk-bounded big-N ladder runs the three
     // arms the r12 verdict asked to scale (IVF t0, banded t2/t3); the
     // skip is recorded in the RESULTS/RECALL lines, never silent.
-    val skipT1 = sys.env.get("GRAFT_CONTEST_SKIP_T1").contains("1")
+    val skipT1 = sys.env.get("GRAFT_CONTEST_SKIP_T1").contains("1") || !armOn("t1")
     if (!skipT1 && !exists(s"$root/by_label")) timed("build_by_label") {
       AnnIndexStore.buildBy(base.select(col("id"), col("label"), col("ts"), col("vec")),
         s"$root/by_label", "label", attrCol = Some("ts"))
@@ -136,12 +146,12 @@ object ContestScaleProbe {
       val s = sys.env.getOrElse("GRAFT_CONTEST_T2_SCALE", "0").toInt
       if (s > 0) s else math.max(10, math.ceil(n / 200000.0).toInt)
     }
-    if (t2Mode != "range" && !exists(s"$root/by_decile")) timed("build_by_decile") {
+    if (armOn("t2") && t2Mode != "range" && !exists(s"$root/by_decile")) timed("build_by_decile") {
       AnnIndexStore.buildBy(
         base.withColumn("decile", floor(col("ts") * 10).cast("long")),
         s"$root/by_decile", "decile", attrCol = Some("ts"))
     }
-    if (t2Mode == "range" && !exists(s"$root/by_range$t2Scale")) timed("build_by_range") {
+    if (armOn("t2") && t2Mode == "range" && !exists(s"$root/by_range$t2Scale")) timed("build_by_range") {
       AnnIndexStore.buildBy(
         base.withColumn("bucket", floor(col("ts") * t2Scale).cast("long")),
         s"$root/by_range$t2Scale", "bucket", attrCol = Some("ts"))
@@ -153,7 +163,7 @@ object ContestScaleProbe {
     // comparable across rounds
     def tuneBandsOnce(store: String, tag: String): Unit =
       ProbeHarness.tuneBandsOnce(spark, store, tag, queries, k, ef)
-    if (t2Mode == "range") tuneBandsOnce(s"$root/by_range$t2Scale", "range")
+    if (armOn("t2") && t2Mode == "range") tuneBandsOnce(s"$root/by_range$t2Scale", "range")
 
     // ---- routing stats pass (selectivity grid + route decision) ----
     val routeHist = timed("route_stats_pass") {
@@ -175,8 +185,10 @@ object ContestScaleProbe {
     // tuned `_nprobe` sidecar on the IVF arm (shared protocol —
     // ProbeHarness.tunedNprobe — so this probe's and ContestRun's
     // receipts cannot drift)
-    val t0Nprobe = ProbeHarness.tunedNprobe(spark, s"$root/by_ivf",
-      t0Mode, queries, k, ef)
+    val t0Nprobe =
+      if (armOn("t0")) ProbeHarness.tunedNprobe(spark, s"$root/by_ivf",
+        t0Mode, queries, k, ef)
+      else 0
     val t0Name = if (t0Mode == "ivf") "t0_ivf" else "t0"
     // GRAFT_CONTEST_T0_BATCH=chunk keeps the query-major feed for A/B
     // (ContestRun's switch — same default: list-major reads each blob
@@ -185,7 +197,7 @@ object ContestScaleProbe {
     val t0Params =
       if (t0Mode == "ivf") s"$searchParams nprobe=$t0Nprobe batch=$t0Batch"
       else searchParams
-    if (!freshFor(s"$outPath/$t0Name", t0Params)) timed(s"search_type0_$t0Mode") {
+    if (armOn("t0") && !freshFor(s"$outPath/$t0Name", t0Params)) timed(s"search_type0_$t0Mode") {
       // 50k chunks: per-chunk agg state (one bounded top-k heap per qid
       // per bucket task) is the heap high-water mark of the whole probe
       val q0 = queries.filter(col("qtype") === 0).select(col("qid"), col("qvec"))
@@ -210,7 +222,7 @@ object ContestScaleProbe {
       stamp(s"$outPath/t1", searchParams)
     }
     val t2Name = if (t2Mode == "range") s"t2_range$t2Scale" else "t2"
-    if (!freshFor(s"$outPath/$t2Name", searchParams)) timed(s"search_type2_$t2Mode") {
+    if (armOn("t2") && !freshFor(s"$outPath/$t2Name", searchParams)) timed(s"search_type2_$t2Mode") {
       val q2 = queries.filter(col("qtype") === 2)
         .select(col("qid"), col("l"), col("r"), col("qvec"))
       val r2 =
@@ -232,7 +244,7 @@ object ContestScaleProbe {
     // + build-sort spill on one box (the 30M run had 5 GB free when
     // the label_ts build's window sort started); the skip is marked on
     // every results/recall line, never silent.
-    val skipT3 = sys.env.get("GRAFT_CONTEST_SKIP_T3").contains("1")
+    val skipT3 = sys.env.get("GRAFT_CONTEST_SKIP_T3").contains("1") || !armOn("t3")
     if (!skipT3 && t3Mode == "banded" && !exists(s"$root/by_label_ts")) timed("build_by_label_ts") {
       AnnIndexStore.buildBy(base.select(col("id"), col("label"), col("ts"), col("vec")),
         s"$root/by_label_ts", "label", attrCol = Some("ts"), attrSalted = true)
@@ -250,22 +262,45 @@ object ContestScaleProbe {
       r3.write.mode("overwrite").parquet(s"$outPath/$t3Name")
       stamp(s"$outPath/$t3Name", searchParams)
     }
-    val results = Seq(
-        Some(s"$outPath/$t0Name"),
-        if (skipT1) None else Some(s"$outPath/t1"),
-        Some(s"$outPath/$t2Name"),
-        if (skipT3) None else Some(s"$outPath/$t3Name"))
-      .flatten.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    // Union every arm whose RESULT parquet exists — this run's fresh
+    // stages AND earlier invocations' cached stages (the sequential
+    // disk-frugal mode: an arm's stores may be gone while its stamped
+    // results stand). The included set is printed; a qtype with no
+    // results is excluded from the recall sample, never silently
+    // counted as misses.
+    val armPaths = Seq(
+      (0, s"$outPath/$t0Name"), (1, s"$outPath/t1"),
+      (2, s"$outPath/$t2Name"), (3, s"$outPath/$t3Name"))
+    // Stamp-checked (read-only — freshFor would DELETE a mismatched
+    // cache, which is the active arm's job alone): a cached arm joins
+    // the union only if its `_stage_params` match this run's k/ef
+    // (prefix match — t0 stamps append nprobe/batch). A stale stage
+    // from an older protocol is EXCLUDED with a loud line, never
+    // silently averaged into the recall (the 100k rehearsal cache
+    // carried exactly such a pre-protocol t3 dir, recall 0.13).
+    val included = armPaths.filter { case (t, p) =>
+      exists(p) && {
+        val f = new java.io.File(p, "_stage_params")
+        val ok = f.exists() && new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .startsWith(searchParams)
+        if (!ok) println(s"ARM t$t cached results at $p EXCLUDED: " +
+          "missing or non-matching _stage_params stamp")
+        ok
+      }
+    }
+    require(included.nonEmpty, "no per-arm results on disk — nothing to union")
+    val includedTypes = included.map(_._1).toSet
+    val results = included.map(p => spark.read.parquet(p._2)).reduce(_.unionByName(_))
     val nRes = results.count()
-    println(s"RESULTS: $nRes rows (${nRes / math.max(k, 1)} answered queries)" +
-      (if (skipT1) " [t1 SKIPPED: GRAFT_CONTEST_SKIP_T1]" else "") +
-      (if (skipT3) " [t3 SKIPPED: GRAFT_CONTEST_SKIP_T3]" else ""))
+    val armNote = s" [arms: ${included.map(p => s"t${p._1}").mkString(",")}" +
+      (if (includedTypes.size < 4) " — others ABSENT/SKIPPED]" else "]")
+    println(s"RESULTS: $nRes rows (${nRes / math.max(k, 1)} answered queries)$armNote")
 
     // ---- recall vs the exact oracle on a deterministic sample ----
     timed("recall_sample") {
       val sample = queries.filter(col("qid") % 1009 === 0)
-        .filter(if (skipT1) col("qtype") =!= 1 else lit(true))
-        .filter(if (skipT3) col("qtype") =!= 3 else lit(true))
+        .filter(col("qtype").isin(includedTypes.toSeq.map(Integer.valueOf): _*))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nSample = sample.count()
       // persist the brute-force oracle: the overall + 4 per-type recall
@@ -290,9 +325,7 @@ object ContestScaleProbe {
       // the skip marker rides the RECALL line too: the headline number
       // over a 3-type mix must never be compared to a 4-type round's
       // without the flag in view
-      println(f"RECALL@$k over $nSample queries: ${recall}%.4f [$perType]" +
-        (if (skipT1) " [t1 SKIPPED: GRAFT_CONTEST_SKIP_T1]" else "") +
-        (if (skipT3) " [t3 SKIPPED: GRAFT_CONTEST_SKIP_T3]" else ""))
+      println(f"RECALL@$k over $nSample queries: ${recall}%.4f [$perType]$armNote")
       sample.unpersist(); exact.unpersist(); approx.unpersist()
     }
     println(s"FINAL driver heap: ${heapMb()} MB")
