@@ -223,6 +223,31 @@ object AnnIndexStore {
   private[index] val nprobeFileName = "_nprobe"
   private[index] val nprobeParamsFileName = "_nprobe_params"
 
+  // ---- `_ivf_ef` sidecar: the IVF arm's tuned WALK beam width ----
+  // Same pair contract. nprobe governs WHICH lists are walked
+  // (routing loss); this governs the walk INSIDE each probed list —
+  // the r14 30M ladder measured end recall 0.9906 at routing 0.9997,
+  // i.e. the residual loss was entirely the fixed CLI ef=400 walk,
+  // the last hand-set effort knob on the arm.
+  private[index] val ivfEfFileName = "_ivf_ef"
+  private[index] val ivfEfParamsFileName = "_ivf_ef_params"
+
+  def writeIvfEf(path: String, ef: Int): Unit =
+    writeIvfEfAt(new java.io.File(resolveStore(path)), ef)
+
+  private[index] def writeIvfEfAt(dir: java.io.File, ef: Int): Unit =
+    writeSidecarAtomic(dir, ivfEfFileName, ef.toString)
+
+  /** The store's tuned IVF walk ef, when a valid `_ivf_ef` sidecar is
+    * present (positive integer; anything else reads as absent). */
+  def ivfEfOf(path: String): Option[Int] = {
+    val f = new java.io.File(resolveStore(path), ivfEfFileName)
+    if (!f.exists()) None
+    else scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .trim.toInt).toOption.filter(_ > 0)
+  }
+
   /** The caller-facing "use the store's tuned `_nprobe` sidecar if
     * present" sentinel for the IVF search entries' `nprobe` params. */
   val AutoNprobe: Int = -1

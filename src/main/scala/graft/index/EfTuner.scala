@@ -508,7 +508,6 @@ object EfTuner {
   def tuneAndPersistNprobe(spark: org.apache.spark.sql.SparkSession,
       storePath: String, queries: org.apache.spark.sql.DataFrame,
       k: Int, ef: Int): Option[NprobeResult] = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, row_number}
     // "s64r" names the SAMPLE protocol (64 RANK-strided type-0
     // queries): the original first-32 pick measured 0.9972 routing
     // recall on the 30M store where a strided 495-query end-recall
@@ -533,22 +532,13 @@ object EfTuner {
     // with no type-0 queries has nothing to measure the unfiltered arm
     // with — skip (leaving any existing pair intact) instead of
     // tearing the pair and then throwing on the empty sample.
-    val q0 = queries.filter(col("qtype") === 0)
-    val nQ0 = q0.count()
-    if (nQ0 == 0) {
+    val qsOpt = s64rSample(queries)
+    if (qsOpt.isEmpty) {
       println(s"WARN tuneAndPersistNprobe: no type-0 queries in the " +
         s"batch — nprobe not tuned for $storePath")
       return None
     }
-    val stride = math.max(1L, nQ0 / 64)
-    // rank-stride over the type-0 rows in qid order: exactly ~64
-    // samples spanning the whole range regardless of how qids
-    // interleave across query types; deterministic and driver-bounded
-    val w = org.apache.spark.sql.expressions.Window.orderBy("qid")
-    val qs = q0.withColumn("_r", row_number().over(w) - lit(1))
-      .filter(pmod(col("_r"), lit(stride)) === 0)
-      .orderBy("qid").limit(64)
-      .select("qvec").collect().map(_.getSeq[Float](0).toArray)
+    val qs = qsOpt.get
     java.nio.file.Files.deleteIfExists(paramsFile.toPath)
     // crash window: params gone, (possibly stale) value still present —
     // the IVF arms may serve the old probe count until the re-tune;
@@ -566,6 +556,137 @@ object EfTuner {
     // the fresh (correct) count; the next entry re-tunes (safe: the
     // re-tune reproduces the same deterministic value)
     AnnIndexStore.crashPoint("nprobe.written")
+    java.nio.file.Files.write(paramsFile.toPath, params.getBytes("UTF-8"))
+    Some(res)
+  }
+
+  /** ONE definition of the lifecycle tuners' query sample (the s64r
+    * protocol shared by the `_nprobe` and `_ivf_ef` pairs): 64
+    * RANK-strided type-0 query vectors in qid order, spanning the
+    * whole batch regardless of how qids interleave across query types
+    * (a raw-qid stride beat against the 4-type interleave and kept
+    * only the head of the range). None when the batch has no type-0
+    * queries. Deterministic and driver-bounded. */
+  private def s64rSample(
+      queries: org.apache.spark.sql.DataFrame): Option[Array[Array[Float]]] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, row_number}
+    val q0 = queries.filter(col("qtype") === 0)
+    val nQ0 = q0.count()
+    if (nQ0 == 0) None
+    else {
+      val stride = math.max(1L, nQ0 / 64)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("qid")
+      Some(q0.withColumn("_r", row_number().over(w) - lit(1))
+        .filter(pmod(col("_r"), lit(stride)) === 0)
+        .orderBy("qid").limit(64)
+        .select("qvec").collect().map(_.getSeq[Float](0).toArray))
+    }
+  }
+
+  /** THE IVF arm's end-recall bar: the lifecycle gate's own 0.995 —
+    * unlike the banded arms (whose walk target composes with routing
+    * through the 0.996 decomposition), the ivf-ef tuner measures END
+    * recall directly at the store's tuned nprobe, so the bar is the
+    * gate bar itself. */
+  val IvfEndRecallBar: Double = 0.995
+
+  /** Walk-ef rungs for [[tuneIvfEf]] — brackets the old hand CLI value
+    * (400) both ways: stores whose lists walk easily (clustered, small)
+    * serve k=100 at less effort; stores whose union loss at 400 left
+    * them under the end bar (the 30M point's 0.9906) climb. */
+  val DefaultIvfEfLadder: Seq[Int] = Seq(150, 250, 400, 600, 900)
+
+  /** Measured end-recall ef auto-tune for the IVF walk — the third
+    * tuned knob of the route (nprobe routes, `_ef_bands` governs the
+    * banded arms, this governs the plain per-list walk): ladder
+    * [[AnnIndexStore.searchIvf]] end recall at the store's OWN tuned
+    * nprobe against the exact oracle over `base`, choose the smallest
+    * rung meeting `targetRecall`. Tuning ORDER matters and is not
+    * circular: nprobe is tuned first at a reference ef because routing
+    * recall compares probed-vs-all-lists AT THE SAME ef (largely
+    * ef-insensitive); the walk ef then absorbs exactly the residual
+    * loss the routing choice left. If the ladder max misses the bar,
+    * extends by doubling up to 4× (end recall is CEILINGED by routing
+    * loss, so unlike the nprobe extension there is no guaranteed-1.0
+    * rung — the cap plus a loud warning is the honest stop). */
+  def tuneIvfEf(spark: org.apache.spark.sql.SparkSession, storePath: String,
+      base: org.apache.spark.sql.DataFrame, sample: Array[Array[Float]],
+      k: Int, nprobe: Int, targetRecall: Double = IvfEndRecallBar,
+      ladder: Seq[Int] = DefaultIvfEfLadder): Result = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(sample.nonEmpty, "empty tuning sample")
+    require(ladder.nonEmpty && ladder == ladder.sorted, "ladder must be ascending")
+    val spark2 = spark
+    import spark2.implicits._
+    val queries = sample.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toSeq.toDF("qid", "qvec")
+    val truth = graft.operators.KnnJoin.exactFlat(
+      base.select(col("id"), col("vec"))
+        .withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
+      queries.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
+        .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rungs = scala.collection.mutable.ArrayBuffer.empty[Rung]
+      var chosen = -1
+      def measure(ef: Int): Unit = {
+        val recall = graft.operators.AnnJoin.recallAtK(
+          AnnIndexStore.searchIvf(spark, storePath, queries, k, ef, nprobe),
+          truth)
+        rungs += Rung(ef, recall)
+        if (recall >= targetRecall) chosen = ef
+      }
+      val it = ladder.iterator
+      while (chosen < 0 && it.hasNext) measure(it.next())
+      var ext = ladder.last
+      while (chosen < 0 && ext < ladder.last * 4L) {
+        ext = ext * 2
+        measure(ext)
+      }
+      if (chosen < 0)
+        println(f"WARN tuneIvfEf: ladder and 4x extension exhausted at " +
+          f"recall ${rungs.last.recall}%.4f < $targetRecall for " +
+          s"$storePath — the residual is routing loss this knob cannot " +
+          "buy back (re-tune nprobe or re-cluster)")
+      Result(if (chosen < 0) rungs.last.ef else chosen, targetRecall, rungs.toSeq)
+    } finally truth.unpersist(blocking = false)
+  }
+
+  /** The lifecycle tools' tune-once entry for the IVF walk ef — the
+    * exact `_nprobe` pair contract on the `_ivf_ef` sidecar pair, with
+    * the SAME s64r sample protocol. Tunes at the store's resolved
+    * nprobe (the stamp carries it: a re-tuned probe count re-tunes the
+    * walk ef too — the knobs compose). Returns the freshly tuned
+    * result (None = matching sidecar present or no type-0 queries). */
+  def tuneAndPersistIvfEf(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, base: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int): Option[Result] = {
+    val np = AnnIndexStore.resolveNprobe(storePath, AnnIndexStore.AutoNprobe)
+    val params = s"s64r k=$k nprobe=$np target=$IvfEndRecallBar"
+    val dataDir = new java.io.File(AnnIndexStore.resolveStore(storePath))
+    val valueFile = new java.io.File(dataDir, AnnIndexStore.ivfEfFileName)
+    val paramsFile = new java.io.File(dataDir, AnnIndexStore.ivfEfParamsFileName)
+    val matches = valueFile.exists() && paramsFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(paramsFile.toPath), "UTF-8") == params &&
+      AnnIndexStore.ivfEfOf(dataDir.getPath).isDefined
+    if (matches) return None
+    val qsOpt = s64rSample(queries)
+    if (qsOpt.isEmpty) {
+      println(s"WARN tuneAndPersistIvfEf: no type-0 queries in the " +
+        s"batch — walk ef not tuned for $storePath")
+      return None
+    }
+    java.nio.file.Files.deleteIfExists(paramsFile.toPath)
+    // crash windows mirror the nprobe pair: params-deleted → value →
+    // params; a torn pair can never validate, every crash re-tunes
+    AnnIndexStore.crashPoint("ivfef.params_deleted")
+    val res = tuneIvfEf(spark, dataDir.getPath, base, qsOpt.get, k, np)
+    if (res.rungs.last.recall < IvfEndRecallBar &&
+        !res.rungs.exists(r => r.ef == res.chosenEf && r.recall >= IvfEndRecallBar))
+      println(f"WARN tuneAndPersistIvfEf: persisting an under-bar walk " +
+        f"ef ${res.chosenEf} for $storePath")
+    AnnIndexStore.writeIvfEfAt(dataDir, res.chosenEf)
+    AnnIndexStore.crashPoint("ivfef.written")
     java.nio.file.Files.write(paramsFile.toPath, params.getBytes("UTF-8"))
     Some(res)
   }

@@ -304,6 +304,42 @@ object ApproxQueries {
         .toDF("nprobe", "chosen")
     }),
 
+    // The IVF arm's WALK ef, measured instead of hand-set (the r14
+    // residual: the 30M ladder read end recall 0.9906 at routing
+    // 0.9997 — the loss was entirely the fixed CLI ef, the last
+    // hand-set effort knob on the arm). tuneIvfEf ladders END recall
+    // at a fixed probe count against the exact oracle over the base —
+    // deterministic on the seeded store + pinned corpus, so the oracle
+    // pins the chosen operating point. nprobe is pinned at 16 =
+    // probe-all, the exact choice the ann_nprobe_tune oracle pins for
+    // this store (order-independence: this gate must not depend on
+    // whether that gate's sidecar write ran first). Teeth: chosen-rung
+    // end-recall floor, double-run determinism, `_ivf_ef` sidecar
+    // round-trip.
+    "ann_ivf_ef_tune" -> ((s, dir) => {
+      val ivfPath = StorePaths.ensureIvfStore(s, dir)
+      val sample = stridedSample(s, dir, maxSample = 32L)
+      val baseDf = emb(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val bar = graft.index.EfTuner.IvfEndRecallBar
+      def tuneOnce() = graft.index.EfTuner.tuneIvfEf(s, ivfPath, baseDf,
+        sample, k = 10, nprobe = 16, targetRecall = bar)
+      val res = tuneOnce()
+      require(tuneOnce() == res,
+        "ann_ivf_ef_tune: walk-ef tuning must be deterministic run-over-run")
+      require(res.rungs.find(_.ef == res.chosenEf).exists(_.recall >= bar),
+        s"ivf-ef tune regression: chosen ef ${res.chosenEf} end recall " +
+          s"below $bar")
+      graft.index.AnnIndexStore.writeIvfEf(ivfPath, res.chosenEf)
+      require(graft.index.AnnIndexStore.ivfEfOf(ivfPath).contains(res.chosenEf),
+        "ann_ivf_ef_tune: _ivf_ef sidecar round-trip must hand the " +
+          "lifecycle arms the tuned value")
+      import s.implicits._
+      res.rungs.map(r => (r.ef.toLong,
+          if (r.ef == res.chosenEf) 1L else 0L))
+        .toDF("ef", "chosen")
+    }),
+
     // SQL-level ANN auto-route (SURVEY §4's AnnJoinStrategy): the plain
     // `ORDER BY l2_sq(vec, :qvec) LIMIT k` shape over a registered
     // parquet path plans as an HNSW index search (AnnTopKExec) instead
@@ -891,6 +927,18 @@ object ApproxQueries {
       """SELECT CAST(nprobe AS BIGINT) AS nprobe, CAST(chosen AS BIGINT) AS chosen
         |FROM (VALUES (1, 0), (2, 0), (4, 0), (8, 0), (16, 1))
         |  AS t(nprobe, chosen)""".stripMargin,
+
+    // Golden-pinned walk-ef choice (same contract as ann_ef_tune /
+    // ann_nprobe_tune): END recall at probe-all on the seeded gate
+    // store clears the 0.995 bar at the ladder's FIRST rung (150) at
+    // both sf0.01 and sf0.1 — small per-list graphs walk exhaustively
+    // at low ef, so the tuner hands the serving arm LESS effort than
+    // the old hand CLI 400 where the store affords it; the
+    // climb-when-under half is measured on the 30M ladder
+    // (BASELINE.md round 14). Teeth: chosen-rung end-recall floor,
+    // double-run determinism, `_ivf_ef` sidecar round-trip.
+    "ann_ivf_ef_tune" ->
+      "SELECT CAST(150 AS BIGINT) AS ef, CAST(1 AS BIGINT) AS chosen",
 
     // ANN SQL auto-route vs brute force: the routed plan re-sorts its
     // top-k by the exact double-loop distance, and at sf0.01 scale the

@@ -189,13 +189,19 @@ object ContestScaleProbe {
       if (armOn("t0")) ProbeHarness.tunedNprobe(spark, s"$root/by_ivf",
         t0Mode, queries, k, ef)
       else 0
+    // tuned `_ivf_ef` sidecar, AFTER nprobe (the knobs compose:
+    // routing first, the walk absorbs the residual loss)
+    val t0Ef =
+      if (armOn("t0")) ProbeHarness.tunedIvfEf(spark, s"$root/by_ivf",
+        t0Mode, base, queries, k, ef)
+      else ef
     val t0Name = if (t0Mode == "ivf") "t0_ivf" else "t0"
     // GRAFT_CONTEST_T0_BATCH=chunk keeps the query-major feed for A/B
     // (ContestRun's switch — same default: list-major reads each blob
     // once per batch instead of once per 50k slice)
     val t0Batch = sys.env.getOrElse("GRAFT_CONTEST_T0_BATCH", "listmajor")
     val t0Params =
-      if (t0Mode == "ivf") s"$searchParams nprobe=$t0Nprobe batch=$t0Batch"
+      if (t0Mode == "ivf") s"$searchParams nprobe=$t0Nprobe ivfef=$t0Ef batch=$t0Batch"
       else searchParams
     if (armOn("t0") && !freshFor(s"$outPath/$t0Name", t0Params)) timed(s"search_type0_$t0Mode") {
       // 50k chunks: per-chunk agg state (one bounded top-k heap per qid
@@ -203,10 +209,10 @@ object ContestScaleProbe {
       val q0 = queries.filter(col("qtype") === 0).select(col("qid"), col("qvec"))
       if (t0Mode == "ivf" && t0Batch == "listmajor") {
         AnnIndexStore.searchIvfListMajorTo(spark, s"$root/by_ivf", q0,
-          s"$outPath/$t0Name", k, ef, nprobe = t0Nprobe)
+          s"$outPath/$t0Name", k, t0Ef, nprobe = t0Nprobe)
       } else {
         (if (t0Mode == "ivf")
-          AnnIndexStore.searchIvfChunked(spark, s"$root/by_ivf", q0, k, ef,
+          AnnIndexStore.searchIvfChunked(spark, s"$root/by_ivf", q0, k, t0Ef,
             nprobe = t0Nprobe, chunkRows = 50000)
         else
           AnnIndexStore.searchChunked(spark, s"$root/by_hash", q0, k, ef,

@@ -72,4 +72,28 @@ private[tools] object ProbeHarness {
           graft.index.AnnIndexStore.AutoNprobe)
       } else graft.index.AnnIndexStore.DefaultNprobe
     }
+
+  /** Walk ef for the type-0 ivf arm: `GRAFT_CONTEST_IVF_EF` is the
+    * explicit A/B override; otherwise tune-once
+    * ([[graft.index.EfTuner.tuneAndPersistIvfEf]]) at the store's
+    * tuned nprobe and serve the `_ivf_ef` sidecar. The hash arm (and a
+    * store left untuned by an empty sample) keeps the CLI ef — the
+    * pre-tuner behavior, never a silent new default. Call AFTER
+    * [[tunedNprobe]]: the knobs compose in that order (routing first,
+    * then the walk absorbs the residual loss). */
+  def tunedIvfEf(spark: org.apache.spark.sql.SparkSession, ivfStore: String,
+      t0Mode: String, base: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int, cliEf: Int): Int =
+    sys.env.get("GRAFT_CONTEST_IVF_EF").map(_.toInt).getOrElse {
+      if (t0Mode == "ivf") {
+        val t0 = System.nanoTime()
+        graft.index.EfTuner.tuneAndPersistIvfEf(spark, ivfStore, base, queries, k)
+          .foreach { r =>
+            println(f"STAGE tune_ivf_ef: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+            println(s"IVFEF chosen=${r.chosenEf} " +
+              r.rungs.map(x => f"${x.ef}:${x.recall}%.4f").mkString(" "))
+          }
+        graft.index.AnnIndexStore.ivfEfOf(ivfStore).getOrElse(cliEf)
+      } else cliEf
+    }
 }

@@ -216,4 +216,29 @@ class DeltaCrashPropertySpec extends SparkSpec {
         s"[$crashAt] a matching pair must be reused, not re-tuned forever")
     }
   }
+
+  test("ivf-ef sidecar writes recover at every crash point (torn pair never validates)") {
+    val base = Seq.tabulate(600)(i => (i.toLong, vec())).toDF("id", "vec")
+    val queries = Seq.tabulate(20)(i =>
+      (i.toLong, 0, 0.0, 1.0, vec())).toDF("qid", "qtype", "l", "r", "qvec")
+    Seq("ivfef.params_deleted", "ivfef.written").foreach { crashAt =>
+      val dir = Files.createTempDirectory("graft-crashivfef").toString + "/by_ivf"
+      AnnIndexStore.buildIvfSeeded(base, dir, nlist = 4)
+      AnnIndexStore.crashHook = p => if (p == crashAt) throw CrashSim(p)
+      val crashed =
+        try { EfTuner.tuneAndPersistIvfEf(spark, dir, base, queries, k = 10); false }
+        catch { case CrashSim(_) => true }
+        finally { AnnIndexStore.crashHook = _ => () }
+      assert(crashed, s"[$crashAt] expected the injected crash to fire")
+      // a torn value never parses as authoritative
+      AnnIndexStore.ivfEfOf(dir)
+      val retuned = EfTuner.tuneAndPersistIvfEf(spark, dir, base, queries, k = 10)
+      assert(retuned.isDefined,
+        s"[$crashAt] post-crash entry must re-tune, not trust a torn pair")
+      assert(AnnIndexStore.ivfEfOf(dir).contains(retuned.get.chosenEf),
+        s"[$crashAt] recovered sidecar must hold the re-tuned value")
+      assert(EfTuner.tuneAndPersistIvfEf(spark, dir, base, queries, k = 10).isEmpty,
+        s"[$crashAt] a matching pair must be reused, not re-tuned forever")
+    }
+  }
 }
