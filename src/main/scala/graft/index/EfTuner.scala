@@ -277,11 +277,22 @@ object EfTuner {
     // growth guarantees a scan-favored regime exists at some scale,
     // and the measurement, not the prior, decides where).
     val fp32W = 4.0
+    // PASS-1 cap, tuned at the default binding bands (the brute line
+    // is not known yet): the crossover sweep below must price the walk
+    // at the cap serving will actually apply — the hand default (4.0)
+    // overstates a low-coverage walk's ef up to 4× on stores that tune
+    // the cap down to 1.0, which would overstate walk work and push
+    // the scan region above its true crossover.
+    val capPass1 = capLadder.find { cap =>
+      Seq(0.62, 0.70, 0.85).forall(c => bandRecall(cap, c) >= targetRecall)
+    }.getOrElse(capLadder.last)
     val bruteTuned = {
-      val walkEfDeflt = deflt // default cap: the widening cap only
-      // binds below cover ≈ 1/inFilterMaxFactor, under the ladder's
-      // crossover region — tuning order (crossover first, cap second)
-      // is therefore not circular
+      val walkEfDeflt = deflt.copy(inFilterMaxFactor = capPass1)
+      // (the FINAL cap below re-tunes at the tuned brute line's binding
+      // band and can only move toward MORE widening when that band is
+      // harder — a sweep priced at the pass-1 cap then under-priced the
+      // walk, which lowers the brute line: the conservative direction,
+      // a few percent of wall on narrow slices, never recall)
       val n = sortedTs.length
       val rung = bruteLadder.find { c =>
         val lo = sortedTs(math.min(n - 1, math.max(0, ((1 - c) / 2 * n).toInt)))
@@ -337,10 +348,12 @@ object EfTuner {
       storePath: String, queries: org.apache.spark.sql.DataFrame,
       k: Int, ef: Int): Option[graft.operators.EfBands] = {
     import org.apache.spark.sql.functions.col
-    // "v2bc": the table now carries a MEASURED brute-coverage crossover
-    // (work-count sweep) — bumping the stamp re-tunes stores sidecar'd
-    // under the copied-constant protocol
-    val params = s"v2bc k=$k ef=$ef target=0.999"
+    // "v3bc": the brute-coverage crossover sweep now prices the walk at
+    // the PASS-1 tuned cap instead of the hand default 4.0 (v2bc tuned
+    // the line under up-to-4x overstated walk work on stores whose cap
+    // lands low) — bumping the stamp re-tunes v2bc-era sidecars; "v2bc"
+    // re-tuned the copied-constant-era ones before it
+    val params = s"v3bc k=$k ef=$ef target=0.999"
     // ONE generation resolve at entry, pinned for the check, the
     // delete, and both writes: the table belongs to the GENERATION it
     // was measured against, so if a concurrent fold flips the store
@@ -569,17 +582,25 @@ object EfTuner {
     * queries. Deterministic and driver-bounded. */
   private def s64rSample(
       queries: org.apache.spark.sql.DataFrame): Option[Array[Array[Float]]] = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, row_number}
+    import org.apache.spark.sql.functions.col
     val q0 = queries.filter(col("qtype") === 0)
-    val nQ0 = q0.count()
-    if (nQ0 == 0) None
+    // qids only to the driver (8 B/row — a 250k batch is 2 MB), stride
+    // the sorted list locally, then fetch just the 64 sampled rows'
+    // vectors by key: a row_number window over the full (qid, qvec)
+    // rows would funnel ~100 MB of vectors through ONE sort task on
+    // every re-tune of either sidecar pair.
+    val qids = q0.select(col("qid").cast("long")).collect().map(_.getLong(0)).sorted
+    if (qids.isEmpty) None
     else {
-      val stride = math.max(1L, nQ0 / 64)
-      val w = org.apache.spark.sql.expressions.Window.orderBy("qid")
-      Some(q0.withColumn("_r", row_number().over(w) - lit(1))
-        .filter(pmod(col("_r"), lit(stride)) === 0)
-        .orderBy("qid").limit(64)
-        .select("qvec").collect().map(_.getSeq[Float](0).toArray))
+      val stride = math.max(1L, qids.length.toLong / 64)
+      val picked = qids.indices.collect {
+        case i if i % stride == 0 => qids(i)
+      }.take(64)
+      val byQid = q0
+        .filter(col("qid").isin(picked.map(java.lang.Long.valueOf): _*))
+        .select(col("qid").cast("long"), col("qvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+      Some(picked.map(byQid).toArray)
     }
   }
 
@@ -660,8 +681,13 @@ object EfTuner {
     * result (None = matching sidecar present or no type-0 queries). */
   def tuneAndPersistIvfEf(spark: org.apache.spark.sql.SparkSession,
       storePath: String, base: org.apache.spark.sql.DataFrame,
-      queries: org.apache.spark.sql.DataFrame, k: Int): Option[Result] = {
-    val np = AnnIndexStore.resolveNprobe(storePath, AnnIndexStore.AutoNprobe)
+      queries: org.apache.spark.sql.DataFrame, k: Int,
+      nprobe: Int = AnnIndexStore.AutoNprobe): Option[Result] = {
+    // the probe count the SEARCH will actually use — callers running
+    // an nprobe A/B override pass it through, so the walk ef is always
+    // tuned at the operating point it serves (the params stamp carries
+    // it: a different probe count re-tunes, by the pair contract)
+    val np = AnnIndexStore.resolveNprobe(storePath, nprobe)
     val params = s"s64r k=$k nprobe=$np target=$IvfEndRecallBar"
     val dataDir = new java.io.File(AnnIndexStore.resolveStore(storePath))
     val valueFile = new java.io.File(dataDir, AnnIndexStore.ivfEfFileName)

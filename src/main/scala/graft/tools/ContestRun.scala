@@ -309,7 +309,7 @@ object ContestRun {
     // tuned `_ivf_ef` walk ef, AFTER nprobe (shared protocol —
     // ProbeHarness.tunedIvfEf — so both lifecycle tools' receipts match)
     val t0Ef = ProbeHarness.tunedIvfEf(spark, s"$root/by_ivf",
-      t0Mode, base, queries, k, ef)
+      t0Mode, base, queries, k, ef, nprobe = t0Nprobe)
     // GRAFT_CONTEST_T0_BATCH=chunk keeps the query-major feed for A/B;
     // the ivf default is LIST-major (each blob read once per batch —
     // the chunk feed re-loaded ~every probed list per 50k slice, ~70 GB

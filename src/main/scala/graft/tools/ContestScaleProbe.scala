@@ -135,7 +135,15 @@ object ContestScaleProbe {
     // arms the r12 verdict asked to scale (IVF t0, banded t2/t3); the
     // skip is recorded in the RESULTS/RECALL lines, never silent.
     val skipT1 = sys.env.get("GRAFT_CONTEST_SKIP_T1").contains("1") || !armOn("t1")
-    if (!skipT1 && !exists(s"$root/by_label")) timed("build_by_label") {
+    // type-3 arm mode is read EARLY because its PLAIN variant searches
+    // the by_label store: under GRAFT_CONTEST_ONLY=t3 (plain) the t1
+    // flow is off, but the store the t3 plain arm reads must still
+    // build — the ONLY contract is "that arm's flow", including its
+    // store dependencies.
+    val t3Mode = sys.env.getOrElse("GRAFT_CONTEST_T3", "banded")
+    val skipT3 = sys.env.get("GRAFT_CONTEST_SKIP_T3").contains("1") || !armOn("t3")
+    val needByLabel = !skipT1 || (!skipT3 && t3Mode == "plain")
+    if (needByLabel && !exists(s"$root/by_label")) timed("build_by_label") {
       AnnIndexStore.buildBy(base.select(col("id"), col("label"), col("ts"), col("vec")),
         s"$root/by_label", "label", attrCol = Some("ts"))
     }
@@ -193,7 +201,7 @@ object ContestScaleProbe {
     // routing first, the walk absorbs the residual loss)
     val t0Ef =
       if (armOn("t0")) ProbeHarness.tunedIvfEf(spark, s"$root/by_ivf",
-        t0Mode, base, queries, k, ef)
+        t0Mode, base, queries, k, ef, nprobe = t0Nprobe)
       else ef
     val t0Name = if (t0Mode == "ivf") "t0_ivf" else "t0"
     // GRAFT_CONTEST_T0_BATCH=chunk keeps the query-major feed for A/B
@@ -243,14 +251,12 @@ object ContestScaleProbe {
     // type-3 arm (see ContestRun.runScale): banded = ts-contiguous label
     // salting + banded searchByRange (default), plain = hash-salted
     // exact-effort arm for A/B
-    val t3Mode = sys.env.getOrElse("GRAFT_CONTEST_T3", "banded")
     val t3Name = if (t3Mode == "banded") "t3_banded" else "t3"
     // GRAFT_CONTEST_SKIP_T3=1: same disk-bounded contract as skipT1 —
     // the biggest-N ladder points may not fit base + four blob stores
     // + build-sort spill on one box (the 30M run had 5 GB free when
     // the label_ts build's window sort started); the skip is marked on
     // every results/recall line, never silent.
-    val skipT3 = sys.env.get("GRAFT_CONTEST_SKIP_T3").contains("1") || !armOn("t3")
     if (!skipT3 && t3Mode == "banded" && !exists(s"$root/by_label_ts")) timed("build_by_label_ts") {
       AnnIndexStore.buildBy(base.select(col("id"), col("label"), col("ts"), col("vec")),
         s"$root/by_label_ts", "label", attrCol = Some("ts"), attrSalted = true)
@@ -287,9 +293,13 @@ object ContestScaleProbe {
     val included = armPaths.filter { case (t, p) =>
       exists(p) && {
         val f = new java.io.File(p, "_stage_params")
-        val ok = f.exists() && new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          .startsWith(searchParams)
+        val st = if (f.exists()) new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") else ""
+        // delimited prefix: a bare startsWith would let "ef=400" match
+        // a run at ef=40 (numeric extension), re-admitting exactly the
+        // old-parameters-under-new-labels bug the stamps exist to stop
+        val ok = f.exists() &&
+          (st == searchParams || st.startsWith(searchParams + " "))
         if (!ok) println(s"ARM t$t cached results at $p EXCLUDED: " +
           "missing or non-matching _stage_params stamp")
         ok

@@ -79,15 +79,20 @@ private[tools] object ProbeHarness {
     * tuned nprobe and serve the `_ivf_ef` sidecar. The hash arm (and a
     * store left untuned by an empty sample) keeps the CLI ef — the
     * pre-tuner behavior, never a silent new default. Call AFTER
-    * [[tunedNprobe]]: the knobs compose in that order (routing first,
-    * then the walk absorbs the residual loss). */
+    * [[tunedNprobe]] and pass ITS result as `nprobe`: the knobs
+    * compose in that order (routing first, then the walk absorbs the
+    * residual loss), and an nprobe A/B override (GRAFT_CONTEST_NPROBE)
+    * must tune the walk ef at the OVERRIDDEN probe count — the
+    * operating point the search actually serves. */
   def tunedIvfEf(spark: org.apache.spark.sql.SparkSession, ivfStore: String,
       t0Mode: String, base: org.apache.spark.sql.DataFrame,
-      queries: org.apache.spark.sql.DataFrame, k: Int, cliEf: Int): Int =
+      queries: org.apache.spark.sql.DataFrame, k: Int, cliEf: Int,
+      nprobe: Int): Int =
     sys.env.get("GRAFT_CONTEST_IVF_EF").map(_.toInt).getOrElse {
       if (t0Mode == "ivf") {
         val t0 = System.nanoTime()
-        graft.index.EfTuner.tuneAndPersistIvfEf(spark, ivfStore, base, queries, k)
+        graft.index.EfTuner.tuneAndPersistIvfEf(spark, ivfStore, base, queries, k,
+            nprobe = nprobe)
           .foreach { r =>
             println(f"STAGE tune_ivf_ef: ${(System.nanoTime() - t0) / 1e9}%.1f s")
             println(s"IVFEF chosen=${r.chosenEf} " +
