@@ -327,6 +327,15 @@ object EfTuner {
     if (requireTarget) require(capFound.isDefined,
       s"tuneBands: no in-filter cap in $capLadder reaches recall " +
         s"$targetRecall — tuning regression, not a silent fallback")
+    if (capFound.isEmpty)
+      // same loud-under-bar contract as tuneAndPersistNprobe/IvfEf: the
+      // lifecycle path (requireTarget=false) must never persist a
+      // ladder-max cap that missed the bar in silence — with a tuned-low
+      // brute line this is the one place a previously-exact coverage
+      // region can move under-bar without a word
+      println(s"WARN tuneBands: no in-filter cap in $capLadder reached " +
+        s"recall $targetRecall at binding band ${math.min(0.85, bruteTuned + 0.02)} " +
+        s"— persisting the ladder max (${capLadder.last}) UNDER the bar")
     val capTuned = capFound.getOrElse(capLadder.last)
 
     graft.operators.EfBands(fullTuned, deflt.floorExtra, capTuned, bruteTuned)
@@ -521,7 +530,8 @@ object EfTuner {
   def tuneAndPersistNprobe(spark: org.apache.spark.sql.SparkSession,
       storePath: String, queries: org.apache.spark.sql.DataFrame,
       k: Int, ef: Int): Option[NprobeResult] = {
-    // "s64r" names the SAMPLE protocol (64 RANK-strided type-0
+    // "s64r2" names the SAMPLE protocol (64 RANK-strided type-0,
+    // CEIL stride so small batches spread across the range too
     // queries): the original first-32 pick measured 0.9972 routing
     // recall on the 30M store where a strided 495-query end-recall
     // sample showed ~0.985 — the head of the qid order is not
@@ -533,7 +543,7 @@ object EfTuner {
     // that interleave and kept only the head quarter-to-half of the
     // range — the exact bias the protocol exists to remove. Bumping
     // the stamp re-tunes stores sidecar'd under the old protocol.
-    val params = s"s64r k=$k ef=$ef target=$NprobeRoutingBar"
+    val params = s"s64r2 k=$k ef=$ef target=$NprobeRoutingBar"
     val dataDir = new java.io.File(AnnIndexStore.resolveStore(storePath))
     val valueFile = new java.io.File(dataDir, AnnIndexStore.nprobeFileName)
     val paramsFile = new java.io.File(dataDir, AnnIndexStore.nprobeParamsFileName)
@@ -592,7 +602,10 @@ object EfTuner {
     val qids = q0.select(col("qid").cast("long")).collect().map(_.getLong(0)).sorted
     if (qids.isEmpty) None
     else {
-      val stride = math.max(1L, qids.length.toLong / 64)
+      // CEIL division: a floor stride of 1 at 65-127 rows would pick
+      // the head 64 and re-introduce exactly the head-of-range bias
+      // this protocol exists to remove
+      val stride = math.max(1L, (qids.length.toLong + 63) / 64)
       val picked = qids.indices.collect {
         case i if i % stride == 0 => qids(i)
       }.take(64)
@@ -688,7 +701,7 @@ object EfTuner {
     // tuned at the operating point it serves (the params stamp carries
     // it: a different probe count re-tunes, by the pair contract)
     val np = AnnIndexStore.resolveNprobe(storePath, nprobe)
-    val params = s"s64r k=$k nprobe=$np target=$IvfEndRecallBar"
+    val params = s"s64r2 k=$k nprobe=$np target=$IvfEndRecallBar"
     val dataDir = new java.io.File(AnnIndexStore.resolveStore(storePath))
     val valueFile = new java.io.File(dataDir, AnnIndexStore.ivfEfFileName)
     val paramsFile = new java.io.File(dataDir, AnnIndexStore.ivfEfParamsFileName)

@@ -120,6 +120,10 @@ object ContestScaleProbe {
     // joins the RESULTS/RECALL union below). The included-arm set is
     // printed on both lines, never silent.
     val onlyArm = sys.env.get("GRAFT_CONTEST_ONLY")
+    require(onlyArm.forall(Set("t0", "t1", "t2", "t3")),
+      s"GRAFT_CONTEST_ONLY=${onlyArm.get} is not one of t0|t1|t2|t3 — " +
+        "a typo here would silently disable every arm and report stale " +
+        "caches as a fresh measurement")
     def armOn(a: String): Boolean = onlyArm.forall(_ == a)
     val nlist = math.max(32, (n / 80000L).toInt)
     if (armOn("t0") && t0Mode != "ivf" && !exists(s"$root/by_hash")) timed("build_by_hash") {
@@ -189,6 +193,17 @@ object ContestScaleProbe {
     // the new run's labels (ProbeHarness) ----
     val outPath = s"$root/results"
     val searchParams = s"k=$k ef=$ef"
+    // banded stages' stamps carry the SERVED band table's fingerprint:
+    // a bands re-tune (protocol bump, store rebuild) changes dispatch
+    // and therefore result rows, and a bare k/ef stamp would keep
+    // serving the pre-bump cache while the receipts print the new
+    // BANDS line — the silently-wrong-measurement class the stamps
+    // exist to stop
+    def bandsTag(store: String): String =
+      graft.index.AnnIndexStore.efBandsOf(store)
+        .map(b => java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(b.serialize).toLong & 0xffffffffL))
+        .getOrElse("default")
     import ProbeHarness.{freshFor, stamp}
     // tuned `_nprobe` sidecar on the IVF arm (shared protocol —
     // ProbeHarness.tunedNprobe — so this probe's and ContestRun's
@@ -236,7 +251,10 @@ object ContestScaleProbe {
       stamp(s"$outPath/t1", searchParams)
     }
     val t2Name = if (t2Mode == "range") s"t2_range$t2Scale" else "t2"
-    if (armOn("t2") && !freshFor(s"$outPath/$t2Name", searchParams)) timed(s"search_type2_$t2Mode") {
+    val t2Params =
+      if (t2Mode == "range") s"$searchParams bands=${bandsTag(s"$root/by_range$t2Scale")}"
+      else searchParams
+    if (armOn("t2") && !freshFor(s"$outPath/$t2Name", t2Params)) timed(s"search_type2_$t2Mode") {
       val q2 = queries.filter(col("qtype") === 2)
         .select(col("qid"), col("l"), col("r"), col("qvec"))
       val r2 =
@@ -246,7 +264,7 @@ object ContestScaleProbe {
         else
           AnnIndexStore.searchDecileRange(spark, s"$root/by_decile", q2, k, ef)
       r2.write.mode("overwrite").parquet(s"$outPath/$t2Name")
-      stamp(s"$outPath/$t2Name", searchParams)
+      stamp(s"$outPath/$t2Name", t2Params)
     }
     // type-3 arm (see ContestRun.runScale): banded = ts-contiguous label
     // salting + banded searchByRange (default), plain = hash-salted
@@ -262,7 +280,10 @@ object ContestScaleProbe {
         s"$root/by_label_ts", "label", attrCol = Some("ts"), attrSalted = true)
     }
     if (!skipT3 && t3Mode == "banded") tuneBandsOnce(s"$root/by_label_ts", "label_ts")
-    if (!skipT3 && !freshFor(s"$outPath/$t3Name", searchParams)) timed(s"search_type3_$t3Mode") {
+    val t3Params =
+      if (t3Mode == "banded") s"$searchParams bands=${bandsTag(s"$root/by_label_ts")}"
+      else searchParams
+    if (!skipT3 && !freshFor(s"$outPath/$t3Name", t3Params)) timed(s"search_type3_$t3Mode") {
       val q3 = queries.filter(col("qtype") === 3)
         .select(col("qid"), col("v"), col("l"), col("r"), col("qvec"))
       val r3 =
@@ -272,7 +293,7 @@ object ContestScaleProbe {
         else
           AnnIndexStore.searchByRange(spark, s"$root/by_label", q3, k, ef)
       r3.write.mode("overwrite").parquet(s"$outPath/$t3Name")
-      stamp(s"$outPath/$t3Name", searchParams)
+      stamp(s"$outPath/$t3Name", t3Params)
     }
     // Union every arm whose RESULT parquet exists — this run's fresh
     // stages AND earlier invocations' cached stages (the sequential

@@ -64,20 +64,18 @@ object BpeUtil {
     symbols.length
   }
 
-  /** Whole-document BPE token count: Σ over the single-space-split
-    * non-empty words (the engine's canonical pre-tokenization —
-    * `TextFunctions.tokens`' exact split) of [[countWord]]. */
+  /** Whole-document BPE token count: Σ over the engine's canonical
+    * pre-tokenization (ONE definition —
+    * [[graft.functions.TextFunctions.tokenizeJvm]], the exact
+    * `TextFunctions.tokens` split; a hand-rolled twin here would
+    * silently diverge the day the canonical split changes) of
+    * [[countWord]]. */
   def countDoc(text: UTF8String, lefts: Array[String], rights: Array[String]): Long = {
-    val s = text.toString
+    val toks = graft.functions.TextFunctions.tokenizeJvm(text.toString)
     var total = 0L
-    var start = 0
-    val n = s.length
     var i = 0
-    while (i <= n) {
-      if (i == n || s.charAt(i) == ' ') {
-        if (i > start) total += countWord(s.substring(start, i), lefts, rights)
-        start = i + 1
-      }
+    while (i < toks.length) {
+      total += countWord(toks(i), lefts, rights)
       i += 1
     }
     total
