@@ -235,7 +235,13 @@ object EfTuner {
     val bigTs = one.getSeq[Double](0).toArray
     val tsIdx = new TsIndex(bigTs)
     val sortedTs = bigTs.sorted
-    def bandRecall(cap: Double, cover: Double): Double = {
+    // memoized: the pass-1 cap sweep and the final binding-band sweep
+    // evaluate overlapping (cap, band) points, and each is
+    // sample-many walks + exact scans on the largest row
+    val bandRecallMemo = scala.collection.mutable.HashMap.empty[(Double, Double), Double]
+    def bandRecall(cap: Double, cover: Double): Double =
+      bandRecallMemo.getOrElseUpdate((cap, cover), bandRecallRaw(cap, cover))
+    def bandRecallRaw(cap: Double, cover: Double): Double = {
       val n = sortedTs.length
       val lo = sortedTs(math.min(n - 1, math.max(0, ((1 - cover) / 2 * n).toInt)))
       val hi = sortedTs(math.max(0, math.min(n - 1, (((1 + cover) / 2) * n).toInt - 1)))
@@ -654,36 +660,51 @@ object EfTuner {
     import spark2.implicits._
     val queries = sample.zipWithIndex
       .map { case (q, i) => (i.toLong, q) }.toSeq.toDF("qid", "qvec")
+    // Exact truth collected to the driver as id SETS (sample × k rows),
+    // and recall computed by INTEGER hit/total counting — the
+    // tuneNprobe pattern, NOT a Spark avg of per-query Double ratios:
+    // avg's merge order is not guaranteed stable run-over-run, the
+    // gate's tuneOnce()==tuneOnce() compares these Doubles exactly,
+    // and a ULP at the bar boundary would flip the chosen rung; a
+    // join-based recall would also silently DROP a query with zero
+    // result rows instead of counting its misses.
     val truth = graft.operators.KnnJoin.exactFlat(
       base.select(col("id"), col("vec"))
         .withColumn("label", lit(0L)).withColumn("ts", lit(0.0)),
       queries.withColumn("qtype", lit(0)).withColumn("v", lit(0L))
         .withColumn("l", lit(0.0)).withColumn("r", lit(0.0)), k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val rungs = scala.collection.mutable.ArrayBuffer.empty[Rung]
-      var chosen = -1
-      def measure(ef: Int): Unit = {
-        val recall = graft.operators.AnnJoin.recallAtK(
-          AnnIndexStore.searchIvf(spark, storePath, queries, k, ef, nprobe),
-          truth)
-        rungs += Rung(ef, recall)
-        if (recall >= targetRecall) chosen = ef
+      .select(col("qid"), col("nid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => (q, xs.map(_._2).toSet) }
+    val rungs = scala.collection.mutable.ArrayBuffer.empty[Rung]
+    var chosen = -1
+    def measure(ef: Int): Unit = {
+      val got = AnnIndexStore.searchIvf(spark, storePath, queries, k, ef, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, xs) => (q, xs.map(_._2).toSet) }
+      var hit = 0L
+      var total = 0L
+      truth.foreach { case (q, t) =>
+        hit += t.intersect(got.getOrElse(q, Set.empty)).size
+        total += t.size
       }
-      val it = ladder.iterator
-      while (chosen < 0 && it.hasNext) measure(it.next())
-      var ext = ladder.last
-      while (chosen < 0 && ext < ladder.last * 4L) {
-        ext = ext * 2
-        measure(ext)
-      }
-      if (chosen < 0)
-        println(f"WARN tuneIvfEf: ladder and 4x extension exhausted at " +
-          f"recall ${rungs.last.recall}%.4f < $targetRecall for " +
-          s"$storePath — the residual is routing loss this knob cannot " +
-          "buy back (re-tune nprobe or re-cluster)")
-      Result(if (chosen < 0) rungs.last.ef else chosen, targetRecall, rungs.toSeq)
-    } finally truth.unpersist(blocking = false)
+      val recall = if (total == 0) 1.0 else hit.toDouble / total
+      rungs += Rung(ef, recall)
+      if (recall >= targetRecall) chosen = ef
+    }
+    val it = ladder.iterator
+    while (chosen < 0 && it.hasNext) measure(it.next())
+    var ext = ladder.last
+    while (chosen < 0 && ext < ladder.last * 4L) {
+      ext = ext * 2
+      measure(ext)
+    }
+    if (chosen < 0)
+      println(f"WARN tuneIvfEf: ladder and 4x extension exhausted at " +
+        f"recall ${rungs.last.recall}%.4f < $targetRecall for " +
+        s"$storePath — the residual is routing loss this knob cannot " +
+        "buy back (re-tune nprobe or re-cluster)")
+    Result(if (chosen < 0) rungs.last.ef else chosen, targetRecall, rungs.toSeq)
   }
 
   /** The lifecycle tools' tune-once entry for the IVF walk ef — the
@@ -696,13 +717,18 @@ object EfTuner {
       storePath: String, base: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame, k: Int,
       nprobe: Int = AnnIndexStore.AutoNprobe): Option[Result] = {
+    // ONE generation resolve at entry (the tuneAndPersistBands rule) —
+    // the nprobe read, the pair check, the tune, and both writes must
+    // all target the SAME generation, or a concurrent fold flip could
+    // tune the walk ef at an old generation's probe count and stamp it
+    // into the new one.
+    val dataDir = new java.io.File(AnnIndexStore.resolveStore(storePath))
     // the probe count the SEARCH will actually use — callers running
     // an nprobe A/B override pass it through, so the walk ef is always
     // tuned at the operating point it serves (the params stamp carries
     // it: a different probe count re-tunes, by the pair contract)
-    val np = AnnIndexStore.resolveNprobe(storePath, nprobe)
+    val np = AnnIndexStore.resolveNprobe(dataDir.getPath, nprobe)
     val params = s"s64r2 k=$k nprobe=$np target=$IvfEndRecallBar"
-    val dataDir = new java.io.File(AnnIndexStore.resolveStore(storePath))
     val valueFile = new java.io.File(dataDir, AnnIndexStore.ivfEfFileName)
     val paramsFile = new java.io.File(dataDir, AnnIndexStore.ivfEfParamsFileName)
     val matches = valueFile.exists() && paramsFile.exists() &&

@@ -315,8 +315,12 @@ object ContestRun {
     // the chunk feed re-loaded ~every probed list per 50k slice, ~70 GB
     // of reads against the 14 GB 30M store)
     val t0Batch = sys.env.getOrElse("GRAFT_CONTEST_T0_BATCH", "listmajor")
+    val t0Override =
+      if (sys.env.contains("GRAFT_CONTEST_NPROBE") ||
+        sys.env.contains("GRAFT_CONTEST_IVF_EF")) " override" else ""
     val t0Params =
-      if (t0Mode == "ivf") s"$searchParams nprobe=$t0Nprobe ivfef=$t0Ef batch=$t0Batch"
+      if (t0Mode == "ivf")
+        s"$searchParams nprobe=$t0Nprobe ivfef=$t0Ef batch=$t0Batch$t0Override"
       else searchParams
     if (!freshFor(s"$resPath/$t0Name", t0Params)) timed(s"search_type0_$t0Mode") {
       val q0 = queries.filter(col("qtype") === 0).select(col("qid"), col("qvec"))
@@ -341,7 +345,13 @@ object ContestRun {
         .write.mode("overwrite").parquet(s"$resPath/t1")
       stamp(s"$resPath/t1", searchParams)
     }
-    if (!freshFor(s"$resPath/$t2Name", searchParams)) timed(s"search_type2_$t2Mode") {
+    // banded stamps carry the served table's fingerprint (the shared
+    // ProbeHarness.bandsTag rule — see ContestScaleProbe): a bands
+    // re-tune must re-run the stage, not serve the pre-bump cache
+    val t2Params =
+      if (t2Mode == "range") s"$searchParams bands=${ProbeHarness.bandsTag(s"$root/by_range$t2Scale")}"
+      else searchParams
+    if (!freshFor(s"$resPath/$t2Name", t2Params)) timed(s"search_type2_$t2Mode") {
       val q2 = queries.filter(col("qtype") === 2)
         .select(col("qid"), col("l"), col("r"), col("qvec"))
       val r2 =
@@ -351,9 +361,12 @@ object ContestRun {
         else
           AnnIndexStore.searchDecileRange(spark, s"$root/by_decile", q2, k, ef)
       r2.write.mode("overwrite").parquet(s"$resPath/$t2Name")
-      stamp(s"$resPath/$t2Name", searchParams)
+      stamp(s"$resPath/$t2Name", t2Params)
     }
-    if (!freshFor(s"$resPath/$t3Name", searchParams)) timed(s"search_type3_$t3Mode") {
+    val t3Params =
+      if (t3Mode == "banded") s"$searchParams bands=${ProbeHarness.bandsTag(s"$root/by_label_ts")}"
+      else searchParams
+    if (!freshFor(s"$resPath/$t3Name", t3Params)) timed(s"search_type3_$t3Mode") {
       val q3 = queries.filter(col("qtype") === 3)
         .select(col("qid"), col("v"), col("l"), col("r"), col("qvec"))
       val r3 =
@@ -363,7 +376,7 @@ object ContestRun {
         else
           AnnIndexStore.searchByRange(spark, s"$root/by_label", q3, k, ef)
       r3.write.mode("overwrite").parquet(s"$resPath/$t3Name")
-      stamp(s"$resPath/$t3Name", searchParams)
+      stamp(s"$resPath/$t3Name", t3Params)
     }
     val results = spark.read.parquet(s"$resPath/$t0Name")
       .unionByName(spark.read.parquet(s"$resPath/t1"))

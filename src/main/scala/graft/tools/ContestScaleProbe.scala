@@ -193,17 +193,7 @@ object ContestScaleProbe {
     // the new run's labels (ProbeHarness) ----
     val outPath = s"$root/results"
     val searchParams = s"k=$k ef=$ef"
-    // banded stages' stamps carry the SERVED band table's fingerprint:
-    // a bands re-tune (protocol bump, store rebuild) changes dispatch
-    // and therefore result rows, and a bare k/ef stamp would keep
-    // serving the pre-bump cache while the receipts print the new
-    // BANDS line — the silently-wrong-measurement class the stamps
-    // exist to stop
-    def bandsTag(store: String): String =
-      graft.index.AnnIndexStore.efBandsOf(store)
-        .map(b => java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(b.serialize).toLong & 0xffffffffL))
-        .getOrElse("default")
+    import ProbeHarness.bandsTag
     import ProbeHarness.{freshFor, stamp}
     // tuned `_nprobe` sidecar on the IVF arm (shared protocol —
     // ProbeHarness.tunedNprobe — so this probe's and ContestRun's
@@ -223,8 +213,16 @@ object ContestScaleProbe {
     // (ContestRun's switch — same default: list-major reads each blob
     // once per batch instead of once per 50k slice)
     val t0Batch = sys.env.getOrElse("GRAFT_CONTEST_T0_BATCH", "listmajor")
+    // "override" marks an A/B stamp: GRAFT_CONTEST_NPROBE/IVF_EF runs
+    // measure a deliberately off-tuned operating point, and the
+    // existence-union below must never average such a cache into a
+    // fresh-measurement RECALL headline
+    val t0Override =
+      if (sys.env.contains("GRAFT_CONTEST_NPROBE") ||
+        sys.env.contains("GRAFT_CONTEST_IVF_EF")) " override" else ""
     val t0Params =
-      if (t0Mode == "ivf") s"$searchParams nprobe=$t0Nprobe ivfef=$t0Ef batch=$t0Batch"
+      if (t0Mode == "ivf")
+        s"$searchParams nprobe=$t0Nprobe ivfef=$t0Ef batch=$t0Batch$t0Override"
       else searchParams
     if (armOn("t0") && !freshFor(s"$outPath/$t0Name", t0Params)) timed(s"search_type0_$t0Mode") {
       // 50k chunks: per-chunk agg state (one bounded top-k heap per qid
@@ -306,26 +304,61 @@ object ContestScaleProbe {
       (2, s"$outPath/$t2Name"), (3, s"$outPath/$t3Name"))
     // Stamp-checked (read-only — freshFor would DELETE a mismatched
     // cache, which is the active arm's job alone): a cached arm joins
-    // the union only if its `_stage_params` match this run's k/ef
-    // (prefix match — t0 stamps append nprobe/batch). A stale stage
-    // from an older protocol is EXCLUDED with a loud line, never
-    // silently averaged into the recall (the 100k rehearsal cache
-    // carried exactly such a pre-protocol t3 dir, recall 0.13).
-    val included = armPaths.filter { case (t, p) =>
-      exists(p) && {
-        val f = new java.io.File(p, "_stage_params")
-        val st = if (f.exists()) new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") else ""
-        // delimited prefix: a bare startsWith would let "ef=400" match
-        // a run at ef=40 (numeric extension), re-admitting exactly the
-        // old-parameters-under-new-labels bug the stamps exist to stop
-        val ok = f.exists() &&
-          (st == searchParams || st.startsWith(searchParams + " "))
-        if (!ok) println(s"ARM t$t cached results at $p EXCLUDED: " +
-          "missing or non-matching _stage_params stamp")
-        ok
+    // the union only if (a) its `_stage_params` match this run's k/ef
+    // exactly or as a "params + space" delimited prefix (a bare
+    // startsWith would let ef=400 match ef=40), (b) the stamp carries
+    // no A/B "override" marker, and (c) when the arm's STORE is still
+    // on disk, the stamp's store-derived knob tokens (nprobe/ivfef/
+    // bands fingerprints) equal the live sidecars' — a bands protocol
+    // bump or a re-tuned probe count changes result rows at the same
+    // k/ef. A store-absent suffix is accepted with a loud
+    // "UNVERIFIED" note (the disk-frugal ladder drops stores between
+    // arms); anything else is EXCLUDED loudly, never silently
+    // averaged into the recall (the 100k rehearsal cache carried
+    // exactly such a pre-protocol t3 dir, recall 0.13).
+    def cachedArmOk(t: Int, p: String): Boolean = {
+      val f = new java.io.File(p, "_stage_params")
+      if (!f.exists()) {
+        println(s"ARM t$t cached results at $p EXCLUDED: no _stage_params stamp")
+        return false
+      }
+      val st = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      if (st.contains("override")) {
+        println(s"ARM t$t cached results at $p EXCLUDED: A/B-override stamp '$st'")
+        return false
+      }
+      if (!(st == searchParams || st.startsWith(searchParams + " "))) {
+        println(s"ARM t$t cached results at $p EXCLUDED: stamp '$st' does " +
+          s"not match this run's '$searchParams'")
+        return false
+      }
+      val expectedToks: Option[Seq[String]] = t match {
+        case 0 if t0Mode == "ivf" && exists(s"$root/by_ivf/lists") =>
+          Some(Seq(
+            s"nprobe=${AnnIndexStore.resolveNprobe(s"$root/by_ivf", AnnIndexStore.AutoNprobe)}",
+            s"ivfef=${AnnIndexStore.ivfEfOf(s"$root/by_ivf").getOrElse(ef)}"))
+        case 2 if t2Mode == "range" && exists(s"$root/by_range$t2Scale") =>
+          Some(Seq(s"bands=${bandsTag(s"$root/by_range$t2Scale")}"))
+        case 3 if t3Mode == "banded" && exists(s"$root/by_label_ts") =>
+          Some(Seq(s"bands=${bandsTag(s"$root/by_label_ts")}"))
+        case _ => None
+      }
+      expectedToks match {
+        case None =>
+          if (st != searchParams)
+            println(s"ARM t$t cached results accepted with UNVERIFIED " +
+              s"suffix (store absent): '$st'")
+          true
+        case Some(toks) =>
+          val stToks = st.split(" ").toSet
+          val ok = toks.forall(stToks.contains)
+          if (!ok) println(s"ARM t$t cached results at $p EXCLUDED: stamp " +
+            s"'$st' does not match the store's current sidecars " +
+            s"(${toks.mkString(" ")})")
+          ok
       }
     }
+    val included = armPaths.filter { case (t, p) => exists(p) && cachedArmOk(t, p) }
     require(included.nonEmpty, "no per-arm results on disk — nothing to union")
     val includedTypes = included.map(_._1).toSet
     val results = included.map(p => spark.read.parquet(p._2)).reduce(_.unionByName(_))

@@ -38,6 +38,18 @@ private[tools] object ProbeHarness {
     * tool would let the bar/ladder/logging silently diverge between
     * the two tools' receipts the day one is edited. */
 
+  /** Fingerprint of a store's SERVED `_ef_bands` table ("default" when
+    * no sidecar): banded stages' stamps carry it, because a bands
+    * re-tune (protocol bump, store rebuild) changes dispatch and
+    * therefore result rows — a bare k/ef stamp would keep serving the
+    * pre-bump cache while the receipts print the new BANDS line. ONE
+    * definition for both lifecycle tools. */
+  def bandsTag(store: String): String =
+    graft.index.AnnIndexStore.efBandsOf(store)
+      .map(b => java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(b.serialize).toLong & 0xffffffffL))
+      .getOrElse("default")
+
   /** Band tune-once: reuse policy lives in
     * [[graft.index.EfTuner.tuneAndPersistBands]]; the stage line
     * prints only when a tune actually ran, so resumed runs' stage

@@ -230,8 +230,10 @@ class DeltaCrashPropertySpec extends SparkSpec {
         catch { case CrashSim(_) => true }
         finally { AnnIndexStore.crashHook = _ => () }
       assert(crashed, s"[$crashAt] expected the injected crash to fire")
-      // a torn value never parses as authoritative
-      AnnIndexStore.ivfEfOf(dir)
+      // a torn value never parses as authoritative: the reader either
+      // sees nothing or a valid positive ef — never garbage, never a throw
+      AnnIndexStore.ivfEfOf(dir).foreach(v => assert(v > 0,
+        s"[$crashAt] torn _ivf_ef parsed to non-positive $v"))
       val retuned = EfTuner.tuneAndPersistIvfEf(spark, dir, base, queries, k = 10)
       assert(retuned.isDefined,
         s"[$crashAt] post-crash entry must re-tune, not trust a torn pair")
