@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ArrayEqCount, BlockHamming, ExprBridge, GopherStats, Md5Hash60, SimHashBlocks, SimHashFromHashes}
+import org.apache.spark.sql.graft.{ArrayEqCount, BlockHamming, ExprBridge, GopherStats, Md5Hash60, SimHashBlocks, SimHashFromHashes, WordShingles}
 
 /** Text-analysis building blocks for large-scale corpus pipelines:
   * tokenization, word shingles, deterministic 60-bit hashing, MinHash
@@ -18,12 +18,17 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, " "), x => x =!= lit(""))
 
-  /** Word n-gram shingles (space-joined); empty array when < n tokens. */
+  /** Word n-gram shingles (space-joined); empty array when < n tokens.
+    * Native one-pass kernel ([[WordShingles]]): the equivalent HOF
+    * composition (`transform(sequence(1, size-n+1), i -> concat_ws(" ",
+    * element_at(toks, i), ...))`) re-evaluates the token subtree per
+    * element — Catalyst performs no CSE inside lambda bodies — which is
+    * O(len²) per document when `toks` is an inline expression (measured
+    * 11× slower on the gate corpus at n=1, and the giant generated
+    * method also fell out of JIT compilation on some runs). Values are
+    * identical; the DuckDB oracle mirrors are unchanged. */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
-      .otherwise(array().cast("array<string>"))
+    ExprBridge.column(WordShingles(ExprBridge.expression(toks), n))
 
   /** Deterministic 60-bit hash: first 15 hex chars of md5("<seed>:<s>").
     * Cross-engine: DuckDB equivalent is
