@@ -658,7 +658,7 @@ object AnnIndexStore {
     import graft.functions.{VectorFunctions => VF}
     import graft.operators.{SimilaritySearch => SS, TopKAggregate}
     val store = resolveStore(path)
-    val coarse = loadCentroids(spark, store)
+    val coarse = loadCentroidsCached(spark, store)
     val bookRows = spark.read.parquet(s"$store/codebook")
       .select(col("c").cast("int"), col("bvec"), col("m").cast("int"))
       .collect()
@@ -711,7 +711,7 @@ object AnnIndexStore {
   def searchIvf(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, ef: Int = 200, nprobe: Int = AutoNprobe): DataFrame = {
     val store = resolveStore(path)
-    val cents = loadCentroids(spark, store)
+    val cents = loadCentroidsCached(spark, store)
     val centsFlat = typedLit(cents.flatten)
     val np = math.min(resolveNprobe(path, nprobe), cents.length)
     val probed = queries.select(col("qid"),
@@ -720,6 +720,27 @@ object AnnIndexStore {
         col("qvec"))
       .select(col("qid"), col("probe").cast("long").as("v"), col("qvec"))
     searchBy(spark, s"$store/lists", probed, k, ef)
+  }
+
+  /** [[searchIvf]] for a DRIVER-RESIDENT query sample (the tuners'
+    * shape): centroid routing runs driver-side through the SAME
+    * (dist, index) selection kernel the expression route uses
+    * ([[org.apache.spark.sql.graft.NearestCentroids.topkArr]] — probe
+    * sets float-identical by construction), skipping the local-DF
+    * round-trip and its collect job per invocation. Results are
+    * row-identical to [[searchIvf]] on the equivalent DF. */
+  private[index] def searchIvfSample(spark: SparkSession, path: String,
+      qs: Array[(Long, Array[Float])], k: Int, ef: Int,
+      nprobe: Int = AutoNprobe): DataFrame = {
+    val store = resolveStore(path)
+    val cents = loadCentroidsCached(spark, store)
+    val np = math.min(resolveNprobe(path, nprobe), cents.length)
+    val centsFlat = cents.flatten
+    val qByBucket = qs.flatMap { case (qid, q) =>
+      org.apache.spark.sql.graft.NearestCentroids.topkArr(q, centsFlat, np)
+        .map(l => (l.toLong, (qid, q)))
+    }.groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2)) }
+    searchByBatch(spark, s"$store/lists", qByBucket, k, ef)
   }
 
   /** Chunked [[searchIvf]] for query batches too large to hold on the
@@ -735,7 +756,7 @@ object AnnIndexStore {
       chunkRows: Int = 100000): DataFrame = {
     import spark.implicits._
     val store = resolveStore(path)
-    val cents = loadCentroids(spark, store)
+    val cents = loadCentroidsCached(spark, store)
     val np = math.min(resolveNprobe(path, nprobe), cents.length)
     val results = queryChunks(queries, chunkRows).map { chunk =>
       val qByBucket = chunk.iterator.flatMap { case (qid, qvec) =>
@@ -774,7 +795,7 @@ object AnnIndexStore {
       outPath: String, k: Int, ef: Int = 200, nprobe: Int = AutoNprobe,
       chunkRows: Int = 100000): Unit = {
     val store = resolveStore(path)
-    val cents = loadCentroids(spark, store)
+    val cents = loadCentroidsCached(spark, store)
     val np = math.min(resolveNprobe(path, nprobe), cents.length)
     writeChunkedResults(spark, outPath,
       queryChunks(queries, chunkRows).map { chunk =>
@@ -838,7 +859,7 @@ object AnnIndexStore {
       groupBytes: Long = -1L): Unit = {
     import spark.implicits._
     val store = resolveStore(path)
-    val cents = loadCentroids(spark, store)
+    val cents = loadCentroidsCached(spark, store)
     val np = math.min(resolveNprobe(path, nprobe), cents.length)
     val capRows = math.max(1L,
       (if (groupBytes > 0) groupBytes else ivfGroupBytes) /
@@ -1332,6 +1353,66 @@ object AnnIndexStore {
       .select(col("list").cast("int"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).map(_._2)
+
+  // Driver-resident centroid cache, keyed on (resolved data dir, version
+  // token) — the ServingCache invalidation rule: generation dirs are
+  // immutable and every (re)build re-stamps `_store_version`, so a hit
+  // can never serve stale centroids; an unstamped (legacy/partial) store
+  // skips the cache entirely. Centroid tables are small (nlist × dim
+  // floats — ~150 KB at the 30M point), but each uncached load is a
+  // full Spark collect job, and the IVF route reads centroids on every
+  // search/tune entry (the nprobe tuner alone paid ~12 such jobs per
+  // gate run before this).
+  private val centroidCache =
+    new java.util.LinkedHashMap[(String, String), Array[Array[Float]]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Array[Array[Float]]]): Boolean =
+        size() > 16
+    }
+
+  private[index] def loadCentroidsCached(spark: SparkSession, store: String): Array[Array[Float]] =
+    versionAt(store) match {
+      case None => loadCentroids(spark, store)
+      case Some(v) =>
+        val key = (store.stripSuffix("/"), v)
+        val hit = centroidCache.synchronized(centroidCache.get(key))
+        if (hit != null) hit
+        else {
+          val cents = loadCentroids(spark, store)
+          centroidCache.synchronized(centroidCache.put(key, cents))
+          cents
+        }
+    }
+
+  /** Per-(query, list) walk candidates over EVERY list of a [[buildIvf]]
+    * store, in one distributed pass: (qid, list, id, dist) — each list
+    * row's HNSW walked against the whole broadcast sample at `ef`, top-k
+    * per (query, sub-row). Because per-list walks are independent of
+    * which lists a probe set selects, a rung's [[searchIvf]] result is
+    * EXACTLY the (dist, id)-ascending top-k over the candidates of that
+    * rung's probed lists — the nprobe tuner derives its whole ladder
+    * from this single pass instead of one search job per rung (and the
+    * all-lists walk is itself the work its old truth pass did). */
+  private[index] def ivfWalkCandidates(spark: SparkSession, path: String,
+      sample: Array[(Long, Array[Float])], k: Int,
+      ef: Int): Array[(Long, Long, Long, Double)] = {
+    import spark.implicits._
+    val bq = spark.sparkContext.broadcast(sample)
+    spark.read.parquet(s"${resolveStore(path)}/lists")
+      .select(col("bucket"), col("ids"), col("graph"))
+      .as[(Long, Array[Long], Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (bucket, ids, graphBytes) =>
+          val index = HnswIndex.fromBytesCached(graphBytes)
+          bq.value.iterator.flatMap { case (qid, qvec) =>
+            index.search(qvec, k, ef).iterator.map { case (internal, d) =>
+              (qid, bucket, ids(internal), d)
+            }
+          }
+        }
+      }
+      .collect()
+  }
 
   private def rankTopK(raw: DataFrame, k: Int): DataFrame =
     raw.groupBy("qid")

@@ -168,45 +168,66 @@ object EfTuner {
     // resident — the 100×-store cliff the old all-m-buckets collect had
     // is gone. Measuring every rung per bucket (instead of early-
     // stopping the ladder) changes cost, not the chosen factor.
-    val fullTuned = deflt.full.map(_._1).sorted.map { m =>
-      val take = math.min(m, buckets.length)
-      val start = math.max(0, buckets.length / 2 - take / 2)
-      val slice = buckets.slice(start, start + take)
-      val exact = Array.fill(sample.length)(List.empty[(Double, Long)])
-      val walked =
-        Array.fill(factorLadder.length, sample.length)(List.empty[(Double, Long)])
-      val rungEfs = factorLadder.map(f =>
-        deflt.copy(full = Seq(1 -> f)).unionWalkEf(ef, k, m))
-      slice.foreach { b =>
+    // Buckets still stream one at a time (the driver-residency
+    // contract), but each distinct bucket is LOADED once for all mFull
+    // thresholds instead of once per threshold: the centered slices are
+    // nested (m=2 ⊆ m=4 ⊆ m=8 around the middle bucket), so the old
+    // per-m loop collected the inner buckets up to three times — at the
+    // gate store that was 14 filter+collect jobs per tune where the
+    // union needs 8 (r14 measure: ann_ef_bands was 47 scheduler-bound
+    // jobs for its double tune). Walk WORK is unchanged — a bucket
+    // shared by several thresholds is still walked at each threshold's
+    // own unionWalkEf — and accumulation order per (m, rung, query)
+    // changes only the list order, which the final sorted.take(k)
+    // already made irrelevant.
+    val fullTuned = {
+      val ms = deflt.full.map(_._1).sorted
+      val slices: Map[Int, Set[Long]] = ms.map { m =>
+        val take = math.min(m, buckets.length)
+        val start = math.max(0, buckets.length / 2 - take / 2)
+        (m, buckets.slice(start, start + take).toSet)
+      }.toMap
+      val exact = ms.map(m =>
+        (m, Array.fill(sample.length)(List.empty[(Double, Long)]))).toMap
+      val walked = ms.map(m =>
+        (m, Array.fill(factorLadder.length, sample.length)(List.empty[(Double, Long)]))).toMap
+      val rungEfs = ms.map(m =>
+        (m, factorLadder.map(f => deflt.copy(full = Seq(1 -> f)).unionWalkEf(ef, k, m)))).toMap
+      buckets.filter(b => ms.exists(m => slices(m)(b))).foreach { b =>
+        val owners = ms.filter(m => slices(m)(b))
         loadBucket(b).foreach { case (idx, ids, _) =>
           val all = Array.tabulate(idx.size)(identity)
           sample.zipWithIndex.foreach { case (q, qi) =>
-            exact(qi) = idx.exactOver(q, all, k)
-              .map { case (n, d) => (d, ids(n)) }.toList ::: exact(qi)
-            rungEfs.zipWithIndex.foreach { case (efB, fi) =>
-              walked(fi)(qi) = idx.search(q, k, efB)
-                .map { case (n, d) => (d, ids(n)) }.toList ::: walked(fi)(qi)
+            val ex = idx.exactOver(q, all, k).map { case (n, d) => (d, ids(n)) }.toList
+            owners.foreach { m =>
+              exact(m)(qi) = ex ::: exact(m)(qi)
+              rungEfs(m).zipWithIndex.foreach { case (efB, fi) =>
+                walked(m)(fi)(qi) = idx.search(q, k, efB)
+                  .map { case (n, d) => (d, ids(n)) }.toList ::: walked(m)(fi)(qi)
+              }
             }
           }
         }
       }
-      val truth = exact.map(_.sorted.take(k).map(_._2).toSet)
-      val found = factorLadder.indices.find { fi =>
-        var hit = 0L
-        var total = 0L
-        sample.indices.foreach { qi =>
-          val got = walked(fi)(qi).sorted.take(k).map(_._2).toSet
-          hit += truth(qi).intersect(got).size
-          total += truth(qi).size
-        }
-        total == 0 || hit.toDouble / total >= targetRecall
-      }.map(factorLadder)
-      if (requireTarget) require(found.isDefined,
-        s"tuneBands: no full-union factor in $factorLadder reaches " +
-          s"recall $targetRecall for m=$m — tuning regression, not a " +
-          "silent fallback to the ladder max")
-      (m, found.getOrElse(factorLadder.last))
-    }.sortBy(-_._1)
+      ms.map { m =>
+        val truth = exact(m).map(_.sorted.take(k).map(_._2).toSet)
+        val found = factorLadder.indices.find { fi =>
+          var hit = 0L
+          var total = 0L
+          sample.indices.foreach { qi =>
+            val got = walked(m)(fi)(qi).sorted.take(k).map(_._2).toSet
+            hit += truth(qi).intersect(got).size
+            total += truth(qi).size
+          }
+          total == 0 || hit.toDouble / total >= targetRecall
+        }.map(factorLadder)
+        if (requireTarget) require(found.isDefined,
+          s"tuneBands: no full-union factor in $factorLadder reaches " +
+            s"recall $targetRecall for m=$m — tuning regression, not a " +
+            "silent fallback to the ladder max")
+        (m, found.getOrElse(factorLadder.last))
+      }.sortBy(-_._1)
+    }
 
     // ---- in-filter widening cap, on the largest single ROW ----
     // (bucket, sub) pins ONE sub-index: a salted bucket spans several
@@ -472,16 +493,48 @@ object EfTuner {
       ef: Int = 400, ladder: Seq[Int] = DefaultNprobeLadder): NprobeResult = {
     require(sample.nonEmpty, "empty tuning sample")
     require(ladder.nonEmpty && ladder == ladder.sorted, "ladder must be ascending")
-    val spark2 = spark
-    import spark2.implicits._
-    val queries = sample.zipWithIndex
-      .map { case (q, i) => (i.toLong, q) }.toSeq.toDF("qid", "qvec")
-    val nlist = AnnIndexStore.loadCentroids(spark,
-      AnnIndexStore.resolveStore(storePath)).length
+    val store = AnnIndexStore.resolveStore(storePath)
+    val cents = AnnIndexStore.loadCentroidsCached(spark, store)
+    val nlist = cents.length
+    // ONE all-lists walk instead of one searchIvf job per rung: per-list
+    // walks are independent of which lists a probe set selects, so a
+    // rung's searchIvf result is EXACTLY the (dist, id)-ascending top-k
+    // over its probed lists' candidates — and the all-lists pass is the
+    // same work the old truth rung already did. The ladder then costs
+    // zero additional walks (the old form re-walked ~2× nlist lists
+    // across its rungs) and one Spark job instead of ~6 (r14 measure:
+    // the gate query was 80 scheduler-bound jobs for the double tune).
+    // Routing uses the SAME (dist, index) centroid selection kernel as
+    // the searchIvf expression route (NearestCentroids.topkArr), so the
+    // probe sets are float-identical to the old per-rung searches.
+    val centsFlat = cents.flatten
+    val order: Array[Array[Int]] = sample.map(q =>
+      org.apache.spark.sql.graft.NearestCentroids.topkArr(q, centsFlat, nlist))
+    val qs = sample.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+    val byQidList: Map[Long, Map[Long, Array[(Double, Long)]]] =
+      AnnIndexStore.ivfWalkCandidates(spark, store, qs, k, ef)
+        .groupBy(_._1)
+        .map { case (qid, xs) =>
+          (qid, xs.groupBy(_._2).map { case (l, ys) =>
+            (l, ys.map(y => (y._4, y._3)))
+          })
+        }
+    val cmp: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
     def topIds(nprobe: Int): Map[Long, Set[Long]] =
-      AnnIndexStore.searchIvf(spark, storePath, queries, k, ef, nprobe)
-        .collect().map(r => (r.getLong(0), r.getLong(2)))
-        .groupBy(_._1).map { case (q, xs) => (q, xs.map(_._2).toSet) }
+      qs.map { case (qid, _) =>
+        val byList = byQidList.getOrElse(qid, Map.empty[Long, Array[(Double, Long)]])
+        val cand = order(qid.toInt).iterator.take(nprobe)
+          .flatMap(l => byList.getOrElse(l.toLong, Array.empty[(Double, Long)]).iterator)
+          .toArray
+        java.util.Arrays.sort(cand.asInstanceOf[Array[Object]],
+          cmp.asInstanceOf[java.util.Comparator[Object]])
+        (qid, cand.iterator.take(k).map(_._2).toSet)
+      }.toMap
     val truth = topIds(nlist)
     val rungs = scala.collection.mutable.ArrayBuffer.empty[NprobeRung]
     var chosen = -1
@@ -676,10 +729,13 @@ object EfTuner {
       .select(col("qid"), col("nid"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).map { case (q, xs) => (q, xs.map(_._2).toSet) }
+    val qsArr = sample.zipWithIndex.map { case (q, i) => (i.toLong, q) }
     val rungs = scala.collection.mutable.ArrayBuffer.empty[Rung]
     var chosen = -1
     def measure(ef: Int): Unit = {
-      val got = AnnIndexStore.searchIvf(spark, storePath, queries, k, ef, nprobe)
+      // searchIvfSample: the driver-resident-sample form — row-identical
+      // to searchIvf on `queries`, minus the per-rung routing/collect jobs
+      val got = AnnIndexStore.searchIvfSample(spark, storePath, qsArr, k, ef, nprobe)
         .collect().map(r => (r.getLong(0), r.getLong(2)))
         .groupBy(_._1).map { case (q, xs) => (q, xs.map(_._2).toSet) }
       var hit = 0L

@@ -327,10 +327,23 @@ object PqAdc {
 object NearestCentroids {
   def topk(vec: ArrayData, cents: ArrayData, k: Int): ArrayData = {
     val dim = vec.numElements()
-    val n = if (dim == 0) 0 else cents.numElements() / dim
     val q = new Array[Float](dim)
     var d = 0
     while (d < dim) { q(d) = vec.getFloat(d); d += 1 }
+    val n = if (dim == 0) 0 else cents.numElements() / dim
+    val cf = new Array[Float](n * dim)
+    var i = 0
+    while (i < cf.length) { cf(i) = cents.getFloat(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(topkArr(q, cf, k))
+  }
+
+  /** The same (dist, index)-ascending selection on plain arrays — the
+    * driver-side routing twin (nprobe tuner): float-identical to the
+    * expression route, so a probe SET derived here can never diverge
+    * from one the [[NearestCentroids]] expression would select. */
+  def topkArr(q: Array[Float], centsFlat: Array[Float], k: Int): Array[Int] = {
+    val dim = q.length
+    val n = if (dim == 0) 0 else centsFlat.length / dim
     val dist = new Array[Double](n)
     var c = 0
     while (c < n) {
@@ -338,7 +351,7 @@ object NearestCentroids {
       var i = 0
       val off = c * dim
       while (i < dim) {
-        val df = q(i).toDouble - cents.getFloat(off + i).toDouble
+        val df = q(i).toDouble - centsFlat(off + i).toDouble
         s += df * df
         i += 1
       }
@@ -360,7 +373,6 @@ object NearestCentroids {
       val t = idx(sel); idx(sel) = idx(best); idx(best) = t
       sel += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      java.util.Arrays.copyOfRange(idx, 0, kk))
+    java.util.Arrays.copyOfRange(idx, 0, kk)
   }
 }
