@@ -50,6 +50,12 @@ object Dedup {
     * form re-splits the text once per element_at call (O(len²) per doc,
     * measured 50× slower). Carrying `n` on every row costs 8 bytes but
     * lets the pair join skip a full size aggregate plus two join-backs. */
+  /** Probe-only alias of [[explodedShingles]] for the optimization
+    * micro-benches (tools/MicroProbe) — not a query-path API. */
+  def explodedShinglesForProbe(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    explodedShingles(df, idCol, textCol, shingleSize)
+
   private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame = {
     val spark = df.sparkSession
@@ -76,7 +82,16 @@ object Dedup {
     val ex = tracked(explodedShingles(df, idCol, textCol, shingleSize)
       .repartition(col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    ex.as("a").join(ex.as("b"),
+    // merge hint: the planner otherwise BROADCASTS one side of the
+    // self-join (the exploded table sits under the 10 MB estimate),
+    // throwing away the co-partitioning the cache exists for and paying
+    // a driver collect + hash-relation build per mine. Sort-merge on the
+    // co-partitioned cache is exchange-free either way and measured
+    // 2.1× faster than the broadcast plan on the gate corpus (r14
+    // MicroProbe: join stage 1.94 s BHJ / 1.44 s SHJ / 0.93 s SMJ) —
+    // and it is the only strategy of the three that stays spill-safe on
+    // a hot-shingle corpus at scale.
+    ex.as("a").join(ex.as("b").hint("merge"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"), max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
@@ -142,6 +157,19 @@ object Dedup {
       jaccardPrefixPairs(df, idCol, textCol, shingleSize, minJaccard)
     else
       jaccardShinglePairs(df, idCol, textCol, shingleSize, minJaccard)
+
+  /** Diagnostic postings profile of the inverted-index miner's join key:
+    * (distinct shingles, total postings, Σp² join rows, max posting) —
+    * the Σp² term is the quadratic hot-shingle cost the prefix route
+    * avoids. Probe-only (one small agg job); not on any query path. */
+  def jaccardPostingsProfile(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): Array[Long] = {
+    val r = explodedShingles(df, idCol, textCol, shingleSize)
+      .groupBy("sh").agg(count(lit(1)).as("p"))
+      .agg(count(lit(1)), sum(col("p")), sum(col("p") * col("p")), max(col("p")))
+      .collect()(0)
+    Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
 
   /** Per-doc MinHash signature (array<long> of length numHashes); docs
     * with no shingles are dropped. One md5 per distinct shingle +
@@ -651,7 +679,11 @@ object Dedup {
     // norms are computed once per ROW, not once per PAIR: the O(N²)
     // inner loop does 1 inner product instead of 3. Same double
     // arithmetic as CosineSimilarity (dot / (sqrt(Σa²)·sqrt(Σb²))).
-    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    // SmallBase: the stream side of the nested-loop join otherwise runs
+    // the whole N² loop in the scan's ONE split (single-row-group gate
+    // parquet) — this branch is the documented small-n configuration.
+    val v = SmallBase.parallelize(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")))
       .withColumn("nrm", VF.norm2(col("vec")))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .withColumn("cos",

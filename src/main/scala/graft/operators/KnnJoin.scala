@@ -48,9 +48,16 @@ object KnnJoin {
     * that routed the batch already (HybridKnn, pruned-layout scans) know
     * only a subset of query types can arrive, and a smaller union keeps
     * the physical plan (and its codegen) proportional to the work. */
-  def exact(base: DataFrame, queries: DataFrame, k: Int,
+  def exact(base0: DataFrame, queries: DataFrame, k: Int,
       metric: String = "l2", types: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame = {
     require(types.nonEmpty, "at least one query type branch is required")
+    // Small-base parallelize (SmallBase scaladoc): the oracle/small-n
+    // configuration otherwise runs its whole distance + top-k loop in
+    // ONE scan task, and the branch joins all REUSE the one exchange
+    // (one base scan instead of one per type branch). Above the bound
+    // nothing changes: the base is only streamed, never shuffled — the
+    // 100-TB contract above.
+    val base = SmallBase.parallelize(base0)
     val q = broadcast(queries)
     val branches = types.distinct.sorted.map {
       case 0 => q.filter(col("qtype") === 0).crossJoin(base)
