@@ -96,7 +96,7 @@ object SparkEntry {
       val q = load(s, dir, "embeddings")
         .filter(col("vec_id") % 71 === 3)
         .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
-      broadcast(q).crossJoin(graft.operators.SmallBase.parallelize(base))
+      broadcast(q).crossJoin(base)
         .filter(col("id") =!= col("qid"))
         .withColumn("negcos", -VectorFunctions.cosineSim(col("qvec"), col("vec")))
         .groupBy("qid")

@@ -248,8 +248,12 @@ object Dedup {
             "x -> cast(x as string)), ',') as binary)")))
         .repartition(col("band"), col("band_key"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // merge hint: same rationale as jaccardShinglePairs — the planner
+      // otherwise broadcasts one side of the self-join (under the 10 MB
+      // estimate), discarding the co-partitioned banded cache this pass
+      // just materialized and rebuilding it as a driver hash relation
       val pairs = banded.as("a")
-        .join(banded.as("b"),
+        .join(banded.as("b").hint("merge"),
           col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

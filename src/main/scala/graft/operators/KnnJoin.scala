@@ -51,13 +51,13 @@ object KnnJoin {
   def exact(base0: DataFrame, queries: DataFrame, k: Int,
       metric: String = "l2", types: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame = {
     require(types.nonEmpty, "at least one query type branch is required")
-    // Small-base parallelize (SmallBase scaladoc): the oracle/small-n
-    // configuration otherwise runs its whole distance + top-k loop in
-    // ONE scan task, and the branch joins all REUSE the one exchange
-    // (one base scan instead of one per type branch). Above the bound
-    // nothing changes: the base is only streamed, never shuffled — the
-    // 100-TB contract above.
-    val base = SmallBase.parallelize(base0)
+    // NOT SmallBase-parallelized (r14 optimization pass: measured the
+    // repartitioned form 0.3-0.5 s SLOWER across every exact-kNN gate
+    // in two cold benches — at gate scale the branch pair loops are
+    // ~100k evals, far under the added per-branch AQE exchange stage's
+    // cost; the parallelize only pays on multi-million-pair loops like
+    // cosineNearDupPairs' 2M-pair scan, where it measured 3x).
+    val base = base0
     val q = broadcast(queries)
     val branches = types.distinct.sorted.map {
       case 0 => q.filter(col("qtype") === 0).crossJoin(base)

@@ -109,11 +109,8 @@ object Quantization {
     import graft.functions.{VectorFunctions => VF}
     val b = base.withColumn("code", bqEncode(col("vec")))
     val q = queries.withColumn("qcode", bqEncode(col("qvec")))
-    // SmallBase: the candidate scan otherwise runs in the base scan's
-    // ONE split at gate scale (single-row-group parquet); above the
-    // bound the base stays stream-only as before
     val cand = broadcast(q.select(col("qid"), col("qcode")))
-      .crossJoin(SmallBase.parallelize(b.select(col("id"), col("code"))))
+      .crossJoin(b.select(col("id"), col("code")))
       .withColumn("hdist", bqHamming(col("qcode"), col("code")).cast("double"))
       .groupBy("qid")
       .agg(TopKAggregate.topkIds(refineK, col("hdist"), col("id")).as("cands"))
@@ -140,8 +137,7 @@ object Quantization {
     val b = withCodes(base, "vec", alpha)
     val q = withCodes(queries, "qvec", alpha).withColumnRenamed("code", "qcode")
     // stage 1: candidates by quantized distance (int, deterministic)
-    val cand = broadcast(q)
-      .crossJoin(SmallBase.parallelize(b.select(col("id"), col("code"))))
+    val cand = broadcast(q).crossJoin(b.select(col("id"), col("code")))
       .withColumn("qdist", sq8L2Sq(col("qcode"), col("code")).cast("double"))
       .groupBy("qid")
       .agg(TopKAggregate.topkIds(refineK, col("qdist"), col("id")).as("cands"))

@@ -2,9 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 
-/** Plan-stats-conditioned parallelize for the SMALL side of a
-  * brute-force pair loop (exact kNN oracle, all-pairs cosine, quantized
-  * full scans).
+/** Plan-stats-conditioned parallelize for the SMALL side of a BIG
+  * brute-force pair loop (all-pairs cosine, large interval self-joins).
   *
   * The gate corpora are single-file, single-row-group parquet — such a
   * scan is ONE split however many cores exist (parquet cannot split
@@ -17,7 +16,14 @@ import org.apache.spark.sql.DataFrame
   * corpus-sized table to "parallelize" it would be the exact
   * anti-pattern the operators' never-shuffle-the-base contracts forbid.
   * The decision reads optimizer STATS (no job), mirrors the dedup size
-  * routing, and never changes results — only the physical split. */
+  * routing, and never changes results — only the physical split.
+  *
+  * APPLICABILITY (r14 A/B, two cold benches each way): pays only when
+  * the single-task loop is multi-million evals (neardup_cosine 3×);
+  * the ~10^5-eval exact/quantized gate loops ran 0.3-0.5 s SLOWER with
+  * the extra AQE exchange stage, and JDK-registry-locked kernels
+  * (javax.imageio decode) CONTEND under parallelism (2× slower) — both
+  * were reverted to their stream shapes. Don't re-apply blindly. */
 object SmallBase {
 
   private def bound: Long =

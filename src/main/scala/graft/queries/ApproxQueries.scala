@@ -442,6 +442,11 @@ object ApproxQueries {
 
     // multimodal plumbing: binary payloads → deterministic stub features
     "multimodal_features" -> ((s, dir) => {
+      // NOT SmallBase-parallelized (r14 optimization pass measured the
+      // parallel form SLOWER, 1.12 -> 2.56 s in both cold runs): the
+      // javax.imageio / javax.sound decode attempts serialize on global
+      // registry locks, so 32 concurrent decode tasks contend instead
+      // of speeding up — the single-split scan shape wins here.
       val media = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
       // text payloads are never decodable images OR audio, so both real

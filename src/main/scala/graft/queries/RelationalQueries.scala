@@ -286,8 +286,12 @@ object RelationalQueries {
     // window — equi key (user) + range condition, the classic
     // interval-join shape (event-time at µs for oracle parity)
     "event_pairs_range" -> ((s, dir) => {
-      val e = events(s, dir).select(col("event_id").cast("long").as("eid"),
-        col("user_id").cast("long").as("uid"), expr("ts div 1000").as("tus"))
+      // SmallBase: the pair enumeration otherwise runs in the event
+      // scan's ONE split (single-row-group gate parquet); above the
+      // bound the self-join shuffles by uid as before
+      val e = graft.operators.SmallBase.parallelize(
+        events(s, dir).select(col("event_id").cast("long").as("eid"),
+          col("user_id").cast("long").as("uid"), expr("ts div 1000").as("tus")))
       val a = e.select(col("eid").as("eid_a"), col("uid"), col("tus").as("t_a"))
       val b = e.select(col("eid").as("eid_b"), col("uid"), col("tus").as("t_b"))
       a.join(b, Seq("uid"))

@@ -671,7 +671,12 @@ object TextQueries {
     "unigram_logprob" -> ((s, dir) => {
       val toks = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
         explode(TF.tokens(col("text"))).as("token"))
-      val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      // vocab is VOCABULARY-sized (bounded, unlike the corpus) and read
+      // twice (probe join + total); the tracked persist stops the total
+      // branch re-tokenizing the whole corpus for one scalar
+      val vocab = graft.operators.CacheRegistry.tracked(
+        toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // total token count folds from the vocab aggregate — one fewer
       // full explode scan than counting the token stream again
       val tot = vocab.agg(sum(col("cnt")).as("tot"))
@@ -696,7 +701,12 @@ object TextQueries {
       val t = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
         TF.tokens(col("text")).as("toks"))
       val toks = t.select(col("doc_id"), explode(col("toks")).as("token"))
-      val uni = toks.groupBy("token").agg(count(lit(1)).as("cnt1"))
+      // vocabulary-sized and read THREE times (w1 join, w2 join, total):
+      // uncached, each reader re-tokenized the whole corpus (5 full
+      // Generate scans in the before-plan; 3 after)
+      val uni = graft.operators.CacheRegistry.tracked(
+        toks.groupBy("token").agg(count(lit(1)).as("cnt1"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val tot = uni.agg(sum(col("cnt1")).as("tot"))
       // size >= 2 guard is load-bearing: sequence(2, 1) steps DOWN
       val bi = t.filter(size(col("toks")) >= 2)

@@ -136,8 +136,7 @@ object VectorQueries {
       val coded = data.withColumn("code", Quantization.asymEncode(col("vec"), mins, difs))
       val q = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
-      broadcast(q).crossJoin(graft.operators.SmallBase.parallelize(
-          coded.select(col("id"), col("code"))))
+      broadcast(q).crossJoin(coded.select(col("id"), col("code")))
         .withColumn("dist", Quantization.asymDistance(col("qvec"), col("code"), mins, difs))
         .groupBy("qid")
         .agg(graft.operators.TopKAggregate.topkIds(5, col("dist"), col("id")).as("nb"))
@@ -154,8 +153,7 @@ object VectorQueries {
       val coded = data.withColumn("code", Quantization.sq4Encode(col("vec"), mins, difs))
       val q = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
-      broadcast(q).crossJoin(graft.operators.SmallBase.parallelize(
-          coded.select(col("id"), col("code"))))
+      broadcast(q).crossJoin(coded.select(col("id"), col("code")))
         .withColumn("dist", Quantization.sq4AsymDistance(col("qvec"), col("code"), mins, difs))
         .groupBy("qid")
         .agg(graft.operators.TopKAggregate.topkIds(5, col("dist"), col("id")).as("nb"))
