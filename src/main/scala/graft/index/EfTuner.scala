@@ -121,12 +121,22 @@ object EfTuner {
       .orderBy("bucket").collect().map(_.getLong(0))
     require(buckets.nonEmpty, s"tuneBands: empty store at $storePath")
 
-    def loadBucket(b: Long): Seq[(HnswIndex, Array[Long], Array[Double])] =
-      df.filter(col("bucket") === b)
-        .select(col("ids"), col("attrs"), col("graph"))
+    /** One filter+collect job for a BATCH of buckets, grouped by bucket
+      * — the per-bucket-job form cost one Spark job per bucket (r14: 8
+      * scheduler-bound jobs per tune at the gate store); batches are
+      * sized from the same footer byte bound as the residency check, so
+      * driver residency stays within the tuner budget at any scale
+      * (lifecycle stores with large buckets degrade to batches of 1 =
+      * the old streaming behavior). */
+    def loadBuckets(bs: Seq[Long]): Map[Long, Seq[(HnswIndex, Array[Long], Array[Double])]] =
+      df.filter(col("bucket").isin(bs.map(java.lang.Long.valueOf): _*))
+        .select(col("bucket").cast("long"), col("ids"), col("attrs"), col("graph"))
         .collect().toSeq
-        .map(r => (HnswIndex.fromBytes(r.getAs[Array[Byte]]("graph")),
-          r.getSeq[Long](0).toArray, r.getSeq[Double](1).toArray))
+        .groupBy(_.getLong(0))
+        .map { case (b, rows) =>
+          (b, rows.map(r => (HnswIndex.fromBytes(r.getAs[Array[Byte]]("graph")),
+            r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray)))
+        }
 
     // Driver-residency bound, checked BEFORE any blob lands on the
     // driver: the union measurement below streams buckets one at a
@@ -193,17 +203,25 @@ object EfTuner {
         (m, Array.fill(factorLadder.length, sample.length)(List.empty[(Double, Long)]))).toMap
       val rungEfs = ms.map(m =>
         (m, factorLadder.map(f => deflt.copy(full = Seq(1 -> f)).unionWalkEf(ef, k, m)))).toMap
-      buckets.filter(b => ms.exists(m => slices(m)(b))).foreach { b =>
-        val owners = ms.filter(m => slices(m)(b))
-        loadBucket(b).foreach { case (idx, ids, _) =>
-          val all = Array.tabulate(idx.size)(identity)
-          sample.zipWithIndex.foreach { case (q, qi) =>
-            val ex = idx.exactOver(q, all, k).map { case (n, d) => (d, ids(n)) }.toList
-            owners.foreach { m =>
-              exact(m)(qi) = ex ::: exact(m)(qi)
-              rungEfs(m).zipWithIndex.foreach { case (efB, fi) =>
-                walked(m)(fi)(qi) = idx.search(q, k, efB)
-                  .map { case (n, d) => (d, ids(n)) }.toList ::: walked(m)(fi)(qi)
+      val needed = buckets.filter(b => ms.exists(m => slices(m)(b)))
+      // batch size from the SAME conservative footer bound the residency
+      // check uses: how many worst-case buckets fit half the budget
+      val perBatch = math.max(1L, tunerBudget / 2 /
+        math.max(1L, maxBucketBytes * 2)).toInt
+      needed.grouped(perBatch).foreach { batch =>
+        val loaded = loadBuckets(batch)
+        batch.foreach { b =>
+          val owners = ms.filter(m => slices(m)(b))
+          loaded.getOrElse(b, Seq.empty).foreach { case (idx, ids, _) =>
+            val all = Array.tabulate(idx.size)(identity)
+            sample.zipWithIndex.foreach { case (q, qi) =>
+              val ex = idx.exactOver(q, all, k).map { case (n, d) => (d, ids(n)) }.toList
+              owners.foreach { m =>
+                exact(m)(qi) = ex ::: exact(m)(qi)
+                rungEfs(m).zipWithIndex.foreach { case (efB, fi) =>
+                  walked(m)(fi)(qi) = idx.search(q, k, efB)
+                    .map { case (n, d) => (d, ids(n)) }.toList ::: walked(m)(fi)(qi)
+                }
               }
             }
           }

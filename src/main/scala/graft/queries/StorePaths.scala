@@ -138,14 +138,23 @@ private[graft] object StorePaths {
     if (!new java.io.File(s"$basePath/_SUCCESS").exists())
       graft.SparkEntry.vecBase(s, dir).write.mode("overwrite").parquet(basePath)
     val b = s.read.parquet(basePath)
+    // the three index builds are INDEPENDENT (distinct store paths, all
+    // reading the committed base parquet) — overlap them from driver
+    // threads (guide §2.6): each build's jobs use a handful of tasks,
+    // so serial invocation left most cores idle through the pre-pass
+    val builds = Seq.newBuilder[() => Unit]
     if (!new java.io.File(s"$root/by_hash/_SUCCESS").exists())
-      graft.index.AnnIndexStore.build(b.select(col("id"), col("vec")), s"$root/by_hash", 4)
+      builds += (() =>
+        graft.index.AnnIndexStore.build(b.select(col("id"), col("vec")), s"$root/by_hash", 4))
     if (!new java.io.File(s"$root/by_label/_SUCCESS").exists())
-      graft.index.AnnIndexStore.buildBy(b, s"$root/by_label", "label", attrCol = Some("ts"))
+      builds += (() =>
+        graft.index.AnnIndexStore.buildBy(b, s"$root/by_label", "label", attrCol = Some("ts")))
     if (!new java.io.File(s"$root/by_decile/_SUCCESS").exists())
-      graft.index.AnnIndexStore.buildBy(
-        b.withColumn("decile", floor(col("ts") * 10).cast("long")),
-        s"$root/by_decile", "decile", attrCol = Some("ts"))
+      builds += (() =>
+        graft.index.AnnIndexStore.buildBy(
+          b.withColumn("decile", floor(col("ts") * 10).cast("long")),
+          s"$root/by_decile", "decile", attrCol = Some("ts")))
+    graft.operators.ParallelActions.runAll(builds.result())
     root
   }
 }

@@ -96,16 +96,23 @@ object VectorQueries {
     "knn_stored" -> ((s, dir) => {
       val root = StorePaths.taggedPath(s, "/tmp/graft_ann_store", dir)
       val b = base(s, dir)
+      // independent store paths — overlapped builds (guide §2.6), the
+      // ensureRouteStores rationale
+      val builds = Seq.newBuilder[() => Unit]
       if (!new java.io.File(s"$root/by_hash/_SUCCESS").exists())
-        graft.index.AnnIndexStore.build(b.select(col("id"), col("vec")), s"$root/by_hash", 4)
+        builds += (() =>
+          graft.index.AnnIndexStore.build(b.select(col("id"), col("vec")), s"$root/by_hash", 4))
       if (!new java.io.File(s"$root/by_label/_SUCCESS").exists())
-        graft.index.AnnIndexStore.buildBy(
-          b.select(col("id"), col("label"), col("ts"), col("vec")), s"$root/by_label",
-          "label", attrCol = Some("ts"))
+        builds += (() =>
+          graft.index.AnnIndexStore.buildBy(
+            b.select(col("id"), col("label"), col("ts"), col("vec")), s"$root/by_label",
+            "label", attrCol = Some("ts")))
       if (!new java.io.File(s"$root/by_decile/_SUCCESS").exists())
-        graft.index.AnnIndexStore.buildBy(
-          b.withColumn("decile", floor(col("ts") * 10).cast("long")),
-          s"$root/by_decile", "decile", attrCol = Some("ts"))
+        builds += (() =>
+          graft.index.AnnIndexStore.buildBy(
+            b.withColumn("decile", floor(col("ts") * 10).cast("long")),
+            s"$root/by_decile", "decile", attrCol = Some("ts")))
+      graft.operators.ParallelActions.runAll(builds.result())
       val q = qs(s, dir)
       graft.index.AnnIndexStore.search(s, s"$root/by_hash",
           q.filter(col("qtype") === 0).select(col("qid"), col("qvec")), 10, 200)
