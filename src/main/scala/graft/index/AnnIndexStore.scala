@@ -641,6 +641,10 @@ object AnnIndexStore {
           subBooks, m, sub))
       .select(col("id"), col("codes"), col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(s"$path/codes")
+    // stamped AFTER the last dataset of the build transaction commits —
+    // the centroid cache keys the root's centroid table on this token
+    // (PQ stores have no nested buildBy store to borrow a stamp from)
+    stampVersion(new java.io.File(s"${path.stripSuffix("/")}/codes"))
   }
 
   /** Search a [[buildIvfPq]]/[[buildIvfPqSeeded]] store: per query,
@@ -1370,11 +1374,22 @@ object AnnIndexStore {
         size() > 16
     }
 
-  private[index] def loadCentroidsCached(spark: SparkSession, store: String): Array[Array[Float]] =
-    versionAt(store) match {
+  private[index] def loadCentroidsCached(spark: SparkSession, store: String): Array[Array[Float]] = {
+    // IVF roots themselves carry no stamp (writeIvf's buildBy stamps the
+    // nested LISTS store; buildIvfPq's writer stamps the CODES store) —
+    // the centroids are written in the same build transaction as those
+    // datasets, so their stamp is a valid freshness key for the root's
+    // centroid table: a rebuild rewrites both and re-stamps. Without the
+    // fallback the cache silently never hit for exactly the IVF stores
+    // it was built for (r14 review finding).
+    val root = store.stripSuffix("/")
+    val ver = versionAt(root)
+      .orElse(versionAt(resolveStore(s"$root/lists")))
+      .orElse(versionAt(resolveStore(s"$root/codes")))
+    ver match {
       case None => loadCentroids(spark, store)
       case Some(v) =>
-        val key = (store.stripSuffix("/"), v)
+        val key = (root, v)
         val hit = centroidCache.synchronized(centroidCache.get(key))
         if (hit != null) hit
         else {
@@ -1383,6 +1398,7 @@ object AnnIndexStore {
           cents
         }
     }
+  }
 
   /** Per-(query, list) walk candidates over EVERY list of a [[buildIvf]]
     * store, in one distributed pass: (qid, list, id, dist) — each list
@@ -1398,7 +1414,11 @@ object AnnIndexStore {
       ef: Int): Array[(Long, Long, Long, Double)] = {
     import spark.implicits._
     val bq = spark.sparkContext.broadcast(sample)
-    spark.read.parquet(s"${resolveStore(path)}/lists")
+    // nested resolve, both levels (the resolveVersioned contract): the
+    // lists store is itself a buildBy store and could carry its own
+    // generation layout after a maintenance flip — a root-level resolve
+    // alone would read the superseded flat files
+    spark.read.parquet(resolveStore(s"${resolveStore(path)}/lists"))
       .select(col("bucket"), col("ids"), col("graph"))
       .as[(Long, Array[Long], Array[Byte])]
       .mapPartitions { it =>

@@ -499,11 +499,16 @@ object EfTuner {
     * two knobs with one ladder). As nprobe → nlist the recall is 1.0
     * by construction, so the ladder always terminates meaningfully.
     *
-    * Fully distributed: each rung is one [[AnnIndexStore.searchIvf]]
-    * job over the probed lists (executors hold one sub-index each);
-    * the driver holds only sample×k ids per rung. The all-lists truth
-    * pass costs one hash-route-shaped job over the SAMPLE (bounded,
-    * offline calibration — the reference's own sweeps walk far more).
+    * Execution shape (r14): ONE distributed all-lists candidate pass
+    * ([[AnnIndexStore.ivfWalkCandidates]] — executors hold one
+    * sub-index each), then every rung is a driver-side prefix merge.
+    * DRIVER RESIDENCY is the candidate set: sample × nlist × k
+    * (dist, id) tuples — ~2.4M tuples at the lifecycle operating point
+    * (s64 sample, 375 lists, k=100), which is the bounded-offline-
+    * calibration regime this tuner is for. Callers with very large
+    * samples against very large nlist should chunk the sample; the old
+    * per-rung form held only sample×k ids but paid one search job per
+    * rung and re-walked ~2×nlist lists across the ladder.
     * Deterministic for a deterministic store (seeded centroids/builds,
     * (dist, id) ties, fixed ladder, ordered sample). */
   def tuneNprobe(spark: org.apache.spark.sql.SparkSession, storePath: String,

@@ -44,18 +44,18 @@ object Dedup {
         min(col(idCol)).cast("long").as("rep_doc_id"),
         count(lit(1)).as("dup_count"))
 
-  /** Distinct (id, shingle, n = doc's distinct-shingle count) rows — the
-    * inverted-index input. Typed flatMap, not composed HOF expressions:
-    * Catalyst performs no CSE inside lambda bodies, so the expression
-    * form re-splits the text once per element_at call (O(len²) per doc,
-    * measured 50× slower). Carrying `n` on every row costs 8 bytes but
-    * lets the pair join skip a full size aggregate plus two join-backs. */
   /** Probe-only alias of [[explodedShingles]] for the optimization
     * micro-benches (tools/MicroProbe) — not a query-path API. */
   def explodedShinglesForProbe(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     explodedShingles(df, idCol, textCol, shingleSize)
 
+  /** Distinct (id, shingle, n = doc's distinct-shingle count) rows — the
+    * inverted-index input. Typed flatMap, not composed HOF expressions:
+    * Catalyst performs no CSE inside lambda bodies, so the expression
+    * form re-splits the text once per element_at call (O(len²) per doc,
+    * measured 50× slower). Carrying `n` on every row costs 8 bytes but
+    * lets the pair join skip a full size aggregate plus two join-backs. */
   private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame = {
     val spark = df.sparkSession
@@ -166,7 +166,9 @@ object Dedup {
       shingleSize: Int): Array[Long] = {
     val r = explodedShingles(df, idCol, textCol, shingleSize)
       .groupBy("sh").agg(count(lit(1)).as("p"))
-      .agg(count(lit(1)), sum(col("p")), sum(col("p") * col("p")), max(col("p")))
+      .agg(count(lit(1)), coalesce(sum(col("p")), lit(0L)),
+        coalesce(sum(col("p") * col("p")), lit(0L)),
+        coalesce(max(col("p")), lit(0L)))
       .collect()(0)
     Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }

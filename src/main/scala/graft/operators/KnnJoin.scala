@@ -48,16 +48,15 @@ object KnnJoin {
     * that routed the batch already (HybridKnn, pruned-layout scans) know
     * only a subset of query types can arrive, and a smaller union keeps
     * the physical plan (and its codegen) proportional to the work. */
-  def exact(base0: DataFrame, queries: DataFrame, k: Int,
+  // NOT SmallBase-parallelized (r14 optimization pass: measured the
+  // repartitioned form 0.3-0.5 s SLOWER across every exact-kNN gate in
+  // two cold benches — at gate scale the branch pair loops are ~100k
+  // evals, far under the added per-branch AQE exchange stage's cost;
+  // the parallelize only pays on multi-million-pair loops like
+  // cosineNearDupPairs' 2M-pair scan, where it measured 3x).
+  def exact(base: DataFrame, queries: DataFrame, k: Int,
       metric: String = "l2", types: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame = {
     require(types.nonEmpty, "at least one query type branch is required")
-    // NOT SmallBase-parallelized (r14 optimization pass: measured the
-    // repartitioned form 0.3-0.5 s SLOWER across every exact-kNN gate
-    // in two cold benches — at gate scale the branch pair loops are
-    // ~100k evals, far under the added per-branch AQE exchange stage's
-    // cost; the parallelize only pays on multi-million-pair loops like
-    // cosineNearDupPairs' 2M-pair scan, where it measured 3x).
-    val base = base0
     val q = broadcast(queries)
     val branches = types.distinct.sorted.map {
       case 0 => q.filter(col("qtype") === 0).crossJoin(base)

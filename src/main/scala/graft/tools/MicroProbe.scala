@@ -39,7 +39,7 @@ object MicroProbe {
       val ex = graft.operators.Dedup.explodedShinglesForProbe(d, "doc_id", "text", 3)
         .repartition(col("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ex.count() // materialize outside the timed fragment? no — timed fragment is whole; keep
+      ex.count() // cache built BEFORE t0: join_stage times the join+agg only
       val b0 = hint.fold(ex.as("b"))(h => ex.as("b").hint(h))
       val t0 = System.nanoTime()
       val out = ex.as("a").join(b0,

@@ -325,22 +325,43 @@ object PqAdc {
 }
 
 object NearestCentroids {
+  /** Row-path form: reads the centroid ArrayData IN PLACE — this runs
+    * once per base row during writeIvf's list assignment and once per
+    * query row on the probe route, so copying the flattened table
+    * (nlist×dim floats, ~1 MB at lifecycle scale) per evaluation would
+    * be pure allocation churn. Must stay value-identical to
+    * [[topkArr]] (same distance accumulation order, same
+    * (dist, index)-ascending selection) — the nprobe tuner's
+    * driver-side routing relies on the twins never diverging
+    * (NprobeTunerEquivalenceSpec pins it transitively). */
   def topk(vec: ArrayData, cents: ArrayData, k: Int): ArrayData = {
     val dim = vec.numElements()
+    val n = if (dim == 0) 0 else cents.numElements() / dim
     val q = new Array[Float](dim)
     var d = 0
     while (d < dim) { q(d) = vec.getFloat(d); d += 1 }
-    val n = if (dim == 0) 0 else cents.numElements() / dim
-    val cf = new Array[Float](n * dim)
-    var i = 0
-    while (i < cf.length) { cf(i) = cents.getFloat(i); i += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(topkArr(q, cf, k))
+    val dist = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      var s = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < dim) {
+        val df = q(i).toDouble - cents.getFloat(off + i).toDouble
+        s += df * df
+        i += 1
+      }
+      dist(c) = s
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(selectK(dist, k))
   }
 
   /** The same (dist, index)-ascending selection on plain arrays — the
     * driver-side routing twin (nprobe tuner): float-identical to the
-    * expression route, so a probe SET derived here can never diverge
-    * from one the [[NearestCentroids]] expression would select. */
+    * expression route (same accumulation, same [[selectK]]), so a probe
+    * SET derived here can never diverge from one the
+    * [[NearestCentroids]] expression would select. */
   def topkArr(q: Array[Float], centsFlat: Array[Float], k: Int): Array[Int] = {
     val dim = q.length
     val n = if (dim == 0) 0 else centsFlat.length / dim
@@ -358,6 +379,14 @@ object NearestCentroids {
       dist(c) = s
       c += 1
     }
+    selectK(dist, k)
+  }
+
+  /** ONE definition of the tie-break: kk smallest by (dist, index)
+    * ascending — shared by the row path and the driver twin so the
+    * selection rule cannot drift between them. */
+  private def selectK(dist: Array[Double], k: Int): Array[Int] = {
+    val n = dist.length
     val kk = math.min(math.max(k, 0), n)
     val idx = Array.range(0, n)
     // selection of kk smallest by (dist, index) — nlist is small
