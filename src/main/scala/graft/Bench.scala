@@ -122,8 +122,18 @@ object Bench {
     // SUBTRACT a second from the headline total, reporting a broken
     // suite as faster than a healthy one
     val total = results.values.filter(_ >= 0.0).sum
-    val servingJson = serving.fold("") { rep =>
+    val servingMsJson = serving.fold("") { rep =>
       val medians = rep.routes.map { case (n, st) => (n, st.medianMs) }
+      s""","serving_ms":${queriesJson(medians)}"""
+    }
+    // serving_diag goes ONLY to bench_results.json: at ~900 chars it was
+    // the single biggest consumer of the driver's 2000-char stdout
+    // capture window, and the r14 PERF comparison misclassified four
+    // big WINS as dropped_from_bench because the per-query map had been
+    // truncated to the slowest 27 to make room. The medians stay on the
+    // line (round-over-round serving tracking); the cache/hit detail is
+    // diagnostic depth that belongs in the committed full file.
+    val servingDiagJson = serving.fold("") { rep =>
       // max_ms, not "p99": over 7-8 timed statements the nearest-rank
       // p99 IS the max — naming it that stops consumers treating one
       // outlier as a tail statistic (r12 advisory). "ms" is the full
@@ -138,25 +148,29 @@ object Bench {
           ",\"placed\":" + st.placed + ",\"scanned\":" + st.scanned +
           ",\"ms\":" + st.timedMs.map(fmt1).mkString("[", ",", "]") + "}"
       }.mkString("{", ",", "}")
-      s""","serving_ms":${queriesJson(medians)}""" +
-        s""","serving_diag":{"cache_budget_mb":${rep.cacheBudgetBytes >> 20}""" +
+      s""","serving_diag":{"cache_budget_mb":${rep.cacheBudgetBytes >> 20}""" +
         s""","cache_used_mb":${rep.cacheUsedBytes >> 20}""" +
         s""","entries":${rep.cacheEntries},"routes":$diag}"""
     }
     val canaryJson =
       if (canary.isEmpty) ""
       else s""","canary":${queriesJson(canary)}"""
-    def wrap(qs: String, extra: String = ""): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index_build_sec":${fmt(buildSec)}$servingJson$canaryJson$extra,"queries":$qs,"sf":"$sfDir"}"""
-    val fullJson = wrap(queriesJson(results))
-    // The driver captures only a bounded TAIL of stdout (~2000 chars),
-    // and sbt appends its own "[success] Total time" line after ours —
-    // with the full 80-query map the line head gets clipped and the
-    // driver records parsed:null (observed rounds 4-7). Keep the stdout
+    def wrap(qs: String, extra: String = "", diag: String = ""): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","index_build_sec":${fmt(buildSec)}$servingMsJson$diag$canaryJson$extra,"queries":$qs,"sf":"$sfDir"}"""
+    val fullJson = wrap(queriesJson(results), diag = servingDiagJson)
+    // The driver captures only a bounded TAIL of stdout (measured: the
+    // recorded tails are exactly 2000 chars), and sbt appends its own
+    // "[success] Total time" line (~75 chars) after ours — with the full
+    // 111-query map (~2600 chars of entries alone) the line head gets
+    // clipped and the driver records parsed:null (observed rounds 4-7),
+    // so printing the complete map is NOT possible. Keep the stdout
     // line under budget: full map if it fits, else the slowest N
-    // queries plus an explicit truncation marker. The COMPLETE JSON
+    // queries plus explicit truncation markers, including the max
+    // seconds among the OMITTED queries — so a query that leaves the
+    // window can be read as "faster than that bound", not dropped
+    // (the r14 PERF misread). The COMPLETE JSON (with serving_diag)
     // always goes to bench_results.json.
-    val stdoutBudget = 1800
+    val stdoutBudget = 1870
     val stdoutJson =
       if (fullJson.length <= stdoutBudget) fullJson
       else {
@@ -167,18 +181,22 @@ object Bench {
           (if (v < 0) Double.NegativeInfinity else -v)
         }
         var n = bySlowest.length
-        var line = fullJson
+        var line = wrap(queriesJson(bySlowest))
         while (line.length > stdoutBudget && n > 1) {
           n -= 1
+          val omittedMax = bySlowest.drop(n).map(_._2).foldLeft(0.0)(math.max)
           line = wrap(queriesJson(bySlowest.take(n)),
-            s""","n_queries":${results.size},"queries_truncated_to_slowest":$n,"full":"bench_results.json"""")
+            s""","n_queries":${results.size},"queries_truncated_to_slowest":$n""" +
+              s""","omitted_max_sec":${fmt(omittedMax)},"full":"bench_results.json"""")
         }
         line
       }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_results.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case NonFatal(e) => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
-    println(stdoutJson)
+    // stop BEFORE the stdout line: a shutdown-time WARN printed after
+    // our JSON would push its head out of the driver's bounded tail
     spark.stop()
+    println(stdoutJson)
   }
 }

@@ -1394,7 +1394,19 @@ object AnnIndexStore {
         if (hit != null) hit
         else {
           val cents = loadCentroids(spark, store)
-          centroidCache.synchronized(centroidCache.put(key, cents))
+          // load-validate-store (r14 advisory): a reader racing a
+          // flat-layout in-place rebuild (writeIvf overwrites centroids
+          // before buildBy re-stamps lists) could read the NEW table
+          // under the OLD token; caching that entry would serve the
+          // poisoned pair to every later reader of the old state. Only
+          // cache when the token is unchanged AFTER the load — the
+          // caller still gets the freshly-read table either way, which
+          // is exactly what an uncached racy read returned before.
+          val verAfter = versionAt(root)
+            .orElse(versionAt(resolveStore(s"$root/lists")))
+            .orElse(versionAt(resolveStore(s"$root/codes")))
+          if (verAfter.contains(v))
+            centroidCache.synchronized(centroidCache.put(key, cents))
           cents
         }
     }

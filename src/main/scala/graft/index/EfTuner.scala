@@ -139,11 +139,12 @@ object EfTuner {
         }
 
     // Driver-residency bound, checked BEFORE any blob lands on the
-    // driver: the union measurement below streams buckets one at a
-    // time (load, measure, drop), so peak residency is ONE bucket's
-    // rows — but a store whose single largest bucket outgrows the
-    // driver heap must still fail loudly with a sizing rule, not OOM
-    // mid-tune. Bytes come from FOOTER column-chunk metadata keyed by
+    // driver: the union measurement below streams buckets in batches
+    // sized from this same bound (load, measure, drop — a batch never
+    // exceeds half the budget, and a store with large buckets degrades
+    // to batches of 1, the old one-at-a-time behavior) — but a store
+    // whose single largest bucket outgrows the driver heap must still
+    // fail loudly with a sizing rule, not OOM mid-tune. Bytes come from FOOTER column-chunk metadata keyed by
     // the bucket column's row-group statistics — genuinely no blob is
     // read for the check (a length() aggregate would scan every graph
     // blob, a multi-GB pass on a lifecycle store).
@@ -164,7 +165,8 @@ object EfTuner {
         s"stats + $spanningBytes unattributable spanning/stat-less row-" +
         s"group bytes charged to every bucket); with deserialization " +
         s"overhead (2x) that exceeds the tuner's driver budget " +
-        s"$tunerBudget. Tuning streams ONE bucket at a time, so if the " +
+        s"$tunerBudget. Tuning streams buckets in budget-bounded " +
+        "batches (worst case one at a time), so if the " +
         "attributed share dominates, re-bucket the store below budget/2 " +
         "bytes per bucket or raise -Dgraft.eftuner.maxBytes (and the " +
         "driver heap with it); if the spanning share dominates, the " +
@@ -205,9 +207,13 @@ object EfTuner {
         (m, factorLadder.map(f => deflt.copy(full = Seq(1 -> f)).unionWalkEf(ef, k, m)))).toMap
       val needed = buckets.filter(b => ms.exists(m => slices(m)(b)))
       // batch size from the SAME conservative footer bound the residency
-      // check uses: how many worst-case buckets fit half the budget
-      val perBatch = math.max(1L, tunerBudget / 2 /
-        math.max(1L, maxBucketBytes * 2)).toInt
+      // check uses: how many worst-case buckets fit half the budget —
+      // clamped to the bucket count so an extreme budget/bucket ratio
+      // (huge -Dgraft.eftuner.maxBytes over tiny buckets) can't
+      // overflow the Int and hand grouped() a negative size
+      val perBatch = math.min(
+        math.max(1L, tunerBudget / 2 / math.max(1L, maxBucketBytes * 2)),
+        math.max(1, needed.length).toLong).toInt
       needed.grouped(perBatch).foreach { batch =>
         val loaded = loadBuckets(batch)
         batch.foreach { b =>

@@ -23,6 +23,26 @@ object TextQueries {
   private def docCount(s: SparkSession, dir: String): Long =
     graft.sources.ParquetMeta.rowCount(s, s"$dir/documents.parquet")
 
+  /** Stats-gated cache for a BOUNDED table derived from a corpus scan
+    * (vocab tables, doc-keyed masks): persist + track only when the
+    * SOURCE scan's optimizer-stats bytes exceed
+    * `-Dgraft.derived.cacheBytes` (default 64 MB — the SmallBase
+    * "cheap to recompute outright" regime); below it the uncached
+    * plan shape is kept. Rationale (r14 verdict): each extra reader of
+    * the uncached table re-scans the CORPUS, so the cache wins
+    * whenever the corpus is big — but at gate scale the
+    * materialization overhead measurably exceeded the saved scan
+    * (unigram_logprob 0.36 → 0.76 s with an unconditional persist).
+    * The decision reads plan stats (no job) and never changes rows —
+    * persist affects only the physical execution. */
+  private def cacheIfBigSource(src: DataFrame, derived: DataFrame): DataFrame = {
+    val bound = java.lang.Long.getLong("graft.derived.cacheBytes", 64L << 20)
+    if (src.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(bound))
+      graft.operators.CacheRegistry.tracked(
+        derived.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else derived
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact 3-shingle Jaccard near-dup pairs (inverted-index join)
     "dedup_jaccard_pairs" -> ((s, dir) =>
@@ -137,6 +157,16 @@ object TextQueries {
     // operator from this library; the oracle recomputes the whole
     // composition in SQL. Output: the surviving training set.
     "corpus_pipeline" -> ((s, dir) => {
+      // A/B'd and NOT cached (r15): tokenizing once into a bounded
+      // (doc_id, n_tokens) keep-mask and re-attaching text per
+      // consumer with a broadcast join measured wall-NEUTRAL at the
+      // gate (2.03 → 2.17 s) while raising the execution shape from
+      // 14 jobs / 23 Exchange nodes to 26 / 38 — the composition is
+      // scheduler-bound at this scale, and the mask's cache fill +
+      // per-subtree broadcast builds cost more stages than the saved
+      // map-side re-tokenizations. At real scale the recompute shape
+      // is also the safe one (a doc_id mask join would shuffle the
+      // text-bearing corpus — guide §8's "second payload shuffle").
       val quality = docs(s, dir)
         .withColumn("toks", TF.tokens(col("text")))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -193,6 +223,11 @@ object TextQueries {
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("score_milli",
           QualityClassifier.scoreMilli(col("toks"), weights))
+      // A/B'd and NOT mask-cached (r15) — same measured negative as
+      // corpus_pipeline: a bounded scored-stats cache + broadcast
+      // re-attach read wall-neutral at the gate while inflating jobs
+      // 19 → 29 and Exchange nodes 23 → 38; the one driver collect
+      // below stays a 2-long threshold row.
       val tot = scoredAll
         .agg(sum(col("score_milli")).as("s"), sum(col("n_tokens")).as("n"))
         .collect()(0)
@@ -672,11 +707,13 @@ object TextQueries {
       val toks = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
         explode(TF.tokens(col("text"))).as("token"))
       // vocab is VOCABULARY-sized (bounded, unlike the corpus) and read
-      // twice (probe join + total); the tracked persist stops the total
-      // branch re-tokenizing the whole corpus for one scalar
-      val vocab = graft.operators.CacheRegistry.tracked(
-        toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // twice (probe join + total); the STATS-GATED persist stops the
+      // total branch re-tokenizing the whole corpus for one scalar —
+      // but only above the cacheIfBigSource bound, where the saved
+      // corpus scan outweighs the materialization (below it the r14
+      // unconditional persist measured 0.36 → 0.76 s at the gate)
+      val vocab = cacheIfBigSource(docs(s, dir),
+        toks.groupBy("token").agg(count(lit(1)).as("cnt")))
       // total token count folds from the vocab aggregate — one fewer
       // full explode scan than counting the token stream again
       val tot = vocab.agg(sum(col("cnt")).as("tot"))
@@ -702,11 +739,12 @@ object TextQueries {
         TF.tokens(col("text")).as("toks"))
       val toks = t.select(col("doc_id"), explode(col("toks")).as("token"))
       // vocabulary-sized and read THREE times (w1 join, w2 join, total):
-      // uncached, each reader re-tokenized the whole corpus (5 full
-      // Generate scans in the before-plan; 3 after)
-      val uni = graft.operators.CacheRegistry.tracked(
-        toks.groupBy("token").agg(count(lit(1)).as("cnt1"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // uncached, each reader re-tokenizes the whole corpus (5 full
+      // Generate scans vs 3 cached) — stats-gated like the unigram
+      // entry: persist only when the corpus scan is big enough that
+      // the saved re-tokenizations beat the materialization cost
+      val uni = cacheIfBigSource(docs(s, dir),
+        toks.groupBy("token").agg(count(lit(1)).as("cnt1")))
       val tot = uni.agg(sum(col("cnt1")).as("tot"))
       // size >= 2 guard is load-bearing: sequence(2, 1) steps DOWN
       val bi = t.filter(size(col("toks")) >= 2)

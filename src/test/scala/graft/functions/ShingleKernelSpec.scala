@@ -60,10 +60,32 @@ class ShingleKernelSpec extends SparkSpec {
 
   test("WordShingles evaluates in both codegen and interpreted modes") {
     val df = Seq(Seq("x", "y", "z")).toDF("toks")
-    // interpreted path: eval through a filter that references the expr
+    // codegen path: filter + select both run through whole-stage codegen
     val viaFilter = df.filter(size(TextFunctions.shingles(col("toks"), 2)) === 2).count()
     assert(viaFilter == 1L)
     val got = df.select(TextFunctions.shingles(col("toks"), 2)).collect()(0).getSeq[String](0)
     assert(got == Seq("x y", "y z"))
+    // INTERPRETED path (r14 advisory: the queries above never leave
+    // whole-stage codegen, so eval() was untested): call eval directly
+    // on literal rows — the path hit on codegen fallback and constant
+    // folding. Covers the null-array and short-array eval branches too.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def lit3(xs: Seq[String]) = Literal(
+      if (xs == null) null
+      else new GenericArrayData(xs.map(x =>
+        if (x == null) null else UTF8String.fromString(x)).toArray[Any]),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    def evalShingles(xs: Seq[String], n: Int): Seq[String] =
+      org.apache.spark.sql.graft.WordShingles(lit3(xs), n)
+        .eval(InternalRow.empty).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(s => if (s == null) null else s.toString).toSeq
+    assert(evalShingles(Seq("x", "y", "z"), 2) == Seq("x y", "y z"))
+    assert(evalShingles(Seq("x"), 2) == Seq.empty)
+    assert(evalShingles(null, 1) == Seq.empty)
+    assert(evalShingles(Seq("a", null, "c"), 3) == Seq("a c"))
   }
 }
