@@ -675,24 +675,32 @@ object AnnIndexStore {
     val centsFlat = typedLit(coarse.flatten)
     val bookFlat = typedLit(book.flatten)
 
-    // tracked persist: used by the bounded list collect AND the cand
-    // join; released through the shared CacheRegistry lifecycle (an
-    // inline unpersist here would race the caller's lazy execution)
-    val probed = graft.operators.CacheRegistry.tracked(queries
+    // ONE collect materializes the routed query batch (r15): the old
+    // shape persisted the probed DF and paid a second job for the
+    // distinct-list collect before the broadcast build collected the
+    // SAME rows again. The routing/ADC expressions are unchanged (the
+    // collected values are their outputs — no float-identity risk);
+    // driver residency is unchanged too, since broadcast() already
+    // collected these exact rows to the driver to build the relation.
+    import spark.implicits._
+    val probedRows = queries
       .select(col("qid").cast("long").as("qid"), col("qvec"))
       .withColumn("list",
         explode(VF.nearestCentroids(col("qvec"), centsFlat,
           lit(math.min(nprobe, coarse.length)))))
       .withColumn("adc_table",
         VF.pqAdcTable(SS.pqResidualCol(col("qvec"), col("list"), centsFlat, dim), bookFlat, lit(m)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // the probed-list set is ≤ nlist values: one bounded collect turns
-    // routing into a STATIC partition filter on the codes scan
-    val lists = probed.select(col("list")).distinct().collect().map(_.getInt(0)).sorted
+      .select(col("qid"), col("list"), col("adc_table"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    // the probed-list set is ≤ nlist values: it turns routing into a
+    // STATIC partition filter on the codes scan
+    val lists = probedRows.map(_._2).distinct.sorted
     val codes = spark.read.parquet(s"$store/codes")
       .where(col("list").isin(lists.map(Integer.valueOf): _*))
       .select(col("id"), col("list").cast("int").as("list"), col("codes"))
 
+    val probed = probedRows.toIndexedSeq.toDF("qid", "list", "adc_table")
     val cand = broadcast(probed.select(col("qid"), col("list"), col("adc_table")))
       .join(codes, "list")
       .filter(col("id") =!= col("qid"))
@@ -1977,19 +1985,53 @@ object AnnIndexStore {
       .write.mode("overwrite").parquet(target)
   }
 
+  // Indexed-row counts per (resolved data dir, version token): the
+  // count is a full `sum(size(ids))` scan of the graph store, and a
+  // streaming ingest calls deltaFraction after EVERY micro-batch while
+  // the indexed generation only changes at a fold — uncached, that is
+  // one whole-store scan per batch at any scale (r15; the gate stream
+  // query paid the job twice per run). Same invalidation rule as the
+  // centroid cache: generation dirs are immutable, rebuilds re-stamp
+  // `_store_version`; unstamped stores skip the cache, and the entry
+  // is only stored when the token is unchanged after the scan
+  // (load-validate-store — an in-place rebuild racing the read must
+  // not pin its row count under the old token).
+  private val indexedRowsCache =
+    new java.util.LinkedHashMap[(String, String), java.lang.Long](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), java.lang.Long]): Boolean =
+        size() > 64
+    }
+
   /** delta rows ÷ indexed rows — the compaction trigger. Delta count
     * comes from parquet footers (no job); the indexed count is one
     * aggregate over the B bucket rows (sums `size(ids)` — B is tens of
-    * rows by construction, so this is a driver-trivial job). Read-only:
-    * folded leftovers are excluded, not deleted. */
+    * rows by construction, so this is a driver-trivial job), cached
+    * per immutable store generation. Read-only: folded leftovers are
+    * excluded, not deleted. */
   def deltaFraction(spark: SparkSession, path: String): Double = {
     val delta = liveDeltaRows(spark, path)
     if (delta == 0) return 0.0
-    // coalesce: sum over a ZERO-row store (a valid empty build that a
-    // stream is bootstrapping) is NULL, and getLong would NPE before
-    // the infinity guard could fire
-    val indexed = spark.read.parquet(resolveStore(path))
-      .agg(coalesce(sum(size(col("ids"))), lit(0L))).head().getLong(0)
+    def countIndexed(dir: String): Long =
+      // coalesce: sum over a ZERO-row store (a valid empty build that a
+      // stream is bootstrapping) is NULL, and getLong would NPE before
+      // the infinity guard could fire
+      spark.read.parquet(dir)
+        .agg(coalesce(sum(size(col("ids"))), lit(0L))).head().getLong(0)
+    val dir = resolveStore(path)
+    val indexed = versionAt(dir) match {
+      case None => countIndexed(dir)
+      case Some(v) =>
+        val key = (dir, v)
+        val hit = indexedRowsCache.synchronized(indexedRowsCache.get(key))
+        if (hit != null) hit.longValue()
+        else {
+          val n = countIndexed(dir)
+          if (versionAt(dir).contains(v))
+            indexedRowsCache.synchronized(indexedRowsCache.put(key, n))
+          n
+        }
+    }
     if (indexed == 0) Double.PositiveInfinity else delta.toDouble / indexed
   }
 

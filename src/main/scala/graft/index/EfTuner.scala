@@ -505,18 +505,21 @@ object EfTuner {
     * two knobs with one ladder). As nprobe → nlist the recall is 1.0
     * by construction, so the ladder always terminates meaningfully.
     *
-    * Execution shape (r14): ONE distributed all-lists candidate pass
-    * ([[AnnIndexStore.ivfWalkCandidates]] — executors hold one
-    * sub-index each), then every rung is a driver-side prefix merge.
-    * DRIVER RESIDENCY is the candidate set: sample × nlist × k
-    * (dist, id) tuples — ~2.4M tuples at the lifecycle operating point
-    * (s64 sample, 375 lists, k=100), which is the bounded-offline-
-    * calibration regime this tuner is for. Callers with very large
-    * samples against very large nlist should chunk the sample; the old
-    * per-rung form held only sample×k ids but paid one search job per
-    * rung and re-walked ~2×nlist lists across the ladder.
-    * Deterministic for a deterministic store (seeded centroids/builds,
-    * (dist, id) ties, fixed ladder, ordered sample). */
+    * Execution shape (r14, chunk-bounded r15): distributed all-lists
+    * candidate passes ([[AnnIndexStore.ivfWalkCandidates]] — executors
+    * hold one sub-index each), then every rung is a driver-side prefix
+    * merge over per-rung (hit, total) counters. DRIVER RESIDENCY is
+    * bounded by the tuner budget (`-Dgraft.eftuner.maxBytes`): the
+    * sample is walked in chunks sized so one chunk's candidate set
+    * (chunk × listRows × k boxed tuples at a conservative 96 B each)
+    * fits half the budget — a calibration-sized sample is one chunk
+    * (the r14 shape), an oversized one pays extra walk passes instead
+    * of OOMing mid-tune. The old per-rung form held only sample×k ids
+    * but paid one search job per rung and re-walked ~2×nlist lists
+    * across the ladder. Deterministic for a deterministic store
+    * (seeded centroids/builds, (dist, id) ties, fixed ladder, ordered
+    * sample); chunking never changes values — recall decomposes as a
+    * per-query sum (NprobeTunerEquivalenceSpec). */
   def tuneNprobe(spark: org.apache.spark.sql.SparkSession, storePath: String,
       sample: Array[Array[Float]], k: Int, targetRecall: Double,
       ef: Int = 400, ladder: Seq[Int] = DefaultNprobeLadder): NprobeResult = {
@@ -539,43 +542,83 @@ object EfTuner {
     val centsFlat = cents.flatten
     val order: Array[Array[Int]] = sample.map(q =>
       org.apache.spark.sql.graft.NearestCentroids.topkArr(q, centsFlat, nlist))
-    val qs = sample.zipWithIndex.map { case (q, i) => (i.toLong, q) }
-    val byQidList: Map[Long, Map[Long, Array[(Double, Long)]]] =
-      AnnIndexStore.ivfWalkCandidates(spark, store, qs, k, ef)
-        .groupBy(_._1)
-        .map { case (qid, xs) =>
-          (qid, xs.groupBy(_._2).map { case (l, ys) =>
-            (l, ys.map(y => (y._4, y._3)))
-          })
-        }
     val cmp: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
       def compare(a: (Double, Long), b: (Double, Long)): Int = {
         val c = java.lang.Double.compare(a._1, b._1)
         if (c != 0) c else java.lang.Long.compare(a._2, b._2)
       }
     }
-    def topIds(nprobe: Int): Map[Long, Set[Long]] =
-      qs.map { case (qid, _) =>
+    // Every rung the sequential ladder COULD measure, precomputed: the
+    // caller's ladder plus the deterministic doubling extension toward
+    // nlist. Per-rung (hit, total) counters decompose per query, so the
+    // sample can be walked in driver-residency-bounded CHUNKS (r14
+    // advisory: the one-pass form held sample × listRows × k candidate
+    // tuples on the driver with no guard — a large sample against a
+    // large-nlist store could OOM mid-tune where the repo convention is
+    // a loud budget rule). Chunking changes which rows are resident
+    // together, never any value: recall(np) = Σ_q hit_q / Σ_q |truth_q|
+    // in both forms (NprobeTunerEquivalenceSpec pins the rungs).
+    val extension = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var ext = ladder.last
+      while (ext < nlist) { ext = math.min(ext * 2, nlist); b += ext }
+      b.toSeq
+    }
+    val allRungs: Seq[Int] = (ladder ++ extension).distinct
+    val rungIdx = allRungs.zipWithIndex.toMap
+    val hits = new Array[Long](allRungs.length)
+    var total = 0L
+    // chunk size from the tuner's driver budget and a conservative
+    // per-candidate charge: each candidate is a boxed (qid, list, id,
+    // dist) tuple (~96 B as JVM objects), and one query can surface at
+    // most listRows × k of them. listRows comes from parquet footers —
+    // no job. At calibration-sized samples this is one chunk (the r14
+    // shape); only an oversized sample pays extra walk passes.
+    val tunerBudget = java.lang.Long.getLong("graft.eftuner.maxBytes",
+      math.max(256L << 20, Runtime.getRuntime.maxMemory() / 4))
+    val listRows = math.max(1L, graft.sources.ParquetMeta.rowCount(spark,
+      AnnIndexStore.resolveStore(s"$store/lists")))
+    val perQueryBytes = listRows * k * 96L
+    val chunkQ = math.min(
+      math.max(1L, tunerBudget / 2 / math.max(1L, perQueryBytes)),
+      sample.length.toLong).toInt
+    sample.indices.grouped(chunkQ).foreach { chunk =>
+      val qs = chunk.map(i => (i.toLong, sample(i))).toArray
+      val byQidList: Map[Long, Map[Long, Array[(Double, Long)]]] =
+        AnnIndexStore.ivfWalkCandidates(spark, store, qs, k, ef)
+          .groupBy(_._1)
+          .map { case (qid, xs) =>
+            (qid, xs.groupBy(_._2).map { case (l, ys) =>
+              (l, ys.map(y => (y._4, y._3)))
+            })
+          }
+      def topIdsOf(qid: Long, nprobe: Int): Set[Long] = {
         val byList = byQidList.getOrElse(qid, Map.empty[Long, Array[(Double, Long)]])
         val cand = order(qid.toInt).iterator.take(nprobe)
           .flatMap(l => byList.getOrElse(l.toLong, Array.empty[(Double, Long)]).iterator)
           .toArray
         java.util.Arrays.sort(cand.asInstanceOf[Array[Object]],
           cmp.asInstanceOf[java.util.Comparator[Object]])
-        (qid, cand.iterator.take(k).map(_._2).toSet)
-      }.toMap
-    val truth = topIds(nlist)
+        cand.iterator.take(k).map(_._2).toSet
+      }
+      qs.foreach { case (qid, _) =>
+        val truth = topIdsOf(qid, nlist)
+        total += truth.size
+        allRungs.foreach { np =>
+          hits(rungIdx(np)) += truth.intersect(topIdsOf(qid, np)).size
+        }
+      }
+    }
+    def recallOf(np: Int): Double =
+      if (total == 0) 1.0 else hits(rungIdx(np)).toDouble / total
+    // Replay the sequential ladder semantics from the counters: same
+    // rung order, same early stop, same doubling extension — the
+    // reported rungs and chosen nprobe are identical to the one-pass
+    // form because every rung's recall is the same per-query sum.
     val rungs = scala.collection.mutable.ArrayBuffer.empty[NprobeRung]
     var chosen = -1
     def measure(np: Int): Unit = {
-      val got = topIds(np)
-      var hit = 0L
-      var total = 0L
-      truth.foreach { case (q, t) =>
-        hit += t.intersect(got.getOrElse(q, Set.empty)).size
-        total += t.size
-      }
-      val recall = if (total == 0) 1.0 else hit.toDouble / total
+      val recall = recallOf(np)
       rungs += NprobeRung(np, recall)
       if (recall >= targetRecall) chosen = np
     }
@@ -588,11 +631,8 @@ object EfTuner {
     // an operating point below targetRecall can never be persisted.
     // (Large stores scale nlist past any fixed ladder — the one case
     // where the old fallback served an unreceipted under-bar count.)
-    var ext = ladder.last
-    while (chosen < 0 && ext < nlist) {
-      ext = math.min(ext * 2, nlist)
-      measure(ext)
-    }
+    val extIt = extension.iterator
+    while (chosen < 0 && extIt.hasNext) measure(extIt.next())
     NprobeResult(if (chosen < 0) ladder.last else chosen, targetRecall,
       rungs.toSeq)
   }

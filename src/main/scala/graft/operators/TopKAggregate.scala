@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ExprBridge, TopKIdsAgg, TopKPairsAgg}
+import org.apache.spark.sql.graft.{ExprBridge, TopKIdsAgg, TopKPairsAgg, TopTermsAgg}
 
 object TopKAggregate {
   /** Column-level API: `df.groupBy("qid").agg(topkIds(100, $"dist", $"id"))`. */
@@ -17,4 +17,13 @@ object TopKAggregate {
     ExprBridge.column(
       TopKPairsAgg(ExprBridge.expression(dist), ExprBridge.expression(id), k)
         .toAggregateExpression())
+
+  /** tf-idf ranking top-k: array of the k best `struct<tf, df, token>`
+    * under `(tf desc, df asc, token asc)`, best-first — the bounded
+    * aggregate form of a `row_number()` rank filter over that order
+    * (rank = array position + 1). */
+  def topTerms(k: Int, tf: Column, df: Column, token: Column): Column =
+    ExprBridge.column(
+      TopTermsAgg(ExprBridge.expression(tf), ExprBridge.expression(df),
+        ExprBridge.expression(token), k).toAggregateExpression())
 }

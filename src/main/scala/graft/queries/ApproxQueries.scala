@@ -105,8 +105,20 @@ object ApproxQueries {
         col("embedding").as("vec"))
       graft.index.AnnIndexStore.build(e.filter(col("id") % 5 >= 2), idxPath,
         numBuckets = 4)
-      def batch(m: Int): Seq[(Long, Array[Float])] = e.filter(col("id") % 5 === m)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+      // ONE collect for both micro-batch payloads (r15): the two
+      // per-fifth filters each paid a scan+collect job; the union is
+      // the same rows, split driver-side. Sort key and per-batch
+      // membership are unchanged, so the stream sees identical batches.
+      val batchRows: Map[Long, Seq[(Long, Array[Float])]] =
+        e.filter(col("id") % 5 <= 1)
+          .select((col("id") % 5).as("m"), col("id"), col("vec"))
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Float](2).toArray)))
+          .groupBy(_._1).map { case (m, xs) =>
+            (m, xs.map(_._2).toSeq.sortBy(_._1))
+          }
+      def batch(m: Int): Seq[(Long, Array[Float])] =
+        batchRows.getOrElse(m.toLong, Seq.empty)
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Array[Float])]
       val writer = graft.streaming.StreamingKnn.deltaIngestWriter(

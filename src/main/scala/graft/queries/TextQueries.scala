@@ -836,7 +836,6 @@ object TextQueries {
     // table (one row per (doc, token), so count(*) per token ==
     // distinct docs) — the token explode is computed exactly once.
     "tfidf_terms" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
       val tok = d.select(col("doc_id").cast("long").as("doc_id"),
         explode(TF.tokens(col("text"))).as("token"))
@@ -845,14 +844,27 @@ object TextQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val tot = d.agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("tf").desc, col("df").asc, col("token"))
+      // BOUNDED top-k aggregate instead of a row_number Window (r15,
+      // guide §2.3/§2.4): the Window re-sorted the whole joined
+      // (doc, token) relation inside each partition just to keep 5
+      // rows per doc; TopTermsAgg reduces every partition to ≤5
+      // entries per doc BEFORE the shuffle under the identical
+      // (tf desc, df asc, token asc) order (UTF8String binary compare
+      // = SortOrder's string order), so ranks are value-identical
+      // (rank = array position + 1) and the full sort is gone from
+      // the plan at any scale.
       // no broadcast hint on dfq: vocabulary grows with the corpus, so
       // AQE decides (forced broadcast of an unbounded table OOMs at scale)
-      tf.join(dfq, "token").crossJoin(broadcast(tot))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("n_docs"))
+      tf.join(dfq, "token")
+        .groupBy("doc_id")
+        .agg(graft.operators.TopKAggregate.topTerms(
+          5, col("tf"), col("df"), col("token")).as("ts"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_docs"),
+          posexplode(col("ts")).as(Seq("r0", "t")))
+        .select(col("doc_id"), (col("r0") + 1).cast("long").as("rank"),
+          col("t.token").as("token"), col("t.tf").as("tf"),
+          col("t.df").as("df"), col("n_docs"))
     }),
 
     // RAG chunking: overlapping token windows (size 32, stride 24) per
