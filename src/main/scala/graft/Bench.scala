@@ -35,6 +35,16 @@ object Bench {
     val storeBuilders = Seq("knn_stored", "ann_sql_topk", "ann_sql_routed", "ann_delta_knn")
       .filter(selected.contains)
     val tB0 = System.nanoTime()
+    // overlap the four builders' DISJOINT store builds before running
+    // the queries serially (r15, guide §2.6 — the serial pre-pass left
+    // the 32-core session mostly idle; ensure blocks only, so catalog
+    // registrations keep their serial order). Work unchanged: the
+    // queries' own ensure blocks see committed stores and skip.
+    try graft.queries.StorePaths.prebuildStores(spark, sfDir, storeBuilders.toSet)
+    catch {
+      case NonFatal(e) =>
+        System.err.println(s"[bench] parallel prebuild failed (queries will build serially): ${e.getClass.getName}: ${e.getMessage}")
+    }
     storeBuilders.foreach { name =>
       try selected(name)(spark, sfDir).count()
       catch {

@@ -220,16 +220,28 @@ object EfTuner {
           val owners = ms.filter(m => slices(m)(b))
           loaded.getOrElse(b, Seq.empty).foreach { case (idx, ids, _) =>
             val all = Array.tabulate(idx.size)(identity)
-            sample.zipWithIndex.foreach { case (q, qi) =>
-              val ex = idx.exactOver(q, all, k).map { case (n, d) => (d, ids(n)) }.toList
-              owners.foreach { m =>
-                exact(m)(qi) = ex ::: exact(m)(qi)
-                rungEfs(m).zipWithIndex.foreach { case (efB, fi) =>
-                  walked(m)(fi)(qi) = idx.search(q, k, efB)
-                    .map { case (n, d) => (d, ids(n)) }.toList ::: walked(m)(fi)(qi)
+            // PARALLEL over the sample (r15): these walks are driver
+            // CPU, and the serial loop left the machine idle for the
+            // bulk of the tune's wall (jobs were ~0.7 s of a 2.4 s
+            // query). Safe by construction: HnswIndex search/exactOver
+            // are concurrent-read by design (ThreadLocal walk scratch
+            // — the serving path shares instances the same way), and
+            // each qi writes only its OWN accumulator slots, with the
+            // outer bucket loop sequential — per-slot list order and
+            // all values are unchanged (the determinism gate's
+            // tuneOnce()==tuneOnce() still holds exactly).
+            java.util.stream.IntStream.range(0, sample.length).parallel()
+              .forEach { qi =>
+                val q = sample(qi)
+                val ex = idx.exactOver(q, all, k).map { case (n, d) => (d, ids(n)) }.toList
+                owners.foreach { m =>
+                  exact(m)(qi) = ex ::: exact(m)(qi)
+                  rungEfs(m).zipWithIndex.foreach { case (efB, fi) =>
+                    walked(m)(fi)(qi) = idx.search(q, k, efB)
+                      .map { case (n, d) => (d, ids(n)) }.toList ::: walked(m)(fi)(qi)
+                  }
                 }
               }
-            }
           }
         }
       }
@@ -295,17 +307,23 @@ object EfTuner {
       val table = deflt.copy(inFilterMaxFactor = cap)
       val efW = table.inFilterEf(ef, cover)
       val allowed: Int => Boolean = i => bigTs(i) >= lo && bigTs(i) <= hi
-      var hit = 0L
-      var total = 0L
-      sample.foreach { q =>
-        val truth = bigIdx.exactOver(q, slice, k).map(_._1).toSet
-        val got = bigIdx.search(q, k, efW, allowed,
-          seeds = tsIdx.seeds(lo, hi, graft.operators.SearchParams.FilterSeeds))
-          .map(_._1).toSet
-        hit += truth.intersect(got).size
-        total += truth.size
-      }
-      if (total == 0) 1.0 else hit.toDouble / total
+      // parallel over the sample (r15) — driver-CPU walks, same safety
+      // argument as the union loop above; hit/total are exact integer
+      // sums, so accumulation order cannot change the recall
+      val hitA = new java.util.concurrent.atomic.AtomicLong(0L)
+      val totalA = new java.util.concurrent.atomic.AtomicLong(0L)
+      java.util.stream.IntStream.range(0, sample.length).parallel()
+        .forEach { qi =>
+          val q = sample(qi)
+          val truth = bigIdx.exactOver(q, slice, k).map(_._1).toSet
+          val got = bigIdx.search(q, k, efW, allowed,
+            seeds = tsIdx.seeds(lo, hi, graft.operators.SearchParams.FilterSeeds))
+            .map(_._1).toSet
+          hitA.addAndGet(truth.intersect(got).size.toLong)
+          totalA.addAndGet(truth.size.toLong)
+        }
+      val total = totalA.get()
+      if (total == 0) 1.0 else hitA.get().toDouble / total
     }
     // ---- brute-coverage crossover, on the same largest row ----
     // The scan-vs-walk dispatch line, MEASURED instead of copied from
@@ -901,28 +919,36 @@ object EfTuner {
     require(sample.nonEmpty, "empty tuning sample")
     require(ladder.nonEmpty && ladder == ladder.sorted, "ladder must be ascending")
     val all = Array.tabulate(idx.size)(identity)
-    val truth: Array[Array[Int]] =
-      sample.map(q => idx.exactOver(q, all, k).map(_._1))
+    // parallel over the sample (r15): truth is sample × idx.size exact
+    // distance evals of single-threaded driver CPU — the same §2.6
+    // idle-machine shape as tuneBands' union walks, with the same
+    // safety argument (exactOver/search are concurrent-read by design,
+    // per-qi result slots, exact integer recall sums).
+    val truth = new Array[Array[Int]](sample.length)
+    java.util.stream.IntStream.range(0, sample.length).parallel()
+      .forEach { qi => truth(qi) = idx.exactOver(sample(qi), all, k).map(_._1) }
     val rungs = scala.collection.mutable.ArrayBuffer.empty[Rung]
     var chosen = -1
     val it = ladder.iterator
     while (chosen < 0 && it.hasNext) {
       val ef = it.next()
-      var hit = 0L
-      var total = 0L
-      var i = 0
-      while (i < sample.length) {
-        val exact = truth(i)
-        val got = idx.search(sample(i), k, ef).map(_._1).toSet
-        var j = 0
-        while (j < exact.length) {
-          if (got.contains(exact(j))) hit += 1
-          j += 1
+      val hitA = new java.util.concurrent.atomic.AtomicLong(0L)
+      val totalA = new java.util.concurrent.atomic.AtomicLong(0L)
+      java.util.stream.IntStream.range(0, sample.length).parallel()
+        .forEach { i =>
+          val exact = truth(i)
+          val got = idx.search(sample(i), k, ef).map(_._1).toSet
+          var j = 0
+          var hit = 0L
+          while (j < exact.length) {
+            if (got.contains(exact(j))) hit += 1
+            j += 1
+          }
+          hitA.addAndGet(hit)
+          totalA.addAndGet(exact.length.toLong)
         }
-        total += exact.length
-        i += 1
-      }
-      val recall = if (total == 0) 1.0 else hit.toDouble / total
+      val total = totalA.get()
+      val recall = if (total == 0) 1.0 else hitA.get().toDouble / total
       rungs += Rung(ef, recall)
       if (recall >= targetRecall) chosen = ef
     }

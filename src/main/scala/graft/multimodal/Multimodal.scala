@@ -54,6 +54,17 @@ private object DecodeErrors {
   */
 object Multimodal {
 
+  // ImageIO's default useCache=true stages EVERY createImageInputStream
+  // through a disk temp file — one file create+delete per decode
+  // ATTEMPT, paid even when the payload turns out not to be an image
+  // at all (the common case on mixed corpora, and every row of the
+  // text-payload gate corpus). Memory-cached streams decode the same
+  // bytes to the same pixels; this flag is performance-only (r15,
+  // guide §6 "small files hurt twice" applied to scratch churn).
+  // Executor-side: set in the object initializer so every task JVM
+  // classload applies it before the first decode.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def decodeRecoverable(e: Throwable): Boolean = DecodeErrors.recoverable(e)
 
   val FeatureDim = 32

@@ -27,6 +27,24 @@ object ApproxQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** ann_delta_knn's one-time build (main graphs over 4/5 of the
+    * corpus + the un-indexed last fifth as a delta), factored out so
+    * the bench's pre-pass can overlap it with the other builder
+    * queries' ensure blocks (disjoint store roots; guide §2.6).
+    * Idempotent: a committed store+delta is skipped. */
+  def ensureDeltaStore(s: SparkSession, dir: String): String = {
+    val idxPath = StorePaths.taggedPath(s, "/tmp/graft_ann_delta", dir)
+    val e = emb(s, dir).select(col("vec_id").cast("long").as("id"),
+      col("embedding").as("vec"))
+    if (!new java.io.File(s"$idxPath/_SUCCESS").exists() ||
+        !new java.io.File(graft.index.AnnIndexStore.deltaPath(idxPath), "_SUCCESS").exists()) {
+      graft.index.AnnIndexStore.build(e.filter(col("id") % 5 =!= 0), idxPath,
+        numBuckets = 4)
+      graft.index.AnnIndexStore.replaceDelta(e.filter(col("id") % 5 === 0), idxPath)
+    }
+    idxPath
+  }
+
   /** The tuner gates' ONE deterministic driver-bounded vector sample:
     * a vec_id stride sized from the parquet footer count (no gating
     * job), with an ordered-top-N fallback for sparse/offset id spaces
@@ -72,15 +90,7 @@ object ApproxQueries {
     // top-k. Oracle = exact kNN over the WHOLE corpus (delta recall is
     // 1.0 by construction; main walks are exhaustive-grade at sf scale).
     "ann_delta_knn" -> ((s, dir) => {
-      val idxPath = StorePaths.taggedPath(s, "/tmp/graft_ann_delta", dir)
-      val e = emb(s, dir).select(col("vec_id").cast("long").as("id"),
-        col("embedding").as("vec"))
-      if (!new java.io.File(s"$idxPath/_SUCCESS").exists() ||
-          !new java.io.File(graft.index.AnnIndexStore.deltaPath(idxPath), "_SUCCESS").exists()) {
-        graft.index.AnnIndexStore.build(e.filter(col("id") % 5 =!= 0), idxPath,
-          numBuckets = 4)
-        graft.index.AnnIndexStore.replaceDelta(e.filter(col("id") % 5 === 0), idxPath)
-      }
+      val idxPath = ensureDeltaStore(s, dir)
       val q = emb(s, dir).filter(col("vec_id") % 71 === 3)
         .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
       graft.index.AnnIndexStore.searchWithDelta(s, idxPath, q, k = 10, ef = 200)
@@ -454,8 +464,9 @@ object ApproxQueries {
 
     // multimodal plumbing: binary payloads → deterministic stub features
     "multimodal_features" -> ((s, dir) => {
-      // NOT SmallBase-parallelized (r14 optimization pass measured the
-      // parallel form SLOWER, 1.12 -> 2.56 s in both cold runs): the
+      // NOT SmallBase-parallelized (r14: 1.12 -> 2.56 s; RE-A/B'd in
+      // r15 after ImageIO.setUseCache(false) removed the per-attempt
+      // temp-file churn, still 0.95 -> 1.99 s parallel): the
       // javax.imageio / javax.sound decode attempts serialize on global
       // registry locks, so 32 concurrent decode tasks contend instead
       // of speeding up — the single-split scan shape wins here.

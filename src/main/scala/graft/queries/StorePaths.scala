@@ -157,4 +157,26 @@ private[graft] object StorePaths {
     graft.operators.ParallelActions.runAll(builds.result())
     root
   }
+
+  /** Overlap the one-time store builds of the bench's builder queries
+    * (r15, guide §2.6): the four builders write DISJOINT store roots
+    * (graft_ann_store / graft_ann_sql / graft_sql_route /
+    * graft_ann_delta) and each uses only a handful of tasks, so the
+    * serial pre-pass left the machine mostly idle — measured 24.1 s of
+    * isolated cold builds that overlap into the slowest one's wall.
+    * ONLY the ensure blocks run here (not the queries themselves): the
+    * serving queries also REGISTER catalog routes, and overlapping two
+    * registrations under one base path could cross the pre-pass
+    * searches onto each other's routes — builds are path-disjoint and
+    * idempotent, registrations are not order-free. The queries then
+    * find committed stores and skip their ensure. */
+  def prebuildStores(s: SparkSession, dir: String, names: Set[String]): Unit = {
+    val ensures: Map[String, () => Unit] = Map(
+      "knn_stored" -> (() => { graft.queries.VectorQueries.ensureKnnStores(s, dir); () }),
+      "ann_sql_topk" -> (() => { ensureHashStore(s, dir); () }),
+      "ann_sql_routed" -> (() => { ensureRouteStores(s, dir); () }),
+      "ann_delta_knn" -> (() => { graft.queries.ApproxQueries.ensureDeltaStore(s, dir); () }))
+    graft.operators.ParallelActions.runAll(
+      names.toSeq.sorted.flatMap(ensures.get))
+  }
 }
