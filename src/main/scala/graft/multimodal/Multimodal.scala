@@ -194,6 +194,22 @@ object Multimodal {
     * Returns (durationMs, sampleRate, channels, features). */
   def decodeAudioFeatures(bytes: Array[Byte]): Option[(Long, Int, Int, Array[Float])] = {
     if (bytes == null || bytes.isEmpty) return None
+    // Container-magic pre-filter (r15): every format the JDK's built-in
+    // providers decode opens with one of these four-byte magics (WAVE =
+    // "RIFF", AIFF/AIFF-C = "FORM", AU = ".snd" — each reader checks it
+    // first and throws otherwise), so a payload without them can never
+    // decode and the provider walk is skipped. On a mixed corpus the
+    // NON-audio case is the common one, and each failed
+    // getAudioInputStream costs a per-provider header probe plus a
+    // filled-in UnsupportedAudioFileException per row. Value-identical
+    // by the readers' own magic checks (MultimodalSpec's real WAV still
+    // decodes; non-audio rows returned None before and after).
+    if (bytes.length < 4) return None
+    val magicOk =
+      (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') ||
+      (bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' && bytes(3) == 'M') ||
+      (bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' && bytes(3) == 'd')
+    if (!magicOk) return None
     try {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
       val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
